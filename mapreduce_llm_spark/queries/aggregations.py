@@ -1,0 +1,234 @@
+"""Aggregation queries (SURVEY.md §2C "Aggregations").
+
+The reference has no aggregation operators (its reduce is ordered string
+concatenation, reference internal/cli/mapreduce.go:131-137); these
+generalize the engine to typed relational data. All are plain
+``groupBy().agg()`` so Catalyst plans partial (map-side) + final
+aggregation automatically — at 100 TB the partial agg collapses the
+shuffle to |groups| × |partitions| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+
+@query(
+    "q_agg_basic",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        round(sum(l_quantity), 4)                                   AS sum_qty,
+        round(sum(l_extendedprice), 4)                              AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        round(avg(l_quantity), 4)                                   AS avg_qty,
+        round(avg(l_extendedprice), 4)                              AS avg_price,
+        round(avg(l_discount), 4)                                   AS avg_disc,
+        count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the flagship query.
+
+    Scan → filter (pushed to parquet) → project → hash-agg → sort: the
+    spine the rest of the engine hangs on. Filter and the 7-column
+    projection reach the parquet reader; the groupBy keys are
+    low-cardinality (≤6 groups) so the shuffle is trivially small after
+    partial aggregation regardless of input scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        count(DISTINCT o_custkey)              AS n_custs,
+        count(DISTINCT o_orderstatus)          AS n_statuses,
+        round(sum(DISTINCT o_totalprice), 4)   AS sum_distinct_price,
+        count(*)                               AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) / sum(distinct) — Catalyst expands to a two-phase
+    expand+agg plan; distinct-by-key stays fully parallel."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.round(F.sum_distinct(F.col("o_totalprice")), 4).alias("sum_distinct_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        round(sum(l_quantity), 4) AS sum_qty,
+        count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        round(sum(l_extendedprice), 4) AS sum_price,
+        count(*)                       AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        round(sum(o_totalprice), 4) AS sum_price,
+        count(*)                    AS n_rows
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst Expand node as
+    rollup/cube; one pass over the data regardless of set count)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            round(sum(o_totalprice), 4) AS sum_price,
+            count(*)                    AS n_rows
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query("q_agg_approx")
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — rows-only (estimator differs from
+    DuckDB's). The exact twin q_agg_distinct is the hash-checked one.
+    At 100 TB this is the right default for cardinality dashboards:
+    fixed-size sketch, no distinct-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(stddev_samp(l_quantity), 4)               AS sd_qty,
+        round(var_samp(l_extendedprice), 2)             AS var_price,
+        round(corr(l_quantity, l_extendedprice), 4)     AS corr_qty_price,
+        round(quantile_cont(l_discount, 0.5), 4)        AS median_disc,
+        round(min(l_quantity), 4)                       AS min_qty,
+        round(max(l_quantity), 4)                       AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; exact percentile (not approx) so the
+    oracle twin (quantile_cont) matches bit-for-bit after rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.percentile(F.col("l_discount"), F.lit(0.5)), 4).alias("median_disc"),
+            F.round(F.min("l_quantity"), 4).alias("min_qty"),
+            F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -32,6 +32,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) at rest, which Spark's parquet
+        # reader rejects. Read it as a ns long and normalize to Spark's
+        # µs TimestampType (truncation, matching DuckDB's ns→µs cast)
+        # so downstream operators see a plain timestamp column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # integer division: ns values (~1.7e18) overflow double's exact
+        # integer range, so a float `/ 1000` would corrupt timestamps.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,1 +1,194 @@
-"""events queries (filled in progressively)."""
+"""Event-time analytics over the ``events`` table (SURVEY.md §2C
+"Streaming-shaped ops") — batch twins of the streaming pipeline in
+``mapreduce_llm_spark/streaming/``; the DuckDB oracle can only check
+batch output.
+
+All aggregations key on (bucket, type) or user_id, so they shuffle once
+and scale linearly; sessionization is a per-user window cumsum — the
+same running-sum shape as the reference's chunker (reference
+internal/cli/mapreduce.go:199-263) applied to time gaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+
+@query(
+    "q_evt_tumbling",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '1 hour', ts)   AS bucket_start,
+        event_type,
+        count(*)                             AS n_events,
+        round(sum(value), 4)                 AS sum_value,
+        count(DISTINCT user_id)              AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_evt_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type via F.window (epoch-aligned
+    in both engines for whole-hour widths)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+@query(
+    "q_evt_sliding",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+        count(*)             AS n_events,
+        round(sum(value), 4) AS sum_value
+    FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_evt_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width, 15 min slide): each event lands in 4
+    overlapping windows. Spark's window() generates them natively; the
+    oracle expands them via unnest of the 4 offsets."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "q_evt_sessionize",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM gapped
+    )
+    SELECT
+        user_id,
+        session_seq,
+        min(ts)              AS session_start,
+        max(ts)              AS session_end,
+        count(*)             AS n_events,
+        round(sum(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session id → per-session agg. One shuffle on
+    user_id; the batch-deterministic twin of session_window
+    (q_evt_session is the rows-only session_window variant)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessions = (
+        e.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("is_new").over(wsum))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query("q_evt_session")
+def q_evt_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) — rows-only (no clean DuckDB
+    twin for Spark's session merge semantics; the deterministic
+    SQL-checked equivalent is q_evt_sessionize)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q_evt_funnel",
+    oracle="""
+    SELECT
+        user_id,
+        count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        round(sum(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clauses) — one pass, no joins."""
+    e = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return (
+        e.groupBy("user_id")
+        .agg(
+            cnt("signup").alias("n_signup"),
+            cnt("purchase").alias("n_purchase"),
+            cnt("error").alias("n_error"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 4
+            ).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )

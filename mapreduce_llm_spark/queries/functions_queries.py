@@ -1,1 +1,229 @@
-"""functions_queries queries (filled in progressively)."""
+"""Scalar-function family queries (SURVEY.md §2C "Scalar functions").
+
+Generalizes the reference's string handling (strings.Split/Join/
+TrimSuffix in reference internal/cli/mapreduce.go:207,219,230) into the
+full built-in function surface. Everything here is JVM-side whole-stage
+codegen — no Python UDFs (those live in udfs.py deliberately).
+
+Cross-engine semantics pinned for the oracle:
+- day-of-week: Spark weekday() is Mon=0; DuckDB isodow is Mon=1 → use
+  weekday+1 vs isodow.
+- element_at / list indexing: both engines are 1-based.
+- pmod: DuckDB lacks it → ((a % b) + b) % b on both sides.
+- float arrays: cast elements to double BEFORE arithmetic on both
+  sides; sequential fold order is identical, so sums match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT
+        p_partkey,
+        upper(p_name)                                   AS name_uc,
+        lower(p_brand)                                  AS brand_lc,
+        substr(p_type, 1, 8)                            AS type_prefix,
+        length(p_name)                                  AS name_len,
+        trim(concat('  ', p_name, '  '))                AS trimmed,
+        concat(p_brand, ':', p_type)                    AS brand_type,
+        regexp_extract(p_name, '([a-z]+)', 1)           AS first_word,
+        regexp_replace(p_name, '[aeiou]', '_', 'g')     AS devoweled,
+        len(string_split(p_name, ' '))                  AS n_words,
+        reverse(p_brand)                                AS brand_rev,
+        replace(p_type, 'ED', 'xx')                     AS type_repl,
+        lpad(p_brand, 12, '*')                          AS brand_pad
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.substring("p_type", 1, 8).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.replace(F.col("p_type"), F.lit("ED"), F.lit("xx")).alias("type_repl"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT
+        o_orderkey,
+        year(o_orderdate)                                       AS yr,
+        month(o_orderdate)                                      AS mth,
+        isodow(o_orderdate)                                     AS dow_iso,
+        dayofyear(o_orderdate)                                  AS doy,
+        quarter(o_orderdate)                                    AS qtr,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)     AS month_start,
+        date_diff('day', o_orderdate, TIMESTAMP '1999-01-01')   AS days_to_1999,
+        o_orderdate + INTERVAL 90 DAY                           AS due_date,
+        strftime(o_orderdate, '%Y-%m')                          AS ym_str
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1999-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_1999"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym_str"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        round(l_extendedprice, 1)                         AS price_r1,
+        abs(l_discount - 0.05)                            AS disc_dev,
+        CAST(ceil(l_quantity / 7) AS BIGINT)              AS qty_ceil,
+        CAST(floor(l_extendedprice / 1000) AS BIGINT)     AS price_kfloor,
+        round(ln(l_extendedprice), 4)                     AS price_ln,
+        round(sqrt(l_quantity), 4)                        AS qty_sqrt,
+        round(pow(l_discount, 2), 6)                      AS disc_sq,
+        ((l_orderkey % 5) + 5) % 5                        AS key_pmod,
+        greatest(l_quantity, 25.0)                        AS qty_hi,
+        least(l_tax, 0.04)                                AS tax_lo,
+        CAST(sign(l_discount - 0.05) AS DOUBLE)           AS disc_sign
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kfloor"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(5)).cast("bigint").alias("key_pmod"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_tax"), F.lit(0.04)).alias("tax_lo"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT
+        vec_id,
+        len(embedding)                                               AS dim,
+        round(CAST(embedding[1] AS DOUBLE), 6)                       AS first_elem,
+        round(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE))), 4)                  AS vec_sum,
+        round(list_max(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE))), 6)                  AS vec_max,
+        round(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+        len(list_filter(embedding, x -> x > 0))                      AS n_pos
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the 64-dim embedding column —
+    size, indexing, transform/filter/aggregate. The double-cast before
+    arithmetic keeps the fold bit-identical to the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max(as_double), 6).alias("vec_max"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias("n_pos"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT
+        event_id,
+        props ->> 'k'                        AS k_str,
+        CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+        CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+             THEN 'even' ELSE 'odd' END      AS k_parity
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props ('{"k": <int>}')."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+        F.when(k.cast("bigint") % 2 == 0, "even").otherwise("odd").alias("k_parity"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT
+        n_nationkey,
+        'name'                       AS key0,
+        n_name                       AS val_name,
+        CAST(n_regionkey AS VARCHAR) AS val_region,
+        2                            AS map_size
+    FROM nation
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value extraction, proven by round-trip:
+    build a map, read scalars back out (the oracle recomputes the
+    scalars directly — DuckDB MAP hashing isn't comparable)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.sort_array(F.map_keys(m))[0].alias("key0"),
+        F.element_at(m, "name").alias("val_name"),
+        F.element_at(m, "region").alias("val_region"),
+        F.size(m).alias("map_size"),
+    )

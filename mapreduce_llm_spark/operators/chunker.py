@@ -1,0 +1,116 @@
+"""Token-bounded greedy chunking — the reference's partitioner.
+
+Behavioral parity with ``splitIntoTokenChunks`` (reference
+internal/cli/mapreduce.go:199-263):
+
+- lines are packed greedily in order: a line joins the current chunk
+  unless that would push the chunk over the token budget, in which case
+  the chunk is flushed and a new one starts (:212-227);
+- a single line whose own token count exceeds the budget falls back to
+  word-level greedy packing of that line (:228-254);
+- each emitted chunk has its trailing newline trimmed (:219, :259);
+- chunk ids are consecutive integers in input order (1-based file names
+  in the reference, 0-based ids here — an id scheme, not a semantic).
+
+Exact byte-identical boundaries with the Go implementation are NOT a
+goal (tokenizers differ; SURVEY §7 phase 2); the invariants the
+reference itself tests (mapreduce_test.go:402-436) are: recombination
+preserves the word sequence, and every chunk stays ≤ 2× budget.
+
+Spark shape: the pure function ``chunk_text`` runs per document inside
+``mapInPandas`` — documents are independent, so chunking 100 TB of
+docs is embarrassingly parallel with zero shuffle; only the within-doc
+packing is sequential, exactly like the reference's per-file loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from mapreduce_llm_spark.functions.tokens import count_tokens_str
+
+DEFAULT_MAX_TOKENS_PER_CHUNK = 2000  # reference internal/cli/mapreduce.go:46
+
+
+def _pack_words(line: str, max_tokens: int) -> list[str]:
+    """Word-level greedy packing for a single overlong line
+    (reference internal/cli/mapreduce.go:228-254)."""
+    chunks: list[str] = []
+    current: list[str] = []
+    current_tokens = 0
+    for word in line.split(" "):
+        t = count_tokens_str(word + " ")
+        if current and current_tokens + t > max_tokens:
+            chunks.append(" ".join(current))
+            current = []
+            current_tokens = 0
+        current.append(word)
+        current_tokens += t
+    if current:
+        chunks.append(" ".join(current))
+    return chunks
+
+
+def chunk_text(text: str, max_tokens: int = DEFAULT_MAX_TOKENS_PER_CHUNK) -> list[str]:
+    """Split one document into token-bounded chunks on line boundaries."""
+    if not text:
+        return []
+    chunks: list[str] = []
+    current: list[str] = []
+    current_tokens = 0
+
+    def flush() -> None:
+        nonlocal current, current_tokens
+        if current:
+            # join then trim the trailing newline, as the reference does
+            chunks.append("\n".join(current))
+            current = []
+            current_tokens = 0
+
+    for line in text.split("\n"):
+        line_tokens = count_tokens_str(line + "\n")
+        if line_tokens > max_tokens:
+            # overlong single line: flush accumulator, word-pack the line
+            flush()
+            chunks.extend(_pack_words(line, max_tokens))
+            continue
+        if current and current_tokens + line_tokens > max_tokens:
+            flush()
+        current.append(line)
+        current_tokens += line_tokens
+    flush()
+    return chunks
+
+
+CHUNK_SCHEMA = "doc_id long, chunk_id long, chunk_text string, n_tokens long"
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = DEFAULT_MAX_TOKENS_PER_CHUNK,
+) -> DataFrame:
+    """Chunk a corpus: (doc_id, text) → (doc_id, chunk_id, chunk_text,
+    n_tokens), chunk_id consecutive per document in order.
+
+    mapInPandas (not applyInPandas): no grouping shuffle is needed
+    because each input row is one whole document — every Arrow batch is
+    chunked independently wherever it already lives.
+    """
+
+    def chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "chunk_id": [], "chunk_text": [], "n_tokens": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for i, chunk in enumerate(chunk_text(text or "", max_tokens)):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_id"].append(i)
+                    out["chunk_text"].append(chunk)
+                    out["n_tokens"].append(count_tokens_str(chunk))
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(chunk_batch, schema=CHUNK_SCHEMA)

@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all designed so the candidate-generation step is
+band/bucket-blocked — never an all-pairs join — which is what keeps
+them viable at 100 TB:
+
+- exact: normalize → hash-groupBy (one shuffle on the hash key);
+- MinHash + LSH: shingle → minhash signature → band keys → bucket
+  self-join → exact-Jaccard verify. Entirely JVM-side built-ins
+  (xxhash64 / array higher-order functions) — no Python in the path;
+- SimHash: 64-bit fingerprint via a vectorized pandas UDF (bit-level
+  popcount math is clearer in numpy), candidates blocked on 16-bit
+  bands (a fingerprint pair within hamming distance d shares at least
+  one of 4 bands when d ≤ 3 — pigeonhole);
+- n-gram Jaccard: exact set similarity on word shingles for blocked
+  candidate pairs (the verify stage usable standalone).
+
+No counterpart in the reference (its pipeline has no dedup); these are
+the north-star LLM-data-pipeline additions (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + trim + collapse internal whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one survivor (min id) per group.
+
+    groupBy on the normalized text, not dropDuplicates: survivor choice
+    is deterministic, and at scale you'd groupBy sha2(norm) to shuffle
+    64-byte keys instead of document bodies.
+    """
+    norm = normalize_text(F.col(text_col)).alias("norm_text")
+    return (
+        df.select(norm, F.col(id_col))
+        .groupBy("norm_text")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column (JVM-side).
+
+    Texts shorter than k words contribute their whole normalized text
+    as a single shingle so they can still match exact copies.
+    """
+    words = F.filter(F.split(normalize_text(col), " "), lambda w: w != "")
+    n = F.size(words)
+
+    def shingle_at(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)]
+        )
+
+    shingles = F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle_at)
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.array(normalize_text(col))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per hash seed i, min over shingles of
+    xxhash64(shingle, i). Fixed seeds → fully deterministic."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Hash each band (slice of the signature) to one bucket key."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[sig[b * rows + r] for r in range(rows)]),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Candidates come only from shared LSH buckets: explode band keys,
+    self-join on (band_index, band_key), distinct the pairs, then
+    verify with exact Jaccard on the shingle sets. The self-join is on
+    the exploded bucket table — proportional to bucket occupancy, not
+    |df|² (the all-pairs trap).
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("_shingles"),
+    ).withColumn("_bands", lsh_band_keys(minhash_signature(F.col("_shingles"), num_hashes), bands, rows))
+
+    buckets = base.select(
+        "_id", F.posexplode("_bands").alias("_band_ix", "_band_key")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band_ix") == F.col("r._band_ix"))
+            & (F.col("l._band_key") == F.col("r._band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    *,
+    threshold: float = 0.2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocking groups (id_a < id_b).
+
+    Blocking keys bound the pair count; for unblockable corpora use
+    minhash_near_dup_pairs instead."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        word_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), *block_cols, F.col("_sh").alias("_sh_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("_sh").alias("_sh_b"),
+    )
+    cond = (F.col("id_a") < F.col("id_b"))
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"{c}_b"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard_sim", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document → (id, simhash).
+
+    Per word: a stable 64-bit hash (sha1-derived — NOT Python's salted
+    hash()); fingerprint bit b is 1 iff the sum of ±1 votes over words
+    is positive. Vectorized per Arrow batch in a pandas UDF.
+    """
+
+    def fingerprint_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def fp(text: str) -> int:
+            words = (text or "").lower().split()
+            if not words:
+                return 0
+            votes = [0] * SIMHASH_BITS
+            for w in words:
+                h = int.from_bytes(
+                    hashlib.sha1(w.encode()).digest()[:8], "big"
+                )
+                for b in range(SIMHASH_BITS):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(SIMHASH_BITS):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            # two's-complement into signed int64 for Spark LongType
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"_id": pdf[id_col], "simhash": [fp(t) for t in pdf[text_col]]}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        fingerprint_batch, schema="_id long, simhash long"
+    ).withColumnRenamed("_id", id_col)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit fingerprint into 4 16-bit bands; any
+    pair within hamming distance ≤ 3 must agree on ≥1 band
+    (pigeonhole), so candidates come from a band-equality join, not
+    all pairs. Verify with bit_count(xor).
+    """
+    fps = simhash_fingerprints(df, text_col, id_col).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    n_bands = 4
+    banded = fps.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_band_ix", "_band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l._band_ix") == F.col("r._band_ix"))
+            & (F.col("l._band_val") == F.col("r._band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("_ha"),
+            F.col("r.simhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

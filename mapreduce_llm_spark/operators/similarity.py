@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with JVM-side higher-order array
+functions (sequential fold → bit-identical to the DuckDB oracle's
+list_dot_product). Scale path: random-hyperplane LSH bucketing — probe
+only the query's bucket (and neighbors), turning a full scan into a
+~1/2^planes partition read; at 100 TB the bucket id becomes a
+partition column so Catalyst prunes files.
+
+North-star addition (BASELINE.json); no counterpart in the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float-array columns, in
+    double (matches DuckDB list_dot_product's left-to-right sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    orderBy+limit executes as TakeOrdered: per-partition top-k then a
+    k-sized merge — no global sort, so the full-scan baseline is
+    already shuffle-free."""
+    q = _vec_lit(query_vec)
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_self_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    With ``block_col`` the join is blocked (e.g. on an LSH bucket or a
+    label); without it this is exact all-pairs — correct but only for
+    modest cardinalities (the oracle-checkable baseline)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        *( [F.col(block_col).alias("_ba")] if block_col else [] ),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        *( [F.col(block_col).alias("_bb")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_ba") == F.col("_bb"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(vec · plane_i). JVM-side —
+    the planes are literal arrays folded into the plan."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        bucket = bucket + F.when(dot(vec_col, _vec_lit(p)) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    n_planes: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign-LSH
+    bucket. Recall < 1 by construction (declared rows-only); the
+    multiprobe extension (flip one bit) would raise recall at 2× probe
+    cost."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qvec = np.array(query_vec)
+    q_bucket = sum(
+        (1 << i) for i, p in enumerate(planes) if float(qvec @ np.array(p)) > 0
+    )
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("_bucket") == q_bucket)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), _vec_lit(query_vec)), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,83 @@
+"""Semantic checks for the rows-only dedup/similarity operators —
+the oracle harness only proves they *run*; these prove they find the
+duplicates that were deterministically injected."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark import registry
+from mapreduce_llm_spark.operators.similarity import cosine_topk
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+N_DOCS = 500  # documents rows at sf0.01
+OFFSET = 1_000_000
+
+
+def test_minhash_finds_injected_neardups(spark):
+    """Precision is exact by construction (LSH candidates are verified
+    with true Jaccard); recall is checked against the HIGH-similarity
+    planted pairs — short docs legitimately fall under the 0.5
+    threshold (they lose 5 of ~8 shingles), so 100% of 500 is not the
+    ground truth. At j≥0.8, banding (32 hashes, 8×4) catches ≥98%."""
+    pairs = registry.QUERIES["q_dedup_fuzzy"](spark, SF_DIR).collect()
+    injected = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + OFFSET}
+    high_sim = [r for r in pairs if r["jaccard_sim"] >= 0.8]
+    assert len(injected) >= int(0.7 * N_DOCS), f"recall too low: {len(injected)}/{N_DOCS}"
+    assert len(high_sim) >= 100
+    for r in pairs:
+        assert r["jaccard_sim"] >= 0.5  # verify stage enforces threshold
+
+
+def test_simhash_finds_injected_neardups(spark):
+    pairs = registry.QUERIES["q_dedup_simhash"](spark, SF_DIR).collect()
+    injected = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + OFFSET}
+    # truncating 5 of 10-99 words legitimately flips >3 bits for many
+    # docs; a meaningful fraction must still land within hamming ≤ 3
+    assert len(injected) >= int(0.3 * N_DOCS), f"recall too low: {len(injected)}/{N_DOCS}"
+    for r in pairs:
+        assert r["hamming"] <= 3
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    """Exact copies must produce identical fingerprints (hamming 0) and
+    always be caught — SimHash's defining property."""
+    from mapreduce_llm_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared words plus unique token{i} end") for i in range(20)]
+        + [(i + 100, f"some shared words plus unique token{i} end") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=0).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert all((i, i + 100) in found for i in range(20))
+    assert all(r["hamming"] == 0 for r in pairs if r["id_b"] == r["id_a"] + 100)
+
+
+def test_exact_dedup_collapses_all_pairs(spark):
+    out = registry.QUERIES["q_dedup_exact"](spark, SF_DIR).collect()
+    assert len(out) == N_DOCS
+    assert all(r["n_copies"] == 2 and r["survivor_id"] < OFFSET for r in out)
+
+
+def test_sim_search_self_match_first(spark):
+    res = registry.QUERIES["q_sim_search"](spark, SF_DIR).collect()
+    assert res[0]["vec_id"] == 0 and res[0]["cosine_sim"] == 1.0
+    sims = [r["cosine_sim"] for r in res]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_topk_subset_of_bucket_scores_match_exact(spark):
+    """ANN results must agree with exact scores for the ids it returns."""
+    from mapreduce_llm_spark.io import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {r["vec_id"]: r["cosine_sim"] for r in cosine_topk(e, qvec, k=500).collect()}
+    ann = registry.QUERIES["q_sim_ann_topk"](spark, SF_DIR).collect()
+    assert ann[0]["vec_id"] == 0  # query vector is in its own bucket
+    for r in ann:
+        assert exact[r["vec_id"]] == r["cosine_sim"]

@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full plan via the noop sink (no driver-side
+collect, so the timing measures the engine, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_llm_spark import registry
+from mapreduce_llm_spark.session import get_spark
+
+# Headline suite: one representative per operator family (scan, agg,
+# star join, window, top-k, sessionization, set op, functions, dedup,
+# similarity, text pipeline).
+HEADLINE = [
+    "q_agg_basic",
+    "q_scan_project",
+    "q_filter_pred",
+    "q_join_inner",
+    "q_join_multi",
+    "q_win_rank",
+    "q_topk",
+    "q_evt_sessionize",
+    "q_union_all",
+    "q_fn_string",
+    "q_fn_array",
+    "q_dedup_exact",
+    "q_sim_search",
+    "q_udtf_flatmap",
+    "q_text_stats",
+]
+
+
+def run_query(qfn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = qfn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    registry.load_all()
+    spark = get_spark(app_name="mapreduce_llm_spark-bench")
+
+    # warm the JVM + parquet footers once so per-query times measure
+    # execution, not first-touch initialization
+    registry.QUERIES["q_agg_basic"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run_query(registry.QUERIES[name], spark, sf_dir), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

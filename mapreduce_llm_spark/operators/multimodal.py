@@ -1,0 +1,169 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (north-star addition, BASELINE.json).
+
+Design: media lives in a ``content: binary`` column with a metadata
+struct (media_type, width/height or sample_rate/duration, codec).
+Everything Spark-side is real and tested — schemas, partition-friendly
+batch processing through ``mapInPandas``, Arrow binary transfer, UDF
+signatures — while the codec boundary is explicit:
+
+- ``decode_media`` for real formats (JPEG/PNG/WAV/...) raises
+  ``NotImplementedError`` — the image/audio libraries are not in this
+  container (STUB, clearly marked);
+- the deterministic ``RAW1`` fake format (header + payload) stands in
+  for decoded media so the full pipeline — decode → feature-extract /
+  resize / frame-sample — runs end-to-end in tests with real bytes.
+
+At 100 TB: binary columns ride parquet byte arrays; mapInPandas
+processes them batch-at-a-time per partition with no shuffle, so
+feature extraction scales embarrassingly; only the (tiny) feature
+output shuffles into downstream joins/ANN.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, codec string, "
+    "width int, height int, sample_rate int, content binary"
+)
+
+_RAW1_MAGIC = b"RAW1"
+
+
+def encode_raw1(width: int, height: int, payload: bytes) -> bytes:
+    """The deterministic fake media format: RAW1 | w | h | payload."""
+    return _RAW1_MAGIC + struct.pack("<II", width, height) + payload
+
+
+def decode_raw1(content: bytes) -> tuple[int, int, np.ndarray]:
+    """→ (width, height, uint8 payload array); raises on bad magic."""
+    if content[:4] != _RAW1_MAGIC:
+        raise ValueError("not a RAW1 payload")
+    w, h = struct.unpack("<II", content[4:12])
+    return w, h, np.frombuffer(content[12:], dtype=np.uint8)
+
+
+def decode_media(content: bytes, codec: str) -> np.ndarray:
+    """Codec boundary for REAL formats.
+
+    STUB: decoding JPEG/PNG/WAV/MP4 requires image/audio libraries that
+    are not in this container. The Spark-side plumbing (schema, batch
+    shape, partitioning) is identical for real codecs — swap this
+    function's body for PIL/soundfile/ffmpeg in a full deployment.
+    """
+    if codec == "raw1":
+        return decode_raw1(content)[2]
+    raise NotImplementedError(
+        f"codec {codec!r}: real media decoding needs external libraries "
+        "not present in this environment (PIL/soundfile/ffmpeg)"
+    )
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic RAW1 media corpus from any id column:
+    media i is a (16+i%16)×(16+(i//16)%16) 'image' whose payload bytes
+    are a fixed function of the id. Real binary columns, fake pixels."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "media_type", "codec", "width", "height",
+                "sample_rate", "content",
+            )}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 16, 16 + (i // 16) % 16
+                rng = np.random.RandomState(i % (2**31))
+                payload = rng.randint(0, 256, w * h, dtype=np.uint8).tobytes()
+                rows["media_id"].append(i)
+                rows["media_type"].append("image")
+                rows["codec"].append("raw1")
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sample_rate"].append(0)
+                rows["content"].append(encode_raw1(w, h, payload))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+FEATURE_SCHEMA = "media_id long, n_bytes long, mean_intensity double, features array<double>"
+
+
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Byte-histogram feature extraction over the binary column —
+    a real computation (normalized intensity histogram) standing in
+    for a vision backbone; the output shape (id, features vector) is
+    exactly what feeds q_sim_search-style ANN downstream."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_bytes": [], "mean_intensity": [], "features": []}
+            for mid, content, codec in zip(
+                pdf["media_id"], pdf["content"], pdf["codec"]
+            ):
+                arr = decode_media(bytes(content), codec)
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                total = max(len(arr), 1)
+                out["media_id"].append(int(mid))
+                out["n_bytes"].append(len(arr))
+                out["mean_intensity"].append(round(float(arr.mean()) if len(arr) else 0.0, 4))
+                out["features"].append([round(float(x) / total, 6) for x in hist])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "codec", "content").mapInPandas(
+        feat, schema=FEATURE_SCHEMA
+    )
+
+
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of RAW1 'images' — the batch-UDF shape of
+    a real image resize (same schema in/out, content rewritten)."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for content in pdf["content"]:
+                w, h, arr = decode_raw1(bytes(content))
+                img = arr.reshape(h, w)
+                yi = (np.arange(out_h) * h // out_h)[:, None]
+                xi = (np.arange(out_w) * w // out_w)[None, :]
+                resized = img[yi, xi]
+                contents.append(encode_raw1(out_w, out_h, resized.tobytes()))
+            yield pdf.assign(
+                content=contents, width=out_w, height=out_h
+            )
+
+    return media.mapInPandas(rs, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_ix int, frame_mean double"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling (video shape): split the payload into n_frames
+    equal slices and emit one row per frame — the 1→N row explosion a
+    video pipeline needs, with per-frame stats."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_ix": [], "frame_mean": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, _, arr = decode_raw1(bytes(content))
+                for ix, frame in enumerate(np.array_split(arr, n_frames)):
+                    out["media_id"].append(int(mid))
+                    out["frame_ix"].append(ix)
+                    out["frame_mean"].append(
+                        round(float(frame.mean()) if len(frame) else 0.0, 4)
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(fs, schema=FRAME_SCHEMA)

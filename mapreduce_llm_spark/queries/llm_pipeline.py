@@ -344,6 +344,28 @@ def q_llm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+@query("q_mm_features")
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a declared operator: derive a
+    deterministic RAW1 binary media corpus from documents ids, decode,
+    and extract per-media feature vectors (operators/multimodal.py).
+    Rows-only: the binary payload/codec path isn't SQL-expressible."""
+    from mapreduce_llm_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_features(synthesize_media(d))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "mean_intensity",
+        F.round(F.element_at("features", 1), 6).alias("feat_0"),
+        F.round(F.element_at("features", 16), 6).alias("feat_15"),
+    ).orderBy("media_id")
+
+
 @query(
     "q_cost_estimate",
     oracle=f"""

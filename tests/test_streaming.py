@@ -1,0 +1,144 @@
+"""Streaming smoke tests (SURVEY §5.2 item 5): file-source micro-batch
+replay of events, batch-equivalence for windowed aggs, watermark
+late-data drop, stateful dedup, and the custom stateful operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.streaming.pipeline import (
+    dedup_stream,
+    run_to_memory,
+    running_totals_stream,
+    sessionized_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+from tests.conftest import SMOKE_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Replay sf0.001 events as a 4-file parquet directory with proper
+    µs timestamps (the raw testdata is ns, which readStream rejects)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    e = load_table(spark, SMOKE_SF_DIR, "events")
+    e.repartitionByRange(4, "ts").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir):
+    """Complete-mode streaming window counts == batch window counts."""
+    stream = stream_events(spark, events_dir)
+    got = run_to_memory(
+        tumbling_counts_stream(stream), "t_tumbling", output_mode="complete"
+    )
+    batch = (
+        load_table(spark, SMOKE_SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events")
+    )
+    g = {(r["bucket_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    b = {(r["bucket_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert g == b and len(b) > 0
+
+
+def test_stream_session_runs(spark, events_dir):
+    stream = stream_events(spark, events_dir, max_files_per_trigger=4)
+    got = run_to_memory(sessionized_stream(stream), "t_session", output_mode="complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_stream_dedup_drops_replayed_file(spark, events_dir, tmp_path):
+    """Append the same earliest file twice: dropDuplicatesWithinWatermark
+    must emit each event_id once."""
+    import shutil, os
+
+    dup_dir = str(tmp_path / "dup_events")
+    shutil.copytree(events_dir, dup_dir)
+    # duplicate one part file under a new name → same event_ids replayed
+    parts = [f for f in os.listdir(dup_dir) if f.endswith(".parquet")]
+    shutil.copy(
+        os.path.join(dup_dir, parts[0]), os.path.join(dup_dir, "part-dup.parquet")
+    )
+    stream = stream_events(spark, dup_dir)
+    # watermark wider than the 30-day corpus span: files replay out of
+    # time order, and a narrow watermark would drop whole files as
+    # late (that behavior is covered by test_stream_watermark_drops_
+    # late_rows) — here we isolate the dedup semantics
+    got = run_to_memory(
+        dedup_stream(stream, watermark="60 days"), "t_dedup", output_mode="append"
+    )
+    n_unique = load_table(spark, SMOKE_SF_DIR, "events").count()
+    counts = got.groupBy("event_id").count().filter(F.col("count") > 1).count()
+    assert counts == 0
+    assert got.count() == n_unique
+
+
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """Two-file ordered replay: file B's event is older than the
+    watermark horizon established by file A → its window never appears
+    in append-mode output."""
+    import pandas as pd
+
+    base = str(tmp_path / "late_events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(base)
+
+    # file A: events up to 12:00 → watermark ≈ 11:50
+    write_file("a", [(1, "2024-01-01 10:00:05", 1, "x", 1.0, "{}"),
+                     (2, "2024-01-01 12:00:00", 1, "x", 1.0, "{}")])
+    stream = stream_events(spark, base, max_files_per_trigger=2)
+    agg = tumbling_counts_stream(stream, watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    )
+    try:
+        q.processAllAvailable()
+        # file B: an 08:00 event — hours behind the 11:50 watermark
+        write_file("b", [(3, "2024-01-01 08:00:00", 1, "x", 1.0, "{}")])
+        q.processAllAvailable()
+        # file C: advance event time far enough to close all live windows
+        write_file("c", [(4, "2024-01-02 00:00:00", 1, "x", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("t_late").collect()
+    starts = {r["bucket_start"].strftime("%H:%M") for r in out}
+    assert "10:00" in starts and "12:00" in starts
+    assert "08:00" not in starts  # late row dropped by the watermark
+
+
+def test_stream_running_totals_stateful(spark, events_dir):
+    """applyInPandasWithState accumulates across micro-batches: the
+    final per-user totals must equal the batch aggregation."""
+    stream = stream_events(spark, events_dir)  # 4 micro-batches
+    got = run_to_memory(running_totals_stream(stream), "t_state", output_mode="update")
+    # update mode emits one row per user per batch; keep the last
+    final = {r["user_id"]: r for r in got.collect()}  # memory table keeps all
+    batch = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, SMOKE_SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    # the max n_events row per user is the final state
+    got_final = {}
+    for r in spark.table("t_state").collect():
+        cur = got_final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got_final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert set(got_final) == set(batch)
+    for u, (n, v) in batch.items():
+        assert got_final[u][0] == n
+        assert abs(got_final[u][1] - v) < 1e-6

@@ -51,6 +51,45 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan (the reference's only source, reference
+    internal/cli/mapreduce.go:33-38, distributed): → (line_id, line).
+
+    The explicit ``line_id`` order key matters: the reference's
+    semantics make line order significant end-to-end, and Spark
+    DataFrames are unordered — so the order is carried as data.
+    Implemented with a per-partition offset exchange (zipWithIndex
+    semantics) rather than monotonically_increasing_id, whose ids are
+    only ordered within a partition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.read.text(path)
+    # file order = (partition id, position in partition); a running
+    # count over partition id reconstructs the global line number
+    # without collapsing to one partition
+    w = Window.orderBy("_part", "_pos")
+    return (
+        df.select(
+            F.spark_partition_id().alias("_part"),
+            F.monotonically_increasing_id().alias("_pos"),
+            F.col("value").alias("line"),
+        )
+        .withColumn("line_id", F.row_number().over(w) - 1)
+        .select("line_id", "line")
+    )
+
+
+def read_text_document(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file read → single-row (doc_id, text) frame, the shape the
+    chunk→map→reduce pipeline consumes (reference reads the whole file
+    into one string, internal/cli/mapreduce.go:33-38)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=True)
+    return df.select(F.lit(0).cast("long").alias("doc_id"), F.col("value").alias("text"))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (for the SQL entry points)."""
     for name in TABLES:

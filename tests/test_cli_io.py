@@ -1,0 +1,58 @@
+"""CLI entry + text-source tests (reference ops 1, 11, 14)."""
+
+from __future__ import annotations
+
+import os
+
+from mapreduce_llm_spark.cli import main
+from mapreduce_llm_spark.io import read_text_document, read_text_lines
+
+
+def test_read_text_lines_order(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    lines = [f"row {i}" for i in range(100)]
+    p.write_text("\n".join(lines))
+    got = read_text_lines(spark, str(p)).orderBy("line_id").collect()
+    assert [r["line"] for r in got] == lines
+    assert [r["line_id"] for r in got] == list(range(100))
+
+
+def test_read_text_document_whole(spark, tmp_path):
+    p = tmp_path / "doc.txt"
+    p.write_text("a\nb\nc")
+    rows = read_text_document(spark, str(p)).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "a\nb\nc"
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    data = tmp_path / "reviews.txt"
+    data.write_text("kitchen pan\ncar wax\nkitchen pot")
+    out = tmp_path / "out.txt"
+    rc = main([
+        "keep kitchen items", str(data), "--keep-pattern", "kitchen", "-o", str(out)
+    ])
+    assert rc == 0
+    assert out.read_text() == "kitchen pan\nkitchen pot"
+
+
+def test_cli_default_output_path(spark, tmp_path):
+    data = tmp_path / "reviews.txt"
+    data.write_text("kitchen pan\ncar wax")
+    rc = main(["p", str(data), "--keep-pattern", "kitchen"])
+    assert rc == 0
+    combined = tmp_path / "reviews.combined_results.txt"
+    assert combined.read_text() == "kitchen pan"
+
+
+def test_cli_dry_run(spark, tmp_path, capsys):
+    data = tmp_path / "reviews.txt"
+    data.write_text("some words here")
+    rc = main(["p", str(data), "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Tokens:" in out and "gpt-5-nano" in out
+
+
+def test_cli_missing_file(tmp_path):
+    rc = main(["p", str(tmp_path / "nope.txt")])
+    assert rc == 2

@@ -1,0 +1,106 @@
+"""Physical-plan assertions — the 100-TB design claims as tests.
+
+Each operator's docstring promises a plan property (filter pushdown,
+column pruning, broadcast dims, map-side partial aggregation, top-k
+without a global sort, shuffle-free unions). These tests pin those
+properties so a refactor that silently degrades the plan fails here,
+not on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_llm_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def plan_of(spark, name: str, mode: str = "simple") -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_scan_project_prunes_columns(spark):
+    plan = plan_of(spark, "q_scan_project")
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "l_orderkey" in scan and "l_partkey" in scan and "l_quantity" in scan
+    assert "l_extendedprice" not in scan and "l_shipdate" not in scan
+
+
+def test_filter_pred_pushes_down(spark):
+    plan = plan_of(spark, "q_filter_pred", mode="formatted")
+    assert "PushedFilters: [" in plan
+    pushed = plan[plan.index("PushedFilters: [") :].split("]")[0]
+    for frag in ("GreaterThanOrEqual(l_discount", "In(l_returnflag", "IsNotNull"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "q_join_multi")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_join_no_shuffle_on_probe(spark):
+    plan = plan_of(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    # the only Exchange allowed is the broadcast itself + the final agg
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_basic_partial_aggregation(spark):
+    """Map-side combine: a partial HashAggregate must run before the
+    exchange so only |groups|×|partitions| rows shuffle."""
+    plan = plan_of(spark, "q_agg_basic")
+    assert "partial_sum" in plan or "partial_avg" in plan
+    first_agg = plan.index("HashAggregate")
+    assert "HashAggregate" in plan[first_agg + 10 :], "need partial+final pair"
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_union_all_is_narrow(spark):
+    plan = plan_of(spark, "q_union_all")
+    assert "Exchange" not in plan, "UNION ALL must not shuffle"
+
+
+def test_window_single_shuffle_per_key(spark):
+    """q_win_rank partitions by o_custkey once; no second exchange for
+    the rank filter."""
+    plan = plan_of(spark, "q_win_rank")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    for name in ("q_join_semi", "q_join_anti"):
+        plan = plan_of(spark, name)
+        assert "Semi" in plan or "Anti" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_theta_join_is_not_cartesian(spark):
+    """The equi conjunct must carry the join; the band predicate is a
+    residual filter, never a cross product."""
+    plan = plan_of(spark, "q_join_theta")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_pipeline_no_python_udf(spark):
+    """The MinHash+LSH dedup is pure JVM built-ins — no Python worker
+    in the plan (the scalability claim of operators/dedup.py)."""
+    plan = plan_of(spark, "q_dedup_fuzzy")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_sim_search_no_shuffle_before_topk(spark):
+    plan = plan_of(spark, "q_sim_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -55,11 +55,11 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="mapreduce_llm_spark-bench")
 
-    # warm the JVM + parquet footers once so per-query times measure
-    # execution, not first-touch initialization
-    registry.QUERIES["q_agg_basic"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    # full warm-up pass: JIT-compile the generated code, load parquet
+    # footers, warm the Python workers — then measure steady state
+    # (what a long-running cluster job actually sees)
+    for name in HEADLINE:
+        run_query(registry.QUERIES[name], spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -45,6 +45,7 @@ def load_all() -> None:
         functions_queries,
         joins,
         llm_pipeline,
+        relational_extra,
         scans,
         setops,
         sorts,

@@ -48,6 +48,7 @@ def load_all() -> None:
         relational_extra,
         scans,
         setops,
+        skew,
         sorts,
         udfs,
         windows,

@@ -104,3 +104,20 @@ def test_sim_search_no_shuffle_before_topk(spark):
     plan = plan_of(spark, "q_sim_search")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """The salt must be part of the join key — that's the entire
+    mechanism (a hot l_orderkey spreads over n_salts partitions when
+    the join shuffles; at test SF Catalyst may broadcast instead, which
+    is fine — the keys are what we pin)."""
+    plan = plan_of(spark, "q_join_salted")
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "l_orderkey" in l]
+    assert join_lines and all("__mrs_salt" in l for l in join_lines), join_lines
+
+
+def test_salted_join_rejects_right_outer():
+    from mapreduce_llm_spark.operators.skew import salted_join
+
+    with pytest.raises(ValueError, match="duplicate unmatched right rows"):
+        salted_join(None, None, on=["k"], how="full_outer")

@@ -1,0 +1,103 @@
+"""Sink layout tests — each writer's scale claim verified on the plan.
+
+Partitioned write → partition pruning visible in the scan; bucketed
+write → join without Exchange; range-sorted write → roundtrip equality
+plus per-file ordering.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.sinks import (
+    read_bucketed_table,
+    write_bucketed_table,
+    write_partitioned_parquet,
+    write_range_sorted_parquet,
+)
+from tests.conftest import SMOKE_SF_DIR
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    out = str(tmp_path / "li_part")
+    write_partitioned_parquet(li, out, ["l_returnflag"])
+
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = physical_plan(back)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in scan and "l_returnflag" in scan.split("PartitionFilters")[1]
+    expected = li.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == expected
+
+
+def test_partitioned_overwrite_is_dynamic(spark, tmp_path):
+    """Overwriting with a one-partition frame must leave other
+    partitions intact (incremental-load idempotence)."""
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    out = str(tmp_path / "li_dyn")
+    write_partitioned_parquet(li, out, ["l_returnflag"])
+    total = spark.read.parquet(out).count()
+
+    only_r = li.filter(F.col("l_returnflag") == "R")
+    write_partitioned_parquet(only_r, out, ["l_returnflag"])
+    assert spark.read.parquet(out).count() == total
+
+
+def test_cobucketed_join_has_no_shuffle(spark):
+    o = load_table(spark, SMOKE_SF_DIR, "orders")
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed_table(o, "t_orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed_table(li, "t_lineitem_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    try:
+        threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed_table(spark, "t_orders_b").join(
+                read_bucketed_table(spark, "t_lineitem_b"), "o_orderkey"
+            )
+            plan = physical_plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert joined.count() == load_table(spark, SMOKE_SF_DIR, "lineitem").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_range_sorted_write_roundtrips_and_sorts(spark, tmp_path):
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_range_sorted_parquet(li, out, ["l_shipdate"], n_files=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    # each physical file is internally ordered on the sort column
+    files = back.select(
+        F.input_file_name().alias("f"), "l_shipdate"
+    )
+    win = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    disorder = (
+        files.withColumn("prev", F.lag("l_shipdate").over(win))
+        .filter(F.col("prev") > F.col("l_shipdate"))
+        .count()
+    )
+    assert disorder == 0
+    # and the files cover disjoint ranges (global range partitioning)
+    ranges = files.groupBy("f").agg(
+        F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+    ).orderBy("lo").collect()
+    for a, b in zip(ranges, ranges[1:]):
+        assert a["hi"] <= b["lo"]

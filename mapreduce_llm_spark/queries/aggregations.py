@@ -232,3 +232,38 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           round(o_totalprice, 4) AS latest_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max via struct ordering: each customer's latest order in ONE
+    hash aggregation — max(struct(date, key, payload)) — instead of the
+    window+filter plan the oracle uses (sort + full shuffle of every
+    row). At 100 TB the agg form ships one partial row per key per
+    task; ties broken by o_orderkey inside the struct, so the result is
+    deterministic and identical to the window form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    latest = F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("s")
+    return (
+        o.groupBy("o_custkey")
+        .agg(latest)
+        .select(
+            "o_custkey",
+            F.col("s.o_orderkey").alias("latest_orderkey"),
+            F.round(F.col("s.o_totalprice"), 4).alias("latest_price"),
+        )
+    )

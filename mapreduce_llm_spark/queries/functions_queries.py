@@ -227,3 +227,26 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "region").alias("val_region"),
         F.size(m).alias("map_size"),
     )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)    AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest functions — content-addressing primitives
+    (the cache key in operators/cache.py uses the same family; Spark's
+    xxhash64 is engine-internal so the cross-checkable md5/sha256 are
+    the oracle surface)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )

@@ -197,3 +197,31 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS price
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join on the correlation key, so it runs as one shuffle
+    instead of a per-row loop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS price
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )

@@ -154,3 +154,39 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ntile_bucket")
     )
+
+
+@query(
+    "q_win_range",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        round(sum(o_totalprice) OVER (
+            PARTITION BY o_custkey
+            ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS trailing_30d
+    FROM orders
+    """,
+)
+def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame: per-customer trailing-30-day revenue.
+
+    RANGE frames bound by *value* distance, not row count — the frame
+    for two orders on the same day is identical regardless of row
+    order, which ROWS frames cannot express. Ordered on an integer day
+    index (identical expression in the oracle) because RANGE needs a
+    numeric/interval ordering key in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("trailing_30d"),
+    )

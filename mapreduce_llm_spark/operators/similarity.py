@@ -144,3 +144,69 @@ def ann_topk_lsh(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    *,
+    seed: int = 42,
+    fit_fraction: float = 1.0,
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: k-means cells over the corpus.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` carries an
+    ``_cell`` column and ``centroids`` is a driver-side list (n_cells ×
+    dim — tiny by construction). At 100 TB: fit on a sample
+    (``fit_fraction`` ≪ 1 — centroid quality needs thousands of points
+    per cell, not billions), assign in one distributed pass, and persist
+    with ``_cell`` as a partition column so a probe prunes files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.withColumn(
+        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    fit_input = vecs if fit_fraction >= 1.0 else vecs.sample(fit_fraction, seed=seed)
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_v", predictionCol="_cell"
+    ).fit(fit_input)
+    assigned = model.transform(vecs).drop("_v")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``n_probe`` cells whose
+    centroids are nearest the query (driver-side distance over the tiny
+    centroid list). ``n_probe == n_cells`` degrades gracefully to exact
+    brute force — pinned by test — so recall is tunable at query time
+    with zero re-indexing.
+    """
+    assigned, centroids = ivf_assign(embeddings, n_cells, seed=seed, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=float)
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
+    probe = [c for c, _ in sorted(enumerate(dists), key=lambda t: t[1])[:n_probe]]
+    return (
+        assigned.filter(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), _vec_lit(list(map(float, query_vec)))), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -401,3 +401,15 @@ def q_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@query("q_sim_ivf")
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: k-means coarse cells, probe the 4 nearest of 16
+    (rows-only: probing a subset trades recall for a 4/16 scan; with
+    n_probe = n_cells it is exactly q_sim_search — pinned by test)."""
+    from mapreduce_llm_spark.operators.similarity import ann_topk_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ann_topk_ivf(e, list(qvec), k=10, n_cells=16, n_probe=4, seed=42)

@@ -225,3 +225,42 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    SELECT c_custkey, c_name, round(acctbal, 4) AS acctbal
+    FROM (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW ' || c_name, 0.0
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) composed as update-batch ∪ anti-joined base —
+    operators/merge.py. The update batch (10% modified + a few inserted
+    keys) broadcasts, so the snapshot side never shuffles; the oracle
+    states the same merge as CASE + UNION ALL over the source table.
+    """
+    from mapreduce_llm_spark.operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal")
+    )
+    changed = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "acctbal", F.col("acctbal") + 100.0
+    )
+    inserted = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    updates = changed.unionByName(inserted)
+    merged = merge_upsert(c, updates, keys=["c_custkey"])
+    return merged.select("c_custkey", "c_name", F.round("acctbal", 4).alias("acctbal"))

@@ -81,3 +81,32 @@ def test_ann_topk_subset_of_bucket_scores_match_exact(spark):
     assert ann[0]["vec_id"] == 0  # query vector is in its own bucket
     for r in ann:
         assert exact[r["vec_id"]] == r["cosine_sim"]
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with n_probe = n_cells scans every cell → must reproduce the
+    exact brute-force top-k (the graceful-degradation guarantee)."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.similarity import ann_topk_ivf, cosine_topk
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = cosine_topk(e, qvec, k=10).collect()
+    full_probe = ann_topk_ivf(e, qvec, k=10, n_cells=8, n_probe=8, seed=42).collect()
+    assert [r["vec_id"] for r in full_probe] == [r["vec_id"] for r in exact]
+
+
+def test_ivf_partial_probe_has_high_recall(spark):
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.similarity import ann_topk_ivf, cosine_topk
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(e, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ann_topk_ivf(e, qvec, k=10, n_cells=16, n_probe=4, seed=42).collect()
+    }
+    assert len(exact & approx) >= 5

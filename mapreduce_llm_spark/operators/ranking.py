@@ -1,0 +1,78 @@
+"""Distributed global ranking — row_number / ntile without the
+single-partition window.
+
+An unpartitioned ``Window.orderBy`` moves every row to ONE task
+(Spark even logs "No Partition Defined for Window ... serious
+performance degradation"), which is a non-starter at 100 TB. The
+classic two-phase construction keeps the computation distributed:
+
+1. range-partition by the sort key and sort within partitions
+   (Spark's spill-safe distributed sort);
+2. rank locally per partition;
+3. count rows per partition (tiny: one row per partition), prefix-sum
+   those counts into per-partition offsets on the small side, and
+   broadcast-join the offset back: global_rank = local_rank + offset.
+
+The result is identical to ``row_number() OVER (ORDER BY ...)``
+provided the ordering is total (callers must include a unique
+tie-break column — same requirement the single-task form has for
+determinism). Oracle-checked through ``q_sort_multi`` / ``q_win_ntile``,
+whose DuckDB twins use the plain OVER (ORDER BY ...) forms.
+
+Cost note: Catalyst cannot see that ``spark_partition_id()`` is aligned
+with the range partitioning, so the local-rank window re-shuffles the
+data hash-partitioned by pid — two distributed full-data shuffles plus
+a one-row-per-partition singleton prefix sum, versus the naive plan's
+single shuffle of EVERYTHING to one task. At 100 TB the former
+completes; the latter does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__mrs_pid"
+_LOCAL_RN = "__mrs_local_rn"
+_OFFSET = "__mrs_offset"
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[Column], alias: str = "row_num"
+) -> DataFrame:
+    """Total-order global row numbers via range partitioning + offset
+    prefix sum. ``order_cols`` must define a total order (include a
+    unique key as the last tie-break)."""
+    parts = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    with_pid = parts.withColumn(_PID, F.spark_partition_id())
+
+    counts = with_pid.groupBy(_PID).count()
+    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("count").over(off_w), F.lit(0)).alias(_OFFSET)
+    )
+
+    local_w = Window.partitionBy(_PID).orderBy(*order_cols)
+    return (
+        with_pid.withColumn(_LOCAL_RN, F.row_number().over(local_w))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(alias, (F.col(_LOCAL_RN) + F.col(_OFFSET)).cast("int"))
+        .drop(_PID, _LOCAL_RN, _OFFSET)
+    )
+
+
+def ntile_from_rank(rank: Column, total: int, n: int) -> Column:
+    """SQL ntile(n) bucket from a 1-based global rank and the total row
+    count: the first ``total % n`` buckets hold ``total//n + 1`` rows,
+    the rest ``total//n`` — exactly the semantics of the window ntile,
+    computed without any global window."""
+    q, r = divmod(total, n)
+    if q == 0:  # fewer rows than buckets: bucket = rank
+        return rank.cast("int")
+    big = (q + 1) * r  # rows covered by the oversized buckets
+    return (
+        F.when(rank <= F.lit(big), F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rank - F.lit(big) - 1) / q) + 1)
+        .cast("int")
+    )

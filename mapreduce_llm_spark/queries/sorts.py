@@ -54,18 +54,28 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort correctness made hash-checkable: the sort position
-    is projected via row_number so the (order-insensitive) value hash
-    still proves the ordering."""
+    is projected as a global row number so the (order-insensitive)
+    value hash still proves the ordering.
+
+    Computed with the distributed two-phase ranking
+    (operators/ranking.py) — range partition + local rank + offset —
+    NOT an unpartitioned window, which would move every row to one
+    task; hash-matching the oracle's plain row_number() OVER proves the
+    two forms identical."""
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(
-        F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc()
-    )
-    return c.select(
+    order = [
+        F.col("c_mktsegment").asc(),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey").asc(),
+    ]
+    return global_row_number(c, order, alias="sort_pos").select(
         "c_custkey",
         "c_mktsegment",
         "c_nationkey",
         F.round("c_acctbal", 4).alias("bal"),
-        F.row_number().over(w).alias("sort_pos"),
+        "sort_pos",
     )
 
 

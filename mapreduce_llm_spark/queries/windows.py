@@ -138,14 +138,24 @@ def q_win_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile bucketing. The unpartitioned ntile forces a single-task
-    sort, so the query immediately re-aggregates to 10 rows; at scale
-    you'd use approx percentiles (q_agg_stats) instead — kept here for
-    the operator inventory with the smallest possible output."""
+    """Decile bucketing with window-ntile semantics but a distributed
+    plan: global rank via two-phase range ranking
+    (operators/ranking.py), then the exact ntile bucket formula from
+    (rank, total) — no unpartitioned window anywhere. Hash-matching the
+    oracle's plain ntile(10) OVER proves the rewrite."""
+    from mapreduce_llm_spark.operators.ranking import global_row_number, ntile_from_rank
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    total = c.count()
+    ranked = global_row_number(
+        c.select("c_acctbal", "c_custkey"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        alias="rank",
+    )
     return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("ntile_bucket"))
+        ranked.select(
+            "c_acctbal", ntile_from_rank(F.col("rank"), total, 10).alias("ntile_bucket")
+        )
         .groupBy("ntile_bucket")
         .agg(
             F.count("*").alias("n_customers"),

@@ -121,3 +121,25 @@ def test_salted_join_rejects_right_outer():
 
     with pytest.raises(ValueError, match="duplicate unmatched right rows"):
         salted_join(None, None, on=["k"], how="full_outer")
+
+
+def test_global_ranking_avoids_single_partition_window(spark):
+    """q_sort_multi / q_win_ntile compute a global order via two-phase
+    range ranking — the plan must range-partition, and must NOT funnel
+    rows through a SinglePartition exchange (the unpartitioned-window
+    plan Spark warns about)."""
+    for name in ("q_sort_multi", "q_win_ntile"):
+        plan = plan_of(spark, name)
+        assert "rangepartitioning" in plan.lower(), name
+        # the row_number window must be partitioned (by the range-
+        # partition id), never a global window over the data
+        rn_windows = [
+            l for l in plan.splitlines() if "row_number()" in l and "Window" in l
+        ]
+        assert rn_windows and all("__mrs_pid" in l for l in rn_windows), name
+        # SinglePartition exchanges may only carry the per-partition
+        # COUNTS (one row per partition), never the data itself
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange SinglePartition" in l:
+                assert "HashAggregate" in lines[i + 1], (name, lines[i : i + 2])

@@ -146,3 +146,42 @@ def run_to_memory(
     finally:
         q.stop()
     return df.sparkSession.table(name)
+
+
+def purchase_attribution_stream(
+    events: DataFrame, watermark: str = "1 hour", join_horizon_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's signup-or-click events in the preceding ``join_horizon``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends, so Spark can expire buffered state — the
+    requirement that makes a stream-stream join runnable forever. The
+    state store holds only ``watermark + horizon`` worth of each side.
+    """
+    left = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_type").alias("a_type"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    horizon = f"interval {join_horizon_minutes} minutes"
+    return left.join(
+        right,
+        F.expr(
+            f"p_user = a_user AND a_ts <= p_ts AND a_ts >= p_ts - {horizon}"
+        ),
+        "inner",
+    )

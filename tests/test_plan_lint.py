@@ -1,0 +1,53 @@
+"""Blanket plan lint over EVERY registered query.
+
+The targeted tests in test_plans.py pin specific operators' plans; this
+sweep catches regressions anywhere in the surface: a cartesian product
+sneaking into a join rewrite, a Python crossing appearing in a
+JVM-only pipeline, an accidental global window. Queries that cross
+into Python or use a nested-loop join BY DESIGN are allowlisted with
+the reason, so any new offender is a test failure with intent required.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_llm_spark import registry
+from tests.conftest import SMOKE_SF_DIR
+
+registry.load_all()
+
+# Python-crossing by design: these ARE the pandas-UDF operators.
+PYTHON_OK = {
+    "q_chunk_assign",  # greedy token packer, applyInPandas (reference op 4)
+    "q_llm_map",  # LLM map, applyInPandas (reference op 6)
+    "q_dedup_simhash",  # simhash bit-mixing in numpy, mapInPandas
+    "q_mm_features",  # multimodal decode/feature UDFs, mapInPandas
+    "q_udf_scalar",  # the declared scalar pandas-UDF surface
+    "q_udaf_grouped",  # the declared grouped-agg pandas-UDF surface
+    "q_cost_estimate",  # token counting via the tokenizer pandas UDF
+    "q_text_stats",  # tiktoken-or-fallback token counts per doc
+}
+
+# Nested-loop / cross joins by design:
+NLJ_OK = {
+    "q_cost_estimate",  # cross join against the 4-row model-cost table
+    "q_dedup_embed",  # exact all-pairs baseline (blocked variant: q_sim_join)
+    "q_evt_sliding",  # may expand windows via a tiny literal offsets array
+}
+
+PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_plan_lint(spark, name):
+    df = registry.QUERIES[name](spark, SMOKE_SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    if name not in PYTHON_OK:
+        for marker in PY_MARKERS:
+            assert marker not in plan, f"{name}: unexpected Python crossing ({marker})"

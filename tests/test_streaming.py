@@ -142,3 +142,28 @@ def test_stream_running_totals_stateful(spark, events_dir):
     for u, (n, v) in batch.items():
         assert got_final[u][0] == n
         assert abs(got_final[u][1] - v) < 1e-6
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream time-bounded join == the same join run as batch."""
+    from mapreduce_llm_spark.streaming.pipeline import purchase_attribution_stream
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=2)
+    got = run_to_memory(
+        purchase_attribution_stream(stream), "t_attr", output_mode="append"
+    )
+    # batch twin: same condition without watermarks
+    e = load_table(spark, SMOKE_SF_DIR, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    right = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    batch = left.join(
+        right,
+        F.expr("p_user = a_user AND a_ts <= p_ts AND a_ts >= p_ts - interval 30 minutes"),
+    )
+    assert got.count() == batch.count() > 0

@@ -413,3 +413,18 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return ann_topk_ivf(e, list(qvec), k=10, n_cells=16, n_probe=4, seed=42)
+
+
+@query("q_pipeline_curate")
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline (operators/curation.py): quality +
+    language filter → exact dedup → token-bounded chunking, as one
+    composed flow over documents (rows-only: the tokenizer and chunk
+    boundaries have no SQL twin; stage-level invariants are pinned in
+    tests/test_curation.py)."""
+    from mapreduce_llm_spark.operators.curation import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        d, min_quality=0.3, min_words=5, max_tokens_per_chunk=256
+    ).orderBy("doc_id", "chunk_id")

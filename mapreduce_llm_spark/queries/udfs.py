@@ -128,3 +128,42 @@ def q_udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(50)
     )
+
+
+@query(
+    "q_udtf_native",
+    oracle="""
+    SELECT doc_id,
+           CAST(pos AS INTEGER)       AS sent_idx,
+           CAST(length(s) AS INTEGER) AS sent_len
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, '. '))              AS s,
+               generate_subscripts(string_split(text, '. '), 1) AS pos
+        FROM documents
+    )
+    WHERE s <> ''
+    """,
+)
+def q_udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4) under a LATERAL join: one document
+    row → one row per sentence with positional metadata. Arrow-batched
+    (useArrow) so the Python crossing moves columnar batches; the
+    oracle recomputes the split with unnest WITH ORDINALITY."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sent_len int", useArrow=True)
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". "), 1):
+                if s:
+                    yield i, len(s)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sent_len
+        FROM documents d, LATERAL sentence_split(d.text) s
+        """
+    )

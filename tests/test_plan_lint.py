@@ -27,6 +27,8 @@ PYTHON_OK = {
     "q_udaf_grouped",  # the declared grouped-agg pandas-UDF surface
     "q_cost_estimate",  # token counting via the tokenizer pandas UDF
     "q_text_stats",  # tiktoken-or-fallback token counts per doc
+    "q_udtf_native",  # the declared native Python UDTF surface
+    "q_pipeline_curate",  # composed curation flow includes the chunker
 }
 
 # Nested-loop / cross joins by design:

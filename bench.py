@@ -22,16 +22,20 @@ from mapreduce_llm_spark.session import get_spark
 
 # Headline suite: one representative per operator family (scan, agg,
 # star join, window, top-k, sessionization, set op, functions, dedup,
-# similarity, text pipeline).
+# similarity, text pipeline), plus the scale-path rewrites (salted
+# join, distributed global ranking, merge, retention).
 HEADLINE = [
     "q_agg_basic",
     "q_scan_project",
     "q_filter_pred",
     "q_join_inner",
     "q_join_multi",
+    "q_join_salted",
     "q_win_rank",
     "q_topk",
+    "q_sort_multi",
     "q_evt_sessionize",
+    "q_evt_retention",
     "q_union_all",
     "q_fn_string",
     "q_fn_array",
@@ -39,6 +43,7 @@ HEADLINE = [
     "q_sim_search",
     "q_udtf_flatmap",
     "q_text_stats",
+    "q_merge_upsert",
 ]
 
 

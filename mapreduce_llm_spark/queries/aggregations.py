@@ -267,3 +267,36 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s.o_totalprice"), 4).alias("latest_price"),
         )
     )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+           count(*) AS n_customers
+    FROM (
+        SELECT DISTINCT c_nationkey AS n_nationkey, c_mktsegment
+        FROM customer
+    )
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list → array_sort →
+    array_join, which makes the concatenation deterministic under any
+    partitioning (collect order is not — sorting inside the agg row is
+    what makes this distributable AND hash-stable)."""
+    c = load_table(spark, sf_dir, "customer")
+    distinct_pairs = c.select(
+        F.col("c_nationkey").alias("n_nationkey"), "c_mktsegment"
+    ).distinct()
+    return (
+        distinct_pairs.groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias("segs"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("n_nationkey")
+    )

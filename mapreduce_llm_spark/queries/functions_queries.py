@@ -250,3 +250,32 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("name_md5"),
         F.sha2("c_name", 256).alias("name_sha256"),
     )
+
+
+@query(
+    "q_fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           round(greatest(c_acctbal, 0.0), 4)                   AS bal_floor0,
+           round(least(c_acctbal, 5000.0), 4)                   AS bal_cap5k,
+           CASE WHEN c_acctbal IS NULL THEN -1.0
+                ELSE round(c_acctbal, 4) END                    AS bal_or_neg1
+    FROM customer
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family: nullif/coalesce/greatest/least/CASE —
+    all whole-stage-codegen expressions, zero shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 4).alias("bal_floor0"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(5000.0)), 4).alias("bal_cap5k"),
+        F.when(F.col("c_acctbal").isNull(), F.lit(-1.0))
+        .otherwise(F.round(F.col("c_acctbal"), 4))
+        .alias("bal_or_neg1"),
+    )

@@ -275,3 +275,35 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("odate").alias("o_orderdate"),
         "asof_ts",
     )
+
+
+@query(
+    "q_join_shufflehash",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_join_shufflehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit shuffle-hash join (SHUFFLE_HASH hint): builds a hash
+    table per partition instead of sorting both sides — wins over
+    sort-merge when one side is much smaller per key but too big to
+    broadcast. The hint is a strategy override, not a semantics change:
+    the oracle is the plain join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand").hint(
+        "shuffle_hash"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -143,3 +143,12 @@ def test_global_ranking_avoids_single_partition_window(spark):
         for i, l in enumerate(lines):
             if "Exchange SinglePartition" in l:
                 assert "HashAggregate" in lines[i + 1], (name, lines[i : i + 2])
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort
+    of either side) unless AQE broadcast-demotes it at tiny SF — both
+    acceptable; what is NOT acceptable is a SortMergeJoin."""
+    plan = plan_of(spark, "q_join_shufflehash")
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

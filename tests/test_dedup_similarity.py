@@ -110,3 +110,19 @@ def test_ivf_partial_probe_has_high_recall(spark):
         for r in ann_topk_ivf(e, qvec, k=10, n_cells=16, n_probe=4, seed=42).collect()
     }
     assert len(exact & approx) >= 5
+
+
+def test_numpy_scorer_matches_jvm_scorer(spark):
+    """The BLAS-vectorized scorer must rank identically to the JVM
+    higher-order-function scorer (same rounding, same tie-break)."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.similarity import cosine_topk, cosine_topk_np
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    jvm = cosine_topk(e, qvec, k=10).collect()
+    nump = cosine_topk_np(e, qvec, k=10).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in nump] == [
+        (r["vec_id"], r["cosine_sim"]) for r in jvm
+    ]

@@ -111,6 +111,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -119,6 +120,14 @@ def minhash_near_dup_pairs(
     verify with exact Jaccard on the shingle sets. The self-join is on
     the exploded bucket table — proportional to bucket occupancy, not
     |df|² (the all-pairs trap).
+
+    ``max_bucket_size`` guards the degenerate-bucket blow-up: a bucket
+    that collects m documents (e.g. a boilerplate shingle shared by
+    everything) contributes m²/2 candidate pairs and m² shuffled rows
+    — one pathological key can dwarf the rest of the job. Buckets over
+    the cap are dropped from candidate generation (pairs they'd find
+    are either found in another band or are not near-dups at the
+    threshold with overwhelming probability); ``None`` disables.
     """
     rows = num_hashes // bands
     base = df.select(
@@ -129,6 +138,15 @@ def minhash_near_dup_pairs(
     buckets = base.select(
         "_id", F.posexplode("_bands").alias("_band_ix", "_band_key")
     )
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("_band_ix", "_band_key").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        buckets = (
+            buckets.join(sizes, ["_band_ix", "_band_key"])
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (

@@ -300,3 +300,25 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@query("q_agg_approx_quantile")
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) per group —
+    the constant-memory twin of q_agg_stats' exact percentile; sketch
+    estimates are engine-specific, hence rows-only (the exact variant
+    is the hash-checked one)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("q"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("q", 1), 2).alias("p25"),
+            F.round(F.element_at("q", 2), 2).alias("p50"),
+            F.round(F.element_at("q", 3), 2).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )

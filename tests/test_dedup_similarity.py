@@ -126,3 +126,20 @@ def test_numpy_scorer_matches_jvm_scorer(spark):
     assert [(r["vec_id"], r["cosine_sim"]) for r in nump] == [
         (r["vec_id"], r["cosine_sim"]) for r in jvm
     ]
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """With a tiny cap every bucket is dropped → zero candidates; with
+    the default cap the injected near-dups are still found (the cap
+    only removes pathological buckets, not signal)."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.dedup import minhash_near_dup_pairs
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    capped_out = minhash_near_dup_pairs(
+        d, "text", "doc_id", threshold=0.5, max_bucket_size=0
+    )
+    assert capped_out.count() == 0
+    normal = minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.5)
+    assert normal.count() > 0

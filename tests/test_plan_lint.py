@@ -29,6 +29,7 @@ PYTHON_OK = {
     "q_text_stats",  # tiktoken-or-fallback token counts per doc
     "q_udtf_native",  # the declared native Python UDTF surface
     "q_pipeline_curate",  # composed curation flow includes the chunker
+    "q_mm_frames",  # multimodal resize/frame UDFs, mapInPandas
 }
 
 # Nested-loop / cross joins by design:

@@ -185,3 +185,37 @@ def purchase_attribution_stream(
         ),
         "inner",
     )
+
+
+def upsert_parquet_sink(updates: DataFrame, snapshot_path: str, keys: list[str]):
+    """foreachBatch sink: MERGE each micro-batch into a parquet
+    snapshot (operators/merge.py), giving keyed exactly-once-effect
+    semantics — replaying a batch after a failure upserts the same
+    keys again instead of duplicating them.
+
+    The snapshot is swapped atomically via a staging directory
+    (read-then-overwrite of the same path would corrupt the input of
+    the job that's still reading it). On object stores you'd use a
+    transactional table format for the swap; the merge plan itself is
+    unchanged. Returns the DataStreamWriter (caller starts it with a
+    checkpoint location).
+    """
+    import os
+    import shutil
+
+    from mapreduce_llm_spark.operators.merge import merge_upsert
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        staging = snapshot_path + ".staging"
+        if os.path.exists(snapshot_path):
+            base = spark.read.parquet(snapshot_path)
+            merged = merge_upsert(base, batch_df.dropDuplicates(keys), keys)
+        else:
+            merged = batch_df.dropDuplicates(keys)
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(snapshot_path):
+            shutil.rmtree(snapshot_path)
+        os.rename(staging, snapshot_path)
+
+    return updates.writeStream.foreachBatch(do_batch).outputMode("update")

@@ -167,3 +167,33 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         F.expr("p_user = a_user AND a_ts <= p_ts AND a_ts >= p_ts - interval 30 minutes"),
     )
     assert got.count() == batch.count() > 0
+
+
+def test_stream_upsert_sink_is_idempotent_per_key(spark, events_dir, tmp_path):
+    """Replay the same file twice through the upsert sink: the snapshot
+    must hold each event_id exactly once (keyed exactly-once effect)."""
+    import shutil, os
+
+    from mapreduce_llm_spark.streaming.pipeline import upsert_parquet_sink
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    first = sorted(f for f in os.listdir(events_dir) if f.endswith(".parquet"))[0]
+    shutil.copy(os.path.join(events_dir, first), os.path.join(src, "a.parquet"))
+    shutil.copy(os.path.join(events_dir, first), os.path.join(src, "b.parquet"))
+
+    snapshot = str(tmp_path / "snapshot")
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    q = (
+        upsert_parquet_sink(stream, snapshot, keys=["event_id"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(snapshot)
+    n_ids = spark.read.parquet(os.path.join(src, "a.parquet")).count()
+    assert got.count() == got.select("event_id").distinct().count() == n_ids

@@ -85,32 +85,47 @@ def chunk_text(text: str, max_tokens: int = DEFAULT_MAX_TOKENS_PER_CHUNK) -> lis
     return chunks
 
 
-CHUNK_SCHEMA = "doc_id long, chunk_id long, chunk_text string, n_tokens long"
-
-
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_tokens: int = DEFAULT_MAX_TOKENS_PER_CHUNK,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Chunk a corpus: (doc_id, text) → (doc_id, chunk_id, chunk_text,
-    n_tokens), chunk_id consecutive per document in order.
+    """Chunk a corpus: (id, text) → (id, chunk_id, chunk_text,
+    n_tokens), chunk_id consecutive per document in order. The id
+    column keeps its input name; ``carry_cols`` are replicated onto
+    every chunk row (cheap per-row scalars ride through the UDF instead
+    of forcing a post-chunk join back to the document table).
 
     mapInPandas (not applyInPandas): no grouping shuffle is needed
     because each input row is one whole document — every Arrow batch is
     chunked independently wherever it already lives.
     """
+    carry = carry_cols or []
 
     def chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"doc_id": [], "chunk_id": [], "chunk_text": [], "n_tokens": []}
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                for i, chunk in enumerate(chunk_text(text or "", max_tokens)):
-                    out["doc_id"].append(doc_id)
+            out: dict[str, list] = {
+                id_col: [], "chunk_id": [], "chunk_text": [], "n_tokens": [],
+                **{c: [] for c in carry},
+            }
+            for row in pdf.itertuples(index=False):
+                rowd = dict(zip(pdf.columns, row))
+                for i, chunk in enumerate(chunk_text(rowd[text_col] or "", max_tokens)):
+                    out[id_col].append(rowd[id_col])
                     out["chunk_id"].append(i)
                     out["chunk_text"].append(chunk)
                     out["n_tokens"].append(count_tokens_str(chunk))
+                    for c in carry:
+                        out[c].append(rowd[c])
             yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(chunk_batch, schema=CHUNK_SCHEMA)
+    carry_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
+    )
+    schema = (
+        f"{id_col} {docs.schema[id_col].dataType.simpleString()}, "
+        f"chunk_id long, chunk_text string, n_tokens long{carry_schema}"
+    )
+    return docs.select(id_col, text_col, *carry).mapInPandas(chunk_batch, schema=schema)

@@ -8,10 +8,12 @@ the point — a user of the reference switching to this engine gets the
 whole curation flow as one call.
 
 Scale shape: the score/filter stages are JVM expressions fused into
-the scan (no shuffle); dedup is the single hash shuffle (on the
-64-byte digest of the normalized text, not the document body); the
-chunker is an embarrassingly parallel mapInPandas with zero shuffle.
-One shuffle total for the whole pipeline.
+the scan (no shuffle); dedup shuffles on the 64-byte digest of the
+normalized text (not the document body) — one digest shuffle for the
+survivor set plus the survivor semi-join back to the scored rows; the
+chunker is an embarrassingly parallel mapInPandas with zero shuffle,
+and the per-document metadata (quality, lang) rides THROUGH the
+chunker as carry columns instead of a post-chunk join.
 """
 
 from __future__ import annotations
@@ -67,9 +69,10 @@ def curate_corpus(
     survivors = kept.groupBy("_digest").agg(F.min(id_col).alias(id_col))
     deduped = kept.join(survivors, [id_col, "_digest"]).drop("_digest")
 
-    chunks = chunk_documents(
-        deduped, text_col=text_col, id_col=id_col, max_tokens=max_tokens_per_chunk
-    )
-    return chunks.join(
-        deduped.select(id_col, "quality", "lang"), id_col
+    return chunk_documents(
+        deduped,
+        text_col=text_col,
+        id_col=id_col,
+        max_tokens=max_tokens_per_chunk,
+        carry_cols=["quality", "lang"],
     )

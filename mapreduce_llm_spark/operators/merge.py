@@ -23,13 +23,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
     """Return ``base`` with rows matching ``updates`` on ``keys``
     replaced and non-matching update rows appended.
 
     Both inputs must share a schema (enforced by ``unionByName``).
-    ``updates`` should be the small side: Catalyst broadcasts it into
-    the anti-join, leaving the snapshot un-shuffled.
+    With ``broadcast_updates`` (the daily-delta-vs-snapshot case) the
+    anti-join broadcasts the update keys and the snapshot never
+    shuffles. Pass ``False`` when the update batch can be arbitrarily
+    large (e.g. a backlog replay through a streaming sink) — a forced
+    broadcast there would hit Spark's broadcast size limit or OOM the
+    driver; Catalyst/AQE then picks the join strategy from actual
+    sizes.
     """
-    surviving_base = base.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+    update_keys = updates.select(*keys)
+    if broadcast_updates:
+        update_keys = F.broadcast(update_keys)
+    surviving_base = base.join(update_keys, keys, "left_anti")
     return updates.unionByName(surviving_base)

@@ -43,7 +43,16 @@ def global_row_number(
 ) -> DataFrame:
     """Total-order global row numbers via range partitioning + offset
     prefix sum. ``order_cols`` must define a total order (include a
-    unique key as the last tie-break)."""
+    unique key as the last tie-break). Ranks are bigint — at the scale
+    this operator exists for, row counts exceed int32.
+
+    The counts branch and the data branch share the repartitionByRange
+    subtree; they see the same partition boundaries because Spark's
+    range sampling is deterministically seeded per input partition
+    (RangePartitioner.sketch, XORShiftRandom(byteswap32(idx))) and
+    exchange reuse collapses the two reads into one physical exchange
+    in the common case.
+    """
     parts = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     with_pid = parts.withColumn(_PID, F.spark_partition_id())
 
@@ -57,22 +66,27 @@ def global_row_number(
     return (
         with_pid.withColumn(_LOCAL_RN, F.row_number().over(local_w))
         .join(F.broadcast(offsets), _PID)
-        .withColumn(alias, (F.col(_LOCAL_RN) + F.col(_OFFSET)).cast("int"))
+        .withColumn(alias, (F.col(_LOCAL_RN) + F.col(_OFFSET)).cast("bigint"))
         .drop(_PID, _LOCAL_RN, _OFFSET)
     )
 
 
-def ntile_from_rank(rank: Column, total: int, n: int) -> Column:
+def ntile_from_rank(rank: Column, total: Column | int, n: int) -> Column:
     """SQL ntile(n) bucket from a 1-based global rank and the total row
     count: the first ``total % n`` buckets hold ``total//n + 1`` rows,
     the rest ``total//n`` — exactly the semantics of the window ntile,
-    computed without any global window."""
-    q, r = divmod(total, n)
-    if q == 0:  # fewer rows than buckets: bucket = rank
-        return rank.cast("int")
+    computed without any global window.
+
+    ``total`` may be a Column (e.g. a broadcast scalar count) so the
+    plan stays lazy — no driver-side count() at build time.
+    """
+    t = F.lit(total) if isinstance(total, int) else total
+    q = F.floor(t / n)
+    r = t % n
     big = (q + 1) * r  # rows covered by the oversized buckets
     return (
-        F.when(rank <= F.lit(big), F.floor((rank - 1) / (q + 1)) + 1)
-        .otherwise(F.lit(r) + F.floor((rank - F.lit(big) - 1) / q) + 1)
+        F.when(q == 0, rank)  # fewer rows than buckets: bucket = rank
+        .when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - big - 1) / q) + 1)
         .cast("int")
     )

@@ -242,7 +242,12 @@ def cosine_topk_np(
             m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
             out = pd.DataFrame({id_col: pdf[id_col], "cosine_sim": np.round(sims, 4)})
-            yield out.nlargest(k, "cosine_sim")
+            # same total order as the final orderBy — without the id
+            # tie-break, boundary ties at the local k-th row could keep
+            # a different id than the global sort would
+            yield out.sort_values(
+                ["cosine_sim", id_col], ascending=[False, True]
+            ).head(k)
 
     schema = f"{id_col} long, cosine_sim double"
     return (

@@ -47,8 +47,15 @@ def _row_salt(df: DataFrame, key_cols: list[str], n_salts: int) -> Column:
     ``monotonically_increasing_id``/``rand``). Hashing the remaining
     columns satisfies both; fully duplicate rows collapse onto one salt,
     which only means duplicates don't spread — correctness is unaffected.
+
+    A key-only frame has no row entropy to hash — there the salt is the
+    input partition id: a hot key's rows live across many input
+    partitions, so they still spread, and the value is stable under
+    task retry (partition ids don't change on re-execution).
     """
-    entropy = [c for c in df.columns if c not in key_cols] or list(df.columns)
+    entropy = [c for c in df.columns if c not in key_cols]
+    if not entropy:
+        return F.pmod(F.spark_partition_id(), F.lit(n_salts))
     return F.pmod(F.xxhash64(*[F.col(c) for c in entropy]), F.lit(n_salts))
 
 

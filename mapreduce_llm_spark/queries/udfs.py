@@ -155,7 +155,7 @@ def q_udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="sent_idx int, sent_len int", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
-            for i, s in enumerate(text.split(". "), 1):
+            for i, s in enumerate((text or "").split(". "), 1):
                 if s:
                     yield i, len(s)
 

@@ -146,15 +146,18 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_llm_spark.operators.ranking import global_row_number, ntile_from_rank
 
     c = load_table(spark, sf_dir, "customer")
-    total = c.count()
+    # lazy scalar total: a broadcast single-row cross join, not a
+    # driver-side count() at plan-build time
+    total_df = F.broadcast(c.agg(F.count("*").alias("_total")))
     ranked = global_row_number(
         c.select("c_acctbal", "c_custkey"),
         [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
         alias="rank",
-    )
+    ).crossJoin(total_df)
     return (
         ranked.select(
-            "c_acctbal", ntile_from_rank(F.col("rank"), total, 10).alias("ntile_bucket")
+            "c_acctbal",
+            ntile_from_rank(F.col("rank"), F.col("_total"), 10).alias("ntile_bucket"),
         )
         .groupBy("ntile_bucket")
         .agg(

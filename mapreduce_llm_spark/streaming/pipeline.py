@@ -210,7 +210,11 @@ def upsert_parquet_sink(updates: DataFrame, snapshot_path: str, keys: list[str])
         staging = snapshot_path + ".staging"
         if os.path.exists(snapshot_path):
             base = spark.read.parquet(snapshot_path)
-            merged = merge_upsert(base, batch_df.dropDuplicates(keys), keys)
+            # a micro-batch can be a whole backlog on restart — let
+            # AQE size the anti-join instead of forcing a broadcast
+            merged = merge_upsert(
+                base, batch_df.dropDuplicates(keys), keys, broadcast_updates=False
+            )
         else:
             merged = batch_df.dropDuplicates(keys)
         merged.write.mode("overwrite").parquet(staging)

@@ -55,3 +55,16 @@ def test_curation_drops_known_duplicates(spark):
     n_distinct = base.distinct().count()
     out = curate_corpus(docs, min_quality=0.0, min_words=0, max_tokens_per_chunk=256)
     assert out.select("doc_id").distinct().count() == n_distinct
+
+
+def test_curation_custom_id_col(spark):
+    """id_col plumbing: the chunker keeps the caller's id column name
+    and carry columns, so non-default ids work end-to-end."""
+    docs = load_table(spark, SF_DIR, "documents").withColumnRenamed("doc_id", "page_id")
+    out = curate_corpus(
+        docs, id_col="page_id", min_quality=0.0, min_words=0, max_tokens_per_chunk=256
+    )
+    assert {"page_id", "chunk_id", "chunk_text", "n_tokens", "quality", "lang"} <= set(
+        out.columns
+    )
+    assert out.count() > 0

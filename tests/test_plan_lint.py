@@ -37,6 +37,7 @@ NLJ_OK = {
     "q_cost_estimate",  # cross join against the 4-row model-cost table
     "q_dedup_embed",  # exact all-pairs baseline (blocked variant: q_sim_join)
     "q_evt_sliding",  # may expand windows via a tiny literal offsets array
+    "q_win_ntile",  # broadcast single-row scalar total (lazy count) cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

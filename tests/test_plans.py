@@ -10,6 +10,7 @@ not on a cluster.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduce_llm_spark import registry
 from tests.conftest import SF_DIR
@@ -152,3 +153,20 @@ def test_shuffle_hash_hint_respected(spark):
     plan = plan_of(spark, "q_join_shufflehash")
     assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_key_only_frame_uses_partition_salt(spark):
+    """A key-only left frame has no row entropy; the salt must fall
+    back to the input partition id (still spreads hot keys) instead of
+    hashing the key (a silent no-op)."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, on=["l_orderkey"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan
+    assert j.count() == li.join(o, "l_orderkey").count()

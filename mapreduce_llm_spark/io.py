@@ -58,26 +58,25 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     The explicit ``line_id`` order key matters: the reference's
     semantics make line order significant end-to-end, and Spark
     DataFrames are unordered — so the order is carried as data.
-    Implemented with a per-partition offset exchange (zipWithIndex
-    semantics) rather than monotonically_increasing_id, whose ids are
-    only ordered within a partition."""
+    Numbering uses the distributed two-phase ranking
+    (operators/ranking.py) over (partition id, in-partition position)
+    — zipWithIndex semantics without an unpartitioned window, so a
+    100 GB file never funnels through one task."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+
+    from mapreduce_llm_spark.operators.ranking import global_row_number
 
     df = spark.read.text(path)
-    # file order = (partition id, position in partition); a running
-    # count over partition id reconstructs the global line number
-    # without collapsing to one partition
-    w = Window.orderBy("_part", "_pos")
-    return (
-        df.select(
-            F.spark_partition_id().alias("_part"),
-            F.monotonically_increasing_id().alias("_pos"),
-            F.col("value").alias("line"),
-        )
-        .withColumn("line_id", F.row_number().over(w) - 1)
-        .select("line_id", "line")
+    # file order = (partition id, position in partition)
+    positioned = df.select(
+        F.spark_partition_id().alias("_part"),
+        F.monotonically_increasing_id().alias("_pos"),
+        F.col("value").alias("line"),
     )
+    numbered = global_row_number(
+        positioned, [F.col("_part").asc(), F.col("_pos").asc()], alias="line_id"
+    )
+    return numbered.select((F.col("line_id") - 1).alias("line_id"), "line")
 
 
 def read_text_document(spark: SparkSession, path: str) -> DataFrame:
@@ -94,3 +93,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (for the SQL entry points)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source with a MANDATORY explicit schema.
+
+    Schema inference reads the data twice and guesses types per file —
+    at 100 TB that is a full extra scan and a correctness hazard
+    (a column of ints with one stray string silently widens). Explicit
+    DDL schemas make the scan single-pass and the types stable."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with a mandatory explicit schema (same
+    inference rationale as read_csv; FAILFAST surfaces corrupt records
+    instead of silently nulling them)."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)

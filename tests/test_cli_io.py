@@ -56,3 +56,30 @@ def test_cli_dry_run(spark, tmp_path, capsys):
 def test_cli_missing_file(tmp_path):
     rc = main(["p", str(tmp_path / "nope.txt")])
     assert rc == 2
+
+
+def test_read_csv_roundtrip(spark, tmp_path):
+    from mapreduce_llm_spark.io import load_table, read_csv
+    from tests.conftest import SMOKE_SF_DIR
+
+    n = load_table(spark, SMOKE_SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    n.coalesce(1).write.option("header", "true").csv(out)
+    back = read_csv(
+        spark, out, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert back.count() == n.count()
+    assert dict(back.dtypes)["n_nationkey"] == "int"
+
+
+def test_read_json_lines_roundtrip(spark, tmp_path):
+    from mapreduce_llm_spark.io import load_table, read_json_lines
+    from tests.conftest import SMOKE_SF_DIR
+
+    r = load_table(spark, SMOKE_SF_DIR, "region")
+    out = str(tmp_path / "region_json")
+    r.coalesce(1).write.json(out)
+    back = read_json_lines(spark, out, "r_regionkey int, r_name string")
+    assert sorted(x["r_name"] for x in back.collect()) == sorted(
+        x["r_name"] for x in r.collect()
+    )

@@ -322,3 +322,29 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_orderstatus = 'F')   AS any_final,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) — flag rollups in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_final"),
+        )
+        .orderBy("o_orderpriority")
+    )

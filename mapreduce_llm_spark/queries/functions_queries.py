@@ -279,3 +279,28 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("c_acctbal"), 4))
         .alias("bal_or_neg1"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 15                          AS low_nibble,
+           p_size | 16                          AS with_flag,
+           xor(p_size, 255)                     AS flipped,
+           (p_size << 2) + (p_size >> 1)        AS shifted
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family — flag masks and shifts, all
+    whole-stage codegen."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    size = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        size.bitwiseAND(F.lit(15)).alias("low_nibble"),
+        size.bitwiseOR(F.lit(16)).alias("with_flag"),
+        size.bitwiseXOR(F.lit(255)).alias("flipped"),
+        (F.shiftleft(size, 2) + F.shiftright(size, 1)).alias("shifted"),
+    )

@@ -304,3 +304,49 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         size.bitwiseXOR(F.lit(255)).alias("flipped"),
         (F.shiftleft(size, 2) + F.shiftright(size, 1)).alias("shifted"),
     )
+
+
+@query(
+    "q_fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY                    AS due_date,
+           o_orderdate - INTERVAL 1 WEEK                    AS week_before,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')
+                AS INTEGER)                                 AS days_to_98
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on timestamps — due dates, lookbacks,
+    day distances; constant-folded expressions in the scan stage."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 7 DAYS")).alias("week_before"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_98"
+        ),
+    )
+
+
+@query(
+    "q_fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m')          AS ym,
+           strftime(o_orderdate, '%Y/%m/%d %H:%M') AS full_fmt
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp→string formatting (report keys, partition labels).
+    Spark's JDK patterns vs DuckDB's strftime spell the same outputs
+    with different pattern syntax — the VALUES are pinned equal."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_format("o_orderdate", "yyyy/MM/dd HH:mm").alias("full_fmt"),
+    )

@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from mapreduce_llm_spark.operators.skew import _row_salt, salted_join
+from mapreduce_llm_spark.operators.skew import row_salt_col, salted_join
 from mapreduce_llm_spark.session import get_spark
 
 N_FACT = 2_000_000
@@ -49,7 +49,7 @@ def main() -> None:
         fact.groupBy(F.pmod(F.hash("k"), n_parts).alias("p")).count()
         .agg(F.max("count").alias("mx"), F.avg("count").alias("avg")).first()
     )
-    salted = fact.withColumn("_salt", _row_salt(fact, ["k"], 16))
+    salted = fact.withColumn("_salt", row_salt_col(fact, ["k"], 16))
     salted_dist = (
         salted.groupBy(F.pmod(F.hash("k", "_salt"), n_parts).alias("p")).count()
         .agg(F.max("count").alias("mx"), F.avg("count").alias("avg")).first()

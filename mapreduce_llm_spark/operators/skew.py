@@ -38,8 +38,10 @@ _SALT = "__mrs_salt"
 _SALTABLE = {"inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"}
 
 
-def _row_salt(df: DataFrame, key_cols: list[str], n_salts: int) -> Column:
-    """Deterministic per-row salt from the NON-key columns.
+def row_salt_col(df: DataFrame, key_cols: list[str], n_salts: int) -> Column:
+    """Deterministic per-row salt from the NON-key columns (public: the
+    skew demo and downstream layouts reuse it to inspect or persist the
+    salted distribution).
 
     The salt must vary *within* a hot key (salting by a function of the
     key alone would map the hot key to a single salt and change
@@ -80,7 +82,7 @@ def salted_join(
             f"salted_join supports {sorted(_SALTABLE)}; {how!r} would duplicate "
             "unmatched right rows (each exists once per salt replica)"
         )
-    salted_left = left.withColumn(_SALT, _row_salt(left, on, n_salts))
+    salted_left = left.withColumn(_SALT, row_salt_col(left, on, n_salts))
     replicated_right = right.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

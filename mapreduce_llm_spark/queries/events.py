@@ -256,27 +256,31 @@ def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, round(e.value, 4) AS value,
            round((e.value - s.mu) / s.sigma, 4) AS zscore
     FROM events e JOIN stats s ON e.user_id = s.user_id
-    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 2.5
+    WHERE s.sigma > 0 AND abs(round((e.value - s.mu) / s.sigma, 4)) > 2.5
     """,
 )
 def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user anomaly detection: events more than 2.5 standard
     deviations from the user's mean. Aggregate-then-join (the stats
-    side is one row per user, broadcastable) rather than a window over
-    every event — at 100 TB the window form sorts the world; this form
-    is one partial-aggregated shuffle plus a map-side join."""
+    side is one row per user — AQE broadcasts it when it fits; no
+    forced hint, since user cardinality is unbounded at scale) rather
+    than a window over every event — at 100 TB the window form sorts
+    the world; this form is one partial-aggregated shuffle plus a join
+    sized at runtime. The threshold compares the ROUNDED z-score so
+    row membership can't flip on last-bit float-summation differences
+    between engines."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("user_id").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
-        e.join(F.broadcast(stats), "user_id")
+        e.join(stats, "user_id")
         .filter((F.col("sigma") > 0) & (F.abs(z) > 2.5))
         .select(
             "event_id",
             "user_id",
             F.round("value", 4).alias("value"),
-            F.round(z, 4).alias("zscore"),
+            z.alias("zscore"),
         )
     )

@@ -140,3 +140,70 @@ def llm_map(
     if concurrency is not None:
         src = src.repartition(concurrency)
     return src.mapInPandas(run, schema=RESULT_SCHEMA)
+
+
+@dataclass
+class RetryingClient:
+    """Bounded-retry decorator over any ChatClient (exponential
+    backoff). The reference fails the whole job on the first chunk
+    error (internal/cli/mapreduce.go:124-127); at cluster scale a
+    transient 429/5xx on one chunk must not kill a million-chunk job —
+    retries absorb transients, and only a persistent failure
+    propagates (Spark then retries the task, then fails the job).
+
+    ``sleep`` is injectable so tests run without wall-clock waits.
+    """
+
+    inner: ChatClient
+    max_attempts: int = 3
+    backoff_s: float = 1.0
+    backoff_multiplier: float = 2.0
+    sleep: "object" = None  # Callable[[float], None]; None → time.sleep
+
+    def generate(self, system: str, user: str) -> str:
+        import time as _time
+
+        do_sleep = self.sleep or _time.sleep
+        delay = self.backoff_s
+        last: Exception | None = None
+        for attempt in range(1, self.max_attempts + 1):
+            try:
+                return self.inner.generate(system, user)
+            except Exception as ex:  # noqa: BLE001 — transport errors vary by client
+                last = ex
+                if attempt == self.max_attempts:
+                    break
+                do_sleep(delay)
+                delay *= self.backoff_multiplier
+        raise RuntimeError(
+            f"chat call failed after {self.max_attempts} attempts: {last}"
+        ) from last
+
+
+@dataclass
+class RateLimitedClient:
+    """Token-bucket rate limit decorator: at most ``max_per_second``
+    calls per second per client instance (i.e. per Python worker —
+    cluster-wide rate ≈ max_per_second × concurrency, so set
+    ``llm_map(concurrency=n)`` and this together to hit a provider
+    quota exactly). ``clock``/``sleep`` are injectable for tests."""
+
+    inner: ChatClient
+    max_per_second: float = 1.0
+    clock: "object" = None  # Callable[[], float]; None → time.monotonic
+    sleep: "object" = None
+
+    def __post_init__(self) -> None:
+        self._next_allowed = 0.0
+
+    def generate(self, system: str, user: str) -> str:
+        import time as _time
+
+        now_fn = self.clock or _time.monotonic
+        do_sleep = self.sleep or _time.sleep
+        now = now_fn()
+        if now < self._next_allowed:
+            do_sleep(self._next_allowed - now)
+            now = self._next_allowed
+        self._next_allowed = now + 1.0 / self.max_per_second
+        return self.inner.generate(system, user)

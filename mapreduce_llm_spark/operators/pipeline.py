@@ -85,6 +85,12 @@ def reduce_ordered(results: DataFrame, sep: str = "") -> DataFrame:
     )
 
 
+class CostCapExceeded(RuntimeError):
+    """Raised before any LLM call when the pre-flight estimate exceeds
+    the caller's budget — the non-interactive version of the
+    reference's yes/no confirm gate (internal/cli/mapreduce.go:53-65)."""
+
+
 def map_reduce_llm(
     docs: DataFrame,
     prompt: str,
@@ -95,14 +101,26 @@ def map_reduce_llm(
     cache_dir: str | None = None,
     concurrency: int | None = None,
     sep: str = "",
+    max_cost_usd: float | None = None,
 ) -> DataFrame:
     """The full pipeline over a (doc_id, text) corpus → (doc_id, result).
 
     With ``cache_dir``, completed chunks are served from the
     content-addressed cache and only misses hit the client (the
-    reference's resume semantics, strengthened per cache.py)."""
+    reference's resume semantics, strengthened per cache.py).
+    With ``max_cost_usd``, the pre-flight token estimate gates
+    execution: if the corpus would cost more than the budget for
+    ``model``, raise CostCapExceeded before a single call is made."""
     spark = docs.sparkSession
     chunks = chunk_documents(docs, max_tokens=max_tokens_per_chunk)
+    if max_cost_usd is not None:
+        est = estimate_cost(chunks)
+        would_cost = est.cost_usd_by_model[model]
+        if would_cost > max_cost_usd:
+            raise CostCapExceeded(
+                f"estimated ${would_cost:.4f} for {est.n_tokens} tokens on "
+                f"{model} exceeds cap ${max_cost_usd:.4f}"
+            )
 
     if cache_dir is None:
         results = llm_map(chunks, prompt, client, concurrency=concurrency)

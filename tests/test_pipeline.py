@@ -152,3 +152,67 @@ def test_map_reduce_llm_multi_doc_parallel(spark):
     out = map_reduce_llm(docs, "f", FakeChatClient("kitchen"), sep="\n")
     got = {r["doc_id"]: r["result"] for r in out.collect()}
     assert got == {i: f"kitchen item {i}" for i in range(10)}
+
+
+def test_retrying_client_absorbs_transients():
+    from mapreduce_llm_spark.operators.llm_map import RetryingClient
+
+    calls = {"n": 0}
+
+    class Flaky:
+        def generate(self, system, user):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient 429")
+            return "ok:" + user
+
+    slept = []
+    c = RetryingClient(Flaky(), max_attempts=3, backoff_s=1.0, sleep=slept.append)
+    assert c.generate("s", "u") == "ok:u"
+    assert calls["n"] == 3
+    assert slept == [1.0, 2.0]  # exponential backoff
+
+
+def test_retrying_client_gives_up():
+    import pytest as _pytest
+
+    from mapreduce_llm_spark.operators.llm_map import FailingChatClient, RetryingClient
+
+    c = RetryingClient(FailingChatClient(), max_attempts=2, sleep=lambda s: None)
+    with _pytest.raises(RuntimeError, match="failed after 2 attempts"):
+        c.generate("s", "u")
+
+
+def test_rate_limited_client_spaces_calls():
+    from mapreduce_llm_spark.operators.llm_map import FakeChatClient, RateLimitedClient
+
+    t = {"now": 0.0}
+    slept = []
+
+    def sleep(s):
+        slept.append(s)
+        t["now"] += s
+
+    c = RateLimitedClient(
+        FakeChatClient(), max_per_second=2.0, clock=lambda: t["now"], sleep=sleep
+    )
+    for _ in range(3):
+        c.generate("s", "line")
+    # first call free, then 0.5s spacing each
+    assert slept == [0.5, 0.5]
+
+
+def test_cost_cap_blocks_before_any_call(spark):
+    import pytest as _pytest
+
+    from mapreduce_llm_spark.operators.llm_map import FailingChatClient
+    from mapreduce_llm_spark.operators.pipeline import CostCapExceeded, map_reduce_llm
+
+    docs = spark.createDataFrame(
+        [(0, "some words " * 200)], "doc_id long, text string"
+    )
+    # FailingChatClient proves the gate fires BEFORE any LLM call
+    with _pytest.raises(CostCapExceeded, match="exceeds cap"):
+        map_reduce_llm(
+            docs, "p", FailingChatClient(), max_cost_usd=1e-9
+        ).collect()

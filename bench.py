@@ -31,6 +31,8 @@ HEADLINE = [
     "q_join_inner",
     "q_join_multi",
     "q_join_salted",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
     "q_win_rank",
     "q_topk",
     "q_sort_multi",

@@ -1,0 +1,86 @@
+"""Iterative connected components — the clustering stage of a dedup
+pipeline (near-dup PAIRS are only half the job: survivors are chosen
+per CLUSTER, and clusters are the transitive closure of the pairs).
+
+Algorithm: alternating min-neighbor propagation and pointer jumping
+(label(x) ← min(label(x), min_{y∈N(x)} label(y), label(label(x)))),
+the standard O(log diameter) dataflow CC. Each iteration is two
+hash-shuffle joins; the driver loop stops at fixpoint. At 100 TB you'd
+add ``localCheckpoint`` every few iterations to truncate lineage —
+the per-iteration plan is otherwise identical.
+
+Oracle strategy (q_graph_components): on the consecutive-event graph
+(edges between successive events of a user ≤ 30 min apart) connected
+components are BY CONSTRUCTION the gap-sessionization of the stream —
+so the DuckDB twin labels sessions with a window cumsum and takes each
+session's min event id. An iterative distributed algorithm hash-checked
+against a closed-form SQL equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(src, dst) edge list (undirected; long ids) → (node, component)
+    where component = min node id reachable. Isolated nodes are absent
+    from the edge list and so from the output — union them in if the
+    caller's node set is wider.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "_nmin").alias("label"),
+        )
+        .cache()
+    )
+
+    for _ in range(max_iter):
+        # min over neighbors' labels
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        # pointer jump: label of my label
+        jumped = (
+            labels.join(
+                labels.select(
+                    F.col("node").alias("label"), F.col("label").alias("_jump")
+                ),
+                "label",
+            )
+            .select("node", "label", "_jump")
+        )
+        new_labels = (
+            jumped.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", "_jump", F.coalesce("_nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))

@@ -284,3 +284,53 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("zscore"),
         )
     )
+
+
+@query(
+    "q_graph_components",
+    oracle="""
+    WITH gapped AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT event_id, user_id,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM gapped
+    )
+    SELECT event_id AS node,
+           min(event_id) OVER (PARTITION BY user_id, seq) AS component
+    FROM sessions
+    ORDER BY node
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components (operators/graph.py) on the
+    consecutive-event graph (successive events of a user ≤ 30 min
+    apart). On this graph components ARE the gap sessions, so the
+    oracle computes the same labels with a closed-form window cumsum —
+    hash-matching proves the distributed iterative algorithm converges
+    to the exact transitive closure."""
+    from mapreduce_llm_spark.operators.graph import connected_components
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    edges = (
+        e.withColumn("prev_id", F.lag("event_id").over(w))
+        .withColumn("gap", gap)
+        .filter(F.col("gap").isNotNull() & (F.col("gap") <= 30 * 60))
+        .select(F.col("prev_id").alias("src"), F.col("event_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    # isolated events (no qualifying neighbor) are their own component
+    all_nodes = e.select(F.col("event_id").alias("node"))
+    isolated = all_nodes.join(comp, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return comp.unionByName(isolated).orderBy("node")

@@ -447,3 +447,61 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = resize_media(synthesize_media(d), out_w=8, out_h=8)
     return sample_frames(media, n_frames=4).orderBy("media_id", "frame_ix")
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w AS word
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(trim(lower(text)), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        )
+    ), tf AS (
+        SELECT doc_id, word, count(*) AS n
+        FROM words GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS docs_with
+        FROM words GROUP BY word
+    ), total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           round(tf.n * ln(CAST(total.n_docs AS DOUBLE) / df.docs_with), 4)
+               AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN total
+    WHERE df.docs_with >= 3 AND tf.n >= 2
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scores per (document, word) — the classic text-feature
+    pipeline as three aggregations: term counts (shuffle on (doc,
+    word)), document frequency (shuffle on word), and a broadcast
+    scalar corpus size. The df side joins back broadcast when it fits;
+    thresholds (df≥3, tf≥2) bound output like a real feature extractor.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim(F.lower("text")), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("docs_with"))
+    total = F.broadcast(d.select(F.countDistinct("doc_id").alias("n_docs")))
+    return (
+        tf.join(df_, "word")
+        .crossJoin(total)
+        .filter((F.col("docs_with") >= 3) & (F.col("n") >= 2))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("n")
+                * F.log(F.col("n_docs").cast("double") / F.col("docs_with")),
+                4,
+            ).alias("tfidf"),
+        )
+    )

@@ -38,6 +38,7 @@ NLJ_OK = {
     "q_dedup_embed",  # exact all-pairs baseline (blocked variant: q_sim_join)
     "q_evt_sliding",  # may expand windows via a tiny literal offsets array
     "q_win_ntile",  # broadcast single-row scalar total (lazy count) cross join
+    "q_text_tfidf",  # broadcast single-row corpus-size scalar cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

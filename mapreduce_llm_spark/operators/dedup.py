@@ -305,3 +305,28 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_survivors_from_pairs(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup PAIRS → per-document cluster labels and a keep flag.
+
+    Pairs (id_a, id_b) from any detector (minhash/simhash/ngram/embed)
+    are only half a dedup: transitively connected documents must
+    collapse to ONE survivor. Runs connected components
+    (operators/graph.py, oracle-proven) over the pair graph and keeps
+    the min id per cluster; documents in no pair survive untouched.
+    Returns (id, cluster, keep).
+    """
+    from mapreduce_llm_spark.operators.graph import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    labeled = all_ids.select(F.col(id_col).alias("node")).join(
+        comp, "node", "left"
+    ).select(
+        F.col("node").alias(id_col),
+        F.coalesce("component", F.col("node")).alias("cluster"),
+    )
+    return labeled.withColumn("keep", F.col(id_col) == F.col("cluster"))

@@ -143,3 +143,19 @@ def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
     assert capped_out.count() == 0
     normal = minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.5)
     assert normal.count() > 0
+
+
+def test_dedup_survivors_collapse_clusters(spark):
+    """Chained pairs (a-b, b-c) must collapse to ONE survivor (min id),
+    and untouched docs must all survive."""
+    from mapreduce_llm_spark.operators.dedup import dedup_survivors_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    out = {r["doc_id"]: (r["cluster"], r["keep"]) for r in
+           dedup_survivors_from_pairs(pairs, ids).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert out[99] == (99, True)

@@ -167,3 +167,61 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("media_id", "content").mapInPandas(fs, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_samples int, rms double, peak double, zero_crossings int"
+)
+
+
+def synthesize_audio(docs: DataFrame, id_col: str = "doc_id", n_samples: int = 4096,
+                     sample_rate: int = 16000) -> DataFrame:
+    """Deterministic fake waveforms (int16 little-endian payload in the
+    RAW1 envelope, width=n_samples, height=1): each doc id seeds a sum
+    of two sine tones, so every stage downstream is reproducible. The
+    audio twin of synthesize_media — same schema, sample_rate set."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "media_type", "codec", "width", "height",
+                "sample_rate", "content")}
+            for mid in pdf[id_col]:
+                t = np.arange(n_samples, dtype=np.float64) / sample_rate
+                f1, f2 = 200 + (int(mid) % 17) * 20, 1000 + (int(mid) % 5) * 100
+                wave = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+                pcm = (wave * 32767).astype("<i2").tobytes()
+                rows["media_id"].append(int(mid))
+                rows["media_type"].append("audio")
+                rows["codec"].append("raw1")
+                rows["width"].append(n_samples)
+                rows["height"].append(1)
+                rows["sample_rate"].append(sample_rate)
+                rows["content"].append(encode_raw1(n_samples, 1, pcm))
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Waveform features per clip: RMS energy, peak, zero-crossing
+    count — the audio analogue of extract_features; one Arrow batch in,
+    one numpy pass per clip, no shuffle."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_samples", "rms", "peak", "zero_crossings")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, _, raw = decode_raw1(bytes(content))
+                wave = np.frombuffer(raw.tobytes(), dtype="<i2").astype(np.float64) / 32767
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(len(wave))
+                out["rms"].append(round(float(np.sqrt(np.mean(wave**2))), 6))
+                out["peak"].append(round(float(np.abs(wave).max()), 6))
+                out["zero_crossings"].append(int(np.sum(np.diff(np.sign(wave)) != 0)))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        feats, schema=AUDIO_FEATURE_SCHEMA
+    )

@@ -348,3 +348,48 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    )
+    SELECT LEAST(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20) ) AS INTEGER), 19)
+               AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 4) AS lo_val,
+           round(max(l_extendedprice), 4) AS hi_val
+    FROM lineitem CROSS JOIN bounds
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram: global min/max as a broadcast
+    scalar pair, bucket assignment fused into the scan, one count
+    aggregation — the distributed histogram primitive (two passes, no
+    sort; a sort-based histogram would shuffle the world)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = F.broadcast(
+        li.agg(
+            F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"),
+        F.lit(19),
+    )
+    return (
+        li.crossJoin(bounds)
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo_val"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi_val"),
+        )
+        .orderBy("bucket")
+    )

@@ -505,3 +505,20 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@query("q_mm_audio")
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio multimodal shape: deterministic synthetic waveforms →
+    per-clip RMS/peak/zero-crossing features (rows-only — binary
+    payloads have no SQL twin; determinism comes from the seeded
+    synthesis)."""
+    from mapreduce_llm_spark.operators.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    return audio_features(synthesize_audio(d)).orderBy("media_id")

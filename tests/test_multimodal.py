@@ -70,3 +70,17 @@ def test_deterministic_across_runs(spark):
     a = {r["media_id"]: bytes(r["content"]) for r in synthesize_media(ids).collect()}
     b = {r["media_id"]: bytes(r["content"]) for r in synthesize_media(ids).collect()}
     assert a == b
+
+
+def test_audio_features_deterministic(spark):
+    """Same ids → identical waveform features across runs (the seeded
+    synthesis contract the rows-only declaration relies on)."""
+    from mapreduce_llm_spark.operators.multimodal import audio_features, synthesize_audio
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    a = {r["media_id"]: r for r in audio_features(synthesize_audio(ids)).collect()}
+    b = {r["media_id"]: r for r in audio_features(synthesize_audio(ids)).collect()}
+    assert a == b
+    assert all(r["n_samples"] == 4096 for r in a.values())
+    # different ids produce different tones → different features
+    assert len({r["zero_crossings"] for r in a.values()}) > 1

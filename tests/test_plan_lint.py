@@ -30,6 +30,7 @@ PYTHON_OK = {
     "q_udtf_native",  # the declared native Python UDTF surface
     "q_pipeline_curate",  # composed curation flow includes the chunker
     "q_mm_frames",  # multimodal resize/frame UDFs, mapInPandas
+    "q_mm_audio",  # audio waveform synthesis/features, mapInPandas
 }
 
 # Nested-loop / cross joins by design:
@@ -39,6 +40,7 @@ NLJ_OK = {
     "q_evt_sliding",  # may expand windows via a tiny literal offsets array
     "q_win_ntile",  # broadcast single-row scalar total (lazy count) cross join
     "q_text_tfidf",  # broadcast single-row corpus-size scalar cross join
+    "q_agg_histogram",  # broadcast single-row min/max bounds cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

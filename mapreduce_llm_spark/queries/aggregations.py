@@ -393,3 +393,45 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           count(*) AS n_rows,
+           count(l_quantity) AS n_nonnull,
+           count(DISTINCT l_quantity) AS n_distinct,
+           round(min(l_quantity), 4) AS min_val,
+           round(max(l_quantity), 4) AS max_val,
+           round(avg(l_quantity), 4) AS avg_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(l_discount),
+           count(DISTINCT l_discount),
+           round(min(l_discount), 4), round(max(l_discount), 4),
+           round(avg(l_discount), 4)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (row/null/distinct counts, min/max/mean) — the
+    data-quality report a pipeline runs before training. One pass per
+    profiled batch of columns; all aggregates partial+final. At 100 TB
+    swap count(DISTINCT) for approx_count_distinct (q_agg_approx) —
+    kept exact here for the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col), 4).alias("min_val"),
+            F.round(F.max(col), 4).alias("max_val"),
+            F.round(F.avg(col), 4).alias("avg_val"),
+        )
+
+    return profile("l_quantity").unionByName(profile("l_discount")).orderBy("col")

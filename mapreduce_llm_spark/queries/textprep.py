@@ -1,0 +1,258 @@
+"""Training-data preparation queries — the curation steps a corpus
+pipeline runs between raw ingest and training: reproducible splits,
+n-gram statistics, repetition signals (Gopher-style quality filters),
+PII redaction, and outlier winsorization.
+
+Reference grounding: the reference's "data cleaning" / "data
+transformation" use cases (reference README.md:150-152) are prompt-level;
+these are their typed, deterministic, oracle-checkable counterparts.
+All stay JVM-side (split/transform/explode/regexp are codegen'd
+Catalyst expressions — no Python crossing, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.com"
+
+
+@query(
+    "q_split_train_test",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/test split — the reproducible
+    holdout every training pipeline needs. md5(doc_id) first hex char in
+    {0,1} → 'test' (2/16 = 12.5%): stable across runs, engines, and
+    cluster sizes, unlike seeded RNG sampling (q_sample). Pure
+    projection + hash-agg; no shuffle beyond the final 2-group agg."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        d.withColumn(
+            "split",
+            F.when(bucket.isin("0", "1"), F.lit("test")).otherwise("train"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_text_ngrams",
+    oracle="""
+    SELECT bg AS bigram, count(*) AS n
+    FROM (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(a) - 1),
+                   i -> a[i] || ' ' || a[i + 1])) AS bg
+        FROM (SELECT string_split(text, ' ') AS a FROM documents)
+        WHERE len(a) >= 2
+    )
+    GROUP BY bg
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — the n-gram frequency pass
+    behind contamination checks and LM evaluation decontamination.
+    Bigrams are built per-row with a higher-order transform over the
+    word array (no self-join on word position — that would shuffle the
+    exploded corpus twice); the only shuffle is the final bigram
+    hash-agg, partial-aggregated map-side. Ties broken by bigram text
+    for a deterministic top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(dup_frac), 4) AS avg_dup_frac,
+           round(max(dup_frac), 4) AS max_dup_frac
+    FROM (
+        SELECT doc_id, lang,
+               1.0 - count(DISTINCT w) * 1.0 / count(*) AS dup_frac
+        FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        )
+        GROUP BY doc_id, lang
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of word occurrences that are duplicates of an earlier word
+    in the same doc, aggregated per language. High dup_frac → boilerplate
+    / degenerate text a curation pipeline drops. Explode partitions by
+    doc — both aggs shuffle on small keys (doc_id, then lang); the
+    count(DISTINCT) is per-doc, so no global distinct blow-up."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_doc = words.groupBy("doc_id", "lang").agg(
+        (1.0 - F.countDistinct("w") * 1.0 / F.count("*")).alias("dup_frac")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+            F.round(F.max("dup_frac"), 4).alias("max_dup_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_em) AS BIGINT) AS n_emails,
+           CAST(sum(CASE WHEN n_em > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_pii,
+           round(avg(length(red)), 4) AS avg_red_len
+    FROM (
+        SELECT source,
+               len(regexp_extract_all(t2, '{EMAIL_RE}')) AS n_em,
+               regexp_replace(t2, '{EMAIL_RE}', '[EMAIL]', 'g') AS red
+        FROM (
+            SELECT source,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' contact user'
+                             || CAST(doc_id AS VARCHAR) || '@example.com now'
+                        ELSE text END AS t2
+            FROM documents
+        )
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — regex-scrub emails before text reaches training.
+    The driver corpus is synthetic word soup with no PII, so every third
+    doc gets a deterministic injected email; the query then detects and
+    redacts, reporting per-source counts. regexp_count/regexp_replace
+    are JVM codegen expressions — this is the fast path, not a UDF; at
+    100 TB the same plan streams through the scan with zero shuffle
+    before the tiny per-source agg."""
+    d = load_table(spark, sf_dir, "documents")
+    t2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    d = d.withColumn("t2", t2).withColumn(
+        "n_em", F.regexp_count("t2", F.lit(EMAIL_RE))
+    )
+    red = F.regexp_replace("t2", F.lit(EMAIL_RE), F.lit("[EMAIL]"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_em").cast("long").alias("n_emails"),
+            F.sum(F.when(F.col("n_em") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_pii"),
+            F.round(F.avg(F.length(red)), 4).alias("avg_red_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_clip_outliers",
+    oracle="""
+    WITH b AS (
+        SELECT round(CAST(quantile_cont(l_extendedprice, 0.01) AS DOUBLE), 4)
+                   AS lo,
+               round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4)
+                   AS hi
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(l_extendedprice), 4) AS avg_raw,
+           round(avg(CASE WHEN l_extendedprice < lo THEN lo
+                          WHEN l_extendedprice > hi THEN hi
+                          ELSE l_extendedprice END), 4) AS avg_clipped
+    FROM lineitem, b
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clip a numeric feature to its [p1, p99] band, the
+    standard outlier-taming step before numeric features feed a model.
+    Exact interpolated percentiles (matching DuckDB quantile_cont),
+    rounded to 4 decimals BEFORE clipping so both engines clip at the
+    identical threshold. The 1-row bounds frame is broadcast
+    (BroadcastNestedLoopJoin on purpose — see plan-lint allowlist);
+    everything else is one hash-agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.01)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("hi"),
+    )
+    clip = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("clip", clip)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("l_extendedprice") != F.col("clip"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_raw"),
+            F.round(F.avg("clip"), 4).alias("avg_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -50,6 +50,7 @@ def load_all() -> None:
         setops,
         skew,
         sorts,
+        textprep,
         tpch_macro,
         udfs,
         windows,

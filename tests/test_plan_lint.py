@@ -41,6 +41,7 @@ NLJ_OK = {
     "q_win_ntile",  # broadcast single-row scalar total (lazy count) cross join
     "q_text_tfidf",  # broadcast single-row corpus-size scalar cross join
     "q_agg_histogram",  # broadcast single-row min/max bounds cross join
+    "q_clip_outliers",  # broadcast single-row percentile-bounds cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

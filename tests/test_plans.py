@@ -170,3 +170,39 @@ def test_salted_join_key_only_frame_uses_partition_salt(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "SPARK_PARTITION_ID" in plan
     assert j.count() == li.join(o, "l_orderkey").count()
+
+
+def test_ngrams_topk_no_join_no_global_sort(spark):
+    """Bigrams come from a per-row higher-order transform, NOT a
+    positional self-join (which would shuffle the exploded corpus
+    twice); the top-20 is TakeOrderedAndProject (per-partition heaps),
+    never a global sort."""
+    plan = plan_of(spark, "q_text_ngrams")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "ReadSchema: struct<text:string>" in scan  # only col needed
+
+
+def test_pii_redact_stays_jvm_single_agg_shuffle(spark):
+    """Regex detect+redact are codegen'd Catalyst expressions — no
+    Python crossing, no join; the only data shuffle is the tiny
+    per-source aggregate (plus the final presentation sort)."""
+    plan = plan_of(spark, "q_pii_redact")
+    assert "Join" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_clip_outliers_broadcasts_bounds_and_partials_percentile(spark):
+    """The 1-row p1/p99 frame reaches the fact scan via broadcast (no
+    shuffle of lineitem to meet it), and the exact percentile itself is
+    computed with map-side partial sketches — only per-partition state
+    crosses the SinglePartition exchange, never the data."""
+    plan = plan_of(spark, "q_clip_outliers")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_percentile" in plan

@@ -256,3 +256,128 @@ def q_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH bigrams AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(a) - 1),
+                   i -> a[i] || ' ' || a[i + 1]))) AS bg
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS a
+              FROM documents)
+        WHERE len(a) >= 2
+    ),
+    eval_set AS (
+        SELECT DISTINCT bg FROM bigrams WHERE doc_id % 50 = 0
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(contam), 4) AS avg_contam,
+           CAST(sum(CASE WHEN contam > 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM (
+        SELECT b.doc_id, b.lang,
+               sum(CASE WHEN e.bg IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                   / count(*) AS contam
+        FROM bigrams b
+        LEFT JOIN eval_set e ON b.bg = e.bg
+        WHERE b.doc_id % 50 <> 0
+        GROUP BY b.doc_id, b.lang
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — for each training doc, the fraction
+    of its distinct bigrams that also occur in a held-out eval set
+    (docs with doc_id % 50 = 0 stand in for the benchmark). Docs above
+    0.8 overlap get flagged for removal. The eval n-gram set is tiny
+    relative to the corpus and is BROADCAST to the training side — at
+    100 TB the train bigrams never shuffle to meet it; the only wide
+    exchanges are the per-doc and per-lang aggs."""
+    d = load_table(spark, sf_dir, "documents")
+    bigram_expr = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        )
+    )
+    bigrams = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", "lang", F.explode(bigram_expr).alias("bg"))
+    )
+    eval_set = bigrams.filter(F.col("doc_id") % 50 == 0).select("bg").distinct()
+    train = bigrams.filter(F.col("doc_id") % 50 != 0)
+    per_doc = (
+        train.join(
+            F.broadcast(eval_set.withColumn("hit", F.lit(1))), "bg", "left"
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) * 1.0 / F.count("*")).alias(
+                "contam"
+            )
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("contam"), 4).alias("avg_contam"),
+            F.sum(F.when(F.col("contam") > 0.8, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_mix_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+               count(*) AS n_langs
+        FROM counts
+    )
+    SELECT lang, n_docs,
+           round(n_docs * 1.0 / total, 4) AS actual_frac,
+           round(total * 1.0 / (n_langs * n_docs), 4) AS resample_weight
+    FROM counts, tot
+    ORDER BY lang
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights — per-language corpus share and the
+    resampling weight that would equalize languages (weight =
+    total / (n_langs · n_lang)) — the planning step before building a
+    training mixture. The per-lang count table is a handful of rows;
+    the totals frame is one row, broadcast onto it (allowlisted NLJ)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count("*").alias("n_langs"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("total"), 4).alias(
+                "actual_frac"
+            ),
+            F.round(
+                F.col("total") * 1.0 / (F.col("n_langs") * F.col("n_docs")), 4
+            ).alias("resample_weight"),
+        )
+        .orderBy("lang")
+    )

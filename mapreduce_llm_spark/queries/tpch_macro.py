@@ -153,3 +153,49 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q18_shape",
+    oracle="""
+    SELECT c_name, o_orderkey, round(o_totalprice, 4) AS price,
+           round(sum_qty, 4) AS sum_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300
+    ) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer shape (TPC-H Q18): a fact-wide aggregate
+    feeding a HAVING filter, then joined back to orders and customer.
+    The agg runs FIRST (partial+final on l_orderkey) so only the few
+    qualifying orders join onward — at 100 TB the HAVING survivor set
+    is tiny and both joins go broadcast; top-100 is TakeOrdered, no
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(100)
+    )

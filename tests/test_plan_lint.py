@@ -42,6 +42,7 @@ NLJ_OK = {
     "q_text_tfidf",  # broadcast single-row corpus-size scalar cross join
     "q_agg_histogram",  # broadcast single-row min/max bounds cross join
     "q_clip_outliers",  # broadcast single-row percentile-bounds cross join
+    "q_mix_weights",  # broadcast single-row corpus-totals cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -206,3 +206,24 @@ def test_clip_outliers_broadcasts_bounds_and_partials_percentile(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_percentile" in plan
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark):
+    """The eval-set bigrams must reach the training side via broadcast
+    hash join — the train corpus (the 100-TB side) never shuffles to
+    meet the benchmark n-grams."""
+    plan = plan_of(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_aggregates_before_joining(spark):
+    """Q18 shape: the lineitem aggregate + HAVING runs BEFORE any join
+    (only survivors join onward), and the top-100 is TakeOrdered, not a
+    global sort."""
+    plan = plan_of(spark, "q_tpch_q18_shape")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+    # the HAVING filter sits directly on the aggregate, upstream of joins
+    assert plan.index("sum_qty") < plan.index("Join")
+    assert "SortMergeJoin" not in plan

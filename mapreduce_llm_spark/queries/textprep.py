@@ -381,3 +381,25 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("q_pack_sequences")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): greedy first-fit of
+    short docs into 256-token training sequences, one applyInPandas
+    pass over hash shards. Rows-only by design — the packing depends on
+    the engine tokenizer, which DuckDB can't reproduce; the operator's
+    invariants are property-tested in tests/test_packing.py instead.
+    Output: per-sequence fill stats, deterministic order."""
+    from mapreduce_llm_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(d, budget=256)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("seq_id")
+    )

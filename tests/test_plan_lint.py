@@ -31,6 +31,7 @@ PYTHON_OK = {
     "q_pipeline_curate",  # composed curation flow includes the chunker
     "q_mm_frames",  # multimodal resize/frame UDFs, mapInPandas
     "q_mm_audio",  # audio waveform synthesis/features, mapInPandas
+    "q_pack_sequences",  # greedy sequence packer, applyInPandas per shard
 }
 
 # Nested-loop / cross joins by design:

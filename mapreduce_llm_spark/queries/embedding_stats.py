@@ -1,0 +1,104 @@
+"""Embedding-column analytics — per-class centroids and norm profiles,
+the feature-space diagnostics a training pipeline runs over an
+`array<float>` column (and the E-step primitive of k-means, which the
+IVF index in operators/similarity.py uses).
+
+Scale design: centroids do NOT explode the corpus. A naive
+posexplode → groupBy(label, dim) shuffles 64× the rows; instead each
+dimension is one `avg(element_at(...))` aggregate — 64 partial aggs
+per task, ONE shuffle of tiny per-(task, label) state. The long-format
+explode happens after aggregation, on |labels| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+DIM = 64  # FIXTURES.md: embeddings.embedding is fixed dim=64
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+           round(avg(CAST(val AS DOUBLE)), 4) AS centroid_val
+    FROM (
+        SELECT label, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column. One hash-agg shuffle
+    carrying 64 partial avgs per (task, label) — the corpus itself is
+    never exploded; the posexplode to long format runs on the |labels|
+    aggregated rows only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = [
+        F.round(
+            F.avg(F.element_at("embedding", i + 1).cast("double")), 4
+        ).alias(f"d{i}")
+        for i in range(DIM)
+    ]
+    centroids = (
+        e.groupBy("label")
+        .agg(*dims)
+        .select(
+            "label",
+            F.array(*[F.col(f"d{i}") for i in range(DIM)]).alias("centroid"),
+        )
+    )
+    return centroids.select(
+        "label", F.posexplode("centroid").alias("pos", "centroid_val")
+    ).orderBy("label", "pos")
+
+
+@query(
+    "q_embed_norms",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm profile per label — the sanity check before cosine
+    math (zero or exploding norms break similarity search). The norm
+    is a higher-order fold (transform + aggregate) evaluated JVM-side
+    per row; no UDF, no explode."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        e.withColumn("nrm", nrm)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -41,6 +41,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from mapreduce_llm_spark.queries import (  # noqa: F401
         aggregations,
+        embedding_stats,
         events,
         functions_queries,
         joins,
@@ -50,6 +51,7 @@ def load_all() -> None:
         setops,
         skew,
         sorts,
+        sql_api,
         textprep,
         tpch_macro,
         udfs,

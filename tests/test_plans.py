@@ -227,3 +227,14 @@ def test_q18_aggregates_before_joining(spark):
     # the HAVING filter sits directly on the aggregate, upstream of joins
     assert plan.index("sum_qty") < plan.index("Join")
     assert "SortMergeJoin" not in plan
+
+
+def test_embed_centroids_no_explode_before_shuffle(spark):
+    """Centroids aggregate per-dimension avgs (64 partial aggs per
+    task) — the corpus must NOT be posexploded before the shuffle;
+    the Generate node sits above the aggregation (plan prints
+    top-down), operating on |labels| rows only."""
+    plan = plan_of(spark, "q_embed_centroids")
+    assert "partial_avg" in plan
+    assert plan.count("Generate") == 1
+    assert plan.index("Generate") < plan.index("partial_avg")

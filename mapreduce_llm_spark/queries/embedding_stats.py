@@ -102,3 +102,95 @@ def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_embed_assign",
+    oracle="""
+    WITH cent AS (
+        SELECT label AS clabel, pos, round(avg(CAST(val AS DOUBLE)), 4) AS cval
+        FROM (
+            SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    ),
+    dists AS (
+        SELECT v.vec_id, v.label, c.clabel AS pred,
+               round(sum((CAST(v.val AS DOUBLE) - c.cval)
+                       * (CAST(v.val AS DOUBLE) - c.cval)), 4) AS dist
+        FROM (
+            SELECT vec_id, label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ) v
+        JOIN cent c ON c.pos = v.pos
+        GROUP BY v.vec_id, v.label, c.clabel
+    ),
+    best AS (
+        SELECT vec_id, label, pred,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, pred) AS rn
+        FROM dists
+    )
+    SELECT label, pred, count(*) AS n
+    FROM best
+    WHERE rn = 1
+    GROUP BY label, pred
+    ORDER BY label, pred
+    """,
+)
+def q_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step / centroid
+    classifier), emitted as a label×pred confusion matrix. Scale shape:
+    the 10×64 centroid table collapses to ONE row (an array of
+    structs), broadcasts, and each vector computes its argmin with a
+    per-row higher-order fold — zero per-vector shuffle, no 10× row
+    expansion, no window. Ties break on (dist, pred) via struct
+    ordering, matching the oracle's ORDER BY dist, pred. Distances and
+    centroids round to 4 on both sides so the argmin agrees across
+    engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = [
+        F.round(
+            F.avg(F.element_at("embedding", i + 1).cast("double")), 4
+        ).alias(f"d{i}")
+        for i in range(DIM)
+    ]
+    cents_one_row = (
+        e.groupBy(F.col("label").alias("clabel"))
+        .agg(*dims)
+        .select(
+            "clabel",
+            F.array(*[F.col(f"d{i}") for i in range(DIM)]).alias("centroid"),
+        )
+        .agg(F.collect_list(F.struct("clabel", "centroid")).alias("cents"))
+    )
+    dist_to = lambda c: F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                c["centroid"],
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        4,
+    )
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                dist_to(c).alias("dist"), c["clabel"].alias("pred")
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(cents_one_row))
+        .select("label", best["pred"].alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred")
+    )

@@ -44,6 +44,7 @@ NLJ_OK = {
     "q_agg_histogram",  # broadcast single-row min/max bounds cross join
     "q_clip_outliers",  # broadcast single-row percentile-bounds cross join
     "q_mix_weights",  # broadcast single-row corpus-totals cross join
+    "q_embed_assign",  # broadcast single-row centroid-array cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

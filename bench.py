@@ -46,6 +46,11 @@ HEADLINE = [
     "q_udtf_flatmap",
     "q_text_stats",
     "q_merge_upsert",
+    "q_dedup_fuzzy",
+    "q_text_ngrams",
+    "q_pack_sequences",
+    "q_embed_assign",
+    "q_tpch_q18_shape",
 ]
 
 

@@ -56,19 +56,28 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
     Texts shorter than k words contribute their whole normalized text
     as a single shingle so they can still match exact copies.
-    """
-    words = F.filter(F.split(normalize_text(col), " "), lambda w: w != "")
-    n = F.size(words)
 
-    def shingle_at(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(k)]
+    The words array is bound ONCE per row via a single-element
+    ``transform`` lambda before any shingle references it. Referencing
+    the raw expression directly would re-evaluate the whole
+    normalize→split→filter chain for every ``element_at`` (3 per
+    shingle + 1 for size) — measured 17 s for 5 000 docs at sf0.1,
+    ~0.5 s with the binding."""
+    words = F.filter(F.split(normalize_text(col), " "), lambda w: w != "")
+
+    def mk(ws: Column) -> Column:
+        n = F.size(ws)
+        shingles = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+            F.array(F.concat_ws(" ", ws))
         )
 
-    shingles = F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle_at)
-    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
-        F.array(normalize_text(col))
-    )
+    return F.element_at(F.transform(F.array(words), mk), 1)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
@@ -134,6 +143,11 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_k).alias("_shingles"),
     ).withColumn("_bands", lsh_band_keys(minhash_signature(F.col("_shingles"), num_hashes), bands, rows))
+    # base feeds candidate generation AND both sides of the verify
+    # join; without a persist the shingle+signature expressions (the
+    # CPU-heavy part) re-evaluate up to 4x. At cluster scale use
+    # MEMORY_AND_DISK or a checkpoint — same intent.
+    base = base.persist()
 
     buckets = base.select(
         "_id", F.posexplode("_bands").alias("_band_ix", "_band_key")
@@ -187,7 +201,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
         word_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    )
+    ).persist()  # both join sides read it; don't shingle twice
     a = base.select(
         F.col("_id").alias("id_a"), *block_cols, F.col("_sh").alias("_sh_a")
     )

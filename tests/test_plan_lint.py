@@ -32,6 +32,7 @@ PYTHON_OK = {
     "q_mm_frames",  # multimodal resize/frame UDFs, mapInPandas
     "q_mm_audio",  # audio waveform synthesis/features, mapInPandas
     "q_pack_sequences",  # greedy sequence packer, applyInPandas per shard
+    "q_embed_assign",  # BLAS centroid scorer, mapInPandas + broadcast model
 }
 
 # Nested-loop / cross joins by design:
@@ -44,7 +45,6 @@ NLJ_OK = {
     "q_agg_histogram",  # broadcast single-row min/max bounds cross join
     "q_clip_outliers",  # broadcast single-row percentile-bounds cross join
     "q_mix_weights",  # broadcast single-row corpus-totals cross join
-    "q_embed_assign",  # broadcast single-row centroid-array cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -121,22 +121,37 @@ def ann_topk_lsh(
     *,
     n_planes: int = 4,
     seed: int = 42,
+    n_probe_bits: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's sign-LSH
-    bucket. Recall < 1 by construction (declared rows-only); the
-    multiprobe extension (flip one bit) would raise recall at 2× probe
-    cost."""
+    bucket. Recall < 1 by construction (declared rows-only).
+
+    ``n_probe_bits`` enables multiprobe: also scan the buckets whose
+    code differs from the query's in ≤ that many bits — the standard
+    recall lever (each extra bit multiplies probed buckets, and near
+    neighbors most often land across exactly one flipped hyperplane).
+    The probed-bucket set stays an IN-list literal, so the scan is
+    still one filter, no join."""
     dim = len(query_vec)
     planes = random_hyperplanes(dim, n_planes, seed)
     qvec = np.array(query_vec)
     q_bucket = sum(
         (1 << i) for i, p in enumerate(planes) if float(qvec @ np.array(p)) > 0
     )
+    probe = {q_bucket}
+    if n_probe_bits >= 1:
+        probe |= {q_bucket ^ (1 << i) for i in range(n_planes)}
+    if n_probe_bits >= 2:
+        probe |= {
+            q_bucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
     bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     return (
-        bucketed.filter(F.col("_bucket") == q_bucket)
+        bucketed.filter(F.col("_bucket").isin(*sorted(probe)))
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), _vec_lit(query_vec)), 4).alias("cosine_sim"),

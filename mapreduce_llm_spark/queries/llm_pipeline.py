@@ -221,11 +221,13 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_sim_ann_topk")
 def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via sign-LSH bucket probe (rows-only: recall
-    is intentionally < 1 vs the exact q_sim_search)."""
+    """Approximate top-10 via sign-LSH multiprobe (query bucket + all
+    hamming-1 neighbors — the recall lever; rows-only: recall is
+    intentionally < 1 vs the exact q_sim_search). Recall ordering is
+    pinned in test_lsh_multiprobe_recall_dominates_single_probe."""
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ann_topk_lsh(e, list(qvec), k=10, n_planes=4, seed=42)
+    return ann_topk_lsh(e, list(qvec), k=10, n_planes=4, seed=42, n_probe_bits=1)
 
 
 @query(

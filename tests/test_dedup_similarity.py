@@ -159,3 +159,30 @@ def test_dedup_survivors_collapse_clusters(spark):
     assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
     assert out[10] == (10, True) and out[11] == (10, False)
     assert out[99] == (99, True)
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Probing hamming-≤1 buckets must recover at least the single-
+    probe results and strictly improve (or tie) recall@10 vs exact —
+    the multiprobe recall-lever claim, observed."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(e, qvec, k=10).collect()}
+    single = {r["vec_id"] for r in ann_topk_lsh(e, qvec, k=10).collect()}
+    multi = {
+        r["vec_id"]
+        for r in ann_topk_lsh(e, qvec, k=10, n_probe_bits=1).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) >= 5  # hamming-1 probe finds most of top-10
+
+    # full probe (all 2^4 buckets) degrades to exact — same guarantee
+    # the IVF variant pins
+    all_probe = {
+        r["vec_id"]
+        for r in ann_topk_lsh(e, qvec, k=10, n_probe_bits=2).collect()
+    }
+    assert len(all_probe & exact) >= len(multi & exact)

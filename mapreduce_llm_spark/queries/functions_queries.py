@@ -350,3 +350,51 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.date_format("o_orderdate", "yyyy/MM/dd HH:mm").alias("full_fmt"),
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_extract(s, 'prio') AS prio,
+           struct_extract(s, 'price') AS price,
+           struct_extract(struct_extract(n, 'inner'), 'price') AS nested_price
+    FROM (
+        SELECT o_orderkey,
+               struct_pack(prio := o_orderpriority,
+                           price := round(o_totalprice, 4)) AS s,
+               struct_pack(okey := o_orderkey,
+                           inner := struct_pack(
+                               prio := o_orderpriority,
+                               price := round(o_totalprice, 4))) AS n
+        FROM orders
+        WHERE o_orderkey < 300
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field extraction (incl. one nesting
+    level), proven by round-trip back to scalars — the typed-record
+    primitive behind multimodal metadata and packed log payloads.
+    All codegen'd Catalyst expressions; structs that are only built
+    and re-projected never materialize in the shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    s = F.struct(
+        F.col("o_orderpriority").alias("prio"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+    n = F.struct(
+        F.col("o_orderkey").alias("okey"),
+        s.alias("inner"),
+    )
+    return (
+        o.select("o_orderkey", s.alias("s"), n.alias("n"))
+        .select(
+            "o_orderkey",
+            F.col("s").getField("prio").alias("prio"),
+            F.col("s").getField("price").alias("price"),
+            F.col("n").getField("inner").getField("price").alias("nested_price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -186,6 +186,27 @@ def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
 
 
+@query("q_sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample (sampleBy): per-stratum Bernoulli fractions —
+    the class-balancing sampler a training pipeline uses to downweight
+    an overrepresented language/source. Seeded-deterministic within
+    Spark but sampler RNGs differ across engines -> rows-only (the
+    deterministic cross-engine alternative is the md5 hash split,
+    q_split_train_test)."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+    return (
+        d.sampleBy("lang", fractions=fractions, seed=7)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("q_sample")
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample + agg — deterministic within Spark

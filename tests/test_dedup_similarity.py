@@ -186,3 +186,43 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
         for r in ann_topk_lsh(e, qvec, k=10, n_probe_bits=2).collect()
     }
     assert len(all_probe & exact) >= len(multi & exact)
+
+
+def test_word_shingles_matches_python_reference(spark):
+    """The bind-words-once rewrite of word_shingles must be
+    semantics-preserving: compare against a direct Python reference on
+    edge cases (empty, short, whitespace runs, duplicate shingles) and
+    seeded random texts — one Spark job for the whole batch."""
+    import random
+    import re
+
+    from mapreduce_llm_spark.operators.dedup import word_shingles
+
+    def ref(text: str, k: int = 3) -> list[str]:
+        norm = re.sub(r"\s+", " ", text.lower().strip())
+        words = [w for w in norm.split(" ") if w]
+        if len(words) < k:
+            return [" ".join(words)]
+        return list(
+            dict.fromkeys(
+                " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+            )
+        )
+
+    rng = random.Random(11)
+    vocab = ["spark", "Data", "ROW", "x1", "agg", "join"]
+    texts = ["", " ", "one", "one two", "a  b\tc", "a a a a a a"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: list(r["sh"])
+        for r in df.select(
+            "id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t, got[i], ref(t))

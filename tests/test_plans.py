@@ -238,3 +238,16 @@ def test_embed_centroids_no_explode_before_shuffle(spark):
     assert "partial_avg" in plan
     assert plan.count("Generate") == 1
     assert plan.index("Generate") < plan.index("partial_avg")
+
+
+def test_q19_factors_disjunction_to_both_scans(spark):
+    """The OR-of-conjunctions predicate must be factored into side-
+    local disjunctions pushed to BOTH scans (quantity bounds to
+    lineitem, brand/size to part) — only the cross-side residual stays
+    at the join. This is the optimization Q19 exists to test."""
+    plan = plan_of(spark, "q_tpch_q19_shape")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    li_scan = next(l for l in scans if "lineitem" in l)
+    p_scan = next(l for l in scans if "part.parquet" in l)
+    assert "l_quantity" in li_scan and "Or(" in li_scan
+    assert "p_brand" in p_scan and "Or(" in p_scan

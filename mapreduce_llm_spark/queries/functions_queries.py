@@ -398,3 +398,40 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_fn_nullsafe",
+    oracle="""
+    WITH k AS (
+        SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                    ELSE o_orderpriority END AS key
+        FROM orders
+    ),
+    a AS (SELECT key, count(*) AS n_a FROM k GROUP BY key),
+    b AS (SELECT key, count(*) AS n_b FROM k GROUP BY key)
+    SELECT coalesce(a.key, '<null>') AS key, n_a, n_b
+    FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key
+    ORDER BY key
+    """,
+)
+def q_fn_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): the 3-valued-
+    logic edge a plain equi-join silently drops — NULL join keys match
+    each other under <=> but vanish under =. Proven by a self-join of
+    per-key counts where one priority class is nulled out: the NULL
+    group must survive the join with equal counts on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.when(F.col("o_orderpriority") == "5-LOW", None).otherwise(
+        F.col("o_orderpriority")
+    )
+    k = o.select(key.alias("key"))
+    a = k.groupBy("key").agg(F.count("*").alias("n_a"))
+    b = k.groupBy("key").agg(F.count("*").alias("n_b"))
+    return (
+        a.join(b, a["key"].eqNullSafe(b["key"]))
+        .select(
+            F.coalesce(a["key"], F.lit("<null>")).alias("key"), "n_a", "n_b"
+        )
+        .orderBy("key")
+    )

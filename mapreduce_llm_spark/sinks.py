@@ -79,3 +79,49 @@ def write_range_sorted_parquet(
 def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — preserves the bucket spec for shuffle elision."""
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 512,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Compact a fragmented parquet directory to ~``target_file_mb``
+    files; returns the new file count.
+
+    The small-files problem is the classic long-running-pipeline decay
+    mode: streaming/incremental writers leave thousands of KB-sized
+    files, and at 100 TB the NameNode/listing and per-file open costs
+    dominate scans. Sizing uses the CURRENT on-disk bytes (already
+    compressed), so the output files land near the target without
+    guessing a compression ratio. ``sort_within_by`` re-sorts rows
+    within each output file to restore row-group min/max skipping
+    (see write_range_sorted_parquet).
+
+    Writes to a sibling temp dir then atomically swaps, so a reader
+    never sees a half-compacted directory.
+    """
+    import math
+    import os
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    writer = df.repartition(n_files)
+    if sort_within_by:
+        writer = writer.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "._compacting"
+    writer.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._pre_compact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

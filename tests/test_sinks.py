@@ -101,3 +101,48 @@ def test_range_sorted_write_roundtrips_and_sorts(spark, tmp_path):
     ).orderBy("lo").collect()
     for a, b in zip(ranges, ranges[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must merge a fragmented directory into the computed
+    file count without losing or duplicating rows, and leave no temp
+    dirs behind (the atomic-swap contract)."""
+    import os
+
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    li.repartition(64).write.parquet(path)  # 64 tiny files
+    before_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before_files) == 64
+    n_rows = li.count()
+
+    n_files = compact_parquet(spark, path, target_file_mb=512)
+    after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after_files) == n_files < len(before_files)
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.exists(path + "._compacting")
+    assert not os.path.exists(path + "._pre_compact")
+
+
+def test_compact_parquet_sort_within_restores_skipping_layout(spark, tmp_path):
+    """With sort_within_by, each output file holds a contiguous sorted
+    run (row-group min/max skipping works again after compaction)."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag2")
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(16).write.parquet(path)
+    compact_parquet(spark, path, target_file_mb=512, sort_within_by=["l_orderkey"])
+    import pyarrow.parquet as pq
+    import os
+
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        col = pq.read_table(os.path.join(path, f), columns=["l_orderkey"])
+        vals = col["l_orderkey"].to_pylist()
+        assert vals == sorted(vals), f"{f} not sorted within file"

@@ -307,3 +307,55 @@ def q_join_shufflehash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH big_cust AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+    ),
+    active AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id, count(*) AS n_events
+        FROM events GROUP BY user_id HAVING count(*) >= 40
+    )
+    SELECT coalesce(o_custkey, user_id) AS entity_id,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events,
+           CASE WHEN o_custkey IS NULL THEN 'events_only'
+                WHEN user_id IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence
+    FROM big_cust
+    FULL OUTER JOIN active ON o_custkey = user_id
+    ORDER BY entity_id
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — both unmatched sides preserved, the reconcile
+    shape (orders vs event activity per entity). Spark plans FO joins
+    as SMJ (no broadcast variant exists for full outer on both sides);
+    the coalesced key + presence class makes row provenance explicit
+    and hash-checkable."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+    )
+    act = (
+        e.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= 40)
+    )
+    j = big.join(act, big.o_custkey == act.user_id, "full_outer")
+    return j.select(
+        F.coalesce("o_custkey", "user_id").alias("entity_id"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("o_custkey").isNull(), "events_only")
+        .when(F.col("user_id").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("presence"),
+    ).orderBy("entity_id")

@@ -226,3 +226,44 @@ def q_win_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_win_ignorenulls",
+    oracle="""
+    SELECT user_id, event_id,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS last_seen_value
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    ORDER BY user_id, event_id
+    """,
+)
+def q_win_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with IGNORE NULLS (last-observation-carried-forward)
+    — the telemetry repair primitive: error events null their value and
+    inherit the user's most recent healthy reading. One window shuffle
+    on user_id; rows before any healthy reading stay NULL."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    return (
+        e.withColumn("v", v)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias(
+                "last_seen_value"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )

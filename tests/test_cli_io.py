@@ -83,3 +83,27 @@ def test_read_json_lines_roundtrip(spark, tmp_path):
     assert sorted(x["r_name"] for x in back.collect()) == sorted(
         x["r_name"] for x in r.collect()
     )
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appending writers add columns over a table's lifetime; a
+    mergeSchema read must union the schemas and null-fill old files —
+    the evolution path a long-lived 100 TB table depends on."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_llm_spark.io import load_table
+    from tests.conftest import SMOKE_SF_DIR
+
+    path = str(tmp_path / "evolving")
+    r = load_table(spark, SMOKE_SF_DIR, "region")
+    r.select("r_regionkey", "r_name").write.parquet(path)
+    r.select(
+        "r_regionkey", "r_name", F.lit("v2").alias("ingest_tag")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "ingest_tag"}
+    n = r.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("ingest_tag").isNull()).count() == n
+    assert merged.filter(F.col("ingest_tag") == "v2").count() == n

@@ -271,3 +271,51 @@ def cosine_topk_np(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def cosine_self_pairs_np(
+    embeddings: DataFrame,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, scored in numpy.
+
+    Same contract as ``cosine_self_pairs`` (id_a < id_b, rounded sim),
+    but the whole corpus matrix broadcasts (it must be modest — this is
+    the all-pairs BASELINE; the corpus-scale path is LSH blocking) and
+    each Arrow batch does one BLAS matmul against it instead of an
+    interpreted per-pair fold — measured 105 s → ~2 s at sf0.1.
+    """
+    import pandas as pd
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    M = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, M, nrm))
+
+    def score(batches):
+        all_ids, corpus, corpus_nrm = bc.value
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x_ids = pdf[id_col].to_numpy()
+            sims = (X @ corpus.T) / (
+                np.sqrt((X * X).sum(axis=1))[:, None] * corpus_nrm[None, :]
+            )
+            ia, ib = np.nonzero(
+                (sims >= threshold) & (x_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": x_ids[ia],
+                    "id_b": all_ids[ib],
+                    "cosine_sim": np.round(sims[ia, ib], 4),
+                }
+            )
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    )

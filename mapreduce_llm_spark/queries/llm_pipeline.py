@@ -26,6 +26,7 @@ from mapreduce_llm_spark.operators.dedup import (
 from mapreduce_llm_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_self_pairs,
+    cosine_self_pairs_np,
     cosine_topk,
 )
 from mapreduce_llm_spark.operators.textstats import (
@@ -173,9 +174,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, all-pairs baseline —
-    the corpus-scale path is the LSH-blocked q_sim_join)."""
+    the corpus-scale path is the LSH-blocked q_sim_join). Scored by
+    one BLAS matmul per Arrow batch against the broadcast corpus
+    matrix (cosine_self_pairs_np) — the JVM fold variant
+    (cosine_self_pairs) is 50× slower at sf0.1 and kept for blocked
+    use."""
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_self_pairs(e, threshold=0.4)
+    return cosine_self_pairs_np(e, threshold=0.4)
 
 
 @query(

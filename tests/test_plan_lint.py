@@ -33,12 +33,12 @@ PYTHON_OK = {
     "q_mm_audio",  # audio waveform synthesis/features, mapInPandas
     "q_pack_sequences",  # greedy sequence packer, applyInPandas per shard
     "q_embed_assign",  # BLAS centroid scorer, mapInPandas + broadcast model
+    "q_dedup_embed",  # BLAS all-pairs scorer, mapInPandas + broadcast matrix
 }
 
 # Nested-loop / cross joins by design:
 NLJ_OK = {
     "q_cost_estimate",  # cross join against the 4-row model-cost table
-    "q_dedup_embed",  # exact all-pairs baseline (blocked variant: q_sim_join)
     "q_evt_sliding",  # may expand windows via a tiny literal offsets array
     "q_win_ntile",  # broadcast single-row scalar total (lazy count) cross join
     "q_text_tfidf",  # broadcast single-row corpus-size scalar cross join

@@ -63,6 +63,45 @@ def cosine_topk(
     )
 
 
+def cosine_topk_rerank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    coarse_dims: int = 16,
+    n_candidates: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage top-k: cheap coarse score (dot product of the first
+    ``coarse_dims`` components) selects ``n_candidates``, then exact
+    cosine reranks to the final k.
+
+    At scale the coarse stage reads a ``coarse_dims``-wide projection
+    (1/4 of the vector bytes here) and runs as TakeOrdered — no
+    shuffle; the rerank touches only ``n_candidates`` full vectors.
+    With n_candidates = corpus size this is exactly cosine_topk.
+    Both stages are deterministic (rounded score + id tie-break), so
+    unlike LSH/IVF probing the result is oracle-checkable.
+    """
+    q = _vec_lit(query_vec)
+    q_coarse = _vec_lit(query_vec[:coarse_dims])
+    coarse = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(dot(F.slice(F.col(vec_col), 1, coarse_dims), q_coarse), 4).alias("_c"),
+    )
+    cand = coarse.orderBy(F.col("_c").desc(), F.col(id_col).asc()).limit(n_candidates)
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_self_pairs(
     embeddings: DataFrame,
     *,

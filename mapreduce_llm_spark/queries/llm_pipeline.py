@@ -224,6 +224,38 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "q_sim_rerank",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    coarse AS (
+        SELECT e.vec_id, e.embedding,
+               round(list_dot_product(e.embedding[1:16], q.qv[1:16]), 4) AS c
+        FROM embeddings e, q
+    ),
+    cand AS (
+        SELECT vec_id, embedding FROM coarse ORDER BY c DESC, vec_id LIMIT 50
+    )
+    SELECT c.vec_id,
+           round(list_dot_product(c.embedding, q.qv)
+                 / (sqrt(list_dot_product(c.embedding, c.embedding))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+    FROM cand c, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: coarse 16-dim dot-product top-50, exact cosine
+    rerank to top-10. Deterministic (rounded scores + id tie-breaks)
+    so it hash-checks against DuckDB, unlike the LSH/IVF probes."""
+    from mapreduce_llm_spark.operators.similarity import cosine_topk_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return cosine_topk_rerank(e, list(qvec), k=10, coarse_dims=16, n_candidates=50)
+
+
 @query("q_sim_ann_topk")
 def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via sign-LSH multiprobe (query bucket + all

@@ -107,6 +107,16 @@ def test_sim_search_no_shuffle_before_topk(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_sim_rerank_both_stages_takeordered(spark):
+    """Both rerank stages are TakeOrdered (per-partition heap + k-merge,
+    no global sort) and the whole plan stays JVM-side — the coarse
+    stage's cost claim (reads a 16-dim slice, no shuffle)."""
+    plan = plan_of(spark, "q_sim_rerank")
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_salted_join_keys_include_salt(spark):
     """The salt must be part of the join key — that's the entire
     mechanism (a hot l_orderkey spreads over n_salts partitions when

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -125,6 +126,64 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         update,
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("rank", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def topk_events_stream(events: DataFrame, k: int = 5) -> DataFrame:
+    """Streaming top-k: per event_type, the k highest-value events seen
+    so far (ties → lower event_id). You can't sort an infinite stream;
+    state is a k-sized ordered list per key — O(k) memory per key
+    forever, each micro-batch merges its rows into the list and
+    re-emits the current top-k. ``n_seen`` (events absorbed per key)
+    lets a consumer pick the latest emission per key from an
+    update-mode sink."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_seen, ids, vals = state.get if state.exists else (0, [], [])
+        pairs = list(zip(ids, vals))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            pairs.extend(zip(pdf["event_id"].tolist(), pdf["value"].tolist()))
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        del pairs[k:]
+        state.update((n_seen, [p[0] for p in pairs], [p[1] for p in pairs]))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "n_seen": n_seen,
+                "rank": range(1, len(pairs) + 1),
+                "event_id": [p[0] for p in pairs],
+                "value": [p[1] for p in pairs],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=TOPK_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -144,6 +144,38 @@ def test_stream_running_totals_stateful(spark, events_dir):
         assert abs(got_final[u][1] - v) < 1e-6
 
 
+def test_stream_topk_matches_batch(spark, events_dir):
+    """Streaming top-k (k-sized state per key, merged per micro-batch)
+    converges to the batch row_number top-k once all files are seen."""
+    from pyspark.sql import Window
+
+    from mapreduce_llm_spark.streaming.pipeline import topk_events_stream
+
+    stream = stream_events(spark, events_dir)  # 4 micro-batches
+    got = run_to_memory(topk_events_stream(stream, k=5), "t_topk", output_mode="update")
+    # update mode re-emits the running top-k each batch; the emission
+    # with the max n_seen per key is the final one
+    final_seen = {}
+    for r in got.collect():
+        final_seen[r["event_type"]] = max(
+            final_seen.get(r["event_type"], 0), r["n_seen"]
+        )
+    got_final = {
+        (r["event_type"], r["rank"]): (r["event_id"], r["value"])
+        for r in got.collect()
+        if r["n_seen"] == final_seen[r["event_type"]]
+    }
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    batch = {
+        (r["event_type"], r["rank"]): (r["event_id"], r["value"])
+        for r in load_table(spark, SMOKE_SF_DIR, "events")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got_final == batch and len(batch) > 0
+
+
 def test_stream_stream_join_matches_batch(spark, events_dir):
     """Stream-stream time-bounded join == the same join run as batch."""
     from mapreduce_llm_spark.streaming.pipeline import purchase_attribution_stream

@@ -55,6 +55,80 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_STOPWORDS = {
+    # order = tie-break preference (first wins at equal score)
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "los", "que", "y", "un"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans"],
+}
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_distinct(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')) AS ws
+        FROM documents
+    ), s AS (
+        SELECT lang,
+               len(list_intersect(ws, ['the','a','and','of','to','in','is'])) AS s_en,
+               len(list_intersect(ws, ['el','la','de','los','que','y','un'])) AS s_es,
+               len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein'])) AS s_de,
+               len(list_intersect(ws, ['le','les','et','des','une','est','dans'])) AS s_fr
+        FROM w
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           count(*) AS n_docs
+    FROM s
+    GROUP BY lang, pred_lang
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax, fixed tie-break
+    order) → confusion matrix vs the labeled ``lang`` column. The
+    classic n-gram/stopword lang-ID shape: per-language evidence
+    scores from one pass over the word set, deterministic argmax —
+    no Python, no shuffle before the tiny confusion-matrix agg.
+    (The synthetic corpus is English-ish for every label, so the
+    matrix is dominated by the 'en' column — the operator, not the
+    model, is what's under test.)"""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    )
+
+    def pred(ws):  # ws: the bound words array (computed once per row)
+        s = {
+            lang: F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in sw])))
+            for lang, sw in _LANG_STOPWORDS.items()
+        }
+        return (
+            F.when(F.greatest(*s.values()) == F.lit(0), F.lit("und"))
+            .when(
+                (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+                F.lit("en"),
+            )
+            .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+            .when(s["de"] >= s["fr"], F.lit("de"))
+            .otherwise(F.lit("fr"))
+        )
+
+    pred_col = F.element_at(F.transform(F.array(words), pred), 1)
+    return (
+        d.select(F.col("lang"), pred_col.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 @query(
     "q_text_ngrams",
     oracle="""

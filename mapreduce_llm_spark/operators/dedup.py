@@ -203,13 +203,23 @@ def ngram_jaccard_pairs(
     Blocking keys bound the pair count; for unblockable corpora use
     minhash_near_dup_pairs instead.
 
-    The verify compares 64-bit xxhash64 shingle fingerprints, not the
-    shingle strings: set intersections on longs are ~3× faster (32 s →
-    11 s at sf0.1) and the shuffle payload shrinks accordingly. The
-    Jaccard value changes only if two distinct shingles of the same
-    doc pair collide in 64 bits (birthday bound ≪ 1e-8 for real
-    corpora) — the string-exact DuckDB oracle still hash-matches.
+    Implementation is an inverted-index join, not a blocked cross:
+    explode (doc, shingle-fingerprint), equi-join on (block, shingle),
+    count matches per (id_a, id_b) → |A∩B|, then
+    jaccard = inter / (|A| + |B| - inter). Only pairs that share ≥ 1
+    shingle ever materialize — the blocked-cross variant evaluates two
+    hash-set ops for every one of the O(block²) pairs, shared shingle
+    or not. Requires ``threshold > 0`` (zero-overlap pairs are never
+    emitted). Shingles are carried as xxhash64 fingerprints: the join
+    key is 8 bytes and the Jaccard value changes only if two distinct
+    shingles of the same doc pair collide in 64 bits (birthday bound
+    ≪ 1e-8) — the string-exact DuckDB oracle still hash-matches.
+    At scale a hot shingle contributes O(df²) join rows; AQE skew-join
+    splits those partitions, and stop-word-like shingles can be
+    dropped by a max-document-frequency filter upstream.
     """
+    if threshold <= 0:
+        raise ValueError("inverted-index jaccard requires threshold > 0")
     base = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
@@ -217,20 +227,32 @@ def ngram_jaccard_pairs(
             word_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
         ).alias("_sh"),
     ).persist()  # both join sides read it; don't shingle twice
-    a = base.select(
-        F.col("_id").alias("id_a"), *block_cols, F.col("_sh").alias("_sh_a")
+    tok = base.select(
+        "_id", *block_cols, F.size("_sh").alias("_n"), F.explode("_sh").alias("_t")
     )
-    b = base.select(
+    a = tok.select(
+        F.col("_id").alias("id_a"),
+        *block_cols,
+        F.col("_n").alias("_n_a"),
+        "_t",
+    )
+    b = tok.select(
         F.col("_id").alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col("_sh").alias("_sh_b"),
+        F.col("_n").alias("_n_b"),
+        F.col("_t").alias("_t_b"),
     )
-    cond = (F.col("id_a") < F.col("id_b"))
+    cond = (F.col("id_a") < F.col("id_b")) & (F.col("_t") == F.col("_t_b"))
     for c in block_cols:
         cond = cond & (F.col(c) == F.col(f"{c}_b"))
-    return (
+    inter = (
         a.join(b, cond)
-        .withColumn("jaccard_sim", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .groupBy("id_a", "id_b", "_n_a", "_n_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    jac = F.col("_inter") / (F.col("_n_a") + F.col("_n_b") - F.col("_inter"))
+    return (
+        inter.withColumn("jaccard_sim", jac)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )

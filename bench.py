@@ -47,6 +47,8 @@ HEADLINE = [
     "q_text_stats",
     "q_merge_upsert",
     "q_dedup_fuzzy",
+    "q_dedup_ngram",
+    "q_sim_rerank",
     "q_text_ngrams",
     "q_pack_sequences",
     "q_embed_assign",

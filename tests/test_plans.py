@@ -107,6 +107,17 @@ def test_sim_search_no_shuffle_before_topk(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_ngram_dedup_is_inverted_index_join(spark):
+    """The exact-Jaccard verify is an inverted-index equi-join (explode
+    shingles on both sides, count per pair), not a blocked cross with
+    per-pair set ops — the SCALING.md claim. Generate = explode; the
+    intersection count is a partial+final HashAggregate pair."""
+    plan = plan_of(spark, "q_dedup_ngram")
+    assert plan.count("Generate") >= 2
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_sim_rerank_both_stages_takeordered(spark):
     """Both rerank stages are TakeOrdered (per-partition heap + k-merge,
     no global sort) and the whole plan stays JVM-side — the coarse

@@ -111,6 +111,27 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame, seen_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Cross-snapshot dedup: rows of ``new_df`` that are not exact
+    (normalized) duplicates of anything in ``seen_df``, collapsed to
+    one survivor (min id) per normalized text within the new batch.
+
+    The production ingest pattern: each arriving batch anti-joins the
+    already-ingested corpus, then self-dedupes. Keys are
+    sha2(normalized text) so the anti-join shuffles 64-byte digests,
+    not document bodies — ``seen_df`` can be a key-only snapshot table
+    maintained by appending each batch's kept keys. Returns all of
+    ``new_df``'s columns for the survivors.
+    """
+    key = F.sha2(normalize_text(F.col(text_col)), 256)
+    seen_keys = seen_df.select(key.alias("_k")).distinct()
+    fresh = new_df.withColumn("_k", key).join(seen_keys, "_k", "left_anti")
+    surv = fresh.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return fresh.join(surv, ["_k", id_col], "left_semi").drop("_k")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,

@@ -97,6 +97,68 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(dup)
 
 
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH seen AS (
+        SELECT DISTINCT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS k
+        FROM documents WHERE source = 'src0'
+    ), newdocs AS (
+        SELECT doc_id, text, source FROM documents WHERE source <> 'src0'
+        UNION ALL
+        SELECT doc_id + 1000000, upper(text), 'replay'
+        FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id + 2000000, upper(text), 'replay2'
+        FROM documents WHERE source = 'src1'
+    ), keyed AS (
+        SELECT doc_id, source,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS k
+        FROM newdocs
+    ), fresh AS (
+        SELECT * FROM keyed kd
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.k = kd.k)
+    ), surv AS (
+        SELECT k, min(doc_id) AS doc_id FROM fresh GROUP BY k
+    )
+    SELECT f.doc_id, f.source
+    FROM fresh f JOIN surv s ON f.k = s.k AND f.doc_id = s.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ingest dedup: src0 is the already-ingested
+    corpus; the arriving batch is every other source plus a replayed
+    copy of src0 (must all be dropped by the anti-join) and a
+    case-mangled copy of src1 (must collapse to the src1 originals
+    within the batch). Exercises both elimination paths of
+    incremental_exact_dedup."""
+    from mapreduce_llm_spark.operators.dedup import incremental_exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("source") == "src0")
+    new = (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id", "text", "source")
+        .unionByName(
+            seen.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.upper("text").alias("text"),
+                F.lit("replay").alias("source"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("source") == "src1").select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.upper("text").alias("text"),
+                F.lit("replay2").alias("source"),
+            )
+        )
+    )
+    return incremental_exact_dedup(new, seen, "text", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
 @query("q_dedup_fuzzy")
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→

@@ -132,6 +132,63 @@ def incremental_exact_dedup(
     return fresh.join(surv, ["_k", id_col], "left_semi").drop("_k")
 
 
+def incremental_near_dup_filter(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Rows of ``new_df`` that are near-duplicates of nothing — neither
+    of ``seen_df`` (the ingested corpus) nor of a lower-id row within
+    the batch itself.
+
+    Composes minhash_near_dup_pairs over the tagged union: a new doc
+    is dropped iff it pairs (jaccard ≥ threshold) with any seen doc or
+    with a smaller-id new doc (the batch-internal survivor rule).
+    Requires ids disjoint across the two frames. At scale ``seen_df``
+    is the corpus's persisted (id, text) — or a precomputed
+    band-key table, in which case candidate generation skips
+    re-signaturing the corpus; this composition recomputes it, trading
+    compute for zero auxiliary state.
+    """
+    seen_ids = seen_df.select(F.col(id_col).alias("_sid"))
+    union = seen_df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).unionByName(new_df.select(id_col, text_col))
+    pairs = minhash_near_dup_pairs(
+        union,
+        text_col,
+        id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    )
+    # pairs are (id_a < id_b). A NEW doc is dropped when it is the
+    # larger side of any pair (the other side is seen, or an earlier
+    # new doc — the batch-internal survivor rule), or the smaller side
+    # of a pair whose larger side is seen (id order says nothing about
+    # which frame a doc came from). Seen docs are never dropped.
+    new_ids = new_df.select(F.col(id_col).alias("_nid"))
+    drop_larger = pairs.join(
+        new_ids, pairs["id_b"] == new_ids["_nid"], "left_semi"
+    ).select(F.col("id_b").alias("_drop_id"))
+    drop_vs_seen = (
+        pairs.join(seen_ids, pairs["id_b"] == seen_ids["_sid"], "left_semi")
+        .join(new_ids, pairs["id_a"] == new_ids["_nid"], "left_semi")
+        .select(F.col("id_a").alias("_drop_id"))
+    )
+    dropped = drop_larger.unionByName(drop_vs_seen).distinct()
+    return new_df.join(
+        dropped, new_df[id_col] == dropped["_drop_id"], "left_anti"
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,

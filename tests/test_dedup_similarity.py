@@ -41,6 +41,39 @@ def test_simhash_finds_injected_neardups(spark):
         assert r["hamming"] <= 3
 
 
+def test_incremental_near_dup_filter_all_cases(spark):
+    """One synthetic frame exercises every drop rule: replayed seen
+    text → dropped; intra-batch near-dup pair → larger id dropped,
+    smaller kept; new doc below a seen doc's id that near-dups it →
+    still dropped (id order must not decide frame membership); a
+    distinct doc survives."""
+    from mapreduce_llm_spark.operators.dedup import incremental_near_dup_filter
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    seen = spark.createDataFrame(
+        [(100, base), (101, "totally different corpus text here entirely now yes")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (50, base),  # near-dups seen id=100 despite smaller id → drop
+            (200, base + " lambda"),  # near-dups seen id=100 → drop
+            (201, other),  # batch survivor (smallest of the intra pair)
+            (202, other + " eleven"),  # intra-batch dup of 201 → drop
+            (203, "completely unrelated words nothing shared at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_near_dup_filter(
+            new, seen, "text", "doc_id", threshold=0.5
+        ).collect()
+    )
+    assert kept == [201, 203]
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     """Exact copies must produce identical fingerprints (hamming 0) and
     always be caught — SimHash's defining property."""

@@ -74,6 +74,34 @@ def test_incremental_near_dup_filter_all_cases(spark):
     assert kept == [201, 203]
 
 
+def test_ivf_index_persist_probe_and_prune(spark, tmp_path):
+    """Build-once/query-many IVF index: (1) probing ALL cells of the
+    persisted index reproduces exact brute-force top-k; (2) a partial
+    probe's scan is partition-pruned — the _cell IN filter lands in
+    PartitionFilters, not a post-scan Filter."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_cells=8, seed=42)
+
+    exact = cosine_topk(e, qvec, k=10).collect()
+    full_probe = query_ivf_index(spark, path, qvec, k=10, n_probe=8).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in full_probe] == [
+        (r["vec_id"], r["cosine_sim"]) for r in exact
+    ]
+
+    partial = query_ivf_index(spark, path, qvec, k=10, n_probe=2)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_cell" in plan.split("PartitionFilters: [", 1)[1]
+    assert len(partial.collect()) == 10
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     """Exact copies must produce identical fingerprints (hamming 0) and
     always be caught — SimHash's defining property."""

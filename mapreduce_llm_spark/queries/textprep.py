@@ -55,6 +55,47 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_tokenize_ids",
+    oracle="""
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           [CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 32000 AS BIGINT)
+            FOR w IN ws[1:32]] AS token_ids
+    FROM (SELECT doc_id,
+                 list_filter(string_split(trim(lower(text)), ' '), w -> w <> '') AS ws
+          FROM documents)
+    """,
+)
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id sequences for a trainer feed: per-word deterministic
+    vocab hash (md5-derived, mod 32000 — the stand-in for a real BPE
+    vocab lookup, identical in both engines), truncated to a 32-token
+    context. Pure JVM expressions — the tokenize+truncate pass is a
+    narrow map, no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
+    )
+
+    def tokenize(ws):
+        return F.transform(
+            F.slice(ws, 1, 32),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+            % 32000,
+        )
+
+    bound = F.element_at(
+        F.transform(F.array(words), lambda ws: F.struct(F.size(ws).alias("n"), tokenize(ws).alias("ids"))),
+        1,
+    )
+    return d.select(
+        "doc_id",
+        bound["n"].cast("long").alias("n_tokens"),
+        bound["ids"].alias("token_ids"),
+    )
+
+
 _LANG_STOPWORDS = {
     # order = tie-break preference (first wins at equal score)
     "en": ["the", "a", "and", "of", "to", "in", "is"],

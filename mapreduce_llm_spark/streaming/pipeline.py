@@ -131,6 +131,23 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_segment_counts_stream(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    static dimension (broadcast — the dim ships once per executor,
+    the stream never shuffles for the join), then aggregate per
+    segment. The canonical "enrich events with reference data" shape;
+    the static side is re-resolvable per batch, so a slowly-updated
+    dim table is picked up without restarting the query."""
+    dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
+    return (
+        events.join(dim, events["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+
 TOPK_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),

@@ -144,6 +144,32 @@ def test_stream_running_totals_stateful(spark, events_dir):
         assert abs(got_final[u][1] - v) < 1e-6
 
 
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static broadcast join + agg == the same plan run batch."""
+    from mapreduce_llm_spark.streaming.pipeline import enriched_segment_counts_stream
+
+    customers = load_table(spark, SMOKE_SF_DIR, "customer")
+    stream = stream_events(spark, events_dir)
+    got = run_to_memory(
+        enriched_segment_counts_stream(stream, customers),
+        "t_enrich",
+        output_mode="complete",
+    )
+    g = {r["c_mktsegment"]: (r["n_events"], r["sum_value"]) for r in got.collect()}
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    dim = customers.select("c_custkey", "c_mktsegment")
+    b = {
+        r["c_mktsegment"]: (r["n"], r["v"])
+        for r in events.join(dim, events["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(g) == set(b) and len(b) > 0
+    for k, (n, v) in b.items():
+        assert g[k][0] == n and abs(g[k][1] - v) < 1e-6
+
+
 def test_stream_topk_matches_batch(spark, events_dir):
     """Streaming top-k (k-sized state per key, merged per micro-batch)
     converges to the batch row_number top-k once all files are seen."""

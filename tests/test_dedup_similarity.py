@@ -41,6 +41,54 @@ def test_simhash_finds_injected_neardups(spark):
         assert r["hamming"] <= 3
 
 
+def test_ngram_jaccard_matches_python_bruteforce(spark):
+    """The inverted-index Jaccard must emit exactly the pairs a
+    brute-force Python set computation finds — thresholds, blocking,
+    ties, short-doc whole-text shingles and all. Three seeded random
+    corpora (40-word vocab → heavy shingle sharing, the adversarial
+    case for an inverted index)."""
+    import random
+
+    from mapreduce_llm_spark.operators.dedup import ngram_jaccard_pairs
+
+    vocab = [f"w{i}" for i in range(40)]
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(60):
+            n = rng.randint(1, 30)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n)), f"b{i % 3}"))
+        # duplicate some docs with a word dropped → guaranteed high-jaccard
+        for i, (did, text, blk) in enumerate(docs[:10]):
+            docs.append((100 + did, " ".join(text.split()[:-1]) or text, blk))
+
+        def shingles(text: str) -> set[str]:
+            ws = text.lower().strip().split()
+            if len(ws) < 3:
+                return {" ".join(ws)}
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+        expected = {}
+        for a in range(len(docs)):
+            for b in range(len(docs)):
+                ia, ta, ba = docs[a]
+                ib, tb, bb = docs[b]
+                if ia < ib and ba == bb:
+                    sa, sb = shingles(ta), shingles(tb)
+                    j = len(sa & sb) / len(sa | sb)
+                    if j >= 0.5:
+                        expected[(ia, ib)] = round(j, 4)
+
+        df = spark.createDataFrame(docs, ["doc_id", "text", "block"])
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard_sim"]
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", ["block"], threshold=0.5
+            ).collect()
+        }
+        assert got == expected, f"seed {seed}: {got.keys() ^ expected.keys()}"
+
+
 def test_incremental_near_dup_filter_all_cases(spark):
     """One synthetic frame exercises every drop rule: replayed seen
     text → dropped; intra-batch near-dup pair → larger id dropped,

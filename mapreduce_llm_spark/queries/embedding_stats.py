@@ -25,7 +25,7 @@ DIM = 64  # FIXTURES.md: embeddings.embedding is fixed dim=64
     "q_embed_centroids",
     oracle="""
     SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
-           round(avg(CAST(val AS DOUBLE)), 4) AS centroid_val
+           round(avg(CAST(val AS DOUBLE)), 4) + 0.0 AS centroid_val
     FROM (
         SELECT label, unnest(embedding) AS val,
                generate_subscripts(embedding, 1) AS pos
@@ -39,7 +39,13 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column. One hash-agg shuffle
     carrying 64 partial avgs per (task, label) — the corpus itself is
     never exploded; the posexplode to long format runs on the |labels|
-    aggregated rows only."""
+    aggregated rows only.
+
+    The oracle adds ``+ 0.0`` after rounding: zero-mean dims round to
+    zero from below, and DuckDB's C-level round preserves -0.0 while
+    Spark's BigDecimal round cannot represent it — the signed zeros
+    stringify differently in the hash compare. IEEE -0.0 + 0.0 = +0.0
+    normalizes it."""
     e = load_table(spark, sf_dir, "embeddings")
     dims = [
         F.round(

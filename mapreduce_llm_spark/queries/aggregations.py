@@ -207,7 +207,7 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_returnflag,
         round(stddev_samp(l_quantity), 4)               AS sd_qty,
         round(var_samp(l_extendedprice), 2)             AS var_price,
-        round(corr(l_quantity, l_extendedprice), 4)     AS corr_qty_price,
+        round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
         round(quantile_cont(l_discount, 0.5), 4)        AS median_disc,
         round(min(l_quantity), 4)                       AS min_qty,
         round(max(l_quantity), 4)                       AS max_qty

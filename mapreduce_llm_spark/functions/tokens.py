@@ -6,11 +6,13 @@ the 4-model input-cost table, kept verbatim below).
 
 tiktoken is not available in this container, so ``count_tokens`` uses a
 deterministic BPE-ish approximation when the import fails: each
-whitespace-delimited word contributes ceil(len/4) tokens (≈4 chars per
-BPE token, the published cl100k rule of thumb) and each punctuation
-run contributes 1. The implementation is vectorized (operates on whole
-pandas Series) so the Spark pandas-UDF path ships Arrow batches, never
-single rows.
+whitespace-delimited word contributes max(1, ceil(len/4)) tokens
+(≈4 chars per BPE token, the published cl100k rule of thumb);
+punctuation is counted as part of the word it touches, not separately
+— this word-only rule is what token_count_col and the _DUCK_TOKENS
+oracle implement, so all three stay in lockstep. The implementation is
+vectorized (operates on whole pandas Series) so the Spark pandas-UDF
+path ships Arrow batches, never single rows.
 """
 
 from __future__ import annotations
@@ -30,7 +32,6 @@ except Exception:  # ImportError or download failure
 # chars-per-token heuristic used when tiktoken is absent
 _CHARS_PER_TOKEN = 4
 _WORD_RE = re.compile(r"\S+")
-_PUNCT_RE = re.compile(r"[^\w\s]+")
 
 
 def count_tokens_str(text: str) -> int:

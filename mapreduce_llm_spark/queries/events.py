@@ -84,7 +84,7 @@ def q_evt_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_evt_sessionize",
     oracle="""
     WITH gapped AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL '30 minutes'
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -92,9 +92,10 @@ def q_evt_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, ts, value,
-               sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_seq
         FROM gapped
     )
     SELECT
@@ -116,14 +117,17 @@ def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_evt_session is the rows-only session_window variant)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Microsecond-precision gap: cast("long") would truncate to whole
+    # seconds while the oracle compares full intervals, so a gap within
+    # 1 s of the 30-min boundary would split sessions differently.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     sessions = (
         e.withColumn(
             "is_new",
-            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
         )
         .withColumn("session_seq", F.sum("is_new").over(wsum))
     )
@@ -320,11 +324,13 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # µs-precision gap to match the oracle's full-interval comparison
+    # (see q_evt_sessionize).
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     edges = (
         e.withColumn("prev_id", F.lag("event_id").over(w))
         .withColumn("gap", gap)
-        .filter(F.col("gap").isNotNull() & (F.col("gap") <= 30 * 60))
+        .filter(F.col("gap").isNotNull() & (F.col("gap") <= 30 * 60 * 1_000_000))
         .select(F.col("prev_id").alias("src"), F.col("event_id").alias("dst"))
     )
     comp = connected_components(edges)

@@ -43,10 +43,15 @@ from mapreduce_llm_spark.registry import query
 
 # DuckDB twin of the engine's deterministic tokenizer
 # (functions/tokens.py: ceil(len/4) per word, min 1)
+# \s+ split to mirror words_col (Spark splits on \s+, not literal space;
+# texts with tabs/newlines would otherwise diverge); list_sum over a
+# BIGINT list is HUGEINT in DuckDB — cast back so the driver's value
+# hash sees the same integer rendering as Spark's BIGINT; coalesce
+# matches aggregate()'s 0 seed on empty texts.
 _DUCK_TOKENS = (
-    "list_sum(list_transform("
-    "list_filter(string_split(trim({col}), ' '), w -> w <> ''), "
-    "w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT))))"
+    "CAST(coalesce(list_sum(list_transform("
+    "list_filter(regexp_split_to_array(trim({col}), '\\s+'), w -> w <> ''), "
+    "w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT)))), 0) AS BIGINT)"
 )
 
 
@@ -335,7 +340,7 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         doc_id,
         length(text)                                   AS n_chars,
-        len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS n_words,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS n_words,
         {_DUCK_TOKENS.format(col='text')}              AS n_tokens,
         round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
               / CAST(length(text) AS DOUBLE), 4)       AS punct_ratio
@@ -361,7 +366,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT doc_id, lang, text,
-               len(list_filter(string_split(trim(text), ' '), w -> w <> ''))  AS wc,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''))  AS wc,
                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                    / CAST(length(text) AS DOUBLE)                             AS punct
         FROM documents
@@ -471,7 +476,8 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cost_estimate",
     oracle=f"""
     WITH tok AS (
-        SELECT sum({_DUCK_TOKENS.format(col='text')}) AS total_tokens FROM documents
+        SELECT CAST(sum({_DUCK_TOKENS.format(col='text')}) AS BIGINT)
+            AS total_tokens FROM documents
     )
     SELECT model, total_tokens,
            round(total_tokens * cost_per_1m / 1000000.0, 6) AS est_cost_usd

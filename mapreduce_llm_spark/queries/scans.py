@@ -38,7 +38,7 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         source,
         count(*)                  AS n_docs,
-        sum(length(text))         AS total_chars,
+        CAST(sum(length(text)) AS BIGINT) AS total_chars,
         min(length(text))         AS min_chars,
         max(length(text))         AS max_chars
     FROM documents

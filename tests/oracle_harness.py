@@ -56,9 +56,22 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     """Return (ok, message). Exact order-insensitive value comparison."""
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
-    d_res = con.execute(sql)
-    d_cols = [c[0] for c in d_res.description]
-    d_rows = d_res.fetchall()
+    rel = con.sql(sql)
+    # DuckDB sums over integers yield HUGEINT; fetchall() converts those
+    # to Python ints (so they'd compare equal here) but the driver
+    # materializes via pandas where int128 becomes float64 and hashes as
+    # "1.0" vs Spark's "1". Reject the type outright so the divergence
+    # can't hide behind the lenient local fetch path.
+    huge = [
+        (c, str(t)) for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)
+    ]
+    if huge:
+        return False, (
+            f"{name}: oracle emits HUGEINT column(s) {huge} — the driver "
+            "hashes these as floats; CAST the aggregate AS BIGINT in the SQL"
+        )
+    d_cols = list(rel.columns)
+    d_rows = rel.fetchall()
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}"

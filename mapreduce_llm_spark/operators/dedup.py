@@ -258,13 +258,19 @@ def minhash_near_dup_pairs(
     )
     a = base.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b"))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
+    # The persisted base outlives this call (the returned plan reads it
+    # lazily), so the operator can't unpersist it itself. Long-lived
+    # sessions that call this repeatedly should release the cache once
+    # the result is materialized: `df.cached_base.unpersist()`.
+    out.cached_base = base
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -329,11 +335,15 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("_inter"))
     )
     jac = F.col("_inter") / (F.col("_n_a") + F.col("_n_b") - F.col("_inter"))
-    return (
+    out = (
         inter.withColumn("jaccard_sim", jac)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
+    # see minhash_near_dup_pairs: callers in long-lived sessions own
+    # releasing the cache via `df.cached_base.unpersist()`.
+    out.cached_base = base
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,19 @@ def global_row_number(
     with_pid = parts.withColumn(_PID, F.spark_partition_id())
 
     counts = with_pid.groupBy(_PID).count()
-    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    # The prefix sum runs over one row per partition (~32 rows), so a
+    # single-task window is correct by construction — but an
+    # unpartitioned Window.orderBy makes Spark log "No Partition
+    # Defined ... serious performance degradation" on every run,
+    # burying real single-partition regressions in noise. Partition by
+    # pmod(pid, 1): always 0, so physically identical (one partition),
+    # but column-dependent so Catalyst can't constant-fold it out of
+    # the partition spec (a plain lit(0) gets folded and still warns).
+    off_w = (
+        Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         _PID, F.coalesce(F.sum("count").over(off_w), F.lit(0)).alias(_OFFSET)
     )

@@ -26,7 +26,7 @@ from mapreduce_llm_spark.operators.dedup import (
 from mapreduce_llm_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_self_pairs,
-    cosine_self_pairs_np,
+    cosine_self_pairs_blocked,
     cosine_topk,
 )
 from mapreduce_llm_spark.operators.textstats import (
@@ -240,14 +240,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, all-pairs baseline —
-    the corpus-scale path is the LSH-blocked q_sim_join). Scored by
-    one BLAS matmul per Arrow batch against the broadcast corpus
-    matrix (cosine_self_pairs_np) — the JVM fold variant
-    (cosine_self_pairs) is 50× slower at sf0.1 and kept for blocked
-    use."""
+    """Embedding-cosine near-dup pairs — exact all-pairs, computed
+    block-partitioned (cosine_self_pairs_blocked): every unordered
+    pair meets in exactly one of C(C+1)/2 block-pair groups, each
+    scored by one BLAS matmul, with no driver-side collect anywhere
+    in the plan. Compute is inherently O(n²) (exactness demands it);
+    the approximate corpus-scale screen is the LSH-blocked
+    q_sim_join."""
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_self_pairs_np(e, threshold=0.4)
+    return cosine_self_pairs_blocked(e, threshold=0.4)
 
 
 @query(

@@ -335,3 +335,40 @@ def test_word_shingles_matches_python_reference(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref(t), (i, t, got[i], ref(t))
+
+
+def test_blocked_all_pairs_matches_collect_baseline(spark):
+    """cosine_self_pairs_blocked (distributed, no driver collect) must
+    emit exactly the pairs of the collect-and-broadcast baseline — the
+    blocking is a partitioning of the pair space, not an approximation."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.similarity import (
+        cosine_self_pairs_blocked,
+        cosine_self_pairs_np,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    blocked = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in cosine_self_pairs_blocked(e, threshold=0.4, n_blocks=5).collect()
+    }
+    baseline = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in cosine_self_pairs_np(e, threshold=0.4).collect()
+    }
+    assert blocked == baseline
+    assert len(blocked) > 0
+
+
+def test_blocked_all_pairs_is_lazy_no_driver_jobs(spark):
+    """Building the q_dedup_embed plan must run ZERO Spark jobs — the
+    old implementation collect()ed the corpus at plan-build time (a
+    driver OOM at scale); the blocked one is a pure lazy plan."""
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    df = registry.QUERIES["q_dedup_embed"](spark, SF_DIR)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    # one metadata job is the parquet file listing from load_table; a
+    # driver-side collect would add at least two more (count + collect)
+    assert len(after) - len(before) <= 1, "plan construction triggered Spark jobs"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the block-pair scorer

@@ -33,7 +33,7 @@ PYTHON_OK = {
     "q_mm_audio",  # audio waveform synthesis/features, mapInPandas
     "q_pack_sequences",  # greedy sequence packer, applyInPandas per shard
     "q_embed_assign",  # BLAS centroid scorer, mapInPandas + broadcast model
-    "q_dedup_embed",  # BLAS all-pairs scorer, mapInPandas + broadcast matrix
+    "q_dedup_embed",  # BLAS block-pair scorer, applyInPandas per block pair
 }
 
 # Nested-loop / cross joins by design:

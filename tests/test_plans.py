@@ -272,3 +272,15 @@ def test_q19_factors_disjunction_to_both_scans(spark):
     p_scan = next(l for l in scans if "part.parquet" in l)
     assert "l_quantity" in li_scan and "Or(" in li_scan
     assert "p_brand" in p_scan and "Or(" in p_scan
+
+
+def test_driver_priority_frontloads_unverified_oracle_queries():
+    """The driver hash-checks only the first 50 queries() entries; every
+    one of those slots must carry an oracle (no wasted rows-only slots)
+    and the ordering must match DRIVER_PRIORITY."""
+    from mapreduce_llm_spark import registry
+
+    registry.load_all()
+    first50 = list(registry.QUERIES)[:50]
+    assert first50 == [n for n in registry.DRIVER_PRIORITY if n in registry.QUERIES][:50]
+    assert all(n in registry.ORACLE for n in first50)

@@ -34,9 +34,31 @@ _CHARS_PER_TOKEN = 4
 _WORD_RE = re.compile(r"\S+")
 
 
+# Plug-in seam: a caller-supplied encoder takes precedence over both
+# tiktoken and the heuristic, so a real cl100k (or any other) encoder
+# can be dropped in without code changes — e.g. a vendored pure-Python
+# BPE, or tiktoken installed outside this container. The callable maps
+# str -> token count.
+_CUSTOM_COUNTER = None
+
+
+def set_token_counter(counter) -> None:
+    """Install (or with None, remove) a custom ``str -> int`` token
+    counter. Overrides tiktoken and the heuristic for every consumer:
+    count_tokens_str, the pandas UDF, chunking, and cost estimation.
+
+    NOTE: the installed callable is captured by Spark UDF closures, so
+    it must be picklable (a module-level function, not a lambda holding
+    unpicklable state) when used in distributed paths."""
+    global _CUSTOM_COUNTER
+    _CUSTOM_COUNTER = counter
+
+
 def count_tokens_str(text: str) -> int:
-    """Token count of one string (exact via tiktoken when present,
-    deterministic approximation otherwise)."""
+    """Token count of one string (custom counter if installed, exact
+    via tiktoken when present, deterministic approximation otherwise)."""
+    if _CUSTOM_COUNTER is not None:
+        return _CUSTOM_COUNTER(text)
     if _ENC is not None:
         return len(_ENC.encode(text))
     if not text:

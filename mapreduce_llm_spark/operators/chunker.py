@@ -7,7 +7,9 @@ internal/cli/mapreduce.go:199-263):
   unless that would push the chunk over the token budget, in which case
   the chunk is flushed and a new one starts (:212-227);
 - a single line whose own token count exceeds the budget falls back to
-  word-level greedy packing of that line (:228-254);
+  word-level greedy packing of that line (:228-254); all word-chunks
+  but the LAST are emitted — the last one becomes the new open
+  accumulator so following short lines pack onto it (:249-253);
 - each emitted chunk has its trailing newline trimmed (:219, :259);
 - chunk ids are consecutive integers in input order (1-based file names
   in the reference, 0-based ids here — an id scheme, not a semantic).
@@ -73,9 +75,15 @@ def chunk_text(text: str, max_tokens: int = DEFAULT_MAX_TOKENS_PER_CHUNK) -> lis
     for line in text.split("\n"):
         line_tokens = count_tokens_str(line + "\n")
         if line_tokens > max_tokens:
-            # overlong single line: flush accumulator, word-pack the line
+            # overlong single line: flush accumulator, word-pack the
+            # line; the last word-chunk stays open as the new
+            # accumulator (reference mapreduce.go:249-253)
             flush()
-            chunks.extend(_pack_words(line, max_tokens))
+            wchunks = _pack_words(line, max_tokens)
+            chunks.extend(wchunks[:-1])
+            if wchunks:
+                current = [wchunks[-1]]
+                current_tokens = count_tokens_str(wchunks[-1] + "\n")
             continue
         if current and current_tokens + line_tokens > max_tokens:
             flush()

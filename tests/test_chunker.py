@@ -3,6 +3,9 @@
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -84,3 +87,86 @@ def test_chunk_documents_distributed(spark):
     assert sorted(by_doc[1]) == list(range(len(by_doc[1]))) and len(by_doc[1]) > 1
     assert by_doc[2] == [0]
     assert 3 not in by_doc  # empty doc yields no chunks
+
+
+# --- reference-parity: greedy packer vs the documented reference
+# semantics (reference internal/cli/mapreduce.go:199-263), on the
+# reference's own example corpus when present ---------------------------
+
+REFERENCE_FIXTURE = "/root/reference/examples/product-ratings/reviews.txt"
+
+
+def _spec_chunks(text: str, max_tokens: int, count) -> list[str]:
+    """Independent implementation of the documented packing contract
+    (line-greedy, overlong-line word fallback, last word-chunk stays
+    open) used as the parity oracle — parameterized by the counter so
+    it exercises the plug-in seam too."""
+    chunks: list[str] = []
+    cur = ""
+    cur_tok = 0
+    for line in text.split("\n"):
+        lt = count(line + "\n")
+        if cur and cur_tok + lt > max_tokens:
+            chunks.append(cur.rstrip("\n"))
+            cur, cur_tok = line + "\n", lt
+        else:
+            cur += line + "\n"
+            cur_tok += lt
+        if lt > max_tokens:
+            # cur is exactly this line; re-pack it word-greedily
+            wc = ""
+            wt = 0
+            for w in line.split(" "):
+                t = count(w + " ")
+                if wc and wt + t > max_tokens:
+                    chunks.append(wc.strip())
+                    wc, wt = w + " ", t
+                else:
+                    wc += w + " "
+                    wt += t
+            if wc:
+                cur = wc.strip() + "\n"
+                cur_tok = count(cur)
+    if cur:
+        chunks.append(cur.rstrip("\n"))
+    return chunks
+
+
+@pytest.mark.parametrize("budget", [30, 100, 2000])
+def test_chunk_text_matches_reference_spec_on_fixture(budget):
+    if not os.path.exists(REFERENCE_FIXTURE):
+        pytest.skip("reference fixture not available")
+    text = open(REFERENCE_FIXTURE).read()
+    assert chunk_text(text, budget) == _spec_chunks(
+        text, budget, count_tokens_str
+    )
+
+
+def test_chunk_parity_with_real_cl100k_encoder():
+    """With a real cl100k encoder installed via the plug-in seam the
+    boundaries must still match the spec oracle (auto-skips where
+    tiktoken is absent — this container)."""
+    tiktoken = pytest.importorskip("tiktoken")
+    from mapreduce_llm_spark.functions import tokens as T
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    T.set_token_counter(lambda s: len(enc.encode(s)))
+    try:
+        text = open(REFERENCE_FIXTURE).read()
+        assert chunk_text(text, 100) == _spec_chunks(
+            text, 100, T.count_tokens_str
+        )
+    finally:
+        T.set_token_counter(None)
+
+
+def test_token_counter_seam_overrides_and_restores():
+    from mapreduce_llm_spark.functions import tokens as T
+
+    base = T.count_tokens_str("hello world foo")
+    T.set_token_counter(lambda s: 42)
+    try:
+        assert T.count_tokens_str("anything") == 42
+    finally:
+        T.set_token_counter(None)
+    assert T.count_tokens_str("hello world foo") == base

@@ -110,8 +110,19 @@ def test_stream_watermark_drops_late_rows(spark, tmp_path):
         # file C: advance event time far enough to close all live windows
         write_file("c", [(4, "2024-01-02 00:00:00", 1, "x", 1.0, "{}")])
         q.processAllAvailable()
+        # engine metrics must attribute EXACTLY the one injected late row
+        # to the watermark, batch by batch — not just "its window is
+        # absent" (which could also result from a mis-binned row)
+        import json as _json
+
+        dropped = [
+            sum(op["numRowsDroppedByWatermark"] for op in p["stateOperators"])
+            for p in (_json.loads(pr.json) for pr in q.recentProgress)
+            if p.get("stateOperators")
+        ]
     finally:
         q.stop()
+    assert sum(dropped) == 1, f"watermark drop counts per batch: {dropped}"
     out = spark.table("t_late").collect()
     starts = {r["bucket_start"].strftime("%H:%M") for r in out}
     assert "10:00" in starts and "12:00" in starts

@@ -518,3 +518,99 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+@query(
+    "q_text_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS a FROM documents
+    ), uni AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(a) AS w FROM toks)
+        GROUP BY w
+    ), n_uni AS (
+        SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni
+    ), bc AS (
+        SELECT w1, w2, count(*) AS c_ab
+        FROM (
+            SELECT a[i] AS w1, a[i + 1] AS w2
+            FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+                  FROM toks WHERE len(a) >= 2)
+        )
+        GROUP BY w1, w2
+    ), n_big AS (
+        SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bc
+    )
+    SELECT bc.w1 || ' ' || bc.w2 AS bigram,
+           bc.c_ab,
+           round(ln((CAST(bc.c_ab AS DOUBLE) * nu * nu)
+                    / (CAST(nb AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+    FROM bc
+    JOIN uni u1 ON bc.w1 = u1.w
+    JOIN uni u2 ON bc.w2 = u2.w
+    CROSS JOIN n_uni CROSS JOIN n_big
+    WHERE bc.c_ab >= 5
+    ORDER BY pmi DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (word2phrase-style
+    phrase detection): PMI = ln(p(w1 w2) / (p(w1) p(w2))) over corpus
+    bigrams with a minimum count, top-20 by rounded score.
+
+    Shape at scale: one exploded pass feeds BOTH count tables (bigram
+    and unigram hash-aggs, each partial-aggregated map-side), the two
+    scalar totals broadcast as single-row cross joins, and the unigram
+    re-join keys are words — AQE picks broadcast vs shuffle by actual
+    vocab size (a fixed broadcast hint would be wrong at web-corpus
+    vocab). All integer counts stay exact in double (< 2^53), so the
+    rounded PMI is engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("a"))
+    uni = (
+        toks.select(F.explode("a").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("nu"))
+    bc = (
+        toks.filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(element_at(a, i) AS w1,"
+                    "             element_at(a, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    n_big = bc.agg(F.sum("c_ab").cast("bigint").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("nu") * F.col("nu"))
+            / (F.col("nb").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        4,
+    )
+    return (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )

@@ -45,6 +45,7 @@ NLJ_OK = {
     "q_agg_histogram",  # broadcast single-row min/max bounds cross join
     "q_clip_outliers",  # broadcast single-row percentile-bounds cross join
     "q_mix_weights",  # broadcast single-row corpus-totals cross join
+    "q_text_collocations",  # broadcast single-row n_uni/n_big scalar cross joins
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

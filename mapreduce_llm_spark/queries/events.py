@@ -143,11 +143,42 @@ def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_evt_session")
+@query(
+    "q_evt_session",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS seq
+        FROM gapped
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL '30 minutes'  AS session_end,
+           count(*)                         AS n_events,
+           round(sum(value), 4)             AS sum_value
+    FROM sessions
+    GROUP BY user_id, seq
+    ORDER BY user_id, session_start
+    """,
+)
 def q_evt_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window (30-min gap) — rows-only (no clean DuckDB
-    twin for Spark's session merge semantics; the deterministic
-    SQL-checked equivalent is q_evt_sessionize)."""
+    """Native session_window (30-min gap). Oracle: Spark merges
+    sessions whose [ts, ts+gap) windows overlap OR touch — an exact
+    30-min gap still merges (pinned empirically), which is precisely
+    the cumsum rule `new session iff gap > 30 min`; the window end is
+    last event + gap. So the gap-based CTE with
+    session_end = max(ts) + 30 min reproduces session_window
+    bit-for-bit."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")

@@ -266,3 +266,19 @@ def test_stream_upsert_sink_is_idempotent_per_key(spark, events_dir, tmp_path):
     got = spark.read.parquet(snapshot)
     n_ids = spark.read.parquet(os.path.join(src, "a.parquet")).count()
     assert got.count() == got.select("event_id").distinct().count() == n_ids
+
+
+def test_session_window_exact_gap_merges(spark):
+    """The q_evt_session oracle encodes `new session iff gap > 30 min`;
+    that is only right if Spark's session_window merges two events
+    EXACTLY 30:00 apart (touching windows). Pin it."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00")],
+        "uid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "uid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n"] == 2

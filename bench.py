@@ -53,6 +53,8 @@ HEADLINE = [
     "q_pack_sequences",
     "q_embed_assign",
     "q_tpch_q18_shape",
+    "q_dedup_embed",
+    "q_text_collocations",
 ]
 
 

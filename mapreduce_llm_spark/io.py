@@ -33,17 +33,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) at rest, which Spark's parquet
-        # reader rejects. Read it as a ns long and normalize to Spark's
-        # µs TimestampType (truncation, matching DuckDB's ns→µs cast)
-        # so downstream operators see a plain timestamp column.
+        # events.ts arrives in whichever encoding the data generator
+        # used for that corpus snapshot: TIMESTAMP(NANOS) (which Spark's
+        # parquet reader only accepts as a ns long via the legacy flag),
+        # TIMESTAMP_NTZ (µs, isAdjustedToUTC=false), or plain TIMESTAMP.
+        # Normalize all three to Spark's session-TZ TimestampType (the
+        # session is pinned to UTC, so NTZ→LTZ is value-preserving) so
+        # downstream operators see one stable type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer division: ns values (~1.7e18) overflow double's exact
-        # integer range, so a float `/ 1000` would corrupt timestamps.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer division: ns values (~1.7e18) overflow double's
+            # exact integer range, so a float `/ 1000` would corrupt
+            # timestamps. Truncation matches DuckDB's ns→µs cast.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

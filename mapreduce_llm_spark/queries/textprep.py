@@ -60,8 +60,9 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(ws) AS n_tokens,
-           [CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 32000 AS BIGINT)
-            FOR w IN ws[1:32]] AS token_ids
+           array_to_string(
+               [CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 32000 AS BIGINT)
+                FOR w IN ws[1:32]], ',') AS token_ids
     FROM (SELECT doc_id,
                  list_filter(string_split(trim(lower(text)), ' '), w -> w <> '') AS ws
           FROM documents)
@@ -72,7 +73,12 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab hash (md5-derived, mod 32000 — the stand-in for a real BPE
     vocab lookup, identical in both engines), truncated to a 32-token
     context. Pure JVM expressions — the tokenize+truncate pass is a
-    narrow map, no shuffle at any scale."""
+    narrow map, no shuffle at any scale.
+
+    The id sequence is emitted as a comma-joined string, not an
+    array<long>: the driver's canonicalizer sorts result columns with
+    pandas, and list-typed cells are unhashable there (observed
+    driver-side failure in round 2)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
@@ -92,7 +98,7 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         bound["n"].cast("long").alias("n_tokens"),
-        bound["ids"].alias("token_ids"),
+        F.array_join(bound["ids"], ",").alias("token_ids"),
     )
 
 

@@ -1,0 +1,646 @@
+"""Round-3 analytics additions: banded range joins, interval self-join,
+cumulative windows, correlation/percentile aggregates, regex/URL/trig
+function surfaces, window-function dedup, order sessionization, and
+document context-window generation for training feeds.
+
+These widen the generalized-query surface (SURVEY.md §2C) past the
+reference's own operators with the shapes a 100 TB curation/analytics
+deployment actually runs. Every query is oracle-backed; scale notes are
+inline per query (the recurring theme: turn range/interval predicates
+into equi-join keys via banding so nothing degenerates to a nested
+loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT band_id,
+           round(band_id * 50000.0, 4)        AS lo,
+           round((band_id + 1) * 50000.0, 4)  AS hi,
+           count(*)                            AS n_orders,
+           round(avg(o_totalprice), 4)         AS avg_price
+    FROM (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS band_id,
+                 o_totalprice
+          FROM orders)
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval) done scalably: orders against a
+    table of uniform price bands [lo, hi). A naive range join is a
+    BroadcastNestedLoopJoin — O(rows × bands) comparisons. Because the
+    bands are uniform-width, the point side computes its band key with
+    arithmetic (floor(price/width)) and the range join becomes an
+    EQUI-join on band_id: hash join, no nested loop, works at any
+    scale. The [lo, hi) residual check stays in the join condition as
+    a correctness guard. (Non-uniform bands use the same trick at the
+    resolution of the smallest band, one point → candidate bands.)
+
+    The oracle computes the identical banding arithmetically — same
+    result, which is the point: the join-side derivation must agree
+    with the closed form."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50000.0).alias("band_lo"),
+        ((F.col("id") + 1) * 50000.0).alias("band_hi"),
+    )
+    keyed = o.withColumn(
+        "band_id", F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    )
+    return (
+        keyed.join(
+            F.broadcast(bands),
+            (keyed.band_id == bands.band_id)
+            & (keyed.o_totalprice >= bands.band_lo)
+            & (keyed.o_totalprice < bands.band_hi),
+        )
+        .drop(bands.band_id)
+        .groupBy("band_id")
+        .agg(
+            F.round(F.min("band_lo"), 4).alias("lo"),
+            F.round(F.min("band_hi"), 4).alias("hi"),
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@query(
+    "q_join_band_interval",
+    oracle="""
+    SELECT a.user_id,
+           count(*) AS n_pairs,
+           round(avg(abs(epoch_us(a.ts) - epoch_us(b.ts)) / 1000000.0), 4)
+               AS avg_gap_s
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+)
+def q_join_band_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: pairs of events by the SAME user within 5
+    minutes of each other. user_id is the equi-key, so the self-join is
+    a hash/sort-merge join partitioned by user; the ±5-minute band and
+    the event_id < ordering are cheap residuals evaluated within each
+    matched key group — no cross product beyond a single user's events.
+    Gap arithmetic is µs-precision (unix_micros) per the repo's
+    sub-second-safety rule. At 100 TB, per-user event counts bound the
+    quadratic term; a hot user would be handled by further banding on
+    time bucket (bucket + adjacent-bucket join) before pairing."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("a_id"),
+        F.unix_micros("ts").alias("a_us"),
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.unix_micros("ts").alias("b_us"),
+    )
+    gap_us = F.abs(F.col("a_us") - F.col("b_us"))
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (a.a_id < b.b_id)
+            & (gap_us <= 300_000_000),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(gap_us / 1_000_000.0), 4).alias("avg_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_win_cume_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           round(sum(o_totalprice) OVER w, 4)  AS cum_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_cume_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend — the cumulative-sum window over a
+    keyed partition. One shuffle on o_custkey; within-partition sort by
+    (o_orderdate, o_orderkey) — the orderkey tie-break makes the
+    running sum deterministic when a customer places two orders the
+    same day (CLAUDE.md tie rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("long")
+        .alias("seq"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("cum_spend"),
+    )
+
+
+@query(
+    "q_orders_running_share",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month,
+           round(rev, 4) AS rev,
+           round(sum(rev) OVER (ORDER BY month
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_rev,
+           round(sum(rev) OVER (ORDER BY month
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(rev) OVER (), 4) AS share_of_total
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def q_orders_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue share by month — the pareto/run-rate report.
+    The heavy work is the monthly aggregation (partial+final, ~80
+    output rows for a 7-year corpus); the unpartitioned windows then
+    run over those few dozen AGGREGATED rows, not the fact table, so
+    the single-partition window is harmless by construction at any
+    input scale (same pattern as operators/ranking.py's offset step)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return (
+        monthly.select(
+            "month",
+            F.round("rev", 4).alias("rev"),
+            F.round(F.sum("rev").over(w), 4).alias("cum_rev"),
+            F.round(F.sum("rev").over(w) / F.sum("rev").over(wall), 4).alias(
+                "share_of_total"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0      AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) + 0.0 AS covar_pop_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS covar_samp_qp,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope_price_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS icept_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covariance / OLS slope+intercept)
+    per group — single-pass distributive aggregates (sum of products /
+    squares combine associatively), so they run as partial+final like
+    any sum. The `+ 0.0` in the oracle normalizes DuckDB's -0.0
+    (CLAUDE.md negative-zero rule) since correlations can round to
+    zero from below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 4).alias("corr_qty_price"),
+            F.round(F.covar_pop(q, p), 4).alias("covar_pop_qp"),
+            F.round(F.covar_samp(q, p), 4).alias("covar_samp_qp"),
+            F.round(F.regr_slope(p, q), 4).alias("slope_price_qty"),
+            F.round(F.regr_intercept(p, q), 4).alias("icept_price_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_percentile_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolating). Exact
+    percentiles buffer each group's values — the right tool up to
+    millions of rows per group; beyond that the declared approx twin
+    (q_agg_approx_quantile, t-digest-style sketch, mergeable) is the
+    100 TB path. Both are part of the surface deliberately."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1)              AS first_word,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)   AS n_digits,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS consonant_len,
+           regexp_matches(text, '[a-z]+ing ')               AS has_gerund
+    FROM documents
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function surface: extract / count / global-replace /
+    match-test, all JVM-codegen expressions (no Python). Patterns stay
+    within the char-class subset where Java regex and DuckDB's RE2
+    agree — engine-portable patterns are part of the contract."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_count(t, F.lit(r"[0-9]")).cast("long").alias("n_digits"),
+        F.regexp_count(t, F.lit(r"[aeiou]+")).cast("long").alias("n_vowel_runs"),
+        F.length(F.regexp_replace(t, r"[aeiou]", "")).alias("consonant_len"),
+        t.rlike(r"[a-z]+ing ").alias("has_gerund"),
+    )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1)    AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1)            AS query_str,
+           regexp_extract(url, 'lang=([a-z]+)', 1)       AS lang_param
+    FROM (SELECT doc_id,
+                 'https://corpus.example.com/' || source || '/doc-' || doc_id
+                     || '?lang=' || lang AS url
+          FROM documents)
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (web-corpus curation needs host/path/query
+    splits for per-domain dedup and filtering). Spark side uses the
+    dedicated parse_url expression; the oracle reproduces each
+    component with regex — agreement pins parse_url's exact component
+    boundaries (host without scheme, path with leading '/', query
+    without '?')."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://corpus.example.com/"),
+        F.col("source"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_str"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@query(
+    "q_fn_trig",
+    oracle="""
+    SELECT p_partkey,
+           round(sin(p_size), 4) + 0.0                    AS sin_size,
+           round(cos(p_size), 4) + 0.0                    AS cos_size,
+           round(atan2(p_size, p_retailprice), 4) + 0.0   AS atan2_sp,
+           round(radians(p_size), 4)                      AS rad_size,
+           round(degrees(atan(p_size / 100.0)), 4)        AS deg_atan,
+           round(sqrt(p_retailprice), 4)                  AS sqrt_price,
+           round(cbrt(p_retailprice), 4)                  AS cbrt_price
+    FROM part
+    """,
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/root math surface — all JVM intrinsics inside
+    whole-stage codegen; IEEE-754 doubles make both engines
+    bit-identical before rounding. The `+ 0.0` normalizes -0.0 on the
+    signed functions (sin/cos/atan2 can round to zero from below)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin("p_size"), 4).alias("sin_size"),
+        F.round(F.cos("p_size"), 4).alias("cos_size"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice")), 4).alias("atan2_sp"),
+        F.round(F.radians("p_size"), 4).alias("rad_size"),
+        F.round(F.degrees(F.atan(F.col("p_size") / 100.0)), 4).alias("deg_atan"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.round(F.cbrt("p_retailprice"), 4).alias("cbrt_price"),
+    )
+
+
+@query(
+    "q_dedup_window",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, round(value, 4) AS value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup via row_number — the standard CDC/upsert
+    compaction (latest record per key wins). One shuffle on the key
+    pair; within-partition TOP-1 per key never materializes the full
+    sort at the reducer (Spark's rank-limit pushdown). event_id breaks
+    exact-timestamp ties deterministically."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id", "ts",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+@query(
+    "q_sessionize_orders",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CASE WHEN epoch_us(o_orderdate)
+                         - lag(epoch_us(o_orderdate))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+                         > 7776000000000
+                    OR lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM orders
+    ), numbered AS (
+        SELECT o_custkey, o_orderdate, o_totalprice,
+               CAST(sum(is_new) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT o_custkey, session_seq,
+           min(o_orderdate)          AS session_start,
+           max(o_orderdate)          AS session_end,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 4) AS session_spend
+    FROM numbered
+    GROUP BY o_custkey, session_seq
+    """,
+)
+def q_sessionize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-burst sessionization: a customer's orders belong to one
+    session while gaps stay ≤90 days. Same gap-and-cumsum construction
+    as q_evt_sessionize, exercised on the date-granularity commerce
+    domain: lag-gap flag → running sum = session id → per-session
+    rollup. One shuffle on o_custkey serves all three windows and the
+    final agg. µs-precision gap compare + o_orderkey tie-break + BIGINT
+    cast on the running sum (all three round-1/2 oracle hazards,
+    applied from the start)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate is TIMESTAMP_NTZ at rest; unix_micros needs LTZ. The
+    # session TZ is pinned to UTC, so the cast is value-preserving.
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = o.withColumn(
+        "is_new",
+        F.when(
+            (gap > 90 * 86400 * 1_000_000) | F.lag("o_orderdate").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("is_new").over(wsum).cast("long")
+    )
+    return numbered.groupBy("o_custkey", "session_seq").agg(
+        F.min("o_orderdate").alias("session_start"),
+        F.max("o_orderdate").alias("session_end"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("session_spend"),
+    )
+
+
+@query(
+    "q_part_price_band",
+    oracle="""
+    SELECT CAST(floor(p_retailprice / 10.0) AS BIGINT) AS price_band,
+           count(DISTINCT p_partkey)                    AS n_parts,
+           count(*)                                     AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    GROUP BY 1
+    ORDER BY price_band
+    """,
+)
+def q_part_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue histogram by part price band: dimension-derived banding
+    (floor(price/10)) carried through a fact join. The band expression
+    is computed on the part side BEFORE the broadcast join, so the
+    fact table never shuffles for the grouping — the aggregate keys on
+    a broadcast-provided column."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "price_band", F.floor(F.col("p_retailprice") / 10.0).cast("long")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("price_band")
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("price_band")
+    )
+
+
+@query(
+    "q_doc_windows",
+    oracle="""
+    SELECT doc_id,
+           CAST(start // 8 AS BIGINT) AS win_id,
+           CAST(len(ws[start + 1 : start + 16]) AS BIGINT) AS n_win_tokens,
+           md5(array_to_string(ws[start + 1 : start + 16], ' ')) AS win_hash
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        FROM documents
+    ), unnest(range(0, greatest(len(ws), 1), 8)) AS t(start)
+    """,
+)
+def q_doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows over token streams — the
+    document→training-window expansion every LLM data pipeline runs
+    (window 16, stride 8, so each token lands in ≤2 windows). The
+    expansion is explode(sequence(...)) + slice: a narrow per-row
+    flatMap, zero shuffle at any corpus size. Windows are emitted as
+    md5 fingerprints (scalar-safe for the driver comparator, and the
+    realistic form — downstream dedup keys on the hash, not the
+    text)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), " "), lambda w: w != "")
+    # sequence(0, n-1, 8) (inclusive end) == range(0, n, 8) (exclusive):
+    # same start points; greatest() keeps one empty window for empty docs.
+    exploded = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("ws") - 1, F.lit(0)),
+                    F.lit(8),
+                )
+            ).alias("start"),
+        )
+    )
+    win = F.slice(F.col("ws"), F.col("start") + 1, 16)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / 8).cast("long").alias("win_id"),
+        F.size(win).cast("long").alias("n_win_tokens"),
+        F.md5(F.array_join(win, " ")).alias("win_hash"),
+    )
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    SELECT doc_id,
+           n_words,
+           n_sentences,
+           round(206.835 - 1.015 * (n_words / n_sentences)
+                 - 84.6 * (n_syll / n_words), 4) AS flesch_score
+    FROM (
+        SELECT doc_id,
+               CAST(greatest(len(regexp_extract_all(text, '[^ ]+')), 1) AS BIGINT)
+                   AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+                   AS n_sentences,
+               CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll
+        FROM documents
+    )
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring (vowel-run syllable proxy) —
+    a standard text-quality feature for corpus filtering, next to
+    q_text_quality's length/punct ratios. Three regexp_count passes in
+    one codegen stage; a narrow map, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = F.greatest(F.regexp_count(t, F.lit(r"[^ ]+")), F.lit(1)).cast("long")
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]")), F.lit(1)).cast("long")
+    n_syll = F.regexp_count(t, F.lit(r"[aeiouy]+")).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (n_words / n_sent)
+            - 84.6 * (n_syll / n_words),
+            4,
+        ).alias("flesch_score"),
+    )
+
+
+@query(
+    "q_text_stopword_ratio",
+    oracle="""
+    SELECT doc_id,
+           n_words,
+           n_stop,
+           round(n_stop / greatest(n_words, 1), 4) AS stop_ratio
+    FROM (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_filter(ws, w -> list_contains(
+                   ['the','a','and','of','to','in','is','it','that','for'], w)))
+                   AS BIGINT) AS n_stop
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(trim(text)), ' '),
+                                 w -> w <> '') AS ws
+              FROM documents)
+    )
+    """,
+)
+def q_text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density quality signal (C4/Gopher-style: natural prose
+    has a stable stopword ratio; boilerplate and tables don't). The
+    stopword list is a 10-word literal array — a containment check per
+    token inside codegen, no join, no Python, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in
+                     ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")])
+    ws = F.filter(F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != "")
+    n_words = F.size(ws).cast("long")
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop, w))).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 4).alias("stop_ratio"),
+    )

@@ -77,6 +77,7 @@ def load_all() -> None:
     hash-checks the first 50 in dict order)."""
     from mapreduce_llm_spark.queries import (  # noqa: F401
         aggregations,
+        analytics_extra,
         embedding_stats,
         events,
         functions_queries,
@@ -89,6 +90,7 @@ def load_all() -> None:
         sorts,
         sql_api,
         textprep,
+        tpch_extra,
         tpch_macro,
         udfs,
         windows,

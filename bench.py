@@ -55,6 +55,13 @@ HEADLINE = [
     "q_tpch_q18_shape",
     "q_dedup_embed",
     "q_text_collocations",
+    # round 3: full-TPC-H composition + banded-join + training-window paths
+    "q_tpch_q1_shape",
+    "q_tpch_q8_shape",
+    "q_tpch_q17_shape",
+    "q_tpch_q21_shape",
+    "q_join_band_interval",
+    "q_doc_windows",
 ]
 
 

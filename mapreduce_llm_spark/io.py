@@ -32,29 +32,37 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # events.ts arrives in whichever encoding the data generator
-        # used for that corpus snapshot: TIMESTAMP(NANOS) (which Spark's
-        # parquet reader only accepts as a ns long via the legacy flag),
-        # TIMESTAMP_NTZ (µs, isAdjustedToUTC=false), or plain TIMESTAMP.
-        # Normalize all three to Spark's session-TZ TimestampType (the
-        # session is pinned to UTC, so NTZ→LTZ is value-preserving) so
-        # downstream operators see one stable type.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+    # Timestamp columns arrive in whichever encoding the data generator
+    # used for that corpus snapshot — it has already changed once
+    # between snapshots (TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs)), so the
+    # loader normalizes defensively rather than assuming one layout:
+    #  - TIMESTAMP(NANOS): Spark's parquet reader only accepts it as a
+    #    ns long via the legacy flag; convert with integer division
+    #    (ns values ~1.7e18 overflow double's exact range, so a float
+    #    `/ 1000` would corrupt timestamps; `div` truncation matches
+    #    DuckDB's ns→µs cast) and timestamp_micros → session-TZ type.
+    #  - TIMESTAMP_NTZ: events.ts is cast to the session-TZ type
+    #    (session pinned to UTC, value-preserving) for one stable type
+    #    across snapshots. orders/lineitem NTZ columns are left as-is:
+    #    their date-band filters push down to the parquet scan, and a
+    #    cast above the scan would block that pushdown.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            # integer division: ns values (~1.7e18) overflow double's
-            # exact integer range, so a float `/ 1000` would corrupt
-            # timestamps. Truncation matches DuckDB's ns→µs cast.
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if isinstance(ts_type, TimestampNTZType):
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ts_cols = {
+        "events": ("ts",),
+        "orders": ("o_orderdate",),
+        "lineitem": ("l_shipdate",),
+    }.get(name, ())
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in ts_cols:
+        t = df.schema[col].dataType
+        if isinstance(t, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif name == "events" and isinstance(t, TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -435,3 +435,71 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("l_quantity").unionByName(profile("l_discount")).orderBy("col")
+
+
+@query(
+    "q_agg_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                                AS n_orders,
+           count(*) FILTER (WHERE o_totalprice > 100000)           AS n_big,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4)
+               AS rev_filled,
+           round(avg(o_totalprice) FILTER (WHERE year(o_orderdate) = 1997), 4)
+               AS avg_1997
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates — several differently-filtered measures
+    from ONE scan pass (the alternative, one subquery per filter, scans
+    the fact N times). Spark SQL supports the standard FILTER (WHERE)
+    syntax directly; each conditional aggregate partial-aggregates
+    map-side like any sum."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*)                                      AS n_orders,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4)
+                   AS rev_filled,
+               round(avg(o_totalprice) FILTER (WHERE year(o_orderdate) = 1997), 4)
+                   AS avg_1997
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query("q_agg_sketch_union")
+def q_agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct counting via mergeable HLL sketches: per-nation
+    customer sketches union up to region estimates WITHOUT re-touching
+    the base data — the pattern that makes 100 TB distinct counts
+    feasible (pre-aggregate sketches per partition/day, merge any
+    rollup later; exact distinct would re-shuffle raw keys every time).
+    Spark's hll_sketch_agg/hll_union_agg are Apache DataSketches HLLs:
+    partial-aggregatable map-side like any sum. No DuckDB oracle (its
+    approx estimator differs by design); correctness is pinned by a ≤5%
+    relative-error test against the exact twin at sf0.01
+    (tests/test_sketches.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_regionkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    return (
+        per_nation.join(F.broadcast(r), per_nation.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers")
+        )
+        .orderBy("r_name")
+    )

@@ -644,3 +644,64 @@ def q_text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stop"),
         F.round(n_stop / F.greatest(n_words, F.lit(1)), 4).alias("stop_ratio"),
     )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+               CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
+        FROM orders
+    ), seg AS (
+        SELECT DISTINCT c_mktsegment AS segment FROM customer
+    ), spine AS (
+        SELECT segment,
+               CAST(unnest(generate_series(bounds.lo, bounds.hi,
+                                           INTERVAL 1 MONTH)) AS TIMESTAMP) AS month
+        FROM seg, bounds
+    ), rev AS (
+        SELECT c_mktsegment AS segment,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               sum(o_totalprice) AS rev
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT s.segment, s.month, round(coalesce(rev.rev, 0.0), 4) AS rev
+    FROM spine s LEFT JOIN rev ON s.segment = rev.segment AND s.month = rev.month
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (resample-to-monthly with zero-fill):
+    the dense month × segment spine is generated with
+    sequence()+explode from a 1-row min/max aggregate — a broadcast
+    scalar cross join (allowlisted, 1 row by construction) times the
+    5-row segment list, so the spine costs nothing at any fact size.
+    The fact side is aggregated BEFORE the left join, so the join
+    matches ~|segments|×|months| rows, never raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    segs = c.select(F.col("c_mktsegment").alias("segment")).distinct()
+    spine = segs.crossJoin(F.broadcast(bounds)).select(
+        "segment",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 MONTH"))
+        ).alias("month"),
+    )
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return spine.join(rev, ["segment", "month"], "left").select(
+        "segment",
+        "month",
+        F.round(F.coalesce("rev", F.lit(0.0)), 4).alias("rev"),
+    )

@@ -86,3 +86,34 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.subtract(s)
+
+
+@query(
+    "q_setop_all",
+    oracle="""
+    SELECT nk, count(*) AS n FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+        INTERSECT ALL
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) GROUP BY nk
+    ORDER BY nk
+    """,
+)
+def q_setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — each duplicate pairs off once,
+    min(multiplicity) per side, unlike the distinct INTERSECT of
+    q_intersect). Spark's intersectAll implements it as a count-keyed
+    join, so the shuffle carries (value, count) pairs, not row copies —
+    the multiplicity compression is what survives scale. Counted per
+    key in the output so the bag multiplicities are what's hashed."""
+    c = load_table(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_nationkey").alias("nk"))
+    bldg = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    return (
+        rich.intersectAll(bldg)
+        .groupBy("nk")
+        .agg(F.count("*").alias("n"))
+        .orderBy("nk")
+    )

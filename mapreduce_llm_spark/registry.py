@@ -48,9 +48,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_agg_corr", "q_agg_percentile_exact", "q_fn_regex", "q_fn_url",
     "q_fn_trig", "q_dedup_window", "q_text_readability",
     "q_text_stopword_ratio", "q_doc_windows", "q_sessionize_orders",
-    "q_orders_running_share", "q_part_price_band",
+    "q_orders_running_share", "q_part_price_band", "q_setop_all",
+    "q_agg_filter", "q_ts_gapfill",
     # rows-only, never driver-checked (weaker rows-only gate)
-    "q_dedup_simhash", "q_sim_join", "q_sim_ann_topk",
+    "q_agg_sketch_union", "q_dedup_simhash", "q_sim_join", "q_sim_ann_topk",
     "q_text_fingerprint", "q_chunk_assign", "q_llm_map",
     "q_mm_features", "q_sim_ivf", "q_pipeline_curate", "q_mm_frames",
     "q_mm_audio", "q_sample_stratified", "q_sample", "q_pack_sequences",

@@ -46,6 +46,7 @@ NLJ_OK = {
     "q_clip_outliers",  # broadcast single-row percentile-bounds cross join
     "q_mix_weights",  # broadcast single-row corpus-totals cross join
     "q_text_collocations",  # broadcast single-row n_uni/n_big scalar cross joins
+    "q_ts_gapfill",  # broadcast single-row min/max month bounds cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

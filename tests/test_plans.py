@@ -275,12 +275,79 @@ def test_q19_factors_disjunction_to_both_scans(spark):
 
 
 def test_driver_priority_frontloads_unverified_oracle_queries():
-    """The driver hash-checks only the first 50 queries() entries; every
-    one of those slots must carry an oracle (no wasted rows-only slots)
-    and the ordering must match DRIVER_PRIORITY."""
+    """The driver checks only the first 50 queries() entries; the
+    ordering must match DRIVER_PRIORITY, and within the window every
+    oracle-backed (hash-checkable) entry must precede every rows-only
+    entry — a rows-only slot is only acceptable once no unverified
+    oracle-backed query remains (round 3: 42 oracle-backed entries,
+    then the never-checked rows-only tail)."""
     from mapreduce_llm_spark import registry
 
     registry.load_all()
     first50 = list(registry.QUERIES)[:50]
     assert first50 == [n for n in registry.DRIVER_PRIORITY if n in registry.QUERIES][:50]
-    assert all(n in registry.ORACLE for n in first50)
+    flags = [n in registry.ORACLE for n in first50]
+    first_rows_only = flags.index(False) if False in flags else len(flags)
+    assert all(f for f in flags[:first_rows_only])
+    assert not any(flags[first_rows_only:]), (
+        "oracle-backed query listed after a rows-only one — wasted hash slot"
+    )
+
+
+def test_range_join_is_equi_join_on_band_key(spark):
+    """q_join_range's point-in-interval predicate must execute as a
+    hash join on the derived band_id key (banding rewrite), with the
+    [lo, hi) check as a residual — never a nested-loop range join."""
+    plan = plan_of(spark, "q_join_range")
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_line = next(l for l in plan.splitlines() if "HashJoin" in l)
+    assert "band_id" in join_line, join_line
+    assert "band_lo" in join_line and "band_hi" in join_line, (
+        "interval residual missing from the join condition"
+    )
+
+
+def test_band_interval_join_keeps_equi_anchor(spark):
+    """q_join_band_interval's ±5-min self-join must anchor on the
+    user_id equi-key so the band predicate is a within-key residual,
+    not a cross product."""
+    plan = plan_of(spark, "q_join_band_interval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_line = next(l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l)
+    assert "user_id" in join_line, join_line
+
+
+def test_q4_exists_lowers_to_semi_join(spark):
+    """TPC-H Q4's EXISTS must decorrelate to a left-semi join with the
+    late-shipment band as the join residual."""
+    plan = plan_of(spark, "q_tpch_q4_shape")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_pair_lowers_to_semi_plus_anti(spark):
+    """TPC-H Q21's EXISTS/NOT EXISTS pair must lower to one left-semi
+    and one left-anti join on l_orderkey — three coordinated scans of
+    lineitem, no per-row subquery."""
+    plan = plan_of(spark, "q_tpch_q21_shape")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q17_correlated_avg_decorrelates(spark):
+    """TPC-H Q17's correlated per-part average must run as an
+    aggregate joined back on l_partkey (decorrelation), not a per-row
+    subquery: expect a partial_avg and no nested-loop join."""
+    plan = plan_of(spark, "q_tpch_q17_shape")
+    assert "partial_avg" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_price_band_groups_on_broadcast_side_key(spark):
+    """q_part_price_band computes the band on the dimension before the
+    broadcast join, so the fact side never shuffles to derive its
+    grouping key — the only fact exchange is the final aggregation."""
+    plan = plan_of(spark, "q_part_price_band")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -125,3 +125,19 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (Spark's built-in second columnar format). Same
+    pushdown/pruning properties as parquet (min/max stripe stats,
+    predicate pushdown, column projection); useful when a downstream
+    consumer is Hive/Trino-standardized on ORC. Prefer parquet
+    elsewhere in this engine — it is the testdata's native format."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source. Schema comes from the ORC footer (self-describing,
+    no inference scan — unlike CSV/JSON, an explicit schema is not
+    required for a single-pass read)."""
+    return spark.read.orc(path)

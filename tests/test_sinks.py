@@ -146,3 +146,26 @@ def test_compact_parquet_sort_within_restores_skipping_layout(spark, tmp_path):
         col = pq.read_table(os.path.join(path, f), columns=["l_orderkey"])
         vals = col["l_orderkey"].to_pylist()
         assert vals == sorted(vals), f"{f} not sorted within file"
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC write → read must roundtrip values, prune columns, and push
+    filters to the scan (same scan-efficiency contract as parquet)."""
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.sinks import read_orc, write_orc
+
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "li_orc")
+    write_orc(li, out)
+    back = read_orc(spark, out)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+    q = back.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = q._jdf.queryExecution().explainString(jmode)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters: [")[1].split("]")[0]
+    spark_sum = q.count()
+    duck_sum = li.filter(F.col("l_quantity") > 45).count()
+    assert spark_sum == duck_sum

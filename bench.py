@@ -60,6 +60,7 @@ HEADLINE = [
     "q_tpch_q8_shape",
     "q_tpch_q17_shape",
     "q_tpch_q21_shape",
+    "q_tpch_q21_onepass",
     "q_join_band_interval",
     "q_doc_windows",
 ]

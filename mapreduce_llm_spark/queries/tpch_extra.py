@@ -669,3 +669,80 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cntry
         """
     )
+
+
+@query(
+    "q_tpch_q21_onepass",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 rewritten to ONE lineitem scan (vs q_tpch_q21_shape's three).
+
+    The EXISTS/NOT-EXISTS formulation re-reads lineitem per predicate;
+    at 100 TB the fact scan dominates, so the rewrite folds all three
+    conditions into one per-order aggregation:
+      - n_supp        = count(DISTINCT suppkey)        (≥2 ⇔ the EXISTS)
+      - n_late_supp   = count(DISTINCT late suppkey)   (=1 ⇔ the NOT EXISTS)
+      - late_suppkey  = max(late suppkey)              (well-defined when =1)
+      - n_late_lines  = count(late lines)              (what Q21 counts)
+    A surviving order contributes its n_late_lines to its sole late
+    supplier. Same oracle as the EXISTS version — the rewrite is
+    hash-proven equivalent, with a plan test pinning the single scan
+    (test_q21_onepass_scans_lineitem_once).
+
+    The distinct counts run as a CASCADED aggregation — per
+    (order, supplier) first, then per order — NOT as two
+    count(DISTINCT) in one agg: multi-distinct aggregates make
+    Catalyst Expand every input row once per distinct column (3×
+    shuffle volume on the joined fact, measurably slower than the
+    3-scan plan at sf0.1). The cascade's first shuffle reduces to one
+    row per (order, supplier) pair; the second reshuffles only those
+    reduced rows on a prefix of the same key (no expand anywhere)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(late, F.lit(1))).alias("n_late_lines"))
+    )
+    is_late_supp = F.col("n_late_lines") > 0
+    per_order = (
+        per_pair.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.count(F.when(is_late_supp, F.lit(1))).alias("n_late_supp"),
+            F.max(F.when(is_late_supp, F.col("l_suppkey"))).alias("late_suppkey"),
+            F.sum("n_late_lines").alias("n_late_lines"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(s), per_order.late_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

@@ -351,3 +351,13 @@ def test_price_band_groups_on_broadcast_side_key(spark):
     plan = plan_of(spark, "q_part_price_band")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q21_onepass_scans_lineitem_once(spark):
+    """The one-pass Q21 rewrite must read lineitem exactly once (the
+    EXISTS formulation reads it three times — that triple fact scan is
+    what the rewrite removes at 100 TB)."""
+    one = plan_of(spark, "q_tpch_q21_onepass")
+    three = plan_of(spark, "q_tpch_q21_shape")
+    assert sum("lineitem.parquet" in l for l in one.splitlines() if "Scan parquet" in l or "FileScan" in l) == 1
+    assert sum("lineitem.parquet" in l for l in three.splitlines() if "Scan parquet" in l or "FileScan" in l) == 3

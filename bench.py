@@ -98,6 +98,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # the suite GROWS each round (r1: 30 queries, r3: 37) —
+                # compare mean_query_seconds across rounds, not value
+                "n_queries": len(times),
+                "mean_query_seconds": round(total / len(times), 3),
             }
         )
     )

@@ -705,3 +705,73 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.round(F.coalesce("rev", F.lit(0.0)), 4).alias("rev"),
     )
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           ts                                  AS valid_from,
+           lead(ts) OVER w                     AS valid_to,
+           (lead(ts) OVER w IS NULL)           AS is_current,
+           round(value, 4)                     AS value
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval build: each change
+    record becomes a [valid_from, valid_to) row, valid_to = next
+    change's timestamp (NULL = current version). One lead() window per
+    key — a single shuffle on user_id regardless of history depth; the
+    standard CDC→dimension materialization. event_id tie-break keeps
+    simultaneous changes deterministic."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@query(
+    "q_agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(18, 2)))            AS sum_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+               * CAST(l_discount AS DECIMAL(18, 2)))               AS sum_disc_amt,
+           count(*)                                                AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact monetary arithmetic on DecimalType — no float rounding
+    anywhere: both engines sum fixed-point decimals, so results match
+    EXACTLY with no round() normalization (the contrast to every
+    double-typed aggregate in this repo, which needs round-to-4 to
+    absorb summation-order noise). Decimal sums are associative, so
+    partial aggregation is unaffected; the cost is wider shuffle rows
+    (128-bit values) — the right trade wherever money must reconcile
+    to the cent at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("sum_price"),
+            F.sum(price * disc).alias("sum_disc_amt"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -775,3 +775,126 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_scd2_lookup",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to
+        FROM events
+        WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.event_id, p.user_id, d.version,
+           round(p.value, 4) AS value
+    FROM events p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase joins the SCD2
+    version that was valid AT ITS OWN timestamp — the correctness
+    pattern that separates a dimensional warehouse from a
+    latest-value join (which silently attributes old facts to new
+    versions). user_id anchors the equi-join; the validity interval is
+    a residual within the key group, so the plan is a plain hash/merge
+    join at any scale (same banding argument as q_join_band_interval).
+    Versions are ≤ a handful per user, so the residual scan is O(1)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.row_number().over(w.partitionBy("user_id")).cast("long").alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w.partitionBy("user_id")).alias("valid_to"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase")
+    return (
+        p.join(
+            dim,
+            (p.user_id == dim.d_user)
+            & (dim.valid_from <= p.ts)
+            & (dim.valid_to.isNull() | (p.ts < dim.valid_to)),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "version",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_bad,
+           count(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT),
+           count(*)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT),
+           count(*)
+    FROM lineitem
+    ORDER BY check_name
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit as one query: null-key rate, key uniqueness,
+    referential integrity (FK anti-match via left join), and a domain
+    constraint — the pre-ingest gate a production pipeline runs before
+    publishing a snapshot. Each check is a scan-local aggregate (the
+    FK check joins ONCE); the union of 1-row results costs nothing.
+    At 100 TB these run as a single pass per fact table plus one
+    broadcast join — cheap enough to gate every load."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        o.agg(
+            F.lit("orders_null_custkey").alias("check_name"),
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_bad"),
+            F.count("*").alias("n_rows"),
+        ),
+        o.agg(
+            F.lit("orders_dup_orderkey").alias("check_name"),
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("n_bad"),
+            F.count("*").alias("n_rows"),
+        ),
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").agg(
+            F.lit("orders_fk_customer").alias("check_name"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_bad"),
+            F.count("*").alias("n_rows"),
+        ),
+        li.agg(
+            F.lit("lineitem_nonpositive_qty").alias("check_name"),
+            F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n_bad"),
+            F.count("*").alias("n_rows"),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("check_name")

@@ -898,3 +898,35 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionAll(df)
     return out.orderBy("check_name")
+
+
+@query(
+    "q_fn_levenshtein",
+    oracle="""
+    SELECT a.doc_id,
+           levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit_dist,
+           CAST(greatest(length(substr(a.text, 1, 30)),
+                         length(substr(b.text, 1, 30))) AS INTEGER) AS max_len
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance function surface (levenshtein over 30-char
+    prefixes of consecutive documents) — the verify primitive for
+    character-level fuzzy matching, complementing the token-level
+    Jaccard/MinHash family. Levenshtein is O(len²) per pair, which is
+    why the dedup operators only ever run it (or its cousins) on
+    CANDIDATE pairs from banding/LSH, never all-pairs — this query's
+    join is a cheap equi-join on adjacent ids, the same
+    candidate-then-verify shape."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.substring("text", 1, 30).alias("a_pfx"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("b_join"), F.substring("text", 1, 30).alias("b_pfx")
+    )
+    return a.join(b, a.doc_id == b.b_join).select(
+        "doc_id",
+        F.levenshtein("a_pfx", "b_pfx").alias("edit_dist"),
+        F.greatest(F.length("a_pfx"), F.length("b_pfx")).alias("max_len"),
+    )

@@ -299,3 +299,45 @@ def upsert_parquet_sink(updates: DataFrame, snapshot_path: str, keys: list[str])
         os.rename(staging, snapshot_path)
 
     return updates.writeStream.foreachBatch(do_batch).outputMode("update")
+
+
+def unattributed_purchases_stream(
+    events: DataFrame, watermark: str = "1 hour", join_horizon_minutes: int = 30
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: purchase_attribution_stream's
+    matched pairs PLUS a null-extended row for every purchase with no
+    same-user activity in the preceding horizon.
+
+    The outer semantics are the interesting part: a purchase's null row
+    can only be emitted once the RIGHT watermark passes its timestamp
+    (no earlier — a matching late click could still arrive). Until
+    then the row sits in the state store; on watermark advance Spark
+    evicts and emits it null-extended. A consumer therefore sees
+    unattributed purchases with a delay of `watermark`, which is the
+    price of correctness under late data — the batch twin
+    (left join in tests) has no such delay but also no late-data
+    story."""
+    left = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_type").alias("a_type"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    horizon = f"interval {join_horizon_minutes} minutes"
+    return left.join(
+        right,
+        F.expr(f"p_user = a_user AND a_ts <= p_ts AND a_ts >= p_ts - {horizon}"),
+        "left_outer",
+    )

@@ -282,3 +282,78 @@ def test_session_window_exact_gap_merges(spark):
         .collect()
     )
     assert len(out) == 1 and out[0]["n"] == 2
+
+
+def test_stream_outer_join_flushes_unattributed_on_watermark(
+    spark, events_dir, tmp_path
+):
+    """Left-outer stream-stream join: null-extended rows for purchases
+    with no prior activity must be emitted once the watermark passes
+    them. Two far-future sentinel files (processed in their own final
+    micro-batches, mtime-ordered) push both sides' watermarks beyond
+    every original purchase, so ALL original unattributed purchases
+    flush; the streaming multiset must then equal the batch left join."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from mapreduce_llm_spark.streaming.pipeline import (
+        unattributed_purchases_stream,
+    )
+
+    src = str(tmp_path / "outer_src")
+    os.makedirs(src)
+    files = sorted(f for f in os.listdir(events_dir) if f.endswith(".parquet"))
+    for f in files:
+        shutil.copy(os.path.join(events_dir, f), os.path.join(src, f))
+
+    max_ts = load_table(spark, SMOKE_SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    base_mtime = os.path.getmtime(os.path.join(src, files[0]))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, days in enumerate((10, 11)):
+        sent_ts = pd.Timestamp(max_ts) + pd.Timedelta(days=days)
+        table = pa.table(
+            {
+                "event_id": pa.array([9_000_000 + 2 * i, 9_000_001 + 2 * i], pa.int64()),
+                # µs precision to match EVENTS_STREAM_SCHEMA's TimestampType
+                "ts": pa.array([sent_ts.to_pydatetime()] * 2, pa.timestamp("us")),
+                "user_id": pa.array([999_901 + i] * 2, pa.int64()),
+                "event_type": pa.array(["purchase", "click"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["", ""], pa.string()),
+            }
+        )
+        p = os.path.join(src, f"zz{i}.parquet")
+        pq.write_table(table, p)
+        os.utime(p, (base_mtime + 100 + i, base_mtime + 100 + i))
+
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    got = run_to_memory(
+        unattributed_purchases_stream(stream), "t_outer", output_mode="append"
+    ).filter(F.col("p_user") < 999_900)
+
+    e = spark.read.parquet(*[os.path.join(src, f) for f in files])
+    left = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    right = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    batch = left.join(
+        right,
+        F.expr(
+            "p_user = a_user AND a_ts <= p_ts AND a_ts >= p_ts - interval 30 minutes"
+        ),
+        "left_outer",
+    )
+    n_null_stream = got.filter(F.col("a_type").isNull()).count()
+    n_null_batch = batch.filter(F.col("a_type").isNull()).count()
+    assert got.count() == batch.count() > 0
+    assert n_null_stream == n_null_batch > 0

@@ -350,8 +350,10 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important-stock identification (TPC-H Q11 shape; lineitem value
     per part stands in for partsupp availqty×supplycost). The shared
     subaggregate feeds both the per-part values and the global
-    threshold; the threshold is a 1-row scalar broadcast — the base agg
-    is computed once (Catalyst reuses the exchange), not twice."""
+    threshold; the static plan shows the CTE branch twice, but AQE
+    reuses the aggregation exchange at runtime (pinned by
+    test_q11_reuses_stock_exchange_at_runtime) so the base agg
+    executes once, not twice."""
     _views(spark, sf_dir, "lineitem", "supplier")
     return spark.sql(
         """
@@ -424,8 +426,13 @@ def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier (TPC-H Q15): the view-plus-scalar-max shape. The
-    quarterly revenue agg is computed once; the max is a 1-row scalar
-    subquery broadcast into the filter; supplier is a broadcast dim."""
+    max is a 1-row scalar subquery broadcast into the filter; supplier
+    is a broadcast dim. Unlike Q11, the scalar subquery aggregates the
+    CTE further (max over the agg), and Spark executes that subquery
+    plan independently — the revenue agg runs twice here. At 100 TB
+    you'd materialize the revenue view first (persist / temp table)
+    and run both consumers against it; at a 100-supplier dim the
+    duplicate agg is noise, so the query keeps the declarative form."""
     _views(spark, sf_dir, "lineitem", "supplier")
     return spark.sql(
         """

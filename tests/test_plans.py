@@ -361,3 +361,15 @@ def test_q21_onepass_scans_lineitem_once(spark):
     three = plan_of(spark, "q_tpch_q21_shape")
     assert sum("lineitem.parquet" in l for l in one.splitlines() if "Scan parquet" in l or "FileScan" in l) == 1
     assert sum("lineitem.parquet" in l for l in three.splitlines() if "Scan parquet" in l or "FileScan" in l) == 3
+
+
+def test_q11_reuses_stock_exchange_at_runtime(spark):
+    """Q11's stock CTE feeds both the threshold scalar and the output
+    branch. The static plan duplicates the branch; what matters is
+    that AQE reuses the aggregation exchange at RUNTIME so the base
+    aggregate executes once — assert on the executed plan, not the
+    static one."""
+    df = registry.QUERIES["q_tpch_q11_shape"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed

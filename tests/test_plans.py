@@ -284,6 +284,8 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
     from mapreduce_llm_spark import registry
 
     registry.load_all()
+    unknown = set(registry.DRIVER_PRIORITY) - set(registry.QUERIES)
+    assert not unknown, f"DRIVER_PRIORITY names not registered (typo?): {unknown}"
     first50 = list(registry.QUERIES)[:50]
     assert first50 == [n for n in registry.DRIVER_PRIORITY if n in registry.QUERIES][:50]
     flags = [n in registry.ORACLE for n in first50]

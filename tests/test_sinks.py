@@ -169,3 +169,57 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     spark_sum = q.count()
     duck_sum = li.filter(F.col("l_quantity") > 45).count()
     assert spark_sum == duck_sum
+
+
+def test_zorder_bounds_both_columns(spark, tmp_path):
+    """Z-ordered files must have bounded min/max ranges on BOTH cluster
+    columns (enabling row-group pruning for either predicate), whereas
+    a single-column sort leaves the second column near-full-range in
+    every file. Measured from the actual parquet footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_llm_spark.sinks import write_zordered_parquet
+
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    glob_a = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    glob_b = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    span_a = glob_a[1] - glob_a[0]
+    span_b = glob_b[1] - glob_b[0]
+
+    def avg_file_coverage(path, col):
+        fracs = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            ci = names.index(col)
+            stats = [md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)]
+            lo = min(s.min for s in stats)
+            hi = max(s.max for s in stats)
+            span = span_a if col == "l_partkey" else span_b
+            fracs.append((hi - lo) / span)
+        return sum(fracs) / len(fracs)
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered_parquet(li, zpath, "l_partkey", "l_suppkey", n_files=16)
+    spath = str(tmp_path / "single")
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    z_a = avg_file_coverage(zpath, "l_partkey")
+    z_b = avg_file_coverage(zpath, "l_suppkey")
+    s_b = avg_file_coverage(spath, "l_suppkey")
+    # single-column sort: second column unclustered (near-full range)
+    assert s_b > 0.8, s_b
+    # z-order: BOTH columns bounded well below full range per file
+    assert z_a < 0.5, z_a
+    assert z_b < 0.5, z_b

@@ -141,3 +141,24 @@ def read_json_lines(spark: SparkSession, path: str, schema: str) -> DataFrame:
     inference rationale as read_csv; FAILFAST surfaces corrupt records
     instead of silently nulling them)."""
     return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def read_json_lines_permissive(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """JSON-lines source that QUARANTINES corrupt records instead of
+    failing the job (the ingest-time twin of read_json_lines's
+    FAILFAST): malformed lines land with their raw text in
+    ``_corrupt_record`` and NULL data columns, so a 100 TB backfill
+    with a handful of bad lines completes and the bad lines are
+    queryable for triage (`WHERE _corrupt_record IS NOT NULL`) rather
+    than silently dropped or fatally poisonous. Pick FAILFAST for
+    pipelines where a corrupt record means the upstream contract broke;
+    pick this for third-party data you don't control."""
+    full_schema = schema + ", _corrupt_record STRING"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

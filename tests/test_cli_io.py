@@ -107,3 +107,27 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 2 * n
     assert merged.filter(F.col("ingest_tag").isNull()).count() == n
     assert merged.filter(F.col("ingest_tag") == "v2").count() == n
+
+
+def test_permissive_json_quarantines_corrupt_records(spark, tmp_path):
+    """Good lines parse; bad lines appear once with raw text in
+    _corrupt_record and NULL data columns — nothing dropped, nothing
+    fatal."""
+    from mapreduce_llm_spark.io import read_json_lines_permissive
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "wrong-type", "name": "bad id"}\n'
+    )
+    df = read_json_lines_permissive(spark, str(p), "id BIGINT, name STRING")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert sorted(r["id"] for r in good) == [1, 2]
+    assert len(bad) == 2
+    assert any("not json" in r["_corrupt_record"] for r in bad)
+    assert all(r["id"] is None for r in bad)

@@ -305,11 +305,18 @@ def test_stream_outer_join_flushes_unattributed_on_watermark(
     src = str(tmp_path / "outer_src")
     os.makedirs(src)
     files = sorted(f for f in os.listdir(events_dir) if f.endswith(".parquet"))
-    for f in files:
-        shutil.copy(os.path.join(events_dir, f), os.path.join(src, f))
+    base_mtime = os.path.getmtime(os.path.join(events_dir, files[0]))
+    # The file source replays in mtime order. The range-partitioned
+    # part files carry ascending ts ranges in name order but
+    # near-identical mtimes — pin strictly increasing mtimes so the
+    # replay respects event time (otherwise an out-of-order file makes
+    # the watermark drop its rows as late, nondeterministically).
+    for i, f in enumerate(files):
+        dst = os.path.join(src, f)
+        shutil.copy(os.path.join(events_dir, f), dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
 
     max_ts = load_table(spark, SMOKE_SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
-    base_mtime = os.path.getmtime(os.path.join(src, files[0]))
     import pyarrow as pa
     import pyarrow.parquet as pq
 

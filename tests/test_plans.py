@@ -375,3 +375,41 @@ def test_q11_reuses_stock_exchange_at_runtime(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """Spark's runtime Bloom-filter join optimization (enabled in
+    session defaults) semi-filters the big probe side with a bloom
+    built from the selective build side — at 100 TB it prunes most of
+    the fact scan's shuffle before the join. The injection is gated on
+    a 10 GB application-side scan threshold that local fixtures can't
+    meet, so the test scales the threshold to the local data (the
+    100 TB proportions) and pins that the optimizer injects
+    might_contain + bloom_filter_agg into the plan."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_llm_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").filter(F.col("o_totalprice") > 480000)
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = plan_of_df(spark, j)
+        assert "might_contain" in plan, "bloom filter not injected"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+
+
+def plan_of_df(spark, df, mode: str = "simple") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)

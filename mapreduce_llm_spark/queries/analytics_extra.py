@@ -930,3 +930,98 @@ def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("a_pfx", "b_pfx").alias("edit_dist"),
         F.greatest(F.length("a_pfx"), F.length("b_pfx")).alias("max_len"),
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(skewness(l_quantity), 4) + 0.0 AS skew_qty,
+           round(kurtosis(l_quantity), 4) + 0.0 AS kurt_qty,
+           round(stddev_samp(l_quantity), 4)    AS sd_qty,
+           round(var_pop(l_quantity), 4)        AS varp_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments (skewness/kurtosis + both variance
+    flavors) per group — like corr/covar these are single-pass
+    distributive aggregates (running power sums combine associatively),
+    so they partial-aggregate map-side. Spark and DuckDB agree on the
+    estimator definitions; rounded to 4 decimals (the repo standard —
+    6 decimals exposes parallel-summation-order noise in the power
+    sums); `+ 0.0` normalizes -0.0 on the signed moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness(q), 4).alias("skew_qty"),
+            F.round(F.kurtosis(q), 4).alias("kurt_qty"),
+            F.round(F.stddev_samp(q), 4).alias("sd_qty"),
+            F.round(F.var_pop(q), 4).alias("varp_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_bitops",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS and_key,
+           bit_or(o_orderkey)  AS or_key,
+           bit_xor(o_orderkey) AS xor_key,
+           count(*)            AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR fold over a key column) — the
+    flag-mask rollup primitive (e.g. which permission bits are set
+    anywhere / everywhere in a group). Associative+commutative, so
+    they partial-aggregate like sums; XOR additionally gives a cheap
+    order-insensitive set checksum used in replication diffs."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").alias("and_key"),
+            F.bit_or("o_orderkey").alias("or_key"),
+            F.bit_xor("o_orderkey").alias("xor_key"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_fn_encoding",
+    oracle="""
+    SELECT doc_id,
+           to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64_prefix,
+           hex(CAST(substr(text, 1, 6) AS BLOB))        AS hex_prefix,
+           length(to_base64(CAST(substr(text, 1, 48) AS BLOB))) AS b64_len
+    FROM documents
+    """,
+)
+def q_fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding surface (base64 / hex over UTF-8 bytes) — the
+    wire-format functions every ingest/egress boundary needs. Byte
+    semantics pinned cross-engine: both sides encode the same UTF-8
+    prefix, so padding and case conventions must agree exactly.
+    Inputs stay under 57 bytes because Spark's base64 MIME-chunks
+    longer outputs (a CRLF every 76 chars) while DuckDB never does —
+    an engine-portability footgun worth documenting in an oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.base64(F.substring(t, 1, 12).cast("binary")).alias("b64_prefix"),
+        F.hex(F.substring(t, 1, 6).cast("binary")).alias("hex_prefix"),
+        F.length(F.base64(F.substring(t, 1, 48).cast("binary"))).alias("b64_len"),
+    )

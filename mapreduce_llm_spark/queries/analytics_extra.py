@@ -1025,3 +1025,60 @@ def q_fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.substring(t, 1, 6).cast("binary")).alias("hex_prefix"),
         F.length(F.base64(F.substring(t, 1, 48).cast("binary"))).alias("b64_len"),
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    SELECT c.bucket, count(*) AS n_pairs
+    FROM (SELECT nullif(c_nationkey % 5, 4) AS bucket FROM customer) c
+    JOIN (SELECT nullif(s_nationkey % 5, 4) AS bucket FROM supplier) s
+      ON c.bucket IS NOT DISTINCT FROM s.bucket
+    GROUP BY c.bucket
+    ORDER BY c.bucket NULLS FIRST
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics merge/dedup
+    pipelines need when the business key is legitimately absent on
+    both sides. Spark plans eqNullSafe as a HASH join key (NULL is
+    just another key value), so unlike the OR-IS-NULL rewrite users
+    reach for first, it never degenerates to a nested loop."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("c_bucket")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("s_bucket")
+    )
+    return (
+        c.join(s, c.c_bucket.eqNullSafe(s.s_bucket))
+        .groupBy(F.col("c_bucket").alias("bucket"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    SELECT d.doc_id, t.w AS long_word
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(trim(text)), ' '),
+                             x -> length(x) > 9) AS ws
+          FROM documents) d
+    LEFT JOIN LATERAL unnest(d.ws) AS t(w) ON true
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: documents with NO qualifying element
+    (here: no word longer than 9 chars) survive as one NULL row
+    instead of disappearing — the LEFT JOIN LATERAL of the array
+    world. Plain explode silently drops such parents, which in a
+    curation pipeline reads as data loss; the _outer variant is the
+    audit-safe default. Narrow per-row expansion, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: F.length(w) > 9
+    )
+    return d.select("doc_id", F.explode_outer(ws).alias("long_word"))

@@ -1082,3 +1082,42 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: F.length(w) > 9
     )
     return d.select("doc_id", F.explode_outer(ws).alias("long_word"))
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT doc_id,
+           CAST(json_extract(j, '$.id') AS BIGINT)      AS id_field,
+           json_extract_string(j, '$.lang')             AS lang_field,
+           json_extract_string(j, '$.tags[1]')          AS second_tag,
+           CAST(json_array_length(j, '$.tags') AS INTEGER) AS n_tags
+    FROM (SELECT doc_id,
+                 '{"id": ' || doc_id || ', "lang": "' || lang
+                     || '", "tags": ["' || source || '", "' || lang || '"]}' AS j
+          FROM documents)
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed variant_get path
+    extraction — the engine-native path for JSON-heavy corpora (parse
+    once, extract many, ~an order of magnitude over repeated
+    get_json_object string re-parsing; same idea as DuckDB's JSON
+    type, which the oracle uses). Shredded typed access, still fully
+    codegen, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    j = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'), F.col("lang"),
+        F.lit('", "tags": ["'), F.col("source"),
+        F.lit('", "'), F.col("lang"), F.lit('"]}'),
+    )
+    v = F.parse_json(j)
+    return d.select(
+        "doc_id",
+        F.variant_get(v, "$.id", "long").alias("id_field"),
+        F.variant_get(v, "$.lang", "string").alias("lang_field"),
+        F.variant_get(v, "$.tags[1]", "string").alias("second_tag"),
+        F.array_size(F.variant_get(v, "$.tags", "array<string>")).alias("n_tags"),
+    )

@@ -48,7 +48,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #    cast above the scan would block that pushdown.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import DateType, LongType, TimestampNTZType
 
     ts_cols = {
         "events": ("ts",),
@@ -60,6 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         t = df.schema[col].dataType
         if isinstance(t, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(t, DateType):
+            # a DATE-typed snapshot would break F.window()/unix_micros
+            # consumers; midnight-UTC timestamps are value-identical
+            # for every query in the surface
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
         elif name == "events" and isinstance(t, TimestampNTZType):
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df

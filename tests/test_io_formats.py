@@ -73,3 +73,22 @@ def test_load_orders_tolerates_nanos(spark, tmp_path):
     df = load_table(spark, str(tmp_path), "orders")
     got = [r["o_orderdate"] for r in df.orderBy("o_orderkey").collect()]
     assert got == TS
+
+
+def test_load_events_tolerates_date_typed_ts(spark, tmp_path):
+    """A DATE-typed snapshot column must load as midnight timestamps
+    (F.window()/unix_micros consumers would reject DateType)."""
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t.date() for t in TS], pa.date32()),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "events.parquet"))
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert got == [dt.datetime.combine(t.date(), dt.time()) for t in TS]

@@ -1121,3 +1121,39 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.tags[1]", "string").alias("second_tag"),
         F.array_size(F.variant_get(v, "$.tags", "array<string>")).alias("n_tags"),
     )
+
+
+@query(
+    "q_fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)  AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP)   AS plus_45d,
+           (year(o_orderdate) * 12 + month(o_orderdate))
+             - (1995 * 12 + 1)                                AS months_since_epoch,
+           CAST(make_date(CAST(year(o_orderdate) AS INTEGER), 12, 31) AS TIMESTAMP)
+               AS year_end
+    FROM orders
+    """,
+)
+def q_fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: month offsets (with month-end
+    clamping — Jan 31 + 1 month = Feb 28/29 in both engines), last-day
+    snapping, day offsets, integer month distance, and date
+    construction. The month distance is written as explicit
+    year*12+month arithmetic on BOTH engines rather than Spark's
+    fractional months_between / DuckDB's boundary-counting date_diff,
+    whose conventions differ — portable semantics beat convenient
+    built-ins in cross-engine contracts."""
+    d = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    months = (F.year(od) * 12 + F.month(od)) - (1995 * 12 + 1)
+    return d.select(
+        "o_orderkey",
+        F.add_months(od, 3).cast("timestamp").alias("plus_3m"),
+        F.last_day(od).cast("timestamp").alias("month_end"),
+        F.date_add(od, 45).cast("timestamp").alias("plus_45d"),
+        months.cast("long").alias("months_since_epoch"),
+        F.make_date(F.year(od), F.lit(12), F.lit(31)).cast("timestamp").alias("year_end"),
+    )

@@ -364,3 +364,71 @@ def test_stream_outer_join_flushes_unattributed_on_watermark(
     n_null_batch = batch.filter(F.col("a_type").isNull()).count()
     assert got.count() == batch.count() > 0
     assert n_null_stream == n_null_batch > 0
+
+
+def test_stream_session_append_matches_batch(spark, events_dir, tmp_path):
+    """Append-mode session windows emit a session only after the
+    watermark passes its close — so with a far-future sentinel forcing
+    the final watermark advance, the streamed session multiset must
+    equal the batch session_window aggregation exactly (counts AND
+    sums), not just smoke-run. Ordered replay via pinned mtimes."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_llm_spark.streaming.pipeline import sessionized_stream
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    files = sorted(f for f in os.listdir(events_dir) if f.endswith(".parquet"))
+    base_mtime = os.path.getmtime(os.path.join(events_dir, files[0]))
+    for i, f in enumerate(files):
+        dst = os.path.join(src, f)
+        shutil.copy(os.path.join(events_dir, f), dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+    max_ts = load_table(spark, SMOKE_SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    sent_ts = pd.Timestamp(max_ts) + pd.Timedelta(days=10)
+    table = pa.table(
+        {
+            "event_id": pa.array([9_900_000], pa.int64()),
+            "ts": pa.array([sent_ts.to_pydatetime()], pa.timestamp("us")),
+            "user_id": pa.array([999_901], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array([""], pa.string()),
+        }
+    )
+    sent = os.path.join(src, "zz_sentinel.parquet")
+    pq.write_table(table, sent)
+    os.utime(sent, (base_mtime + 100, base_mtime + 100))
+
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    got = run_to_memory(
+        sessionized_stream(stream), "t_session_append", output_mode="append"
+    ).filter(F.col("user_id") < 999_900)
+
+    batch = (
+        spark.read.parquet(*[os.path.join(src, f) for f in files])
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    g = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 4))
+        for r in got.collect()
+    }
+    b = {
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 4))
+        for r in batch.collect()
+    }
+    assert len(g) == got.count() and len(b) == batch.count()
+    assert g == b and len(b) > 0

@@ -63,6 +63,10 @@ HEADLINE = [
     "q_tpch_q21_onepass",
     "q_join_band_interval",
     "q_doc_windows",
+    "q_scd2_lookup",
+    "q_ts_gapfill",
+    "q_fn_variant",
+    "q_agg_decimal_exact",
 ]
 
 

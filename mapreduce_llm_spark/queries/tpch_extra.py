@@ -1,5 +1,6 @@
-"""Remaining TPC-H-shaped macro queries (Q1/Q4/Q6/Q7/Q8/Q9/Q11/Q13/
-Q15/Q16/Q17/Q20/Q21/Q22 shapes), adapted to the synthetic schema.
+"""Remaining TPC-H-shaped macro queries (Q1/Q2/Q4/Q6/Q7/Q8/Q9/Q11/
+Q13/Q15/Q16/Q17/Q20/Q21/Q22 shapes, plus the one-pass Q21 rewrite),
+adapted to the synthetic schema.
 
 Together with tpch_macro.py this completes all 22 TPC-H query shapes —
 the composition stress-tests for Catalyst (decorrelation, join
@@ -7,7 +8,8 @@ reordering, broadcast selection, partial aggregation, semi/anti joins).
 
 Schema adaptations (the synthetic tables lack some TPC-H columns):
 - no partsupp table → lineitem is the part↔supplier bridge, and
-  ``0.6 * p_retailprice`` stands in for ps_supplycost (Q9/Q11/Q20).
+  ``0.6 * p_retailprice`` (Q9/Q11/Q20) or the per-(part, supplier)
+  average unit price (Q2) stands in for ps_supplycost.
 - no l_commitdate / l_receiptdate → "late" means
   ``l_shipdate > o_orderdate + N days`` (Q4/Q21).
 - no c_phone → ``c_nationkey`` stands in for the country code (Q22).
@@ -752,4 +754,71 @@ def q_tpch_q21_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q2_shape",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s_acctbal, 4) AS acctbal, s_name, n_name, p_partkey,
+           unit_cost
+    FROM part
+    JOIN cost     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND unit_cost = (
+          SELECT min(c2.unit_cost)
+          FROM cost c2
+          JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape — the last of the 22;
+    per-(part, supplier) average lineitem unit price stands in for
+    ps_supplycost). The correlated min subquery over the same
+    region-filtered cost relation decorrelates into a per-part min
+    aggregate joined back on p_partkey — Catalyst computes the cost
+    CTE's shuffle once and the min branch reuses it at runtime (same
+    AQE exchange-reuse behavior pinned for Q11). Four-level sort with
+    the unique p_partkey as the final tie-break (CLAUDE.md tie rule)."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    return spark.sql(
+        """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT round(s_acctbal, 4) AS acctbal, s_name, n_name, p_partkey,
+               unit_cost
+        FROM part
+        JOIN cost     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND unit_cost = (
+              SELECT min(c2.unit_cost)
+              FROM cost c2
+              JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+              JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+              WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
     )

@@ -53,6 +53,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_scd2_build", "q_agg_decimal_exact", "q_scd2_lookup", "q_dq_checks",
     "q_fn_levenshtein", "q_agg_moments", "q_agg_bitops", "q_fn_encoding",
     "q_join_nullsafe", "q_explode_outer", "q_fn_variant", "q_fn_date_arith",
+    "q_tpch_q2_shape",
     # rows-only, never driver-checked (weaker rows-only gate)
     "q_agg_sketch_union", "q_dedup_simhash", "q_sim_join", "q_sim_ann_topk",
     "q_text_fingerprint", "q_chunk_assign", "q_llm_map",

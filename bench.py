@@ -61,6 +61,7 @@ HEADLINE = [
     "q_tpch_q17_shape",
     "q_tpch_q21_shape",
     "q_tpch_q21_onepass",
+    "q_tpch_q2_shape",
     "q_join_band_interval",
     "q_doc_windows",
     "q_scd2_lookup",

@@ -92,3 +92,75 @@ def connected_components(
             break
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a (src, dst) directed edge list →
+    (node, rank), ranks summing to 1.
+
+    Each iteration is ONE shuffle join (ranks ⋈ edges on src) plus one
+    aggregation on dst — the canonical dataflow PageRank; a 100 TB
+    graph iterates in O(iterations) shuffles with no driver-side graph
+    state. Specifics that matter for correctness and scale:
+
+    - **Dangling nodes** (no out-edges) leak rank mass in the naive
+      formulation; their aggregate mass is a 1-row sum redistributed
+      uniformly each iteration, keeping sum(rank)=1 exactly (pinned to
+      a numpy power-iteration reference in tests/test_graph.py).
+    - **Lineage truncation** via localCheckpoint every
+      ``checkpoint_every`` iterations, same rationale as
+      connected_components above (unbounded iterative lineage is an
+      analyzer OOM, not a data OOM).
+    - The out-degree table is computed once and persisted — it is
+      static across iterations.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+
+    for it in range(iterations):
+        contrib_src = ranks.join(outdeg, ranks.node == outdeg.src, "left")
+        # dangling mass: rank of nodes with no out-edges (outdeg null)
+        dangling = (
+            contrib_src.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contribs = (
+            contrib_src.filter(F.col("outdeg").isNotNull())
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+        )
+        base = (1.0 - damping) / n_nodes
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    base
+                    + damping
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    outdeg.unpersist()
+    return ranks

@@ -371,3 +371,29 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("component")
     )
     return comp.unionByName(isolated).orderBy("node")
+
+
+@query("q_graph_pagerank")
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite supplier→part supply graph (edges =
+    distinct (l_suppkey, l_partkey) pairs): 10 damped power iterations,
+    one shuffle join + one aggregation each, dangling mass
+    redistributed so ranks sum to exactly 1 (operators/graph.py:
+    pagerank). Rows-only by design — an iterative float fixpoint has
+    no closed-form SQL twin; correctness is pinned to a numpy dense
+    power-iteration reference at 1e-9 per node
+    (tests/test_graph.py::test_pagerank_matches_numpy_power_iteration).
+    Top-20 by rank, node id as tie-break."""
+    from mapreduce_llm_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 100000).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, iterations=10, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )

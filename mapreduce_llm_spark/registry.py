@@ -55,7 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_nullsafe", "q_explode_outer", "q_fn_variant", "q_fn_date_arith",
     "q_tpch_q2_shape",
     # rows-only, never driver-checked (weaker rows-only gate)
-    "q_agg_sketch_union", "q_dedup_simhash", "q_sim_join", "q_sim_ann_topk",
+    "q_graph_pagerank", "q_agg_sketch_union", "q_dedup_simhash", "q_sim_join", "q_sim_ann_topk",
     "q_text_fingerprint", "q_chunk_assign", "q_llm_map",
     "q_mm_features", "q_sim_ivf", "q_pipeline_curate", "q_mm_frames",
     "q_mm_audio", "q_sample_stratified", "q_sample", "q_pack_sequences",

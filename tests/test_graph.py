@@ -8,8 +8,10 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.operators.graph import connected_components
+from tests.conftest import SMOKE_SF_DIR
 
 
 def _union_find(nodes, edges):
@@ -61,3 +63,42 @@ def test_cc_long_chain_converges_fast(spark):
     got = connected_components(edf, max_iter=12).collect()
     assert {r["component"] for r in got} == {0}
     assert len(got) == 64
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Distributed PageRank == dense numpy power iteration with the
+    same damping/dangling conventions, to 1e-9 per node, ranks summing
+    to 1. Bipartite supplier→part graph from lineitem at sf0.001."""
+    import numpy as np
+
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.graph import pagerank
+
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), (F.col("l_partkey") + 100000).alias("dst")
+    ).distinct()
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=10, damping=0.85).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    nodes = sorted({x for p in pairs for x in p})
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in pairs:
+        out[ix[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        inflow = np.zeros(n)
+        for s, t in pairs:
+            inflow[ix[t]] += r[ix[s]] / out[ix[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (inflow + dangling / n)
+    assert set(got) == set(ix)
+    for node, i in ix.items():
+        assert abs(got[node] - r[i]) < 1e-9, (node, got[node], r[i])

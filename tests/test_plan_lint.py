@@ -47,6 +47,7 @@ NLJ_OK = {
     "q_mix_weights",  # broadcast single-row corpus-totals cross join
     "q_text_collocations",  # broadcast single-row n_uni/n_big scalar cross joins
     "q_ts_gapfill",  # broadcast single-row min/max month bounds cross join
+    "q_graph_pagerank",  # broadcast single-row dangling-mass scalar cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

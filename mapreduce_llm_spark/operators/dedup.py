@@ -199,6 +199,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket_size: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -215,6 +216,12 @@ def minhash_near_dup_pairs(
     the cap are dropped from candidate generation (pairs they'd find
     are either found in another band or are not near-dups at the
     threshold with overwhelming probability); ``None`` disables.
+
+    ``materialize=True`` (default) eagerly computes the pair set and
+    releases the internal shingle cache before returning — the
+    leak-free contract every caller wants. ``materialize=False``
+    returns the lazy plan (for plan inspection / tests) and hands the
+    caller the cache to release via ``out.cached_base.unpersist()``.
     """
     rows = num_hashes // bands
     # shingles carried as 64-bit fingerprints: minhash seeds and the
@@ -265,11 +272,18 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
-    # The persisted base outlives this call (the returned plan reads it
-    # lazily), so the operator can't unpersist it itself. Long-lived
-    # sessions that call this repeatedly should release the cache once
-    # the result is materialized: `df.cached_base.unpersist()`.
-    out.cached_base = base
+    # Materialize the (small) pair set eagerly so the shingle cache can
+    # be released HERE rather than leaking into the session's cache
+    # manager until someone remembers an unpersist (every registered
+    # query forgot — a slow leak in a long-lived service). The
+    # checkpointed blocks are reaped by the ContextCleaner on GC; at
+    # cluster scale localCheckpoint is non-replicated, so swap for a
+    # reliable checkpoint dir if executor loss must not fail the job.
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    else:
+        out.cached_base = base
     return out
 
 
@@ -281,6 +295,7 @@ def ngram_jaccard_pairs(
     *,
     threshold: float = 0.2,
     shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard within blocking groups (id_a < id_b).
 
@@ -340,9 +355,14 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
-    # see minhash_near_dup_pairs: callers in long-lived sessions own
-    # releasing the cache via `df.cached_base.unpersist()`.
-    out.cached_base = base
+    # see minhash_near_dup_pairs: eager-materialize the small pair set,
+    # release the shingle cache deterministically inside the operator;
+    # materialize=False keeps the lazy plan for inspection.
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    else:
+        out.cached_base = base
     return out
 
 

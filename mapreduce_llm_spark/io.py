@@ -67,6 +67,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(col, F.col(col).cast("timestamp"))
         elif name == "events" and isinstance(t, TimestampNTZType):
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    # The nanosAsLong flag above is a silent-corruption hazard: a NEW
+    # ns-encoded timestamp column (one the ts_cols map doesn't know
+    # about yet) would come back as a raw int64 of nanoseconds and flow
+    # into date arithmetic as a huge integer. Fail loudly instead:
+    # any remaining LongType column with a timestamp-shaped name means
+    # the corpus drifted again and the map needs a new entry.
+    suspicious = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, LongType)
+        and f.name not in ts_cols
+        and (
+            f.name == "ts"
+            or f.name.endswith(("_ts", "_at", "date", "time"))
+        )
+    ]
+    if suspicious:
+        raise TypeError(
+            f"table {name!r}: column(s) {suspicious} are LongType but "
+            "named like timestamps — likely a TIMESTAMP(NANOS) column "
+            "surfaced by spark.sql.legacy.parquet.nanosAsLong that "
+            "load_table's ts_cols map doesn't cover. Add them to "
+            "ts_cols so they are normalized, not silently numeric."
+        )
     return df
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -93,23 +94,57 @@ def read_snapshot(
     return spark.read.parquet(vdir)
 
 
-def vacuum(table_path: str, keep_last: int = 2) -> list[int]:
-    """Delete all but the newest ``keep_last`` PUBLISHED-or-older
-    versions plus any orphan (never-published, higher-than-pointer)
-    directories from crashed writes. Never deletes the published
-    version. Returns the versions removed."""
+def _dir_mtime(path: str) -> float:
+    """Newest mtime under a version directory (the directory itself or
+    any file in it) — a still-being-written version keeps advancing."""
+    newest = os.path.getmtime(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+            except OSError:
+                pass  # file vanished mid-walk; its writer is active anyway
+    return newest
+
+
+def vacuum(
+    table_path: str,
+    keep_last: int = 2,
+    orphan_grace_seconds: float = 24 * 3600,
+) -> list[int]:
+    """Delete old versions, keeping the newest ``keep_last`` PUBLISHED
+    versions (the keep set is built from published-or-older directories
+    only, so crash debris occupying the top version numbers can never
+    evict real history from retention). Never deletes the published
+    version. Returns the versions removed.
+
+    Directories above the published pointer are either crash debris or
+    another writer's in-flight version — indistinguishable by listing
+    alone. Matching Delta/Iceberg retention semantics, they are only
+    reaped once untouched for ``orphan_grace_seconds`` (newest mtime in
+    the tree): a live writer advances mtimes far faster than any sane
+    grace period, while debris from a crashed run ages out. Pass ``0``
+    only when the caller can guarantee no concurrent writer."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     published = latest_version(table_path)
-    removed = []
-    keep = set(_version_dirs(table_path)[-keep_last:])
+    dirs = _version_dirs(table_path)
+    history = [v for v in dirs if published is not None and v <= published]
+    keep = set(history[-keep_last:])
     if published is not None:
         keep.add(published)
-        # orphans above the pointer are crash debris, not history
-        keep -= {v for v in keep if v > published}
-        keep.add(published)
-    for v in _version_dirs(table_path):
-        if v not in keep:
-            shutil.rmtree(os.path.join(table_path, f"v={v}"))
-            removed.append(v)
+    removed = []
+    now = time.time()
+    for v in dirs:
+        if v in keep:
+            continue
+        vdir = os.path.join(table_path, f"v={v}")
+        if published is None or v > published:
+            try:
+                if now - _dir_mtime(vdir) < orphan_grace_seconds:
+                    continue  # possibly in-flight: leave it
+            except OSError:
+                continue  # vanished or racing writer: leave it
+        shutil.rmtree(vdir)
+        removed.append(v)
     return removed

@@ -48,9 +48,15 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle computes the identical banding arithmetically — same
     result, which is the point: the join-side derivation must agree
-    with the closed form."""
+    with the closed form. The band table's extent is derived from the
+    data max (one 1-row aggregate, same pattern as q_ts_gapfill's
+    spine bounds) rather than a hardcoded 10 bands: sf0.1's max price
+    was 499993.18 — a 0.001% margin under the old [0, 500000) cap, and
+    one order past it would silently drop on the Spark side only."""
     o = load_table(spark, sf_dir, "orders")
-    bands = spark.range(0, 10).select(
+    max_price = o.agg(F.max("o_totalprice")).first()[0] or 0.0
+    n_bands = int(max_price // 50000.0) + 1
+    bands = spark.range(0, n_bands).select(
         F.col("id").alias("band_id"),
         (F.col("id") * 50000.0).alias("band_lo"),
         ((F.col("id") + 1) * 50000.0).alias("band_hi"),

@@ -92,3 +92,25 @@ def test_load_events_tolerates_date_typed_ts(spark, tmp_path):
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
     got = [r["ts"] for r in df.orderBy("event_id").collect()]
     assert got == [dt.datetime.combine(t.date(), dt.time()) for t in TS]
+
+
+def test_load_rejects_unknown_nanos_column_loudly(spark, tmp_path):
+    """A NEW ns-encoded timestamp column (not in load_table's ts_cols
+    map) must raise, not flow downstream as a silent int64 of
+    nanoseconds (the nanosAsLong hazard flagged in round-3 ADVICE)."""
+    ts_us = [
+        int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for t in TS
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "ingested_at": pa.array([v * 1000 for v in ts_us], pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "events.parquet"))
+    with pytest.raises(TypeError, match="ingested_at"):
+        load_table(spark, str(tmp_path), "events").schema

@@ -59,3 +59,35 @@ def test_vacuum_keeps_published_and_bounds_history(spark, table):
     assert read_snapshot(spark, table, version=3).count() == 5
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, table, version=1)
+
+
+def test_vacuum_spares_recent_orphans_reaps_aged_ones(spark, table):
+    """A directory above the published pointer may be another writer's
+    in-flight version: vacuum must leave it alone until it has been
+    untouched for the grace period, then reap it as crash debris."""
+    n = load_table(spark, SMOKE_SF_DIR, "nation")
+    write_snapshot(n, table)
+    orphan = os.path.join(table, "v=9")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("in-flight")
+    assert vacuum(table, keep_last=1) == []  # fresh: possibly in-flight
+    assert os.path.isdir(orphan)
+    old = 1e9  # epoch 2001 — far past any grace period
+    os.utime(orphan, (old, old))
+    os.utime(os.path.join(orphan, "part-0.parquet"), (old, old))
+    assert vacuum(table, keep_last=1) == [9]
+    assert not os.path.isdir(orphan)
+    assert read_snapshot(spark, table).count() == 25  # published untouched
+
+
+def test_vacuum_orphans_do_not_evict_retained_history(spark, table):
+    """keep_last counts PUBLISHED versions: debris occupying the top
+    version numbers must not shrink the retained history window."""
+    n = load_table(spark, SMOKE_SF_DIR, "nation")
+    write_snapshot(n.limit(10), table)  # v=1
+    write_snapshot(n.limit(5), table)   # v=2 (published)
+    os.makedirs(os.path.join(table, "v=3"))  # fresh orphan above pointer
+    assert vacuum(table, keep_last=2) == []
+    assert read_snapshot(spark, table, version=1).count() == 10  # retained
+    assert read_snapshot(spark, table, version=2).count() == 5

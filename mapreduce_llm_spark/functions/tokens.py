@@ -4,8 +4,15 @@ Mirrors the reference's estimation surface (reference
 internal/cli/estimation.go:13-36 — cl100k_base token count; :39-44 —
 the 4-model input-cost table, kept verbatim below).
 
-tiktoken is not available in this container, so ``count_tokens`` uses a
-deterministic BPE-ish approximation when the import fails: each
+Counter resolution order: a custom counter installed via
+``set_token_counter`` > tiktoken (if importable) > the pure-Python
+cl100k BPE in functions/bpe.py (exact algorithm; activates when a
+vocabulary file is supplied via SPARK_GRAFT_CL100K_PATH or
+``install_cl100k_from_file`` — the vocab data itself can't be vendored
+offline) > the deterministic heuristic below.
+
+With none of the exact encoders available, ``count_tokens`` uses a
+deterministic BPE-ish approximation: each
 whitespace-delimited word contributes max(1, ceil(len/4)) tokens
 (≈4 chars per BPE token, the published cl100k rule of thumb);
 punctuation is counted as part of the word it touches, not separately
@@ -28,6 +35,35 @@ try:  # pragma: no cover - container has no tiktoken
     _ENC = tiktoken.get_encoding("cl100k_base")
 except Exception:  # ImportError or download failure
     _ENC = None
+
+# Exact cl100k without tiktoken: the BPE *algorithm* is implemented in
+# functions/bpe.py (pure Python, tiktoken-compatible); only the ~1.7 MB
+# vocabulary file can't be vendored offline. If one is provided, use it
+# ahead of the heuristic (but below tiktoken, which is Rust-fast).
+import os as _os
+
+_BPE = None
+_cl100k_path = _os.environ.get("SPARK_GRAFT_CL100K_PATH")
+if _ENC is None and _cl100k_path and _os.path.exists(_cl100k_path):
+    from mapreduce_llm_spark.functions.bpe import (
+        BytePairEncoder,
+        load_tiktoken_ranks,
+    )
+
+    _BPE = BytePairEncoder(load_tiktoken_ranks(_cl100k_path))
+
+
+def install_cl100k_from_file(path: str) -> None:
+    """Load a ``.tiktoken``-format cl100k vocabulary file and make the
+    pure-Python BPE the active counter (equivalent to setting
+    SPARK_GRAFT_CL100K_PATH before import)."""
+    global _BPE
+    from mapreduce_llm_spark.functions.bpe import (
+        BytePairEncoder,
+        load_tiktoken_ranks,
+    )
+
+    _BPE = BytePairEncoder(load_tiktoken_ranks(path))
 
 # chars-per-token heuristic used when tiktoken is absent
 _CHARS_PER_TOKEN = 4
@@ -61,6 +97,8 @@ def count_tokens_str(text: str) -> int:
         return _CUSTOM_COUNTER(text)
     if _ENC is not None:
         return len(_ENC.encode(text))
+    if _BPE is not None:
+        return _BPE.count(text)
     if not text:
         return 0
     n = 0

@@ -1,0 +1,124 @@
+"""Pure-Python byte-level BPE: algorithm correctness without the
+cl100k vocabulary data (which is environment-blocked — no network, no
+tiktoken wheel). The algorithm itself is fully testable: rank-ordered
+merging on hand-built vocabularies, the published cl100k
+pre-tokenization regex, the .tiktoken file format, and pickling for
+Spark UDF closures. Exact-parity tests against tiktoken auto-skip
+where tiktoken is absent and run the moment it (or a vocab file) is
+provided."""
+
+from __future__ import annotations
+
+import base64
+import pickle
+
+import pytest
+
+from mapreduce_llm_spark.functions.bpe import (
+    CL100K_PATTERN,
+    BytePairEncoder,
+    load_tiktoken_ranks,
+)
+
+# Toy byte vocab: single bytes + a few merges, enough to discriminate
+# BPE's lowest-rank-first order from greedy longest-prefix matching.
+TOY = {b"a": 0, b"b": 1, b"c": 2, b"d": 3, b"bc": 4, b"ab": 5, b"cd": 6, b"abcd": 7}
+
+
+def enc(ranks=None, pattern=r"\S+|\s+"):
+    return BytePairEncoder(ranks or dict(TOY), pattern=pattern)
+
+
+def test_merge_order_is_by_rank_not_longest_prefix():
+    # "abc": pair ranks ab=5, bc=4 → bc merges FIRST (lower rank),
+    # leaving [a, bc] = [0, 4]. Greedy longest-prefix would emit
+    # [ab, c] = [5, 2] — the wrong answer BPE exists to avoid.
+    assert enc().encode("abc") == [0, 4]
+
+
+def test_cascading_merges_reach_whole_piece_token():
+    # ab(5) and cd(6) merge, then abcd(7): one token.
+    assert enc().encode("abcd") == [7]
+
+
+def test_unmergeable_bytes_fall_back_to_singletons():
+    assert enc().encode("dcba") == [3, 2, 1, 0]
+
+
+def test_missing_single_byte_raises_loudly():
+    # A truncated vocabulary must not produce silently wrong counts.
+    with pytest.raises(KeyError):
+        enc().encode("axe")
+
+
+def test_count_and_decode_round_trip():
+    e = enc({**TOY, b" ": 8})
+    ids = e.encode("abcd dcba")
+    assert e.count("abcd dcba") == len(ids)
+    assert e.decode(ids) == "abcd dcba"
+
+
+def test_encoder_pickles_for_udf_closures():
+    e = enc()
+    e.pieces("warm up the lazy regex")  # compiled state must not break pickle
+    clone = pickle.loads(pickle.dumps(e))
+    assert clone.encode("abc") == e.encode("abc")
+
+
+def test_cl100k_pretokenizer_splits_like_the_published_pattern():
+    e = BytePairEncoder({}, pattern=CL100K_PATTERN)
+    assert e.pieces("Hello world123 it's\n\n done") == [
+        "Hello", " world", "123", " it", "'s", "\n\n", " done",
+    ]
+    # digits chunk in groups of ≤3; punctuation binds its leading space
+    assert e.pieces("year 2024!") == ["year", " ", "202", "4", "!"]
+
+
+def test_tiktoken_file_format_loader(tmp_path):
+    p = tmp_path / "toy.tiktoken"
+    lines = [
+        base64.b64encode(tok).decode() + " " + str(rank)
+        for tok, rank in TOY.items()
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    assert load_tiktoken_ranks(str(p)) == TOY
+
+
+def test_vocab_file_installs_into_token_seam(tmp_path):
+    from mapreduce_llm_spark.functions import tokens as T
+
+    p = tmp_path / "toy.tiktoken"
+    vocab = {**TOY, b" ": 8}
+    p.write_text(
+        "\n".join(
+            base64.b64encode(t).decode() + " " + str(r) for t, r in vocab.items()
+        )
+    )
+    baseline = T.count_tokens_str("abcd abc")
+    T.install_cl100k_from_file(str(p))
+    try:
+        # cl100k pattern: "abcd" + " abc" → [abcd] + [space-merge-less
+        # pieces]: " abc" has no space-letter merges in the toy vocab,
+        # so it splits to " ", then a,bc → 4 tokens total... compute:
+        # "abcd" → [7]; " abc" piece → bytes " abc": no pair with the
+        # space merges, bc(4) merges → [" ", "a", "bc"] → 3 ids.
+        assert T.count_tokens_str("abcd abc") == 4
+        assert T.count_tokens_str("abcd abc") != baseline or baseline == 4
+    finally:
+        T._BPE = None  # restore heuristic for other tests
+
+
+def test_exact_parity_with_tiktoken_when_available():
+    """Bit-for-bit ID parity with tiktoken's cl100k_base — the real
+    point of the module. Auto-skips in this container (no tiktoken, no
+    vocab); runs unchanged wherever either exists."""
+    tiktoken = pytest.importorskip("tiktoken")
+    real = tiktoken.get_encoding("cl100k_base")
+    ranks = real._mergeable_ranks
+    mine = BytePairEncoder(ranks)
+    for text in (
+        "Hello world, it's 2024 — naïve tokenizers beware!\n\n",
+        "    indented code():\n        return 'x'\n",
+        "emoji 🙂 and CJK 你好 mix",
+    ):
+        assert mine.encode(text) == real.encode_ordinary(text)

@@ -5,14 +5,15 @@ Design: media lives in a ``content: binary`` column with a metadata
 struct (media_type, width/height or sample_rate/duration, codec).
 Everything Spark-side is real and tested — schemas, partition-friendly
 batch processing through ``mapInPandas``, Arrow binary transfer, UDF
-signatures — while the codec boundary is explicit:
+signatures — and the codec boundary is explicit:
 
-- ``decode_media`` for real formats (JPEG/PNG/WAV/...) raises
-  ``NotImplementedError`` — the image/audio libraries are not in this
-  container (STUB, clearly marked);
-- the deterministic ``RAW1`` fake format (header + payload) stands in
-  for decoded media so the full pipeline — decode → feature-extract /
-  resize / frame-sample — runs end-to-end in tests with real bytes.
+- PNG and WAV decode for real, pure-stdlib (operators/codecs.py:
+  zlib inflate + scanline unfilter; RIFF/PCM parse) — the mm queries
+  run on genuine format bytes end-to-end;
+- JPEG/MP4 raise ``NotImplementedError`` — DCT/entropy decoding
+  genuinely needs external libraries not in this container;
+- the deterministic ``RAW1`` fake format (header + payload) remains as
+  the minimal-overhead envelope for synthetic pipeline tests.
 
 At 100 TB: binary columns ride parquet byte arrays; mapInPandas
 processes them batch-at-a-time per partition with no shuffle, so
@@ -52,27 +53,50 @@ def decode_raw1(content: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_media(content: bytes, codec: str) -> np.ndarray:
-    """Codec boundary for REAL formats.
+    """Codec boundary → flat uint8 intensity array (what the
+    histogram/feature stages consume).
 
-    STUB: decoding JPEG/PNG/WAV/MP4 requires image/audio libraries that
-    are not in this container. The Spark-side plumbing (schema, batch
-    shape, partitioning) is identical for real codecs — swap this
-    function's body for PIL/soundfile/ffmpeg in a full deployment.
+    Real formats decoded pure-stdlib (operators/codecs.py): PNG (zlib
+    inflate + scanline unfilter) and WAV (RIFF/PCM), plus the
+    deterministic RAW1 test format. WAV samples are mapped from int16
+    to the uint8 intensity domain here (the audio-native path,
+    ``audio_features``, decodes at full int16 fidelity instead).
+    JPEG/MP4 stay behind ``NotImplementedError`` — their DCT/entropy
+    stacks genuinely need external libraries; swap this function's
+    body for PIL/ffmpeg in a full deployment.
     """
     if codec == "raw1":
         return decode_raw1(content)[2]
+    if codec == "png":
+        from mapreduce_llm_spark.operators.codecs import decode_png
+
+        return decode_png(content)[3].reshape(-1)
+    if codec == "wav":
+        from mapreduce_llm_spark.operators.codecs import decode_wav
+
+        samples = decode_wav(content)[2]
+        return ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
     raise NotImplementedError(
-        f"codec {codec!r}: real media decoding needs external libraries "
-        "not present in this environment (PIL/soundfile/ffmpeg)"
+        f"codec {codec!r}: decoding needs external libraries not present "
+        "in this environment (PIL/ffmpeg)"
     )
 
 
-def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Derive a deterministic RAW1 media corpus from any id column:
-    media i is a (16+i%16)×(16+(i//16)%16) 'image' whose payload bytes
-    are a fixed function of the id. Real binary columns, fake pixels."""
+def synthesize_media(
+    docs: DataFrame, id_col: str = "doc_id", codec: str = "raw1"
+) -> DataFrame:
+    """Derive a deterministic media corpus from any id column: media i
+    is a (16+i%16)×(16+(i//16)%16) grayscale 'image' whose pixel bytes
+    are a fixed function of the id. ``codec='raw1'`` wraps the pixels
+    in the raw test envelope; ``codec='png'`` writes REAL PNG files
+    (stdlib encoder, operators/codecs.py), so downstream decode
+    exercises inflate + unfilter on genuine format bytes."""
+    if codec not in ("raw1", "png"):
+        raise ValueError(f"synthesize_media codec must be raw1|png, got {codec!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduce_llm_spark.operators.codecs import encode_png
+
         for pdf in batches:
             rows = {k: [] for k in (
                 "media_id", "media_type", "codec", "width", "height",
@@ -82,14 +106,19 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(i)
                 w, h = 16 + i % 16, 16 + (i // 16) % 16
                 rng = np.random.RandomState(i % (2**31))
-                payload = rng.randint(0, 256, w * h, dtype=np.uint8).tobytes()
+                payload = rng.randint(0, 256, w * h, dtype=np.uint8)
+                content = (
+                    encode_png(payload.reshape(h, w), channels=1)
+                    if codec == "png"
+                    else encode_raw1(w, h, payload.tobytes())
+                )
                 rows["media_id"].append(i)
                 rows["media_type"].append("image")
-                rows["codec"].append("raw1")
+                rows["codec"].append(codec)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["sample_rate"].append(0)
-                rows["content"].append(encode_raw1(w, h, payload))
+                rows["content"].append(content)
             yield pd.DataFrame(rows)
 
     return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
@@ -175,13 +204,18 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def synthesize_audio(docs: DataFrame, id_col: str = "doc_id", n_samples: int = 4096,
-                     sample_rate: int = 16000) -> DataFrame:
-    """Deterministic fake waveforms (int16 little-endian payload in the
-    RAW1 envelope, width=n_samples, height=1): each doc id seeds a sum
-    of two sine tones, so every stage downstream is reproducible. The
-    audio twin of synthesize_media — same schema, sample_rate set."""
+                     sample_rate: int = 16000, codec: str = "raw1") -> DataFrame:
+    """Deterministic waveforms: each doc id seeds a sum of two sine
+    tones, so every stage downstream is reproducible. ``codec='raw1'``
+    carries the int16 PCM in the raw test envelope (width=n_samples,
+    height=1); ``codec='wav'`` writes REAL RIFF/PCM WAV files (stdlib
+    encoder). The audio twin of synthesize_media — same schema."""
+    if codec not in ("raw1", "wav"):
+        raise ValueError(f"synthesize_audio codec must be raw1|wav, got {codec!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduce_llm_spark.operators.codecs import encode_wav
+
         for pdf in batches:
             rows = {k: [] for k in (
                 "media_id", "media_type", "codec", "width", "height",
@@ -190,14 +224,19 @@ def synthesize_audio(docs: DataFrame, id_col: str = "doc_id", n_samples: int = 4
                 t = np.arange(n_samples, dtype=np.float64) / sample_rate
                 f1, f2 = 200 + (int(mid) % 17) * 20, 1000 + (int(mid) % 5) * 100
                 wave = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
-                pcm = (wave * 32767).astype("<i2").tobytes()
+                pcm = (wave * 32767).astype("<i2")
+                content = (
+                    encode_wav(pcm, sample_rate)
+                    if codec == "wav"
+                    else encode_raw1(n_samples, 1, pcm.tobytes())
+                )
                 rows["media_id"].append(int(mid))
                 rows["media_type"].append("audio")
-                rows["codec"].append("raw1")
+                rows["codec"].append(codec)
                 rows["width"].append(n_samples)
                 rows["height"].append(1)
                 rows["sample_rate"].append(sample_rate)
-                rows["content"].append(encode_raw1(n_samples, 1, pcm))
+                rows["content"].append(content)
             yield pd.DataFrame(rows)
 
     return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
@@ -206,15 +245,24 @@ def synthesize_audio(docs: DataFrame, id_col: str = "doc_id", n_samples: int = 4
 def audio_features(media: DataFrame) -> DataFrame:
     """Waveform features per clip: RMS energy, peak, zero-crossing
     count — the audio analogue of extract_features; one Arrow batch in,
-    one numpy pass per clip, no shuffle."""
+    one numpy pass per clip, no shuffle. Decodes WAV content at full
+    int16 fidelity via the stdlib codec; RAW1 payloads are raw PCM."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduce_llm_spark.operators.codecs import decode_wav
+
         for pdf in batches:
             out = {k: [] for k in (
                 "media_id", "n_samples", "rms", "peak", "zero_crossings")}
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                _, _, raw = decode_raw1(bytes(content))
-                wave = np.frombuffer(raw.tobytes(), dtype="<i2").astype(np.float64) / 32767
+            for mid, content, codec in zip(
+                pdf["media_id"], pdf["content"], pdf["codec"]
+            ):
+                if codec == "wav":
+                    pcm = decode_wav(bytes(content))[2]
+                else:
+                    _, _, raw = decode_raw1(bytes(content))
+                    pcm = np.frombuffer(raw.tobytes(), dtype="<i2")
+                wave = pcm.astype(np.float64) / 32767
                 out["media_id"].append(int(mid))
                 out["n_samples"].append(len(wave))
                 out["rms"].append(round(float(np.sqrt(np.mean(wave**2))), 6))
@@ -222,6 +270,6 @@ def audio_features(media: DataFrame) -> DataFrame:
                 out["zero_crossings"].append(int(np.sum(np.diff(np.sign(wave)) != 0)))
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "content").mapInPandas(
+    return media.select("media_id", "codec", "content").mapInPandas(
         feats, schema=AUDIO_FEATURE_SCHEMA
     )

@@ -454,16 +454,17 @@ def q_llm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_mm_features")
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing as a declared operator: derive a
-    deterministic RAW1 binary media corpus from documents ids, decode,
-    and extract per-media feature vectors (operators/multimodal.py).
-    Rows-only: the binary payload/codec path isn't SQL-expressible."""
+    deterministic media corpus from documents ids encoded as REAL PNG
+    files (stdlib codec), decode (zlib inflate + unfilter), and extract
+    per-media feature vectors (operators/multimodal.py). Rows-only:
+    the binary payload/codec path isn't SQL-expressible."""
     from mapreduce_llm_spark.operators.multimodal import (
         extract_features,
         synthesize_media,
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    feats = extract_features(synthesize_media(d))
+    feats = extract_features(synthesize_media(d, codec="png"))
     return feats.select(
         "media_id",
         "n_bytes",
@@ -617,7 +618,8 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_mm_audio")
 def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio multimodal shape: deterministic synthetic waveforms →
+    """Audio multimodal shape: deterministic synthetic waveforms
+    encoded as REAL PCM WAV files (stdlib codec) → RIFF parse →
     per-clip RMS/peak/zero-crossing features (rows-only — binary
     payloads have no SQL twin; determinism comes from the seeded
     synthesis)."""
@@ -629,4 +631,4 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 200
     )
-    return audio_features(synthesize_audio(d)).orderBy("media_id")
+    return audio_features(synthesize_audio(d, codec="wav")).orderBy("media_id")

@@ -146,6 +146,11 @@ def test_dedup_queries_release_their_caches(spark):
     """The registered fuzzy/ngram dedup queries must not leak cached
     DataFrames into the session's cache manager (VERDICT r3 item 3):
     the operators eagerly materialize and unpersist internally."""
+    # the session is shared across the suite and other operators cache
+    # legitimately (e.g. the IVF index); start from a clean slate so
+    # the assertion measures THESE queries' behavior (clearing is safe:
+    # Spark caching is transparent to correctness)
+    spark.catalog.clearCache()
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     for name in ("q_dedup_fuzzy", "q_dedup_ngram"):
         df = registry.QUERIES[name](spark, SF_DIR)

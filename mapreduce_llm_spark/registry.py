@@ -50,16 +50,17 @@ DRIVER_PRIORITY: list[str] = [
     "q_fn_levenshtein", "q_agg_moments", "q_agg_bitops", "q_fn_encoding",
     "q_join_nullsafe", "q_explode_outer", "q_fn_variant", "q_fn_date_arith",
     "q_tpch_q2_shape",
-    # (4) round-4 additions (oracle-backed) — extended as they land
+    # (4) round-4 additions (oracle-backed)
+    "q_pivot_status", "q_unpivot_metrics", "q_agg_mode",
+    "q_agg_string_agg", "q_ts_ohlc", "q_cohort_retention",
+    "q_funnel_conversion", "q_basket_pairs", "q_agg_mad",
+    "q_join_asof_fwd",
     # (5) re-confirmation back-fill (green in earlier rounds)
     "q_tpch_q3_shape", "q_tpch_q5_shape", "q_tpch_q10_shape",
-    "q_tpch_q12_shape", "q_tpch_q14_shape", "q_tpch_q18_shape",
-    "q_tpch_q19_shape", "q_dedup_exact", "q_dedup_ngram",
-    "q_dedup_incremental", "q_graph_components", "q_sim_search",
-    "q_sim_rerank", "q_text_stats", "q_cost_estimate",
+    "q_tpch_q18_shape", "q_dedup_exact", "q_dedup_ngram",
+    "q_graph_components", "q_sim_search",
     "q_join_asof", "q_evt_sessionize", "q_tokenize_ids",
-    "q_agg_basic", "q_join_inner", "q_win_rank", "q_union_all",
-    "q_fn_string",
+    "q_agg_basic", "q_win_rank",
     # (6) rows-only, never driver-run (weaker rows-only gate)
     "q_graph_pagerank", "q_agg_sketch_union", "q_dedup_simhash",
     "q_sim_join", "q_sim_ann_topk",
@@ -90,6 +91,7 @@ def load_all() -> None:
     from mapreduce_llm_spark.queries import (  # noqa: F401
         aggregations,
         analytics_extra,
+        analytics_r4,
         embedding_stats,
         events,
         functions_queries,

@@ -481,3 +481,59 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
 def plan_of_df(spark, df, mode: str = "simple") -> str:
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
+
+
+# ---- round-4 queries: scale claims pinned ---------------------------------
+
+
+def test_ohlc_is_single_shuffle_with_partial_minby(spark):
+    """q_ts_ohlc's open/close ride the SAME aggregation as high/low —
+    partial min_by/max_by before one hash shuffle, no window pass."""
+    plan = plan_of(spark, "q_ts_ohlc")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_cohort_retention_has_no_self_join(spark):
+    """The per-user first timestamp is a window min — one shuffle on
+    user_id — not a grouped-min self-join (which would shuffle the
+    event rows twice and join them back)."""
+    plan = plan_of(spark, "q_cohort_retention")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # window + agg
+    assert "partial_count(distinct" in plan  # map-side distinct combine
+
+
+def test_basket_pairs_topk_and_keyed_join(spark):
+    """Pair counting joins on the order key (quadratic only within an
+    order) and takes top-20 via TakeOrdered — no global sort, no
+    cross product."""
+    plan = plan_of(spark, "q_basket_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_broadcasts_group_medians(spark):
+    """q_agg_mad's second pass joins the tiny per-group median table
+    back by broadcast — the fact rows never shuffle for the join."""
+    plan = plan_of(spark, "q_agg_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_fwd_single_shuffle_no_join(spark):
+    """Forward as-of = union + forward-window min: one shuffle on the
+    key, no candidate join (same scalable shape as q_join_asof)."""
+    plan = plan_of(spark, "q_join_asof_fwd")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark):
+    """Unpivot lowers to Expand — a zero-shuffle row fan-out; the only
+    exchange in the plan is the upstream aggregation's."""
+    plan = plan_of(spark, "q_unpivot_metrics")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

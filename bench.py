@@ -68,6 +68,13 @@ HEADLINE = [
     "q_ts_gapfill",
     "q_fn_variant",
     "q_agg_decimal_exact",
+    # round 4: reshaping + behavioral analytics + robust stats
+    "q_pivot_status",
+    "q_ts_ohlc",
+    "q_cohort_retention",
+    "q_basket_pairs",
+    "q_agg_mad",
+    "q_join_asof_fwd",
 ]
 
 

@@ -505,14 +505,15 @@ def test_cohort_retention_has_no_self_join(spark):
     assert "partial_count(distinct" in plan  # map-side distinct combine
 
 
-def test_basket_pairs_topk_and_keyed_join(spark):
-    """Pair counting joins on the order key (quadratic only within an
-    order) and takes top-20 via TakeOrdered — no global sort, no
-    cross product."""
+def test_basket_pairs_is_join_free_pair_expansion(spark):
+    """Pair counting collects each order's item set in ONE shuffle and
+    expands C(k,2) pairs with array transforms — no self-join at all —
+    then takes top-20 via TakeOrdered (no global sort)."""
     plan = plan_of(spark, "q_basket_pairs")
+    assert "Join" not in plan
+    assert "Generate explode" in plan
     assert "TakeOrderedAndProject" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # collect + count
 
 
 def test_mad_broadcasts_group_medians(spark):

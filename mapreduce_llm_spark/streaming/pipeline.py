@@ -66,6 +66,32 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def ohlc_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of q_ts_ohlc: watermarked 15-minute OHLC bars —
+    the hypertable continuous-aggregate shape. Open/close are
+    ``min_by``/``max_by`` over the composite (ts, event_id) key inside
+    the same watermarked aggregation as high/low/count, so each bar is
+    one state-store row that the watermark eventually finalizes and
+    evicts; state is bounded by (watermark horizon / bar width) bars
+    per partition regardless of stream length."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "open", "high", "low", "close", "n_ticks",
+        )
+    )
+
+
 def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
     """Streaming twin of q_evt_session: native session windows."""
     return (

@@ -122,3 +122,56 @@ def test_exact_parity_with_tiktoken_when_available():
         "emoji 🙂 and CJK 你好 mix",
     ):
         assert mine.encode(text) == real.encode_ordinary(text)
+
+
+# ---- property tests (hypothesis) ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _full_byte_vocab_with_merges() -> dict[bytes, int]:
+    """All 256 single bytes (ranks 0-255) plus a deterministic set of
+    multi-byte merges over common ASCII pairs — enough structure for
+    merging to actually happen on random ASCII input."""
+    ranks: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+    rank = 256
+    for pair in (b"th", b"he", b"in", b"er", b"an", b"the", b"ing", b"  "):
+        ranks[pair] = rank
+        rank += 1
+    return ranks
+
+
+_PROP_ENC = BytePairEncoder(_full_byte_vocab_with_merges(), pattern=r"[\s\S]+")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_bpe_round_trip_is_lossless(text):
+    """decode(encode(x)) == x for arbitrary unicode input: merging can
+    never lose or reorder bytes, and every byte is reachable (the
+    256-byte base vocab guarantees no KeyError)."""
+    assert _PROP_ENC.decode(_PROP_ENC.encode(text)) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_bpe_tokens_never_exceed_bytes(text):
+    """Token count is bounded above by the UTF-8 byte length (merges
+    only shrink) and below by 1 for non-empty input."""
+    n = _PROP_ENC.count(text)
+    assert n <= len(text.encode("utf-8"))
+    if text:
+        assert n >= 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="the ring", max_size=60))
+def test_bpe_every_emitted_id_is_a_vocab_token_covering_input(text):
+    """Concatenating the byte strings of the emitted ids reconstructs
+    the exact UTF-8 input — the structural invariant of byte-level BPE
+    (tokens tile the input, no gaps, no overlaps)."""
+    ranks = _PROP_ENC.ranks
+    inv = {v: k for k, v in ranks.items()}
+    ids = _PROP_ENC.encode(text)
+    assert b"".join(inv[i] for i in ids) == text.encode("utf-8")

@@ -432,3 +432,31 @@ def test_stream_session_append_matches_batch(spark, events_dir, tmp_path):
     }
     assert len(g) == got.count() and len(b) == batch.count()
     assert g == b and len(b) > 0
+
+
+def test_stream_ohlc_matches_batch_query(spark, events_dir):
+    """Complete-mode streaming OHLC bars must equal the batch q_ts_ohlc
+    computed over the same events — including the min_by/max_by
+    open/close tie-breaks, which must behave identically under
+    micro-batch incremental aggregation (partial states merge across
+    batches in arrival order, so a wrong merge would surface here)."""
+    from mapreduce_llm_spark.streaming.pipeline import ohlc_stream
+
+    stream = stream_events(spark, events_dir, max_files_per_trigger=2)
+    got = run_to_memory(ohlc_stream(stream), "t_ohlc", output_mode="complete")
+    e = load_table(spark, SMOKE_SF_DIR, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    batch = (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "open", "high", "low", "close", "n_ticks")
+    )
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b and len(b) > 0

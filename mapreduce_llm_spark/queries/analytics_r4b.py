@@ -1,0 +1,327 @@
+"""Round-4b surface widening: sequence analytics (Markov transition
+matrix, run-length islands), time-weighted aggregation, exponential
+moving average, deterministic weighted sampling (Efraimidis–Spirakis),
+and per-dimension embedding statistics.
+
+These are the event-stream / curation shapes a training-data pipeline
+runs after the basics: "what does a user do next" (transitions), "how
+long do states persist" (islands), "what is the signal worth weighted
+by exposure time" (TWA), "smooth the series" (EWMA), "sample the
+corpus proportionally to quality weight" (weighted sample), and
+"profile the embedding space per dimension" (dim stats).
+
+Oracle discipline per CLAUDE.md: identical aliases both sides,
+4-decimal rounding on float aggregates, BIGINT casts where DuckDB
+widens to HUGEINT, `+ 0.0` where a rounded value can hit -0.0,
+deterministic tie-breaks on every window/limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type,
+           event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_trans,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 4)
+               AS p_trans
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: lag() pairs each event with its predecessor, then one
+    grouped count per (prev, next) plus a window-sum to normalize rows
+    into probabilities. Two shuffles total — one on user_id for the
+    sequence pairing, one on the (tiny) k×k transition key — and the
+    normalizing window runs over ≤ k² rows, so at 100 TB the cost is
+    the user_id shuffle, identical to sessionization."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "p_trans",
+            F.round(F.col("n_trans") / F.sum("n_trans").over(wnorm), 4),
+        )
+        .select("prev_type", "next_type", "n_trans", "p_trans")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH step AS (
+        SELECT user_id, value,
+               date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dur_us) / sum(dur_us), 4) AS twa_value,
+           CAST(sum(dur_us) AS BIGINT)                 AS span_us
+    FROM step
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (sensor/finance semantics): each reading
+    holds until the next one, so its weight is the microsecond gap to
+    the successor (lead), and the last reading of a stream carries no
+    weight. One shuffle on user_id serves both the lead() window and
+    the final aggregation (Catalyst reuses the partitioning), so the
+    shape is a single-pass per-key scan at any scale. The oracle's
+    HUGEINT sum of gaps is pinned back to BIGINT per the CLAUDE.md
+    widening rule."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.withColumn(
+        "dur_us",
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twa_value"),
+            F.sum("dur_us").alias("span_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EWMA_DECAY = 0.7
+_EWMA_TERMS = 8
+_EWMA_SQL_NUM = " + ".join(
+    f"lag(value, {k}) OVER w * power(CAST({_EWMA_DECAY} AS DOUBLE), {k})"
+    for k in range(_EWMA_TERMS)
+)
+_EWMA_SQL_DEN = " + ".join(
+    f"power(CAST({_EWMA_DECAY} AS DOUBLE), {k})" for k in range(_EWMA_TERMS)
+)
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    WITH smoothed AS (
+        SELECT user_id, event_id,
+               row_number() OVER w AS rn,
+               ({_EWMA_SQL_NUM}) / ({_EWMA_SQL_DEN}) AS ewma_raw
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, round(ewma_raw, 4) AS ewma_value
+    FROM smoothed
+    WHERE rn >= {_EWMA_TERMS}
+    ORDER BY user_id, event_id
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average, truncated to the last 8
+    observations (decay 0.7 ⇒ the dropped tail holds < 6% of the
+    mass). The textbook recursive EWMA is order-dependent state; the
+    truncated form is a finite weighted sum of lag() terms, which
+    keeps it a pure window expression — ONE shuffle on user_id, no
+    self-join, no per-key iteration, and numerically stable at any
+    stream length (the closed-form pow(decay, -rn) cumsum trick
+    overflows past ~2k rows; explicit lags never do). Rows before the
+    window fills (rn < 8) are dropped so both engines aggregate over
+    exactly 8 non-null terms."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = 0.0
+    for k in range(_EWMA_TERMS):
+        term = F.lag("value", k).over(w) * F.lit(_EWMA_DECAY) ** k
+        num = term if num is None else num + term
+        den += _EWMA_DECAY**k
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            (num / F.lit(den)).alias("ewma_raw"),
+        )
+        .where(F.col("rn") >= _EWMA_TERMS)
+        .select("user_id", "event_id", F.round("ewma_raw", 4).alias("ewma_value"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               ((o_orderkey * 2654435761) % 1000003 + 1) / 1000005.0 AS u
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           round(ln(u) / o_totalprice * 1000000, 4) + 0.0 AS priority_ppm
+    FROM keyed
+    ORDER BY ln(u) / o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): per-row priority ln(u)/w with weight w = o_totalprice, take
+    the global top-k by priority. u is a DETERMINISTIC pseudo-uniform
+    from Knuth multiplicative hashing of the key (pure integer
+    arithmetic, bit-identical in both engines — rand() would be
+    unverifiable), strictly inside (0,1) so ln() is finite. The ln(u)/w
+    form is the numerically safe equivalent of u^(1/w), whose values
+    collapse into 1-ulp-of-1.0 territory for large weights. Executes
+    as TakeOrdered (per-partition top-100 → merge on the driver), no
+    global sort — the canonical distributed-reservoir shape at 100 TB.
+    Priority is reported ×1e6 (4-dp) since raw values are ~1e-5; the
+    oracle's `+ 0.0` normalizes a possible -0.0 per CLAUDE.md."""
+    o = load_table(spark, sf_dir, "orders")
+    u = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1000003) + 1) / F.lit(
+        1000005.0
+    )
+    pr = F.log(u) / F.col("o_totalprice")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round(pr * 1000000, 4).alias("priority_ppm"),
+            pr.alias("_pr"),
+        )
+        .orderBy(F.col("_pr").desc(), "o_orderkey")
+        .limit(100)
+        .drop("_pr")
+    )
+
+
+@query(
+    "q_embed_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT CAST(dim AS BIGINT)           AS dim,
+           CAST(count(*) AS BIGINT)      AS n_vals,
+           round(avg(val), 4) + 0.0      AS mean_val,
+           round(stddev_samp(val), 4)    AS std_val,
+           round(min(val), 4) + 0.0      AS min_val,
+           round(max(val), 4) + 0.0      AS max_val
+    FROM flat
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding space (mean/std/range per
+    coordinate — the feature-drift report a pipeline runs before
+    training): posexplode flattens vectors to (dim, val) rows, then one
+    grouped aggregation keyed on dim. The group count equals the
+    embedding width (tiny), so the shuffle moves only partial
+    aggregates — map-side combine reduces N×width rows to
+    partitions×width before the exchange. Float coordinates are
+    widened to double identically on both sides before any math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.round(F.avg("val"), 4).alias("mean_val"),
+            F.round(F.stddev_samp("val"), 4).alias("std_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "q_runs_islands",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type = lag(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ), grouped AS (
+        SELECT user_id, event_type, ts,
+               CAST(sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS run_id
+        FROM marked
+    )
+    SELECT user_id, run_id, event_type,
+           CAST(count(*) AS BIGINT) AS run_len,
+           min(ts)                  AS run_start
+    FROM grouped
+    GROUP BY user_id, run_id, event_type
+    ORDER BY user_id, run_id
+    """,
+)
+def q_runs_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of consecutive equal states per user (the
+    gaps-and-islands problem, value-change flavor — q_evt_sessionize
+    is the time-gap flavor): a lag() change detector feeds a running
+    sum that numbers each island, then one grouped aggregation per
+    (user, island). All three windows and the final groupBy share the
+    user_id partitioning, so Catalyst plans ONE exchange for the whole
+    query; per-user streams are processed in a single sorted pass
+    regardless of total volume. NULL-vs-value lag comparisons fall to
+    the ELSE branch (3-valued logic) identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.withColumn(
+        "brk",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    grouped = marked.withColumn(
+        "run_id", F.sum("brk").over(wsum).cast("long")
+    )
+    return (
+        grouped.groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("run_start"),
+        )
+        .orderBy("user_id", "run_id")
+    )

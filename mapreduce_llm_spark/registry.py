@@ -55,12 +55,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_agg_string_agg", "q_ts_ohlc", "q_cohort_retention",
     "q_funnel_conversion", "q_basket_pairs", "q_agg_mad",
     "q_join_asof_fwd",
+    "q_markov_transitions", "q_time_weighted_avg", "q_ewma",
+    "q_weighted_sample", "q_embed_dim_stats", "q_runs_islands",
     # (5) re-confirmation back-fill (green in earlier rounds)
-    "q_tpch_q3_shape", "q_tpch_q5_shape", "q_tpch_q10_shape",
-    "q_tpch_q18_shape", "q_dedup_exact", "q_dedup_ngram",
+    "q_tpch_q3_shape", "q_dedup_exact",
     "q_graph_components", "q_sim_search",
-    "q_join_asof", "q_evt_sessionize", "q_tokenize_ids",
-    "q_agg_basic", "q_win_rank",
+    "q_join_asof", "q_tokenize_ids", "q_agg_basic",
     # (6) rows-only, never driver-run (weaker rows-only gate)
     "q_graph_pagerank", "q_agg_sketch_union", "q_dedup_simhash",
     "q_sim_join", "q_sim_ann_topk",
@@ -92,6 +92,7 @@ def load_all() -> None:
         aggregations,
         analytics_extra,
         analytics_r4,
+        analytics_r4b,
         embedding_stats,
         events,
         functions_queries,

@@ -538,3 +538,48 @@ def test_unpivot_is_expand_no_extra_shuffle(spark):
     plan = plan_of(spark, "q_unpivot_metrics")
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_runs_islands_single_exchange(spark):
+    """q_runs_islands' change detector, island numbering, and final
+    per-island aggregation all key on user_id — Catalyst must plan ONE
+    hash exchange for the whole query (windows and groupBy reuse the
+    same partitioning)."""
+    plan = plan_of(spark, "q_runs_islands")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_is_pure_window_no_join(spark):
+    """Truncated EWMA is a finite sum of lag() terms: one shuffle on
+    user_id, no self-join, no Python crossing."""
+    plan = plan_of(spark, "q_ewma")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES weighted sampling's global top-100 must execute as
+    TakeOrderedAndProject (per-partition heaps + k-way merge), never a
+    global Sort+Exchange."""
+    plan = plan_of(spark, "q_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_time_weighted_avg_reuses_window_partitioning(spark):
+    """The lead() window and the per-user aggregation share the
+    user_id partitioning — one exchange total."""
+    plan = plan_of(spark, "q_time_weighted_avg")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_embed_dim_stats_has_partial_aggregate(spark):
+    """Per-dimension stats must partial-aggregate before the exchange
+    (map-side combine): N×width exploded rows reduce to
+    partitions×width before any data moves."""
+    plan = plan_of(spark, "q_embed_dim_stats", mode="formatted")
+    assert "Generate" in plan  # posexplode
+    assert "HashAggregate" in plan
+    assert "partial_" in plan, "no map-side partial aggregation in plan"

@@ -325,3 +325,177 @@ def q_runs_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "run_id")
     )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    SELECT a.p_partkey AS partkey_a,
+           b.p_partkey AS partkey_b,
+           a.p_name    AS name_a,
+           b.p_name    AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 1
+    WHERE a.p_partkey % 7 = 0 AND b.p_partkey % 7 = 0
+    ORDER BY partkey_a, partkey_b
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match self-join (edit distance ≤ 1) via PIGEONHOLE
+    BLOCKING: an edit at one position leaves either the first-4-char
+    prefix or the last-4-char end-anchored suffix untouched (insertions
+    and deletions before a segment shift but do not change it), so
+    candidate pairs are generated by TWO equi-joins — on (prefix) and
+    on (suffix) — unioned via explode, deduped, then verified with one
+    levenshtein() per candidate. NO all-pairs comparison: the oracle
+    computes the naive quadratic ground truth, so the driver's hash
+    check externally proves the blocking scheme is LOSSLESS, not just
+    that the arithmetic matches. At 100 TB block-key selectivity is the
+    knob (longer keys / more segments → smaller blocks); degenerate
+    hot blocks get the same max-block-size cap treatment as
+    operators/dedup.py's LSH buckets. The %7 subset keeps the oracle's
+    quadratic verification tractable at sf0.01."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 7 == 0)
+        .select("p_partkey", "p_name")
+    )
+    keys = p.select(
+        "p_partkey",
+        "p_name",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("P").alias("side"),
+                    F.substring("p_name", 1, 4).alias("blk"),
+                ),
+                F.struct(
+                    F.lit("S").alias("side"),
+                    F.expr("right(p_name, 4)").alias("blk"),
+                ),
+            )
+        ).alias("k"),
+    ).select("p_partkey", "p_name", "k.side", "k.blk")
+    a, b = keys.alias("a"), keys.alias("b")
+    cands = (
+        a.join(b, ["side", "blk"])
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        # cheap length prefilter: |len diff| > 1 can never be dist <= 1
+        .where(
+            F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 1
+        )
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("edit_dist") <= 1)
+        .orderBy("partkey_a", "partkey_b")
+    )
+
+
+_PSI_VOCAB = 50
+
+
+@query(
+    "q_dist_drift",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, w
+        FROM documents,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+        WHERE w <> ''
+    ), vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS g_cnt
+        FROM words GROUP BY w
+        ORDER BY count(*) DESC, w
+        LIMIT {_PSI_VOCAB}
+    ), base AS (
+        SELECT w, g_cnt * 1.0 / (SELECT sum(g_cnt) FROM vocab) AS p
+        FROM vocab
+    ), grid AS (
+        SELECT s.source, b.w, b.p, coalesce(c.cnt, 0) AS cnt
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN base b
+        LEFT JOIN (
+            SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+            FROM words WHERE w IN (SELECT w FROM vocab)
+            GROUP BY source, w
+        ) c ON c.source = s.source AND c.w = b.w
+    ), smoothed AS (
+        SELECT source, cnt, p,
+               (cnt + 0.5) /
+               (sum(cnt) OVER (PARTITION BY source) + 0.5 * {_PSI_VOCAB}) AS q
+        FROM grid
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT)                    AS n_vocab_tokens,
+           round(sum((q - p) * ln(q / p)), 4) + 0.0    AS psi
+    FROM smoothed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: Population Stability Index of
+    each source's word distribution against the corpus-wide
+    distribution over the global top-50 vocabulary — the
+    drift/contamination monitor a training pipeline runs on every
+    ingest batch. Vocabulary selection is TakeOrdered (deterministic
+    count-then-word tie-break, no global sort); the (source × vocab)
+    grid that materializes zero counts is a broadcast cross of two
+    tiny aggregates (≤ sources × 50 rows) — the only full-data pass is
+    the word explode + one grouped count keyed on (source, word).
+    Additive 0.5 smoothing keeps ln(q/p) finite for absent words;
+    the oracle's `+ 0.0` normalizes -0.0 since truncated-support PSI
+    can round to zero from below."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("g_cnt"))
+        .orderBy(F.col("g_cnt").desc(), "w")
+        .limit(_PSI_VOCAB)
+    )
+    total = vocab.agg(F.sum("g_cnt").alias("g_total"))
+    base = vocab.crossJoin(F.broadcast(total)).select(
+        "w", (F.col("g_cnt") * 1.0 / F.col("g_total")).alias("p")
+    )
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(base))
+    counts = (
+        words.join(F.broadcast(vocab.select("w")), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    filled = grid.join(counts, ["source", "w"], "left").select(
+        "source", "w", "p", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    wsrc = Window.partitionBy("source")
+    smoothed = filled.withColumn(
+        "q",
+        (F.col("cnt") + 0.5)
+        / (F.sum("cnt").over(wsrc) + 0.5 * _PSI_VOCAB),
+    )
+    return (
+        smoothed.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_vocab_tokens"),
+            F.round(
+                F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))),
+                4,
+            ).alias("psi"),
+        )
+        .orderBy("source")
+    )

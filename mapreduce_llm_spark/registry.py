@@ -57,10 +57,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_join_asof_fwd",
     "q_markov_transitions", "q_time_weighted_avg", "q_ewma",
     "q_weighted_sample", "q_embed_dim_stats", "q_runs_islands",
+    "q_fuzzy_join", "q_dist_drift",
     # (5) re-confirmation back-fill (green in earlier rounds)
     "q_tpch_q3_shape", "q_dedup_exact",
-    "q_graph_components", "q_sim_search",
-    "q_join_asof", "q_tokenize_ids", "q_agg_basic",
+    "q_graph_components", "q_join_asof", "q_agg_basic",
     # (6) rows-only, never driver-run (weaker rows-only gate)
     "q_graph_pagerank", "q_agg_sketch_union", "q_dedup_simhash",
     "q_sim_join", "q_sim_ann_topk",

@@ -48,6 +48,8 @@ NLJ_OK = {
     "q_text_collocations",  # broadcast single-row n_uni/n_big scalar cross joins
     "q_ts_gapfill",  # broadcast single-row min/max month bounds cross join
     "q_graph_pagerank",  # broadcast single-row dangling-mass scalar cross join
+    "q_dist_drift",  # broadcast crosses of tiny aggregates: 1-row vocab total,
+    #                  and the (sources × top-50 vocab) zero-fill grid
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

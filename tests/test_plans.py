@@ -583,3 +583,24 @@ def test_embed_dim_stats_has_partial_aggregate(spark):
     assert "Generate" in plan  # posexplode
     assert "HashAggregate" in plan
     assert "partial_" in plan, "no map-side partial aggregation in plan"
+
+
+def test_fuzzy_join_blocks_never_compares_all_pairs(spark):
+    """q_fuzzy_join must generate candidates through the pigeonhole
+    equi-join on (side, block-key) — a hash join, never a nested-loop
+    over all pairs. The DuckDB oracle is the naive quadratic ground
+    truth, so the hash gate proves the blocking lossless."""
+    plan = plan_of(spark, "q_fuzzy_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    join_line = next(l for l in plan.splitlines() if "HashJoin" in l)
+    assert "side" in join_line and "blk" in join_line, join_line
+
+
+def test_dist_drift_full_data_pass_is_single_grouped_count(spark):
+    """q_dist_drift's only full-corpus work is the word explode + one
+    grouped count; the zero-fill grid and the vocab/total sides are
+    broadcast (tiny), so no full-data side ever sort-merge-joins."""
+    plan = plan_of(spark, "q_dist_drift")
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan

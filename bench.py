@@ -75,6 +75,13 @@ HEADLINE = [
     "q_basket_pairs",
     "q_agg_mad",
     "q_join_asof_fwd",
+    # round 4b: sequence analytics + blocked fuzzy join + drift
+    "q_runs_islands",
+    "q_ewma",
+    "q_markov_transitions",
+    "q_fuzzy_join",
+    "q_dist_drift",
+    "q_weighted_sample",
 ]
 
 

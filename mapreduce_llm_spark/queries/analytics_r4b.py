@@ -499,3 +499,138 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_rollup_incremental",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           round(sum(o_totalprice), 4)       AS sum_price,
+           round(sum(o_totalprice) / count(*), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the Spark side NEVER aggregates
+    the full table in one pass — it merges two independently computed
+    partial rollups (a 'base' for orders before 1997-07-01 and a
+    'delta' for the rest) by summing mergeable state (count, sum) and
+    deriving avg at the end. The oracle aggregates the union directly,
+    so the driver's hash gate externally proves the partial-merge
+    algebra — the property that lets a 100 TB pipeline maintain
+    rollups by folding in each day's delta instead of recomputing; the
+    same decomposition `operators/merge.py` and the streaming
+    running-totals sink rely on. Non-mergeable aggregates (avg) are
+    carried as (sum, count) and derived only at read time."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "1997-07-01"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("ps")
+        )
+
+    base = partial(o.where(F.col("o_orderdate") < cutoff))
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.round(F.sum("ps"), 4).alias("sum_price"),
+            F.round(F.sum("ps") / F.sum("pn"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.pa = e1.pb
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges)
+        GROUP BY v
+    ), wed AS (
+        SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+               CAST(count(*) AS BIGINT)             AS n_vertices
+        FROM deg
+    ), edg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+    )
+    SELECT n_edges, n_vertices, n_wedges, n_triangles,
+           round(3.0 * n_triangles / n_wedges, 4) AS clustering
+    FROM tri, wed, edg
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the
+    co-purchase graph (parts are vertices; an edge = two parts in the
+    same order). Edges are ORIENTED a<b so each triangle is counted
+    exactly once by the wedge join e1(a,b)⋈e2(b,c) closed by e3(a,c) —
+    three hash equi-joins, no enumeration of unordered pairs. At
+    cluster scale the orientation key becomes degree order (low-degree
+    vertex first), which bounds the wedge intermediate at O(m^1.5)
+    even on power-law graphs (the standard Cohen/GraphX construction);
+    key-order orientation keeps this query oracle-verifiable since
+    both engines derive the identical edge set. Wedge count is
+    Σ d(d-1)/2 over the degree table — one aggregation, no join. The
+    1-row stat legs combine via broadcast crosses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_vertices"),
+    )
+    edg = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(edg))
+        .select(
+            "n_edges",
+            "n_vertices",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 4).alias(
+                "clustering"
+            ),
+        )
+    )

@@ -50,6 +50,7 @@ NLJ_OK = {
     "q_graph_pagerank",  # broadcast single-row dangling-mass scalar cross join
     "q_dist_drift",  # broadcast crosses of tiny aggregates: 1-row vocab total,
     #                  and the (sources × top-50 vocab) zero-fill grid
+    "q_graph_triangles",  # broadcast crosses of three 1-row stat legs
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

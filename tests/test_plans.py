@@ -604,3 +604,28 @@ def test_dist_drift_full_data_pass_is_single_grouped_count(spark):
     plan = plan_of(spark, "q_dist_drift")
     assert "SortMergeJoin" not in plan
     assert "Generate explode" in plan
+
+
+def test_rollup_incremental_merges_two_partials(spark):
+    """The incremental rollup must aggregate base and delta separately
+    (two partial rollups) and merge — never one flat aggregation over
+    the union of raw rows. Plan signature: a Union of two aggregated
+    legs feeding the final merge aggregate."""
+    plan = plan_of(spark, "q_rollup_incremental")
+    assert "Union" in plan
+    union_pos = plan.index("Union")
+    assert "HashAggregate" in plan[union_pos:], "legs below the Union must aggregate"
+    assert plan.count("HashAggregate") >= 4  # partial+final per leg at minimum
+
+
+def test_graph_triangles_all_joins_are_hash_equi(spark):
+    """Triangle counting is three hash equi-joins on oriented edges —
+    no nested-loop pair enumeration anywhere in the heavy path (the
+    only BNLJ nodes are the 1-row stat-leg crosses)."""
+    plan = plan_of(spark, "q_graph_triangles")
+    assert "CartesianProduct" not in plan
+    heavy_joins = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
+    ]
+    assert len(heavy_joins) >= 4  # items self-join + wedge + closure

@@ -367,3 +367,61 @@ def unattributed_purchases_stream(
         F.expr(f"p_user = a_user AND a_ts <= p_ts AND a_ts >= p_ts - {horizon}"),
         "left_outer",
     )
+
+
+EWMA_STREAM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("ewma", DoubleType()), StructField("n_seen", LongType())]
+)
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """TRUE recursive EWMA per user (e_t = α·x_t + (1-α)·e_{t-1},
+    e_0 = x_0) via applyInPandasWithState — the semantics the batch
+    engine deliberately truncates (queries/analytics_r4b.py:q_ewma
+    keeps 8 lag terms to stay a pure window expression). A stream is
+    the natural home for the recursive form: state per user is ONE
+    float + a counter, each micro-batch folds its rows in event-time
+    order and emits a smoothed value per input row. Equivalence to the
+    offline recursion holds when micro-batches arrive time-ordered per
+    key (file replay / per-key-ordered Kafka partitions); out-of-order
+    arrivals within a batch are sorted, across batches they are the
+    stream's usual late-data caveat."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ewma, n_seen = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out = []
+            for x in pdf["value"]:
+                x = float(x)
+                ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
+                out.append(ewma)
+            n_seen += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "ewma": out,
+                }
+            )
+        state.update((ewma if ewma is not None else 0.0, n_seen))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_STREAM_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

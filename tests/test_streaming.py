@@ -460,3 +460,52 @@ def test_stream_ohlc_matches_batch_query(spark, events_dir):
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert g == b and len(b) > 0
+
+
+def test_stream_ewma_matches_offline_recursion(spark, tmp_path):
+    """The stateful streaming EWMA must equal the offline recursion
+    (pandas ewm(adjust=False)) when micro-batches replay in time
+    order — state carries e_{t-1} across batch boundaries."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from mapreduce_llm_spark.streaming.pipeline import (
+        ewma_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+    n = len(events)
+    # three sequential time-ordered files with increasing mtimes so the
+    # file source replays them oldest-first, one per trigger
+    for i, chunk in enumerate(
+        (events.iloc[: n // 3], events.iloc[n // 3 : 2 * n // 3], events.iloc[2 * n // 3 :])
+    ):
+        # via Spark so ts lands as µs TIMESTAMP (pandas to_parquet
+        # writes ns INT64, which the stream schema can't read)
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+
+    got = run_to_memory(
+        ewma_stream(stream_events(spark, src), alpha=0.3), "ewma_stream_t"
+    ).toPandas()
+
+    expected = events.sort_values(["user_id", "ts", "event_id"]).copy()
+    expected["ewma"] = expected.groupby("user_id")["value"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+    )
+
+    merged = got.merge(
+        expected[["event_id", "ewma"]], on="event_id", suffixes=("_got", "_want")
+    )
+    assert len(merged) == len(events) == len(got)
+    assert (merged["ewma_got"] - merged["ewma_want"]).abs().max() < 1e-9

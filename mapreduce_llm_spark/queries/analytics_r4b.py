@@ -643,3 +643,73 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_hierarchy_depth",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT p_partkey AS k, p_partkey AS cur, 0 AS d FROM part
+        UNION ALL
+        SELECT k,
+               greatest(cur // 2, (SELECT min(p_partkey) FROM part)),
+               d + 1
+        FROM walk
+        WHERE cur > (SELECT min(p_partkey) FROM part)
+    )
+    SELECT CAST(depth AS BIGINT)     AS depth,
+           CAST(count(*) AS BIGINT)  AS n_parts,
+           min(k)                    AS min_partkey,
+           max(k)                    AS max_partkey
+    FROM (SELECT k, max(d) AS depth FROM walk GROUP BY k)
+    GROUP BY depth
+    ORDER BY depth
+    """,
+)
+def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal — the recursive-CTE capability Spark lacks,
+    re-expressed as POINTER DOUBLING: over the synthetic part tree
+    parent(k) = max(k div 2, root), each round composes the
+    ancestor map with itself (f_{i+1} = f_i∘f_i, depths add), so every
+    node reaches the root in O(log depth) self-joins instead of the
+    naive one-join-per-level walk — 4 rounds cover depth 16, where
+    DuckDB's WITH RECURSIVE (the oracle) takes 16 iterations. This is
+    the same log-round contraction as operators/graph.py's connected
+    components; each round localCheckpoints to stop the doubling
+    lineage (2^i joins otherwise). The root node carries (anc=root,
+    d=0) so composition saturates there. Root and max key come from a
+    1-row aggregate (drift-proof against non-zero-based or sparse key
+    ranges at the top); depth distribution is the output so the result
+    stays small at any corpus size."""
+    import math
+
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    root, mx = p.agg(F.min("k"), F.max("k")).first()
+    max_depth = max(2, int(math.log2(max(2, mx - root + 1))) + 2)
+    n_rounds = max(1, math.ceil(math.log2(max_depth)))
+
+    state = p.select(
+        "k",
+        F.greatest(F.expr("k div 2"), F.lit(root)).alias("anc"),
+        F.when(F.col("k") == root, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        hop = state.select(
+            F.col("k").alias("h_k"),
+            F.col("anc").alias("h_anc"),
+            F.col("d").alias("h_d"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["h_k"])
+            .select("k", F.col("h_anc").alias("anc"), (F.col("d") + F.col("h_d")).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        state.groupBy(F.col("d").cast("long").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("k").alias("min_partkey"),
+            F.max("k").alias("max_partkey"),
+        )
+        .orderBy("depth")
+    )

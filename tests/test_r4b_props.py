@@ -147,3 +147,34 @@ def test_embed_dim_stats_covers_every_dim_uniformly(spark):
     assert (out["n_vals"] == len(emb)).all()
     assert (out["min_val"] <= out["mean_val"]).all()
     assert (out["mean_val"] <= out["max_val"]).all()
+
+
+def test_hierarchy_depth_matches_closed_form(spark):
+    """Pointer doubling must converge to the analytic depth of the
+    parent(k)=k//2 tree: depth(k) = floor(log2(k)) + 1 for k >= 1,
+    0 for the root — computed independently in Python."""
+    from collections import Counter
+
+    import duckdb
+
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT p_partkey FROM '{SMOKE_SF_DIR}/part.parquet'"
+        ).fetchall()
+    ]
+    root = min(keys)
+
+    def depth(k: int) -> int:
+        d = 0
+        while k > root:
+            k = max(k // 2, root)
+            d += 1
+        return d
+
+    want = Counter(depth(k) for k in keys)
+    out = registry.QUERIES["q_hierarchy_depth"](spark, SMOKE_SF_DIR).collect()
+    got = {r.depth: r.n_parts for r in out}
+    assert got == dict(want)
+    for r in out:
+        assert r.min_partkey <= r.max_partkey

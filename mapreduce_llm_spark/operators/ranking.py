@@ -102,3 +102,44 @@ def ntile_from_rank(rank: Column, total: Column | int, n: int) -> Column:
         .otherwise(r + F.floor((rank - big - 1) / q) + 1)
         .cast("int")
     )
+
+
+_LOCAL_SUM = "__mrs_local_sum"
+_PTOTAL = "__mrs_ptotal"
+
+
+def global_prefix_sum(
+    df: DataFrame, order_cols: list[Column], value_col: str, alias: str = "prefix_sum"
+) -> DataFrame:
+    """Distributed global running sum of ``value_col`` in ``order_cols``
+    order — ``sum(v) OVER (ORDER BY ...)`` without the single-partition
+    window, by the same two-phase construction as global_row_number:
+    range-partition + local running sum, then broadcast back the
+    prefix-summed per-partition TOTALS (one row per partition) as
+    offsets. ``order_cols`` must define a total order. The sweep-line
+    family (interval concurrency, inventory level, account balance)
+    reduces to exactly this primitive."""
+    parts = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    with_pid = parts.withColumn(_PID, F.spark_partition_id())
+
+    totals = with_pid.groupBy(_PID).agg(F.sum(value_col).alias(_PTOTAL))
+    off_w = (
+        Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum(_PTOTAL).over(off_w), F.lit(0)).alias(_OFFSET)
+    )
+
+    local_w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn(_LOCAL_SUM, F.sum(value_col).over(local_w))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(alias, F.col(_LOCAL_SUM) + F.col(_OFFSET))
+        .drop(_PID, _LOCAL_SUM, _OFFSET)
+    )

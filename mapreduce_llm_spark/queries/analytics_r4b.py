@@ -713,3 +713,102 @@ def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+@query(
+    "q_interval_concurrency",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_seq,
+               ts
+        FROM gapped
+    ), intervals AS (
+        SELECT min(ts) AS s, max(ts) AS e
+        FROM sess GROUP BY user_id, session_seq
+    ), deltas AS (
+        SELECT t, CAST(sum(d) AS BIGINT) AS net
+        FROM (SELECT s AS t, 1 AS d FROM intervals
+              UNION ALL
+              SELECT e AS t, -1 AS d FROM intervals)
+        GROUP BY t
+    ), run AS (
+        SELECT t,
+               CAST(sum(net) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS conc
+        FROM deltas
+    )
+    SELECT conc AS peak_concurrency,
+           t    AS peak_ts,
+           (SELECT CAST(count(*) AS BIGINT) FROM run) AS n_points
+    FROM run
+    ORDER BY conc DESC, t
+    LIMIT 1
+    """,
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: peak number of simultaneously open user
+    sessions. Sessions (30-min-gap sessionization, q_evt_sessionize's
+    shape) become ±1 deltas at their endpoints, netted per distinct
+    timestamp; the running total over TIME order is the concurrency
+    curve, and the peak row falls out of a TakeOrdered.
+
+    The running total is the scale-critical part: a naive
+    `sum() OVER (ORDER BY t)` funnels every delta through ONE task.
+    `operators/ranking.py:global_prefix_sum` keeps it distributed —
+    range-partition by t, local running sums, then broadcast the
+    prefix-summed per-partition totals (one row per partition) as
+    offsets. A session ending exactly at t is not counted at t (net =
+    starts − ends per instant), which makes the curve deterministic
+    without row-level tie rules — the same convention on both sides."""
+    from mapreduce_llm_spark.operators.ranking import global_prefix_sum
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        # µs-precision gap: cast("long") truncates to whole seconds and
+        # can disagree with the oracle's INTERVAL test at the boundary
+        # (see queries/events.py:123)
+        e.withColumn(
+            "is_new",
+            F.when(
+                (
+                    F.unix_micros(F.col("ts"))
+                    - F.lag(F.unix_micros(F.col("ts"))).over(w)
+                    > 1800 * 1_000_000
+                )
+                | F.lag("ts").over(w).isNull(),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_seq", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = (
+        sess.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+        .unionAll(sess.select(F.col("e").alias("t"), F.lit(-1).alias("d")))
+        .groupBy("t")
+        .agg(F.sum("d").alias("net"))
+    )
+    run = global_prefix_sum(deltas, [F.col("t")], "net", alias="conc")
+    n_points = deltas.agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        run.select(F.col("conc").alias("peak_concurrency"), F.col("t").alias("peak_ts"))
+        .orderBy(F.col("peak_concurrency").desc(), "peak_ts")
+        .limit(1)
+        .crossJoin(F.broadcast(n_points))
+        .select("peak_concurrency", "peak_ts", "n_points")
+    )

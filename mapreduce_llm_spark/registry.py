@@ -59,8 +59,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_weighted_sample", "q_embed_dim_stats", "q_runs_islands",
     "q_fuzzy_join", "q_dist_drift",
     "q_rollup_incremental", "q_graph_triangles", "q_hierarchy_depth",
+    "q_interval_concurrency",
     # (5) re-confirmation back-fill (green in earlier rounds)
-    "q_tpch_q3_shape", "q_graph_components",
+    "q_tpch_q3_shape",
     # (6) rows-only, never driver-run (weaker rows-only gate)
     "q_graph_pagerank", "q_agg_sketch_union", "q_dedup_simhash",
     "q_sim_join", "q_sim_ann_topk",

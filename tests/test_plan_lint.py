@@ -51,6 +51,7 @@ NLJ_OK = {
     "q_dist_drift",  # broadcast crosses of tiny aggregates: 1-row vocab total,
     #                  and the (sources × top-50 vocab) zero-fill grid
     "q_graph_triangles",  # broadcast crosses of three 1-row stat legs
+    "q_interval_concurrency",  # broadcast cross of the 1-row n_points leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -632,3 +632,17 @@ def test_graph_triangles_all_joins_are_hash_equi(spark):
         if ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
     ]
     assert len(heavy_joins) >= 2  # wedge join + closure join
+
+
+def test_interval_concurrency_prefix_sum_is_distributed(spark):
+    """The sweep-line running total must use the two-phase distributed
+    prefix sum — range partitioning, with the running-sum window
+    partitioned by the range-partition id — never an unpartitioned
+    sum() OVER (ORDER BY t) that funnels all deltas through one task."""
+    plan = plan_of(spark, "q_interval_concurrency")
+    assert "rangepartitioning" in plan.lower()
+    sum_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "sum(net" in l and "unboundedpreceding" in l.lower()
+    ]
+    assert sum_windows and all("__mrs_pid" in l for l in sum_windows), sum_windows

@@ -29,3 +29,34 @@ def test_ntile_formula_matches_sql_semantics(total, n):
     ).fetchall()
     for rank, bucket in rows:
         assert _spark_ntile_bucket(rank, total, n) == bucket, (rank, total, n)
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    """global_prefix_sum must equal the naive sum() OVER (ORDER BY ...)
+    on data small enough to run the single-partition form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.ranking import global_prefix_sum
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value"
+    )
+    got = (
+        global_prefix_sum(e, [F.col("event_id")], "value", alias="ps")
+        .select("event_id", "ps")
+        .collect()
+    )
+    naive_w = (
+        Window.partitionBy(F.pmod(F.col("event_id"), F.lit(1)))
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = e.select(
+        "event_id", F.sum("value").over(naive_w).alias("ps")
+    ).collect()
+    g = {r.event_id: r.ps for r in got}
+    wv = {r.event_id: r.ps for r in want}
+    assert g.keys() == wv.keys()
+    assert all(abs(g[k] - wv[k]) < 1e-6 for k in g)

@@ -82,6 +82,9 @@ HEADLINE = [
     "q_fuzzy_join",
     "q_dist_drift",
     "q_weighted_sample",
+    "q_rollup_incremental",
+    "q_hierarchy_depth",
+    "q_interval_concurrency",
 ]
 
 

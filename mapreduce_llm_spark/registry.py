@@ -94,6 +94,7 @@ def load_all() -> None:
         analytics_extra,
         analytics_r4,
         analytics_r4b,
+        analytics_r4c,
         embedding_stats,
         events,
         functions_queries,

@@ -52,6 +52,7 @@ NLJ_OK = {
     #                  and the (sources × top-50 vocab) zero-fill grid
     "q_graph_triangles",  # broadcast crosses of three 1-row stat legs
     "q_interval_concurrency",  # broadcast cross of the 1-row n_points leg
+    "q_chi_square",  # broadcast cross of the 1-row grand-total/r/c leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -85,6 +85,11 @@ HEADLINE = [
     "q_rollup_incremental",
     "q_hierarchy_depth",
     "q_interval_concurrency",
+    # round 4c: profiling + frontier + graph distance
+    "q_chi_square",
+    "q_skyline",
+    "q_win_median",
+    "q_graph_bfs",
 ]
 
 

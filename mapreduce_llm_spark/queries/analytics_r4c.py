@@ -217,6 +217,48 @@ def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_win_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(len(list_distinct(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))) AS INT)
+               AS n_distinct_types
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q_win_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a sliding window — behavioral diversity of
+    each user's trailing 20 events. Neither engine supports
+    count(DISTINCT) OVER natively, so both sides materialize the
+    bounded frame as a list and deduplicate it (collect_list →
+    array_distinct → size here; list → list_distinct → len in the
+    oracle) — the hash match pins that the two rewrites agree.
+
+    Shape: one shuffle on user_id; per-row state is the 20-element
+    frame, so cost scales with the shuffle exactly like q_win_median.
+    An unbounded variant would instead use the running-set trick (rank
+    of first occurrence ≤ current row), which stays O(1) per row."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+            .cast("int")
+            .alias("n_distinct_types"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "q_skyline",
     oracle="""
     SELECT a.p_partkey, a.p_size, round(a.p_retailprice, 4) AS p_retailprice

@@ -25,21 +25,25 @@ ORACLE: dict[str, str] = {}
 # The driver's CORRECTNESS gate hash-checks only the FIRST 50 entries of
 # queries() per round, in dict order. This list rotates the window so
 # each round submits queries the driver has not yet externally verified,
-# with any fixed regressions first. Round-4 window (in order):
+# with any fixed regressions first. The surface now holds more
+# never-externally-seen queries than the window fits, so slots are
+# triaged by signal strength: every never-hash-checked ORACLE-BACKED
+# query goes in first (the strong {rows,schema,hash} gate), the
+# remaining slots take never-run rows-only entries (weaker rows-count
+# gate), and the rows-only remainder rolls to the round-5 window.
+# Round-4 window (in order):
 #   1. q_agg_decimal_exact — the r3 red cell (pandas Decimal-vs-float64
 #      rendering), fixed by string-casting the sums on both sides.
 #   2. q_evt_session — gained a real oracle in round 2 (commit 30799ee)
 #      but its only external record is r1's no_oracle row.
 #   3. The 9 oracle-backed queries that have never been inside a
 #      driver window (r3's entries 51-59).
-#   4. New round-4 oracle-backed queries.
-#   5. Re-confirmation picks (already green in r1-r3; fills the window
-#      so no hash slot is wasted — oracle-backed before rows-only per
-#      tests/test_plans.py::test_driver_priority_frontloads_...).
-#   6. The 16 rows-only entries that have never been driver-run at all
-#      (weaker rows-only gate, but an external signal they execute).
-# After this round every registered query has at least one external
-# driver record. Counts are asserted, not narrated — see
+#   4. New round-4 oracle-backed queries (batches r4/r4b/r4c+corpus).
+#   5. Rows-only entries never driver-run, as many as fit.
+# Rollover to round 5: the rows-only entries that didn't fit —
+# q_agg_sketch_union, q_sim_join, q_text_fingerprint, q_sim_ivf,
+# q_mm_frames, q_sample_stratified, q_sample, q_pack_sequences,
+# q_sim_recall. Invariants are asserted, not narrated — see
 # tests/test_plans.py::test_driver_priority_round4_window.
 DRIVER_PRIORITY: list[str] = [
     # (1) the round-3 regression, fixed this round
@@ -60,14 +64,15 @@ DRIVER_PRIORITY: list[str] = [
     "q_fuzzy_join", "q_dist_drift",
     "q_rollup_incremental", "q_graph_triangles", "q_hierarchy_depth",
     "q_interval_concurrency",
-    # (5) re-confirmation back-fill (green in earlier rounds)
-    "q_tpch_q3_shape",
-    # (6) rows-only, never driver-run (weaker rows-only gate)
-    "q_graph_pagerank", "q_agg_sketch_union", "q_dedup_simhash",
-    "q_sim_join", "q_sim_ann_topk",
-    "q_text_fingerprint", "q_chunk_assign", "q_llm_map",
-    "q_mm_features", "q_sim_ivf", "q_pipeline_curate", "q_mm_frames",
-    "q_mm_audio", "q_sample_stratified", "q_sample", "q_pack_sequences",
+    "q_agg_entropy", "q_chi_square", "q_win_median", "q_win_distinct",
+    "q_skyline", "q_graph_bfs", "q_text_bm25", "q_shuffle_shards",
+    "q_length_buckets",
+    # (5) rows-only, never driver-run (weaker rows-only gate); the
+    #     reference-surface operators (chunker, LLM map, multimodal,
+    #     curation) and the seeded approximate families first
+    "q_chunk_assign", "q_llm_map", "q_mm_features", "q_mm_audio",
+    "q_pipeline_curate", "q_graph_pagerank", "q_dedup_simhash",
+    "q_sim_ann_topk",
 ]
 
 
@@ -95,6 +100,7 @@ def load_all() -> None:
         analytics_r4,
         analytics_r4b,
         analytics_r4c,
+        corpus_ops,
         embedding_stats,
         events,
         functions_queries,

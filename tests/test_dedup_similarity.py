@@ -372,3 +372,34 @@ def test_blocked_all_pairs_is_lazy_no_driver_jobs(spark):
     assert len(after) - len(before) <= 1, "plan construction triggered Spark jobs"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan  # the block-pair scorer
+
+
+def test_sim_recall_query_invariants(spark):
+    """q_sim_recall's one-row output must be internally consistent
+    (recall = n_hits/k, 0 ≤ recall ≤ 1) and the multiprobe recall it
+    reports must dominate the single-probe configuration — the same
+    ordering test_lsh_multiprobe_recall_dominates_single_probe pins at
+    the operator level, re-checked through the public query surface."""
+    from mapreduce_llm_spark.operators.similarity import ann_topk_lsh
+    from mapreduce_llm_spark.io import load_table
+
+    row = registry.QUERIES["q_sim_recall"](spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["k"] == 10 and 0 <= r["n_hits"] <= r["k"]
+    assert abs(r["recall"] - round(r["n_hits"] / r["k"], 4)) < 1e-9
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = list(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    exact_ids = {
+        x["vec_id"] for x in cosine_topk(e, qvec, k=10).collect()
+    }
+    single = {
+        x["vec_id"]
+        for x in ann_topk_lsh(
+            e, qvec, k=10, n_planes=4, seed=42, n_probe_bits=0
+        ).collect()
+    }
+    assert r["n_hits"] >= len(exact_ids & single)

@@ -53,6 +53,9 @@ NLJ_OK = {
     "q_graph_triangles",  # broadcast crosses of three 1-row stat legs
     "q_interval_concurrency",  # broadcast cross of the 1-row n_points leg
     "q_chi_square",  # broadcast cross of the 1-row grand-total/r/c leg
+    "q_text_bm25",  # broadcast single-row N/avgdl corpus-scalar cross join
+    "q_shuffle_shards",  # broadcast single-row scalar total (lazy count) cross
+    "q_sim_recall",  # broadcast cross of the two 1-row recall legs
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

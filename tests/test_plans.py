@@ -338,29 +338,57 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
 
 def test_driver_priority_round4_window():
     """Round-4 rotation invariants, derived from the recorded
-    CORRECTNESS files rather than hand-counted: every query that has
-    never produced an external driver record (oracle-backed never
-    hash-checked, plus never-run rows-only entries) must sit inside
-    the 50-entry window, so that after this round 100% of the
-    registry carries at least one external signal."""
+    CORRECTNESS files rather than hand-counted. The surface now holds
+    more never-externally-seen queries than the 50-entry window fits,
+    so the invariant is a triage, strongest signal first:
+    (a) every ORACLE-BACKED query never hash-checked by the driver
+        sits inside the window (the {rows,schema,hash} gate);
+    (b) every window slot is spent on a never-externally-seen query
+        (no slot wasted re-confirming greens while anything is
+        unverified);
+    (c) whatever never-seen queries remain outside the window are all
+        rows-only — the weaker gate they roll over to round 5 with."""
     import json
     import os
 
     from mapreduce_llm_spark import registry
 
     registry.load_all()
-    checked: set[str] = set()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records: dict[str, list[dict]] = {}
     for fname in sorted(os.listdir(root)):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
             with open(os.path.join(root, fname)) as fh:
-                checked.update(json.load(fh))
+                for name, rec in json.load(fh).items():
+                    records.setdefault(name, []).append(rec)
+
+    def verified_at_strength(name: str) -> bool:
+        # oracle-backed: needs a full hash-green record (a rows-only or
+        # hash-failed record is not verification at declared strength);
+        # rows-only: any driver record (rows gate) counts.
+        recs = records.get(name, [])
+        if name in registry.ORACLE:
+            return any(r.get("hash_match") is True for r in recs)
+        return bool(recs)
+
     window = set(list(registry.QUERIES)[:50])
-    never_externally_seen = set(registry.QUERIES) - checked
-    missing = never_externally_seen - window
-    assert not missing, (
-        f"{len(missing)} never-driver-checked queries outside the "
-        f"50-entry window: {sorted(missing)}"
+    unverified = {n for n in registry.QUERIES if not verified_at_strength(n)}
+
+    oracle_missing = (set(registry.ORACLE) & unverified) - window
+    assert not oracle_missing, (
+        f"{len(oracle_missing)} oracle-backed queries lacking a hash-green "
+        f"record outside the 50-entry window: {sorted(oracle_missing)}"
+    )
+
+    wasted = window - unverified
+    assert not wasted, (
+        f"window slots wasted on already-verified queries: {sorted(wasted)}"
+    )
+
+    oracle_rollover = (unverified - window) & set(registry.ORACLE)
+    assert not oracle_rollover, (
+        f"oracle-backed queries rolling over while rows-only hold "
+        f"slots: {sorted(oracle_rollover)}"
     )
 
 
@@ -646,3 +674,72 @@ def test_interval_concurrency_prefix_sum_is_distributed(spark):
         if "Window" in l and "sum(net" in l and "unboundedpreceding" in l.lower()
     ]
     assert sum_windows and all("__mrs_pid" in l for l in sum_windows), sum_windows
+
+
+def test_win_median_and_distinct_single_exchange(spark):
+    """The rolling-median and rolling-distinct windows key on user_id
+    with bounded ROWS frames: one hash exchange each, no join, no
+    Python crossing — the frame materialization (collect_list →
+    array ops) is pure JVM."""
+    for name in ("q_win_median", "q_win_distinct"):
+        plan = plan_of(spark, name)
+        assert "Join" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_skyline_is_grouped_sweep_plus_broadcast(spark):
+    """q_skyline must be the O(n) rewrite: a grouped min per size class
+    and a broadcast hash join back — never a pairwise dominance
+    compare (no sort-merge self-join, no nested loop)."""
+    plan = plan_of(spark, "q_skyline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_bfs_levels_materialize_once(spark):
+    """Each BFS level is localCheckpointed as it is computed (the
+    level-k frontier feeds BOTH the next level's join and the final
+    union — without materialization the level-3 chain would recompute
+    levels 1-2), so the returned plan must be a pure union of the four
+    materialized levels: no join, no recompute at read time."""
+    plan = plan_of(spark, "q_graph_bfs")
+    assert "Join" not in plan
+    assert plan.count("Scan ExistingRDD") == 4
+
+
+def test_shuffle_shards_uses_distributed_ranking(spark):
+    """The training shuffle's global permutation must run through the
+    two-phase range ranking (operators/ranking.py): range partitioning
+    on the hash, with every row_number window partitioned by the
+    range-partition id — never row_number() OVER (ORDER BY h) on one
+    task."""
+    plan = plan_of(spark, "q_shuffle_shards")
+    assert "rangepartitioning" in plan.lower()
+    rn_windows = [
+        l for l in plan.splitlines() if "Window" in l and "row_number" in l
+    ]
+    assert rn_windows and all("__mrs_pid" in l for l in rn_windows), rn_windows
+
+
+def test_bm25_is_take_ordered_with_prefiltered_terms(spark):
+    """BM25's final ranking is TakeOrdered (per-partition top-20 +
+    k-merge, no global sort), and the probe-term IN-filter sits below
+    the (doc,word) aggregation exchange so ~all explode output dies
+    before the shuffle."""
+    plan = plan_of(spark, "q_text_bm25")
+    assert "TakeOrdered" in plan
+    lines = plan.splitlines()
+    filter_ix = min(
+        i for i, l in enumerate(lines) if "Filter" in l and "word" in l and " IN " in l
+    )
+    agg_ix = min(
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning" in l and "word" in l
+    )
+    # explain prints top-down: the filter acting below the exchange
+    # appears AFTER it in the text
+    assert filter_ix > agg_ix, (filter_ix, agg_ix)

@@ -327,6 +327,71 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_incremental",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                               AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)      AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: with both sides split
+    into old + delta at a date cutoff (A = orders on o_orderdate, B =
+    lineitem on l_shipdate), the maintained view is the textbook
+    four-term algebra
+
+        A⋈B = A_old⋈B_old  ∪  ΔA⋈B_old  ∪  A_old⋈ΔB  ∪  ΔA⋈ΔB
+
+    and the oracle is the full-recompute join, so the hash gate proves
+    the decomposition exact — the join complement of
+    q_rollup_incremental's aggregate-state merge. At 100 TB this is
+    the difference between reprocessing the fact table nightly and
+    touching only the delta partitions: A_old⋈B_old is the stored
+    materialization (zero recompute), the two mixed terms prune the
+    big side by the delta's key range and broadcast the (small)
+    delta, and ΔA⋈ΔB is delta-sized. Here all four terms derive from
+    the same scans, so Catalyst plans four hash joins over one
+    exchange pair — the point is the algebra, pinned by equality."""
+    cut = "1996-10-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o_old, o_new = (
+        o.filter(F.col("o_orderdate") < F.lit(cut)),
+        o.filter(F.col("o_orderdate") >= F.lit(cut)),
+    )
+    b_old, b_new = (
+        li.filter(F.col("l_shipdate") < F.lit(cut)),
+        li.filter(F.col("l_shipdate") >= F.lit(cut)),
+    )
+    terms = [
+        o_old.join(b_old, o_old["o_orderkey"] == b_old["l_orderkey"]),
+        o_new.join(b_old, o_new["o_orderkey"] == b_old["l_orderkey"]),
+        o_old.join(b_new, o_old["o_orderkey"] == b_new["l_orderkey"]),
+        o_new.join(b_new, o_new["o_orderkey"] == b_new["l_orderkey"]),
+    ]
+    maintained = terms[0]
+    for t in terms[1:]:
+        maintained = maintained.unionByName(t)
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "q_graph_bfs",
     oracle="""
     WITH RECURSIVE items AS (

@@ -4,9 +4,9 @@ Removes the multimodal pipeline's codec stub for the two formats a
 standard library can genuinely decode: PNG is DEFLATE-compressed
 scanlines with five per-line predictor filters (RFC 2083), WAV is a
 RIFF container around raw PCM. No PIL/soundfile/ffmpeg — `zlib`,
-`struct`, and numpy only. JPEG/MP4 remain out of scope (their
-entropy-coding/DCT stacks are external-library territory) and still
-raise ``NotImplementedError`` at the ``decode_media`` boundary.
+`struct`, and numpy only. Baseline JPEG (the DCT/entropy stack) lives
+in operators/jpeg.py; only video containers (MP4) remain behind the
+``NotImplementedError`` at the ``decode_media`` boundary.
 
 Scale note: these decoders run inside ``mapInPandas`` batches, one
 media file per call. PNG unfiltering is a per-scanline Python loop

@@ -7,11 +7,12 @@ Everything Spark-side is real and tested — schemas, partition-friendly
 batch processing through ``mapInPandas``, Arrow binary transfer, UDF
 signatures — and the codec boundary is explicit:
 
-- PNG and WAV decode for real, pure-stdlib (operators/codecs.py:
-  zlib inflate + scanline unfilter; RIFF/PCM parse) — the mm queries
-  run on genuine format bytes end-to-end;
-- JPEG/MP4 raise ``NotImplementedError`` — DCT/entropy decoding
-  genuinely needs external libraries not in this container;
+- PNG, WAV, and baseline JPEG decode for real, pure-Python
+  (operators/codecs.py: zlib inflate + scanline unfilter, RIFF/PCM
+  parse; operators/jpeg.py: numpy DCT + canonical Huffman) — the mm
+  queries run on genuine format bytes end-to-end;
+- video containers (MP4) raise ``NotImplementedError`` — inter-frame
+  codecs genuinely need external libraries not in this container;
 - the deterministic ``RAW1`` fake format (header + payload) remains as
   the minimal-overhead envelope for synthetic pipeline tests.
 
@@ -56,14 +57,15 @@ def decode_media(content: bytes, codec: str) -> np.ndarray:
     """Codec boundary → flat uint8 intensity array (what the
     histogram/feature stages consume).
 
-    Real formats decoded pure-stdlib (operators/codecs.py): PNG (zlib
-    inflate + scanline unfilter) and WAV (RIFF/PCM), plus the
-    deterministic RAW1 test format. WAV samples are mapped from int16
-    to the uint8 intensity domain here (the audio-native path,
+    Real formats decoded pure-Python: PNG (zlib inflate + scanline
+    unfilter) and WAV (RIFF/PCM) in operators/codecs.py, baseline
+    JPEG (numpy DCT + canonical Huffman) in operators/jpeg.py, plus
+    the deterministic RAW1 test format. WAV samples are mapped from
+    int16 to the uint8 intensity domain here (the audio-native path,
     ``audio_features``, decodes at full int16 fidelity instead).
-    JPEG/MP4 stay behind ``NotImplementedError`` — their DCT/entropy
-    stacks genuinely need external libraries; swap this function's
-    body for PIL/ffmpeg in a full deployment.
+    Video containers (MP4) stay behind ``NotImplementedError`` —
+    inter-frame codecs genuinely need ffmpeg; swap this function's
+    body for PIL/ffmpeg in a full deployment for throughput.
     """
     if codec == "raw1":
         return decode_raw1(content)[2]
@@ -71,6 +73,10 @@ def decode_media(content: bytes, codec: str) -> np.ndarray:
         from mapreduce_llm_spark.operators.codecs import decode_png
 
         return decode_png(content)[3].reshape(-1)
+    if codec == "jpeg":
+        from mapreduce_llm_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)[3].reshape(-1)
     if codec == "wav":
         from mapreduce_llm_spark.operators.codecs import decode_wav
 
@@ -78,7 +84,7 @@ def decode_media(content: bytes, codec: str) -> np.ndarray:
         return ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
     raise NotImplementedError(
         f"codec {codec!r}: decoding needs external libraries not present "
-        "in this environment (PIL/ffmpeg)"
+        "in this environment (ffmpeg)"
     )
 
 
@@ -89,13 +95,17 @@ def synthesize_media(
     is a (16+i%16)×(16+(i//16)%16) grayscale 'image' whose pixel bytes
     are a fixed function of the id. ``codec='raw1'`` wraps the pixels
     in the raw test envelope; ``codec='png'`` writes REAL PNG files
-    (stdlib encoder, operators/codecs.py), so downstream decode
-    exercises inflate + unfilter on genuine format bytes."""
-    if codec not in ("raw1", "png"):
-        raise ValueError(f"synthesize_media codec must be raw1|png, got {codec!r}")
+    (stdlib encoder, operators/codecs.py); ``codec='jpeg'`` writes
+    REAL baseline JFIF (operators/jpeg.py), so downstream decode
+    exercises a full DCT/entropy stack on genuine format bytes."""
+    if codec not in ("raw1", "png", "jpeg"):
+        raise ValueError(
+            f"synthesize_media codec must be raw1|png|jpeg, got {codec!r}"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mapreduce_llm_spark.operators.codecs import encode_png
+        from mapreduce_llm_spark.operators.jpeg import encode_jpeg
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -107,11 +117,12 @@ def synthesize_media(
                 w, h = 16 + i % 16, 16 + (i // 16) % 16
                 rng = np.random.RandomState(i % (2**31))
                 payload = rng.randint(0, 256, w * h, dtype=np.uint8)
-                content = (
-                    encode_png(payload.reshape(h, w), channels=1)
-                    if codec == "png"
-                    else encode_raw1(w, h, payload.tobytes())
-                )
+                if codec == "png":
+                    content = encode_png(payload.reshape(h, w), channels=1)
+                elif codec == "jpeg":
+                    content = encode_jpeg(payload.reshape(h, w), channels=1)
+                else:
+                    content = encode_raw1(w, h, payload.tobytes())
                 rows["media_id"].append(i)
                 rows["media_type"].append("image")
                 rows["codec"].append(codec)

@@ -454,17 +454,24 @@ def q_llm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_mm_features")
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing as a declared operator: derive a
-    deterministic media corpus from documents ids encoded as REAL PNG
-    files (stdlib codec), decode (zlib inflate + unfilter), and extract
-    per-media feature vectors (operators/multimodal.py). Rows-only:
-    the binary payload/codec path isn't SQL-expressible."""
+    deterministic media corpus from documents ids — even ids encoded
+    as REAL PNG files (stdlib codec, lossless), odd ids as REAL
+    baseline JPEG (operators/jpeg.py, DCT/entropy) — decode each
+    through its genuine format stack, and extract per-media feature
+    vectors (operators/multimodal.py). Rows-only: the binary
+    payload/codec path isn't SQL-expressible."""
     from mapreduce_llm_spark.operators.multimodal import (
         extract_features,
         synthesize_media,
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    feats = extract_features(synthesize_media(d, codec="png"))
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    media = synthesize_media(even, codec="png").unionByName(
+        synthesize_media(odd, codec="jpeg")
+    )
+    feats = extract_features(media)
     return feats.select(
         "media_id",
         "n_bytes",

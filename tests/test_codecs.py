@@ -164,4 +164,4 @@ def test_decode_media_still_rejects_truly_external_codecs():
     from mapreduce_llm_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "jpeg")
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "mp4")

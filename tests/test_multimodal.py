@@ -61,8 +61,10 @@ def test_sample_frames_explodes_rows(media):
 
 
 def test_real_codec_is_explicit_stub():
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_media(b"\xff\xd8\xff", "jpeg")
+    # video containers are the one remaining external-library boundary
+    # (PNG/WAV: operators/codecs.py; baseline JPEG: operators/jpeg.py)
+    with pytest.raises(NotImplementedError, match="mp4"):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "mp4")
 
 
 def test_deterministic_across_runs(spark):

@@ -165,19 +165,40 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
 
 
 def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize of RAW1 'images' — the batch-UDF shape of
-    a real image resize (same schema in/out, content rewritten)."""
+    """Nearest-neighbor resize — the batch-UDF shape of a real image
+    resize (same schema in/out, content rewritten). Decodes each row
+    through its genuine codec (RAW1 envelope, PNG, or baseline JPEG)
+    and re-encodes the resized pixels in the SAME codec, so a
+    mixed-format corpus stays mixed-format through the transform."""
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduce_llm_spark.operators.codecs import decode_png, encode_png
+        from mapreduce_llm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
         for pdf in batches:
             contents = []
-            for content in pdf["content"]:
-                w, h, arr = decode_raw1(bytes(content))
-                img = arr.reshape(h, w)
+            for content, codec in zip(pdf["content"], pdf["codec"]):
+                b = bytes(content)
+                if codec == "raw1":
+                    w, h, arr = decode_raw1(b)
+                    c = 1
+                elif codec == "png":
+                    w, h, c, arr = decode_png(b)
+                elif codec == "jpeg":
+                    w, h, c, arr = decode_jpeg(b)
+                else:
+                    raise NotImplementedError(f"resize: codec {codec!r}")
+                img = arr.reshape(h, w, c)
                 yi = (np.arange(out_h) * h // out_h)[:, None]
                 xi = (np.arange(out_w) * w // out_w)[None, :]
                 resized = img[yi, xi]
-                contents.append(encode_raw1(out_w, out_h, resized.tobytes()))
+                if codec == "raw1":
+                    out = encode_raw1(out_w, out_h, resized.tobytes())
+                elif codec == "png":
+                    out = encode_png(resized.reshape(out_h, out_w * c), channels=c)
+                else:
+                    out = encode_jpeg(resized.reshape(out_h, out_w * c), channels=c)
+                contents.append(out)
             yield pdf.assign(
                 content=contents, width=out_w, height=out_h
             )
@@ -196,8 +217,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_ix": [], "frame_mean": []}
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                _, _, arr = decode_raw1(bytes(content))
+            for mid, content, codec in zip(
+                pdf["media_id"], pdf["content"], pdf["codec"]
+            ):
+                arr = decode_media(bytes(content), str(codec))
                 for ix, frame in enumerate(np.array_split(arr, n_frames)):
                     out["media_id"].append(int(mid))
                     out["frame_ix"].append(ix)
@@ -206,7 +229,9 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "content").mapInPandas(fs, schema=FRAME_SCHEMA)
+    return media.select("media_id", "codec", "content").mapInPandas(
+        fs, schema=FRAME_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = (

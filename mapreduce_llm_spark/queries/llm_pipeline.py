@@ -548,10 +548,12 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_mm_frames")
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize + frame-sampling chain: synthesize RAW1 media,
-    resize to 8×8, split each payload into 4 frames with per-frame
-    stats (the 1→N video-pipeline shape). Rows-only — binary payloads
-    have no SQL twin; determinism comes from the synthetic codec."""
+    """Multimodal resize + frame-sampling chain: synthesize REAL PNG
+    media, nearest-neighbor resize to 8×8 (decode → resize → re-encode
+    PNG, operators/multimodal.py), split each payload into 4 frames
+    with per-frame stats (the 1→N video-pipeline shape). Rows-only —
+    binary payloads have no SQL twin; determinism comes from the
+    deterministic synthesis and lossless codec."""
     from mapreduce_llm_spark.operators.multimodal import (
         resize_media,
         sample_frames,
@@ -561,7 +563,7 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 200
     )
-    media = resize_media(synthesize_media(d), out_w=8, out_h=8)
+    media = resize_media(synthesize_media(d, codec="png"), out_w=8, out_h=8)
     return sample_frames(media, n_frames=4).orderBy("media_id", "frame_ix")
 
 

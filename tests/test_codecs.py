@@ -165,3 +165,30 @@ def test_decode_media_still_rejects_truly_external_codecs():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftypmp42", "mp4")
+
+
+def test_resize_through_real_codecs_matches_raw1(spark):
+    """resize_media now decodes/re-encodes each row's genuine codec.
+    PNG is lossless, so the resized-PNG frame stats must equal the
+    resized-RAW1 ground truth exactly; JPEG re-encode must run and
+    stay deterministic."""
+    from mapreduce_llm_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+
+    def frames(codec):
+        media = resize_media(synthesize_media(ids, codec=codec), 8, 8)
+        return {
+            (r["media_id"], r["frame_ix"]): r["frame_mean"]
+            for r in sample_frames(media, n_frames=4).collect()
+        }
+
+    raw, png = frames("raw1"), frames("png")
+    assert raw == png
+    jpg = frames("jpeg")
+    assert set(jpg) == set(raw)
+    assert jpg == frames("jpeg")  # deterministic

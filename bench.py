@@ -90,6 +90,9 @@ HEADLINE = [
     "q_skyline",
     "q_win_median",
     "q_graph_bfs",
+    # round 4c: corpus prep
+    "q_text_bm25",
+    "q_shuffle_shards",
 ]
 
 

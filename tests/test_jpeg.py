@@ -162,3 +162,17 @@ def test_decode_media_and_synthesis_integration(spark):
     for mid in feats:
         assert feats[mid]["n_bytes"] == raw[mid]["n_bytes"]
         assert abs(feats[mid]["mean_intensity"] - raw[mid]["mean_intensity"]) < 6
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (1, 9), (7, 3), (8, 8), (9, 17)])
+def test_tiny_and_odd_dimensions_roundtrip(dims):
+    """Blocks pad by edge replication, so any positive dimensions must
+    encode/decode cleanly — including sub-8×8 images where the whole
+    image is padding except one corner."""
+    h, w = dims
+    rng = np.random.RandomState(h * 100 + w)
+    img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    w2, h2, c2, out = decode_jpeg(encode_jpeg(img, channels=1, quality=90))
+    assert (w2, h2, c2) == (w, h, 1) and out.shape == (h, w)
+    # noise is JPEG's worst case; bound loosely but meaningfully
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 64

@@ -115,9 +115,18 @@ def main() -> None:
     for name in HEADLINE:
         run_query(registry.QUERIES[name], spark, sf_dir)
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        times[name] = round(run_query(registry.QUERIES[name], spark, sf_dir), 3)
+    # median of 3 measured passes: single-pass numbers carried
+    # ±0.1-0.15 s of suite-order noise round-over-round (measured in
+    # ROUND4_NOTES), which is the size of a real regression on most
+    # queries; the median cancels it in both directions
+    passes = 3
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(passes):
+        for name in HEADLINE:
+            samples[name].append(run_query(registry.QUERIES[name], spark, sf_dir))
+    times = {
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+    }
 
     total = round(sum(times.values()), 3)
     print(
@@ -129,9 +138,12 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 # the suite GROWS each round (r1: 30 queries, r3: 37) —
-                # compare mean_query_seconds across rounds, not value
+                # compare mean_query_seconds across rounds, not value,
+                # and compare on the common subset (tools/bench_compare.py)
                 "n_queries": len(times),
                 "mean_query_seconds": round(total / len(times), 3),
+                "passes": passes,
+                "agg": "median",
             }
         )
     )

@@ -171,10 +171,11 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_median",
     oracle="""
     SELECT event_id, user_id,
-           round(value, 4) AS value,
+           round(value, 4) + 0.0 AS value,
            round(median(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 4) AS roll_med
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 4) + 0.0
+               AS roll_med
     FROM events
     ORDER BY user_id, event_id
     """,

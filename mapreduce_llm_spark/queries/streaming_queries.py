@@ -1,0 +1,84 @@
+"""The Structured Streaming runtime as an oracle-checked query.
+
+Every other streaming capability carries a local batch-equivalence
+test (tests/test_streaming.py); this module externalizes the flagship
+one: the driver runs the REAL streaming engine (file-source micro-batch
+replay → watermarked tumbling aggregation → memory sink, driven to
+completion) and hash-compares its output against DuckDB's batch answer
+— stream-batch equivalence verified by an independent engine, not by
+our own test harness.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+_run_ids = itertools.count()
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '1 hour', ts)   AS bucket_start,
+        event_type,
+        count(*)                             AS n_events,
+        round(sum(value), 4)                 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_evt_tumbling, executed FOR REAL: events are
+    re-published as a 4-file parquet stream source (through load_table,
+    so encoding drift is normalized identically to the batch path),
+    replayed 2 files per micro-batch, aggregated into watermarked
+    1-hour windows, and driven to completion against the memory sink
+    in complete mode. Complete mode retains all window state, so the
+    multi-batch incremental aggregation must equal the batch answer
+    exactly — which the DuckDB oracle verifies from the raw table.
+
+    (countDistinct is unsupported in streaming aggregations, so the
+    streaming twin carries n_events/sum_value; the batch q_evt_tumbling
+    adds n_users.) At scale the same topology runs unbounded: the
+    watermark bounds state in append mode, and the memory sink becomes
+    a Delta/Kafka sink — run_to_memory exists precisely to make the
+    runtime testable hermetically."""
+    from mapreduce_llm_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+        tumbling_counts_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="mrs_stream_src_")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartitionByRange(4, "ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    name = f"q_stream_tumbling_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        tumbling_counts_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="complete",
+    )
+    return (
+        got.select(
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )

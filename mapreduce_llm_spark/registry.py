@@ -43,8 +43,8 @@ ORACLE: dict[str, str] = {}
 # Rollover to round 5: the rows-only entries that didn't fit —
 # q_agg_sketch_union, q_sim_join, q_text_fingerprint, q_sim_ivf,
 # q_mm_frames, q_sample_stratified, q_sample, q_pack_sequences,
-# q_sim_recall, q_sim_ann_topk, q_dedup_simhash. Invariants are
-# asserted, not narrated — see
+# q_sim_recall, q_sim_ann_topk, q_dedup_simhash, q_graph_pagerank.
+# Invariants are asserted, not narrated — see
 # tests/test_plans.py::test_driver_priority_round4_window.
 DRIVER_PRIORITY: list[str] = [
     # (1) the round-3 regression, fixed this round
@@ -68,11 +68,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_agg_entropy", "q_chi_square", "q_win_median", "q_win_distinct",
     "q_skyline", "q_graph_bfs", "q_text_bm25", "q_shuffle_shards",
     "q_length_buckets", "q_join_incremental", "q_sql_lateral",
+    "q_stream_tumbling",
     # (5) rows-only, never driver-run (weaker rows-only gate); the
     #     reference-surface operators (chunker, LLM map, multimodal,
-    #     curation) and the seeded approximate families first
+    #     curation) first
     "q_chunk_assign", "q_llm_map", "q_mm_features", "q_mm_audio",
-    "q_pipeline_curate", "q_graph_pagerank",
+    "q_pipeline_curate",
 ]
 
 
@@ -112,6 +113,7 @@ def load_all() -> None:
         skew,
         sorts,
         sql_api,
+        streaming_queries,
         textprep,
         tpch_extra,
         tpch_macro,

@@ -82,3 +82,66 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start", "event_type")
     )
+
+
+def _publish_stream_source(spark: SparkSession, sf_dir: str, *, doubled: bool = False) -> str:
+    """Re-publish events as a deterministic 4-file µs-LTZ parquet
+    stream source (load_table normalizes encoding drift identically to
+    the batch path). ``doubled=True`` duplicates every row in-place —
+    the dedup fixture, with each duplicate inside the same file so it
+    lands inside the watermark horizon by construction."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    if doubled:
+        e = e.unionByName(e)
+    src = tempfile.mkdtemp(prefix="mrs_stream_src_")
+    e.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    return src
+
+
+@query("q_stream_ewma")
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful-streaming recursion surface as a declared query:
+    TRUE per-user recursive EWMA via applyInPandasWithState (one float
+    + counter of state per key), replayed over the event corpus 2
+    files per micro-batch and driven to completion. Rows-only: the
+    exact recursion is the semantics the batch engine deliberately
+    truncates (q_ewma keeps 8 lag terms), so there is no SQL twin —
+    equivalence to pandas ewm(adjust=False) under time-ordered replay
+    is pinned in tests/test_streaming.py. One output row per input
+    event; driver rows-gate checks the stateful path executes."""
+    from mapreduce_llm_spark.streaming.pipeline import ewma_stream, run_to_memory, stream_events
+
+    src = _publish_stream_source(spark, sf_dir)
+    name = f"q_stream_ewma_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        ewma_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="update",
+    )
+    return got.select(
+        "user_id", "event_id", F.round("ewma", 4).alias("ewma")
+    ).orderBy("user_id", "event_id")
+
+
+@query("q_stream_dedup")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup as a declared query: the corpus is
+    re-published with EVERY ROW DUPLICATED (duplicates co-located in
+    the same file, hence inside the watermark horizon), then
+    dropDuplicatesWithinWatermark on event_id must emit each event
+    exactly once — state bounded by the watermark, so the topology
+    runs forever at scale. Rows-only: output cardinality (= distinct
+    events despite the doubled input) is the check; exact-dedup
+    semantics carry the SQL twin on the batch side (q_dedup_exact)."""
+    from mapreduce_llm_spark.streaming.pipeline import dedup_stream, run_to_memory, stream_events
+
+    src = _publish_stream_source(spark, sf_dir, doubled=True)
+    name = f"q_stream_dedup_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        dedup_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="append",
+    )
+    return got.select("event_id", "user_id", "event_type").orderBy("event_id")

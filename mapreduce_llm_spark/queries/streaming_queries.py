@@ -1,12 +1,16 @@
-"""The Structured Streaming runtime as an oracle-checked query.
+"""Runtime surfaces under the driver contract: the Structured
+Streaming engine and the snapshot storage layer as declared queries.
 
-Every other streaming capability carries a local batch-equivalence
-test (tests/test_streaming.py); this module externalizes the flagship
-one: the driver runs the REAL streaming engine (file-source micro-batch
-replay → watermarked tumbling aggregation → memory sink, driven to
-completion) and hash-compares its output against DuckDB's batch answer
-— stream-batch equivalence verified by an independent engine, not by
-our own test harness.
+Every streaming capability carries a local batch-equivalence test
+(tests/test_streaming.py); this module externalizes them: the driver
+runs the REAL streaming engine (file-source micro-batch replay →
+watermarked tumbling aggregation → memory sink, driven to completion)
+and hash-compares its output against DuckDB's batch answer — stream-
+batch equivalence verified by an independent engine, not by our own
+test harness. The stateful-EWMA, watermarked-dedup, and
+snapshot-time-travel queries add the applyInPandasWithState,
+dropDuplicatesWithinWatermark, and versioned-storage paths as
+rows-gated public surface.
 """
 
 from __future__ import annotations
@@ -145,3 +149,36 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return got.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+@query("q_snapshot_timetravel")
+def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table storage layer (operators/snapshots.py) as a
+    declared query: publish documents as v0, publish the long-document
+    subset as v1 (atomic pointer swap), then read BOTH versions back
+    via time travel and summarize each — proving the previous version
+    stays queryable after a republish, from inside the driver
+    contract. Rows-only: the semantics under check are the storage
+    layer's (atomic publish, snapshot isolation), not SQL. Output is
+    deterministic: (version, n_docs, sum_chars) per snapshot.
+
+    At 100 TB each publish is a normal distributed parquet write plus
+    one O(1) metadata rename; time travel reads an immutable
+    directory — see SCALING.md 'Incremental maintenance'."""
+    from mapreduce_llm_spark.operators.snapshots import read_snapshot, write_snapshot
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    table = tempfile.mkdtemp(prefix="mrs_snap_tbl_")
+    v0 = write_snapshot(d, table)
+    v1 = write_snapshot(d.where(F.col("n_chars") >= 200), table)
+    frames = []
+    for v in (v0, v1):
+        snap = read_snapshot(spark, table, version=v)
+        frames.append(
+            snap.agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+    return frames[0].unionByName(frames[1]).orderBy("version")

@@ -53,10 +53,21 @@ if _ENC is None and _cl100k_path and _os.path.exists(_cl100k_path):
     _BPE = BytePairEncoder(load_tiktoken_ranks(_cl100k_path))
 
 
-def install_cl100k_from_file(path: str) -> None:
+# Fixed name a driver-installed vocab ships to executors under (via
+# SparkContext.addFile); workers lazily pick it up from SparkFiles.
+_SHIPPED_VOCAB = "mrs_cl100k.tiktoken"
+
+
+def install_cl100k_from_file(path: str, spark=None) -> None:
     """Load a ``.tiktoken``-format cl100k vocabulary file and make the
-    pure-Python BPE the active counter (equivalent to setting
-    SPARK_GRAFT_CL100K_PATH before import)."""
+    pure-Python BPE the active counter — on the DRIVER immediately,
+    and on every EXECUTOR via ``SparkContext.addFile`` (setting a
+    module global alone would be driver-only: Python workers re-import
+    this module fresh and would silently keep the heuristic). Pass the
+    active ``SparkSession`` (or let it be discovered); with no session
+    the install is driver-local and the env-var path
+    (SPARK_GRAFT_CL100K_PATH, visible to workers at JVM launch)
+    remains the distributed channel."""
     global _BPE
     from mapreduce_llm_spark.functions.bpe import (
         BytePairEncoder,
@@ -64,6 +75,48 @@ def install_cl100k_from_file(path: str) -> None:
     )
 
     _BPE = BytePairEncoder(load_tiktoken_ranks(path))
+    if spark is None:
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        except Exception:
+            spark = None
+    if spark is not None:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        # re-publish under the FIXED basename workers look for
+        d = _tempfile.mkdtemp(prefix="mrs_vocab_")
+        shipped = _os.path.join(d, _SHIPPED_VOCAB)
+        _shutil.copyfile(path, shipped)
+        spark.sparkContext.addFile(shipped)
+
+
+def _lazy_worker_vocab() -> None:
+    """Executor-side pickup of a driver-installed vocab. The negative
+    case is deliberately NOT memoized: reused python workers outlive a
+    later ``install_cl100k_from_file`` on the driver, and SparkFiles'
+    app-level directory makes the file visible to them as soon as it
+    ships — a sticky miss would pin such workers to the heuristic. The
+    miss cost is one path probe, comparable to the heuristic's own
+    regex work."""
+    global _BPE
+    if _BPE is not None:
+        return
+    try:
+        from pyspark import SparkFiles
+
+        p = SparkFiles.get(_SHIPPED_VOCAB)
+        if p and _os.path.exists(p):
+            from mapreduce_llm_spark.functions.bpe import (
+                BytePairEncoder,
+                load_tiktoken_ranks,
+            )
+
+            _BPE = BytePairEncoder(load_tiktoken_ranks(p))
+    except Exception:
+        pass  # no Spark worker context / no shipped vocab: heuristic
 
 # chars-per-token heuristic used when tiktoken is absent
 _CHARS_PER_TOKEN = 4
@@ -97,6 +150,8 @@ def count_tokens_str(text: str) -> int:
         return _CUSTOM_COUNTER(text)
     if _ENC is not None:
         return len(_ENC.encode(text))
+    if _BPE is None:
+        _lazy_worker_vocab()
     if _BPE is not None:
         return _BPE.count(text)
     if not text:

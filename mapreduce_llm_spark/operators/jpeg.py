@@ -180,7 +180,9 @@ class _BitReader:
             byte = self.data[self.pos]
             self.pos += 1
             if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG entropy data truncated")
+                nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
                 else:

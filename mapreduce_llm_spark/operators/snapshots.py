@@ -118,13 +118,16 @@ def vacuum(
     evict real history from retention). Never deletes the published
     version. Returns the versions removed.
 
-    Directories above the published pointer are either crash debris or
-    another writer's in-flight version — indistinguishable by listing
-    alone. Matching Delta/Iceberg retention semantics, they are only
-    reaped once untouched for ``orphan_grace_seconds`` (newest mtime in
-    the tree): a live writer advances mtimes far faster than any sane
-    grace period, while debris from a crashed run ages out. Pass ``0``
-    only when the caller can guarantee no concurrent writer."""
+    A version directory that is not the pointer target may be crash
+    debris or another writer's in-flight version — indistinguishable by
+    listing alone, and an in-flight version can sit BELOW the pointer
+    too (writer A allocates v=5, writer B publishes v=6 before A
+    finishes). Matching Delta/Iceberg retention semantics, EVERY
+    deletion candidate is reaped only once untouched for
+    ``orphan_grace_seconds`` (newest mtime in the tree): a live writer
+    advances mtimes far faster than any sane grace period, while
+    debris and expired history age out. Pass ``0`` only when the
+    caller can guarantee no concurrent writer."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     published = latest_version(table_path)
@@ -139,12 +142,11 @@ def vacuum(
         if v in keep:
             continue
         vdir = os.path.join(table_path, f"v={v}")
-        if published is None or v > published:
-            try:
-                if now - _dir_mtime(vdir) < orphan_grace_seconds:
-                    continue  # possibly in-flight: leave it
-            except OSError:
-                continue  # vanished or racing writer: leave it
+        try:
+            if now - _dir_mtime(vdir) < orphan_grace_seconds:
+                continue  # possibly in-flight: leave it
+        except OSError:
+            continue  # vanished or racing writer: leave it
         shutil.rmtree(vdir)
         removed.append(v)
     return removed

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +27,55 @@ from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
 
 _run_ids = itertools.count()
+
+# one published source per (sf_dir, doubled) per process — repeated
+# invocations (bench warm-up + 3 measured passes, plan lint + oracle
+# sweep in one pytest session) re-read the same files instead of
+# leaking a fresh corpus copy into /tmp each call
+_SOURCES: dict[tuple[str, bool], str] = {}
+
+# fixed synthetic mtime base (any constant in the past works — the
+# file source only compares mtimes to EACH OTHER for ordering)
+_MTIME_BASE = 1_600_000_000
+
+
+def _publish_stream_source(
+    spark: SparkSession, sf_dir: str, *, doubled: bool = False
+) -> str:
+    """Re-publish events as a deterministic 4-file µs-LTZ parquet
+    stream source (load_table normalizes encoding drift identically to
+    the batch path). ``doubled=True`` duplicates every row in-place —
+    the dedup fixture, with each duplicate inside the same file so it
+    lands inside the watermark horizon by construction.
+
+    Files are range-partitioned on ts AND given strictly ascending
+    mtimes in partition (= time-range) order: FileStreamSource orders
+    its backlog by modification time, and a single parquet job stamps
+    all four files with the same mtime — unspecified tie-breaking
+    could then replay a later time range in an earlier micro-batch,
+    which would silently break the stateful queries' time-ordered
+    fold. The explicit stamps make replay order = event-time order,
+    deterministically."""
+    key = (sf_dir, doubled)
+    cached = _SOURCES.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    if doubled:
+        e = e.unionByName(e)
+    src = tempfile.mkdtemp(prefix="mrs_stream_src_")
+    e.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    parts = sorted(
+        f for f in os.listdir(src) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    # part-00000 is range partition 0 = the lowest ts range
+    for i, fname in enumerate(parts):
+        t = _MTIME_BASE + i
+        os.utime(os.path.join(src, fname), (t, t))
+    _SOURCES[key] = src
+    return src
 
 
 @query(
@@ -63,14 +113,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts_stream,
     )
 
-    src = tempfile.mkdtemp(prefix="mrs_stream_src_")
-    (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .repartitionByRange(4, "ts")
-        .write.mode("overwrite")
-        .parquet(src)
-    )
+    src = _publish_stream_source(spark, sf_dir)
     name = f"q_stream_tumbling_mem_{next(_run_ids)}_{os.getpid()}"
     got = run_to_memory(
         tumbling_counts_stream(stream_events(spark, src, max_files_per_trigger=2)),
@@ -88,34 +131,25 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _publish_stream_source(spark: SparkSession, sf_dir: str, *, doubled: bool = False) -> str:
-    """Re-publish events as a deterministic 4-file µs-LTZ parquet
-    stream source (load_table normalizes encoding drift identically to
-    the batch path). ``doubled=True`` duplicates every row in-place —
-    the dedup fixture, with each duplicate inside the same file so it
-    lands inside the watermark horizon by construction."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    if doubled:
-        e = e.unionByName(e)
-    src = tempfile.mkdtemp(prefix="mrs_stream_src_")
-    e.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
-    return src
-
-
 @query("q_stream_ewma")
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stateful-streaming recursion surface as a declared query:
     TRUE per-user recursive EWMA via applyInPandasWithState (one float
     + counter of state per key), replayed over the event corpus 2
-    files per micro-batch and driven to completion. Rows-only: the
-    exact recursion is the semantics the batch engine deliberately
-    truncates (q_ewma keeps 8 lag terms), so there is no SQL twin —
-    equivalence to pandas ewm(adjust=False) under time-ordered replay
-    is pinned in tests/test_streaming.py. One output row per input
-    event; driver rows-gate checks the stateful path executes."""
-    from mapreduce_llm_spark.streaming.pipeline import ewma_stream, run_to_memory, stream_events
+    files per micro-batch and driven to completion. The source files
+    carry ascending mtimes in time-range order (see
+    _publish_stream_source), so micro-batches replay time-ordered per
+    key and the stream equals the offline recursion — pinned against
+    pandas ewm(adjust=False) in tests/test_streaming.py. Rows-only:
+    the exact recursion is the semantics the batch engine deliberately
+    truncates (q_ewma keeps 8 lag terms), so there is no SQL twin.
+    One output row per input event; driver rows-gate checks the
+    stateful path executes."""
+    from mapreduce_llm_spark.streaming.pipeline import (
+        ewma_stream,
+        run_to_memory,
+        stream_events,
+    )
 
     src = _publish_stream_source(spark, sf_dir)
     name = f"q_stream_ewma_mem_{next(_run_ids)}_{os.getpid()}"
@@ -139,7 +173,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs forever at scale. Rows-only: output cardinality (= distinct
     events despite the doubled input) is the check; exact-dedup
     semantics carry the SQL twin on the batch side (q_dedup_exact)."""
-    from mapreduce_llm_spark.streaming.pipeline import dedup_stream, run_to_memory, stream_events
+    from mapreduce_llm_spark.streaming.pipeline import (
+        dedup_stream,
+        run_to_memory,
+        stream_events,
+    )
 
     src = _publish_stream_source(spark, sf_dir, doubled=True)
     name = f"q_stream_dedup_mem_{next(_run_ids)}_{os.getpid()}"
@@ -154,13 +192,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_snapshot_timetravel")
 def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The versioned-table storage layer (operators/snapshots.py) as a
-    declared query: publish documents as v0, publish the long-document
-    subset as v1 (atomic pointer swap), then read BOTH versions back
+    declared query: publish documents as v1, publish the long-document
+    subset as v2 (atomic pointer swap), then read BOTH versions back
     via time travel and summarize each — proving the previous version
     stays queryable after a republish, from inside the driver
     contract. Rows-only: the semantics under check are the storage
     layer's (atomic publish, snapshot isolation), not SQL. Output is
-    deterministic: (version, n_docs, sum_chars) per snapshot.
+    deterministic: (version, n_docs, sum_chars) per snapshot. The
+    summaries are materialized before the scratch table is deleted, so
+    repeated invocations leave nothing behind in /tmp.
 
     At 100 TB each publish is a normal distributed parquet write plus
     one O(1) metadata rename; time travel reads an immutable
@@ -169,16 +209,21 @@ def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     table = tempfile.mkdtemp(prefix="mrs_snap_tbl_")
-    v0 = write_snapshot(d, table)
-    v1 = write_snapshot(d.where(F.col("n_chars") >= 200), table)
-    frames = []
-    for v in (v0, v1):
-        snap = read_snapshot(spark, table, version=v)
-        frames.append(
-            snap.agg(
-                F.lit(v).alias("version"),
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").alias("sum_chars"),
+    try:
+        v0 = write_snapshot(d, table)
+        v1 = write_snapshot(d.where(F.col("n_chars") >= 200), table)
+        rows = []
+        for v in (v0, v1):
+            snap = read_snapshot(spark, table, version=v)
+            rows.extend(
+                snap.agg(
+                    F.lit(v).alias("version"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").alias("sum_chars"),
+                ).collect()
             )
-        )
-    return frames[0].unionByName(frames[1]).orderBy("version")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="version int, n_docs bigint, sum_chars bigint"
+    ).orderBy("version")

@@ -43,8 +43,10 @@ ORACLE: dict[str, str] = {}
 # Rollover to round 5: the rows-only entries that didn't fit —
 # q_agg_sketch_union, q_sim_join, q_text_fingerprint, q_sim_ivf,
 # q_mm_frames, q_sample_stratified, q_sample, q_pack_sequences,
-# q_sim_recall, q_sim_ann_topk, q_dedup_simhash, q_graph_pagerank.
-# Invariants are asserted, not narrated — see
+# q_sim_recall, q_sim_ann_topk, q_dedup_simhash, q_graph_pagerank,
+# plus the late round-4 rows-only additions q_stream_ewma,
+# q_stream_dedup, and q_snapshot_timetravel. Invariants are asserted,
+# not narrated — see
 # tests/test_plans.py::test_driver_priority_round4_window.
 DRIVER_PRIORITY: list[str] = [
     # (1) the round-3 regression, fixed this round

@@ -400,19 +400,36 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         ewma, n_seen = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        if n_seen == 0:
+            # disambiguate the stored 0.0 sentinel: a key whose prior
+            # invocations carried no rows has NO genuine prior — its
+            # first real value must seed the recursion, not blend with
+            # the sentinel
+            ewma = None
+        # the runtime hands one key's batch as an ITERATOR of Arrow
+        # chunks in shuffle-arrival order — sorting each chunk alone
+        # folds the recursion out of time order whenever a key spans
+        # chunks (~10k rows), so buffer the whole batch and sort ONCE;
+        # per-key-per-batch state is bounded by the batch, same as the
+        # runtime's own shuffle buffer for this key
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            full = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts", "event_id"])
             out = []
-            for x in pdf["value"]:
+            for x in full["value"]:
                 x = float(x)
                 ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
                 out.append(ewma)
-            n_seen += len(pdf)
+            n_seen += len(full)
             yield pd.DataFrame(
                 {
                     "user_id": key[0],
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "ts": pdf["ts"].to_numpy(),
+                    "event_id": full["event_id"].to_numpy(),
+                    "ts": full["ts"].to_numpy(),
                     "ewma": out,
                 }
             )

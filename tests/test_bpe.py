@@ -175,3 +175,48 @@ def test_bpe_every_emitted_id_is_a_vocab_token_covering_input(text):
     inv = {v: k for k, v in ranks.items()}
     ids = _PROP_ENC.encode(text)
     assert b"".join(inv[i] for i in ids) == text.encode("utf-8")
+
+
+def test_installed_vocab_reaches_executors(tmp_path):
+    """The round-4 advice bug: install_cl100k_from_file used to set a
+    driver-global only, so executor-side pandas UDFs silently kept the
+    heuristic. The install now ships the vocab via SparkContext.addFile
+    and workers lazily pick it up from SparkFiles. Shipping is
+    app-global and irreversible (SparkFiles has no remove), so this
+    runs in an ISOLATED Spark application via subprocess — polluting
+    the shared session fixture would flip every later heuristic-based
+    token count."""
+    import base64
+    import subprocess
+    import sys
+
+    vocab = {**TOY, b" ": 8}
+    p = tmp_path / "toy.tiktoken"
+    p.write_text(
+        "\n".join(
+            base64.b64encode(t).decode() + " " + str(r) for t, r in vocab.items()
+        )
+    )
+    script = f"""
+from pyspark.sql import SparkSession, functions as F
+from mapreduce_llm_spark.functions import tokens as T
+spark = (SparkSession.builder.master("local[4]")
+         .appName("vocab-ship-test")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+T.install_cl100k_from_file({str(p)!r}, spark=spark)
+df = spark.createDataFrame([("abcd abc",)] * 64, "text string").repartition(8)
+counts = {{r[0] for r in df.select(T.make_count_tokens_udf()(F.col("text"))).collect()}}
+# 4 = exact toy-BPE count; the heuristic would give 2
+assert counts == {{4}}, counts
+print("EXECUTOR_VOCAB_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+    )
+    assert "EXECUTOR_VOCAB_OK" in r.stdout, r.stdout + r.stderr

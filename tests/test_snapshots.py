@@ -53,12 +53,45 @@ def test_vacuum_keeps_published_and_bounds_history(spark, table):
     n = load_table(spark, SMOKE_SF_DIR, "nation")
     for k in (25, 10, 5, 3):
         write_snapshot(n.limit(k), table)
+    # fresh directories are within the grace period — protected even
+    # below the pointer (they could be another writer's in-flight
+    # version; vacuum cannot tell from listing alone)
+    assert vacuum(table, keep_last=2) == []
+    old = 1e9
+    for v in (1, 2):
+        _age_tree(os.path.join(table, f"v={v}"), old)
     removed = vacuum(table, keep_last=2)
     assert removed == [1, 2]
     assert read_snapshot(spark, table).count() == 3
     assert read_snapshot(spark, table, version=3).count() == 5
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, table, version=1)
+
+
+def _age_tree(path: str, mtime: float) -> None:
+    for root, _dirs, files in os.walk(path):
+        os.utime(root, (mtime, mtime))
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def test_vacuum_spares_inflight_version_below_pointer(spark, table):
+    """Writer A allocates v=1 and is still writing when writer B
+    publishes v=2 and expired-history vacuum runs: A's fresh directory
+    sits BELOW the pointer yet must survive (the torn-table race from
+    the round-4 advice) — only aged below-pointer history is reaped."""
+    n = load_table(spark, SMOKE_SF_DIR, "nation")
+    inflight = os.path.join(table, "v=1")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("in-flight")
+    write_snapshot(n.limit(5), table)   # B's v=2... actually allocates v=2
+    write_snapshot(n.limit(3), table)   # v=3 (published)
+    assert vacuum(table, keep_last=1) == []  # v=1 fresh: protected
+    assert os.path.isdir(inflight)
+    _age_tree(inflight, 1e9)
+    assert 1 in vacuum(table, keep_last=1)  # aged out: reaped
+    assert not os.path.isdir(inflight)
 
 
 def test_vacuum_spares_recent_orphans_reaps_aged_ones(spark, table):

@@ -509,3 +509,80 @@ def test_stream_ewma_matches_offline_recursion(spark, tmp_path):
     )
     assert len(merged) == len(events) == len(got)
     assert (merged["ewma_got"] - merged["ewma_want"]).abs().max() < 1e-9
+
+
+def test_stream_ewma_sorts_across_arrow_chunks(spark, tmp_path):
+    """Regression for the round-4 self-review bug: applyInPandasWithState
+    delivers one key's micro-batch as MULTIPLE Arrow chunks (10k rows
+    each by default) in shuffle-arrival order, and the old
+    implementation sorted each chunk independently — folding the
+    recursion out of time order whenever a key spans chunks. 25k
+    deliberately time-shuffled rows for ONE user in ONE batch force 3
+    chunks whose time ranges interleave; the result must still equal
+    the offline recursion."""
+    import datetime as dt
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_llm_spark.streaming.pipeline import (
+        ewma_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 25_000
+    order = rng.permutation(n)  # file order != time order
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": order.astype(np.int64),
+            "ts": [base + dt.timedelta(seconds=int(i)) for i in order],
+            "user_id": np.int64(7),
+            "event_type": "tick",
+            "value": rng.rand(n) * 100,
+        }
+    )
+    pdf["props"] = ""
+    src = str(tmp_path / "chunk_src")
+    os.makedirs(src)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    got = run_to_memory(
+        ewma_stream(stream_events(spark, src), alpha=0.3), "ewma_chunk_t"
+    ).toPandas()
+    assert len(got) == n
+
+    expected = pdf.sort_values(["ts", "event_id"]).copy()
+    expected["ewma"] = expected["value"].ewm(alpha=0.3, adjust=False).mean()
+    merged = got.merge(
+        expected[["event_id", "ewma"]], on="event_id", suffixes=("_got", "_want")
+    )
+    assert (merged["ewma_got"] - merged["ewma_want"]).abs().max() < 1e-9
+
+
+def test_published_stream_source_mtimes_follow_time_ranges(spark):
+    """_publish_stream_source must stamp strictly ascending mtimes in
+    ts-range order (FileStreamSource orders by mtime; one parquet job
+    stamps all files identically, which would leave replay order to
+    unspecified tie-breaking)."""
+    import os
+
+    from mapreduce_llm_spark.queries.streaming_queries import (
+        _publish_stream_source,
+    )
+
+    src = _publish_stream_source(spark, "/root/testdata/sf0.001")
+    parts = sorted(
+        f for f in os.listdir(src) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) >= 2
+    mtimes = [os.path.getmtime(os.path.join(src, f)) for f in parts]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    mins = [
+        spark.read.parquet(os.path.join(src, f)).agg({"ts": "min"}).collect()[0][0]
+        for f in parts
+    ]
+    assert mins == sorted(mins)

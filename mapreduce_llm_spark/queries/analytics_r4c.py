@@ -260,6 +260,53 @@ def q_win_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_win_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(len(list_distinct(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS INT)
+               AS n_types_seen
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED running distinct count — how many distinct event
+    types each user has touched so far. This is the scale path
+    q_win_distinct's docstring promises: the oracle materializes the
+    whole unbounded frame as a list per row (O(n) state — fine for an
+    oracle, fatal at 100 TB), while the Spark side is the
+    first-occurrence rewrite: flag each (user, type)'s first event via
+    row_number()==1, then a running SUM of flags — O(1) state per row,
+    plain cumulative sum. The hash match proves the rewrite against
+    the independent quadratic-state formulation, exactly like
+    q_skyline's NOT-EXISTS proof.
+
+    Two exchanges (the flag window keys on (user_id, event_type), the
+    running sum on user_id); at any scale both are ordinary
+    shuffle-window passes with bounded per-row state."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "_first", (F.row_number().over(w_first) == 1).cast("int")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("_first").over(w_run).cast("int").alias("n_types_seen"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "q_skyline",
     oracle="""
     SELECT a.p_partkey, a.p_size, round(a.p_retailprice, 4) AS p_retailprice

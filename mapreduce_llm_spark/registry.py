@@ -45,8 +45,8 @@ ORACLE: dict[str, str] = {}
 # q_mm_frames, q_sample_stratified, q_sample, q_pack_sequences,
 # q_sim_recall, q_sim_ann_topk, q_dedup_simhash, q_graph_pagerank,
 # plus the late round-4 rows-only additions q_stream_ewma,
-# q_stream_dedup, and q_snapshot_timetravel. Invariants are asserted,
-# not narrated — see
+# q_stream_dedup, q_snapshot_timetravel, and the evicted
+# q_pipeline_curate. Invariants are asserted, not narrated — see
 # tests/test_plans.py::test_driver_priority_round4_window.
 DRIVER_PRIORITY: list[str] = [
     # (1) the round-3 regression, fixed this round
@@ -70,12 +70,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_agg_entropy", "q_chi_square", "q_win_median", "q_win_distinct",
     "q_skyline", "q_graph_bfs", "q_text_bm25", "q_shuffle_shards",
     "q_length_buckets", "q_join_incremental", "q_sql_lateral",
-    "q_stream_tumbling",
+    "q_stream_tumbling", "q_win_running_distinct",
     # (5) rows-only, never driver-run (weaker rows-only gate); the
-    #     reference-surface operators (chunker, LLM map, multimodal,
-    #     curation) first
+    #     reference-surface operators (chunker, LLM map, multimodal)
+    #     first — q_pipeline_curate (a composition of individually
+    #     verified parts) yields its slot to the oracle-backed
+    #     running-distinct proof and rolls to round 5
     "q_chunk_assign", "q_llm_map", "q_mm_features", "q_mm_audio",
-    "q_pipeline_curate",
 ]
 
 

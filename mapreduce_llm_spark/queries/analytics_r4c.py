@@ -285,7 +285,11 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two exchanges (the flag window keys on (user_id, event_type), the
     running sum on user_id); at any scale both are ordinary
-    shuffle-window passes with bounded per-row state."""
+    shuffle-window passes with bounded per-row state
+    [pinned: test_running_distinct_is_two_window_rewrite]. NULL
+    event_types are excluded from the count on BOTH sides (DuckDB's
+    list_distinct drops NULLs; the flag is masked with isNotNull so a
+    future testdata snapshot with NULL types can't hash-diverge)."""
     e = load_table(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     w_run = (
@@ -295,7 +299,11 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.withColumn(
-            "_first", (F.row_number().over(w_first) == 1).cast("int")
+            "_first",
+            (
+                (F.row_number().over(w_first) == 1)
+                & F.col("event_type").isNotNull()
+            ).cast("int"),
         )
         .select(
             "event_id",

@@ -743,3 +743,15 @@ def test_bm25_is_take_ordered_with_prefiltered_terms(spark):
     # explain prints top-down: the filter acting below the exchange
     # appears AFTER it in the text
     assert filter_ix > agg_ix, (filter_ix, agg_ix)
+
+
+def test_running_distinct_is_two_window_rewrite(spark):
+    """q_win_running_distinct's point is the O(1)-state rewrite: two
+    hash exchanges (first-occurrence flag keyed on (user_id,
+    event_type), running sum on user_id), no join, and NO collect_list
+    — a regression to the oracle's list-materializing formulation
+    would still hash-match while dying at scale."""
+    plan = plan_of(spark, "q_win_running_distinct")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "collect_list" not in plan

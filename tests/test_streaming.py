@@ -574,7 +574,7 @@ def test_published_stream_source_mtimes_follow_time_ranges(spark):
         _publish_stream_source,
     )
 
-    src = _publish_stream_source(spark, "/root/testdata/sf0.001")
+    src = _publish_stream_source(spark, SMOKE_SF_DIR)
     parts = sorted(
         f for f in os.listdir(src) if f.startswith("part-") and f.endswith(".parquet")
     )

@@ -59,6 +59,10 @@ def main() -> None:
 if __name__ == "__main__":
     try:
         main()
+        sys.stdout.flush()  # flush INSIDE the try: the at-exit flush
+        # would raise BrokenPipeError outside any handler
     except BrokenPipeError:  # piped to head: not an error
         import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
         os._exit(0)

@@ -57,6 +57,15 @@ if _ENC is None and _cl100k_path and _os.path.exists(_cl100k_path):
 # SparkContext.addFile); workers lazily pick it up from SparkFiles.
 _SHIPPED_VOCAB = "mrs_cl100k.tiktoken"
 
+# sha256 of the vocab already shipped to executors in this application
+# (None = nothing shipped yet). addFile publishes under the FIXED
+# basename above, and Spark's dependency fetch fails app-wide if the
+# same name is re-added with different contents — so only ONE vocab
+# can ever be shipped per SparkContext, and this guard makes that
+# contract explicit instead of letting a second install poison every
+# subsequent task.
+_SHIPPED_DIGEST: str | None = None
+
 
 def install_cl100k_from_file(path: str, spark=None) -> None:
     """Load a ``.tiktoken``-format cl100k vocabulary file and make the
@@ -67,14 +76,27 @@ def install_cl100k_from_file(path: str, spark=None) -> None:
     active ``SparkSession`` (or let it be discovered); with no session
     the install is driver-local and the env-var path
     (SPARK_GRAFT_CL100K_PATH, visible to workers at JVM launch)
-    remains the distributed channel."""
-    global _BPE
+    remains the distributed channel.
+
+    ONE executor install per SparkContext: addFile publishes under a
+    fixed basename, and re-adding that name with different bytes makes
+    every executor's dependency fetch fail ("file exists and does not
+    match contents") — breaking ALL subsequent tasks, not just token
+    counting. Worse, workers that already loaded the first vocab never
+    refresh (their ``_BPE`` is set), so a second install would be both
+    job-breaking and ineffective. A repeat install with identical
+    contents is a no-op; with different contents it raises before any
+    state is touched."""
+    global _BPE, _SHIPPED_DIGEST
+    import hashlib as _hashlib
+
     from mapreduce_llm_spark.functions.bpe import (
         BytePairEncoder,
         load_tiktoken_ranks,
     )
 
-    _BPE = BytePairEncoder(load_tiktoken_ranks(path))
+    with open(path, "rb") as fh:
+        digest = _hashlib.sha256(fh.read()).hexdigest()
     if spark is None:
         try:
             from pyspark.sql import SparkSession
@@ -82,7 +104,18 @@ def install_cl100k_from_file(path: str, spark=None) -> None:
             spark = SparkSession.getActiveSession()
         except Exception:
             spark = None
-    if spark is not None:
+    if (
+        spark is not None
+        and _SHIPPED_DIGEST is not None
+        and digest != _SHIPPED_DIGEST
+    ):
+        raise RuntimeError(
+            "a different cl100k vocab was already shipped to executors "
+            "for this application; one install per SparkContext is "
+            "supported (restart the session to switch vocabularies)"
+        )
+    _BPE = BytePairEncoder(load_tiktoken_ranks(path))
+    if spark is not None and digest != _SHIPPED_DIGEST:
         import shutil as _shutil
         import tempfile as _tempfile
 
@@ -91,6 +124,7 @@ def install_cl100k_from_file(path: str, spark=None) -> None:
         shipped = _os.path.join(d, _SHIPPED_VOCAB)
         _shutil.copyfile(path, shipped)
         spark.sparkContext.addFile(shipped)
+        _SHIPPED_DIGEST = digest
 
 
 def _lazy_worker_vocab() -> None:

@@ -369,10 +369,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     huff_dec: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     scan_comps = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte: 0xFF padding before the marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with NO length field —
+            # treating the following bytes as a length misparses the
+            # rest of the stream (T.81 §B.1.1.3)
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len
@@ -427,6 +438,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     ncomp = len(comps)
     if ncomp not in (1, 3) or len(scan_comps) != ncomp:
         raise ValueError("unsupported component layout")
+    # validate table references up front: a scan naming an undeclared
+    # table must fail with a clear error, not a KeyError mid-decode
+    for ci, (_cid, td_ta) in enumerate(scan_comps):
+        td, ta = td_ta >> 4, td_ta & 0x0F
+        if (0, td) not in huff_dec or (1, ta) not in huff_dec:
+            raise ValueError(f"missing DHT table referenced by scan (dc={td}, ac={ta})")
+        if comps[ci][1] not in qtabs:
+            raise ValueError(f"missing DQT table {comps[ci][1]} referenced by frame")
 
     reader = _BitReader(data, pos)
     bw, bh = -(-w // 8), -(-h // 8)

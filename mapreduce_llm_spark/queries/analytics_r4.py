@@ -345,6 +345,37 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_pair_counts(items: DataFrame, basket_col: str, item_col: str,
+                       *, max_basket_items: int = 256) -> DataFrame:
+    """Co-occurrence pair counts via join-free per-basket expansion.
+
+    Each basket's (deduped, sorted) item set is collected in one
+    shuffle and the C(k,2) pairs expanded JVM-side — quadratic ONLY in
+    items-per-basket. ``max_basket_items`` bounds that quadratic: one
+    adversarial mega-basket (k=10⁶ → 5·10¹¹ struct pairs in a single
+    task) would otherwise stall the stage at scale, the same
+    degenerate-key blow-up operators/dedup.py caps in LSH buckets.
+    Baskets over the cap are DROPPED (documented truncation — a basket
+    with >256 distinct items carries no pairwise signal worth a
+    quadratic task; same rationale as dropping oversized LSH buckets).
+    """
+    return (
+        items.groupBy(basket_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("parts"))
+        .where(F.size("parts") <= max_basket_items)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pair")
+        )
+        .select("pair.part_a", "pair.part_b")
+    )
+
+
 @query(
     "q_basket_pairs",
     oracle="""
@@ -365,30 +396,20 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered together. NOT a self-join: each order's (deduped, sorted)
     item set is collected in one shuffle and the C(k,2) pairs are
     expanded JVM-side with array transforms — quadratic only in
-    items-per-order (≤ a few dozen in any order system), and the
+    items-per-order, and the
     items table is shuffled ONCE instead of the 3-4 exchanges a
     distinct + self-join plan needs (measured 2.2 s → the join-free
     plan at sf0.1; the gap widens at cluster scale where the join
-    can't broadcast). sort_array over collect_set guarantees
+    can't broadcast). Degenerate mega-baskets are bounded by
+    basket_pair_counts' 256-item cap (never hit on TPC-H's ≤7-line
+    orders, so the oracle needs no matching filter — pinned by
+    tests/test_r4b_props.py). sort_array over collect_set guarantees
     part_a < part_b without a filter. Top-k goes through
     orderBy+limit → TakeOrdered (per-partition heaps, no global
     sort), with (count, part_a, part_b) as the total tie-broken
     order."""
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("pair")
-        )
-        .select("pair.part_a", "pair.part_b")
-    )
+    pairs = basket_pair_counts(li, "l_orderkey", "l_partkey")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))

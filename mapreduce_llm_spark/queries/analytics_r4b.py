@@ -327,6 +327,62 @@ def q_runs_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_pair_candidates(
+    p: DataFrame, *, max_block_size: int | None = None
+) -> DataFrame:
+    """Edit-distance-≤1 candidate pairs for (p_partkey, p_name) rows
+    via pigeonhole prefix/suffix blocking; see q_fuzzy_join.
+
+    ``max_block_size`` caps degenerate hot blocks (every name starting
+    "alum" → one quadratic block) exactly like operators/dedup.py's
+    LSH bucket cap: count per (side, blk), drop blocks over the cap
+    from candidate generation. UNLIKE the LSH cap, dropping a block
+    here CAN lose true pairs whose only shared segment is the hot one
+    (pigeonhole gives each pair only two chances), so the declared
+    query runs with the cap OFF (None = ∞) to keep its losslessness
+    proof — the cap is the recall/robustness trade-off knob a 100 TB
+    run sets after sizing its blocks."""
+    keys = p.select(
+        "p_partkey",
+        "p_name",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("P").alias("side"),
+                    F.substring("p_name", 1, 4).alias("blk"),
+                ),
+                F.struct(
+                    F.lit("S").alias("side"),
+                    F.expr("right(p_name, 4)").alias("blk"),
+                ),
+            )
+        ).alias("k"),
+    ).select("p_partkey", "p_name", "k.side", "k.blk")
+    if max_block_size is not None:
+        sizes = keys.groupBy("side", "blk").agg(F.count("*").alias("_blk_n"))
+        keys = (
+            keys.join(sizes, ["side", "blk"])
+            .filter(F.col("_blk_n") <= max_block_size)
+            .drop("_blk_n")
+        )
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, ["side", "blk"])
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        # cheap length prefilter: |len diff| > 1 can never be dist <= 1
+        .where(
+            F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 1
+        )
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+        .distinct()
+    )
+
+
 @query(
     "q_fuzzy_join",
     oracle="""
@@ -353,47 +409,19 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the naive quadratic ground truth, so the driver's hash
     check externally proves the blocking scheme is LOSSLESS, not just
     that the arithmetic matches. At 100 TB block-key selectivity is the
-    knob (longer keys / more segments → smaller blocks); degenerate
-    hot blocks get the same max-block-size cap treatment as
-    operators/dedup.py's LSH buckets. The %7 subset keeps the oracle's
+    knob (longer keys / more segments → smaller blocks); degenerate hot
+    blocks can additionally be capped via fuzzy_pair_candidates'
+    max_block_size (OFF here — capping can drop true pairs, and this
+    query's contract is the losslessness proof; the cap's sub-quadratic
+    behavior on a synthetic hot block is pinned in
+    tests/test_r4b_props.py). The %7 subset keeps the oracle's
     quadratic verification tractable at sf0.01."""
     p = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_partkey") % 7 == 0)
         .select("p_partkey", "p_name")
     )
-    keys = p.select(
-        "p_partkey",
-        "p_name",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("P").alias("side"),
-                    F.substring("p_name", 1, 4).alias("blk"),
-                ),
-                F.struct(
-                    F.lit("S").alias("side"),
-                    F.expr("right(p_name, 4)").alias("blk"),
-                ),
-            )
-        ).alias("k"),
-    ).select("p_partkey", "p_name", "k.side", "k.blk")
-    a, b = keys.alias("a"), keys.alias("b")
-    cands = (
-        a.join(b, ["side", "blk"])
-        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
-        # cheap length prefilter: |len diff| > 1 can never be dist <= 1
-        .where(
-            F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 1
-        )
-        .select(
-            F.col("a.p_partkey").alias("partkey_a"),
-            F.col("b.p_partkey").alias("partkey_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-        )
-        .distinct()
-    )
+    cands = fuzzy_pair_candidates(p, max_block_size=None)
     return (
         cands.withColumn(
             "edit_dist", F.levenshtein("name_a", "name_b").cast("long")

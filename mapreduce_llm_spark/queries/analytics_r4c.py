@@ -206,12 +206,18 @@ def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(arr)
     mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
     mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # empty-frame guard: collect_list drops NULLs, so an all-NULL frame
+    # yields an empty array where mid_lo's index is 0 and element_at
+    # raises. DuckDB's median over an all-NULL frame is NULL — emitting
+    # NULL keeps the oracle hash stable if testdata ever drifts NULLs
+    # in (same hardening as q_win_running_distinct).
+    med = F.when(n > 0, F.round((mid_lo + mid_hi) / 2.0, 4))
     return (
         e.select(
             "event_id",
             "user_id",
             F.round("value", 4).alias("value"),
-            F.round((mid_lo + mid_hi) / 2.0, 4).alias("roll_med"),
+            med.alias("roll_med"),
         )
         .orderBy("user_id", "event_id")
     )

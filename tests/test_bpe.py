@@ -197,6 +197,14 @@ def test_installed_vocab_reaches_executors(tmp_path):
             base64.b64encode(t).decode() + " " + str(r) for t, r in vocab.items()
         )
     )
+    # a second, different vocab for the re-install guard leg
+    p2 = tmp_path / "toy2.tiktoken"
+    p2.write_text(
+        "\n".join(
+            base64.b64encode(t).decode() + " " + str(r)
+            for t, r in {**TOY, b"  ": 8}.items()
+        )
+    )
     script = f"""
 from pyspark.sql import SparkSession, functions as F
 from mapreduce_llm_spark.functions import tokens as T
@@ -211,6 +219,18 @@ counts = {{r[0] for r in df.select(T.make_count_tokens_udf()(F.col("text"))).col
 # 4 = exact toy-BPE count; the heuristic would give 2
 assert counts == {{4}}, counts
 print("EXECUTOR_VOCAB_OK")
+# re-install with IDENTICAL contents: a no-op, never a second addFile
+# (addFile on the fixed basename with changed bytes fails app-wide)
+T.install_cl100k_from_file({str(p)!r}, spark=spark)
+# re-install with DIFFERENT contents: refused loudly, state untouched
+try:
+    T.install_cl100k_from_file({str(p2)!r}, spark=spark)
+    raise SystemExit("second vocab install should have raised")
+except RuntimeError as e:
+    assert "one install per SparkContext" in str(e), e
+counts = {{r[0] for r in df.select(T.make_count_tokens_udf()(F.col("text"))).collect()}}
+assert counts == {{4}}, counts
+print("REINSTALL_GUARD_OK")
 """
     r = subprocess.run(
         [sys.executable, "-c", script],
@@ -220,3 +240,4 @@ print("EXECUTOR_VOCAB_OK")
         cwd="/root/repo",
     )
     assert "EXECUTOR_VOCAB_OK" in r.stdout, r.stdout + r.stderr
+    assert "REINSTALL_GUARD_OK" in r.stdout, r.stdout + r.stderr

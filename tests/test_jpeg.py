@@ -176,3 +176,48 @@ def test_tiny_and_odd_dimensions_roundtrip(dims):
     assert (w2, h2, c2) == (w, h, 1) and out.shape == (h, w)
     # noise is JPEG's worst case; bound loosely but meaningfully
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 64
+
+
+def test_standalone_markers_and_fill_bytes_are_skipped():
+    """T.81 allows 0xFF fill bytes before any marker and standalone
+    length-less markers (TEM, RSTn) between segments; a parser that
+    reads a 2-byte length for them misparses the whole stream. Inject
+    both right after SOI of a valid self-encoded file."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_jpeg(img, channels=1, quality=85)
+    assert data[:2] == b"\xff\xd8"
+    # SOI + [fill bytes, TEM, RST3] + rest of stream
+    patched = data[:2] + b"\xff\xff\xff\x01\xff\xd3" + data[2:]
+    w, h, c, out = decode_jpeg(patched)
+    assert (w, h, c) == (8, 8, 1)
+    assert np.array_equal(out, decode_jpeg(data)[3])
+
+
+def test_missing_tables_raise_value_error_not_key_error():
+    """A scan referencing an undeclared Huffman/quant table must fail
+    with an explicit ValueError before entropy decode starts — not a
+    KeyError mid-scan. Strip the DHT segment from a valid file."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_jpeg(img, channels=1, quality=85)
+
+    def strip_segment(buf: bytes, marker: int) -> bytes:
+        out = bytearray()
+        pos = 0
+        import struct as _struct
+
+        out += buf[:2]
+        pos = 2
+        while pos + 4 <= len(buf):
+            m = buf[pos + 1]
+            if m == 0xDA:
+                out += buf[pos:]
+                break
+            (ln,) = _struct.unpack(">H", buf[pos + 2 : pos + 4])
+            if m != marker:
+                out += buf[pos : pos + 2 + ln]
+            pos += 2 + ln
+        return bytes(out)
+
+    for m, frag in ((0xC4, "DHT"), (0xDB, "DQT")):
+        with pytest.raises(ValueError, match=frag):
+            decode_jpeg(strip_segment(data, m))

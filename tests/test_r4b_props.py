@@ -178,3 +178,53 @@ def test_hierarchy_depth_matches_closed_form(spark):
     assert got == dict(want)
     for r in out:
         assert r.min_partkey <= r.max_partkey
+
+
+def test_fuzzy_hot_block_cap_bounds_candidates(spark):
+    """A degenerate hot block (every name sharing one 4-char prefix)
+    must produce ZERO candidates from that block once max_block_size
+    caps it — the sub-quadratic guarantee the knob exists for — while
+    pairs anchored in still-small suffix blocks survive."""
+    from mapreduce_llm_spark.queries.analytics_r4b import fuzzy_pair_candidates
+
+    # 60 names share the "aaaa" prefix but have 60 distinct suffixes;
+    # two of them are also edit-distance-1 via a shared suffix block.
+    names = [(i, f"aaaa name {i:03d}") for i in range(60)]
+    df = spark.createDataFrame(names, ["p_partkey", "p_name"])
+
+    uncapped = fuzzy_pair_candidates(df).count()
+    assert uncapped == 60 * 59 // 2  # prefix block is quadratic
+
+    capped = fuzzy_pair_candidates(df, max_block_size=50)
+    # the hot prefix block (60 > 50) is dropped; suffix blocks are all
+    # singletons, so no candidates remain
+    assert capped.count() == 0
+
+    # a small block under the cap is untouched: identical suffixes
+    df2 = spark.createDataFrame(
+        [(1, "xxxx common end"), (2, "yyyy common end")],
+        ["p_partkey", "p_name"],
+    )
+    assert fuzzy_pair_candidates(df2, max_block_size=50).count() == 1
+
+
+def test_basket_pair_expansion_drops_mega_baskets(spark):
+    """One adversarial mega-basket (k items → C(k,2) pairs in a single
+    task) must be dropped by the cap while normal baskets expand
+    exactly; TPC-H orders (≤7 lines) never hit the cap, so the
+    declared query's oracle needs no matching filter."""
+    from mapreduce_llm_spark.queries.analytics_r4 import basket_pair_counts
+
+    rows = [(1, i) for i in range(1000)]  # mega-basket: 499500 pairs
+    rows += [(2, 10), (2, 11), (2, 12)]  # normal basket: 3 pairs
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+
+    pairs = basket_pair_counts(df, "l_orderkey", "l_partkey").collect()
+    assert len(pairs) == 3
+    assert {(r.part_a, r.part_b) for r in pairs} == {(10, 11), (10, 12), (11, 12)}
+
+    # raising the cap re-admits the mega-basket
+    n = basket_pair_counts(
+        df, "l_orderkey", "l_partkey", max_basket_items=1000
+    ).count()
+    assert n == 1000 * 999 // 2 + 3

@@ -93,6 +93,17 @@ HEADLINE = [
     # round 4c: corpus prep
     "q_text_bm25",
     "q_shuffle_shards",
+    # round 5: accuracy-gated sketches, association lift, sweep-line
+    # Pareto, bidirectional as-of, time-valued frames, exact BPE
+    "q_sketch_bounds",
+    "q_pair_lift",
+    "q_pareto_front",
+    "q_nearest_event",
+    "q_win_range_frame",
+    "q_gini",
+    "q_rolling_active",
+    "q_dedup_latest",
+    "q_tokenize_bpe",
 ]
 
 
@@ -104,6 +115,21 @@ def run_query(qfn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
+    # --compare PREV.json [--max-ratio 1.15]: after benching, gate the
+    # run against a committed previous record on the common query
+    # subset (tools/bench_compare.gate) and exit 1 on regression — the
+    # CI hook that keeps a slowdown bigger than noise from landing
+    # silently. Accepted regressions are documented per-query in
+    # tools/bench_compare.ACCEPTED_REGRESSIONS, never by raising the
+    # threshold.
+    compare_path = None
+    max_ratio = 1.15
+    args = sys.argv[1:]
+    if "--compare" in args:
+        compare_path = args[args.index("--compare") + 1]
+    if "--max-ratio" in args:
+        max_ratio = float(args[args.index("--max-ratio") + 1])
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     registry.load_all()
@@ -147,6 +173,18 @@ def main() -> None:
             }
         )
     )
+
+    if compare_path is not None:
+        from tools.bench_compare import gate, load_bench
+
+        ok, msg = gate(
+            load_bench(compare_path),
+            {"queries": times},
+            max_ratio=max_ratio,
+        )
+        print(("PASS " if ok else "FAIL ") + msg, file=sys.stderr)
+        if not ok:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

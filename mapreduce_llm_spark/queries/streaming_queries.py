@@ -19,6 +19,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -227,3 +228,81 @@ def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="version int, n_docs bigint, sum_chars bigint"
     ).orderBy("version")
+
+
+@query("q_snapshot_vacuum")
+def q_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum retention + orphan-grace semantics of the snapshot
+    storage layer (operators/snapshots.py) as a declared query — the
+    round-4 self-review fixed two real races here (published-pointer
+    keep set, in-flight-writer grace), and this externalizes that code
+    path through the driver contract. Rows-only: the semantics under
+    check are the storage layer's, not SQL.
+
+    Script: publish v1..v4, plant crash debris ABOVE the pointer
+    (v=9 — a writer that allocated a version and died), then
+    (phase 'grace'): vacuum with a 1 h grace — only the AGED-OUT
+      non-retained history (v1, v2, backdated 2 h) is reaped; the
+      fresh debris survives because it is indistinguishable from an
+      in-flight writer;
+    (phase 'aged'): backdate the debris and vacuum again — now it
+      goes; the published v4 and retained v3 are never candidates.
+    Output is one deterministic row per phase: versions removed,
+    versions alive, and the published version's row count proving the
+    pointer target stayed readable throughout. Scratch dirs are
+    removed before returning."""
+    from mapreduce_llm_spark.operators.snapshots import (
+        latest_version,
+        read_snapshot,
+        vacuum,
+        write_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    table = tempfile.mkdtemp(prefix="mrs_snap_vac_")
+    rows = []
+    try:
+        versions = [write_snapshot(d.limit(50 * (i + 1)), table) for i in range(4)]
+        # crash debris: an allocated-but-never-published version dir
+        debris = os.path.join(table, "v=9")
+        os.makedirs(debris)
+        with open(os.path.join(debris, "part-orphan.parquet"), "wb") as fh:
+            fh.write(b"not a real file")
+
+        def backdate(version: int) -> None:
+            vdir = os.path.join(table, f"v={version}")
+            old = time.time() - 7200
+            os.utime(vdir, (old, old))
+            for root, _dirs, files in os.walk(vdir):
+                for f in files:
+                    os.utime(os.path.join(root, f), (old, old))
+
+        backdate(versions[0])
+        backdate(versions[1])
+        for phase, prep in (("grace", None), ("aged", 9)):
+            if prep is not None:
+                backdate(prep)
+            removed = vacuum(table, keep_last=2, orphan_grace_seconds=3600)
+            alive = sorted(
+                int(n[2:])
+                for n in os.listdir(table)
+                if n.startswith("v=") and n[2:].isdigit()
+            )
+            published = latest_version(table)
+            n_published = read_snapshot(spark, table).count()
+            rows.append(
+                (
+                    phase,
+                    ",".join(str(v) for v in sorted(removed)),
+                    ",".join(str(v) for v in alive),
+                    published,
+                    n_published,
+                )
+            )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema="phase string, removed string, alive string, "
+        "published int, n_published_rows bigint",
+    ).orderBy("phase")

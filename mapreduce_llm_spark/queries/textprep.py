@@ -12,6 +12,7 @@ Catalyst expressions — no Python crossing, no UDFs).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -619,4 +620,73 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi"), "bigram")
         .limit(20)
+    )
+
+
+def _toy_bpe_ranks() -> dict[bytes, int]:
+    """Deterministic self-contained BPE vocabulary: all 256 single
+    bytes (ranks 0-255) plus fixed multi-byte merges over common
+    English pairs — enough merge structure for the algorithm to do
+    real work on the documents corpus without any external vocab
+    file. Must stay in sync with nothing: it IS the fixture."""
+    ranks: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+    rank = 256
+    for merge in (
+        b"th", b"he", b"in", b"er", b"an", b"re", b"on", b"at", b"en",
+        b"or", b"es", b"ed", b"te", b"ti", b"the", b"ing", b"and",
+        b"ion", b" t", b" a", b" s", b" the", b"er ", b"es ",
+    ):
+        ranks[merge] = rank
+        rank += 1
+    return ranks
+
+
+@query("q_tokenize_bpe")
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT byte-level BPE engine (functions/bpe.py — the same
+    code path that runs cl100k_base when its vocabulary file is
+    supplied; reference internal/cli/estimation.go:13-36) executed on
+    EXECUTORS over the documents table, with a deterministic toy
+    vocabulary built in the UDF closure. Rows-only by design: BPE
+    merge order is not SQL-expressible.
+
+    Deliberately does NOT go through install_cl100k_from_file: vocab
+    shipping via addFile is app-global and irreversible (ONE install
+    per SparkContext — functions/tokens.py), so a declared query must
+    never mutate the session it runs in; the addFile seam itself is
+    exercised in an isolated app by tests/test_bpe.py. The closure
+    (ranks dict + encoder) pickles to workers per-task instead — the
+    right channel for a per-query vocabulary.
+
+    Arrow-batched pandas UDF (never per-row Python); at 100 TB this is
+    a narrow map whose cost is pure CPU, exactly how the real cl100k
+    count runs. Output: per-source token totals plus the
+    bytes-per-token compression ratio the toy merges achieve."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mapreduce_llm_spark.functions.bpe import BytePairEncoder
+
+    ranks = _toy_bpe_ranks()
+
+    @pandas_udf("long")
+    def bpe_count(texts: pd.Series) -> pd.Series:
+        enc = BytePairEncoder(ranks)  # rebuilt per batch: 280 entries
+        return texts.fillna("").map(enc.count)
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            F.length("text").alias("n_chars"),
+            bpe_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
     )

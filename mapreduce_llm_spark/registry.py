@@ -22,61 +22,50 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# The round this DRIVER_PRIORITY window is designed FOR. The window
+# invariants (tests/test_plans.py::test_driver_priority_round5_window)
+# are derived from CORRECTNESS records of rounds STRICTLY BEFORE this
+# one: the round-4 variant read every record on disk, so the driver
+# landing the in-flight round's own file flipped all 50 slots to
+# "already verified" and the suite went red precisely because the
+# round succeeded (judge finding #1, round 4). Pinning the basis to
+# rounds < DRIVER_PRIORITY_ROUND makes the invariant stable before,
+# during, and after the window's round. Bump this constant when
+# rotating the list for a new round.
+DRIVER_PRIORITY_ROUND = 5
+
 # The driver's CORRECTNESS gate hash-checks only the FIRST 50 entries of
 # queries() per round, in dict order. This list rotates the window so
-# each round submits queries the driver has not yet externally verified,
-# with any fixed regressions first. The surface now holds more
-# never-externally-seen queries than the window fits, so slots are
-# triaged by signal strength: every never-hash-checked ORACLE-BACKED
-# query goes in first (the strong {rows,schema,hash} gate), the
-# remaining slots take never-run rows-only entries (weaker rows-count
-# gate), and the rows-only remainder rolls to the round-5 window.
-# Round-4 window (in order):
-#   1. q_agg_decimal_exact — the r3 red cell (pandas Decimal-vs-float64
-#      rendering), fixed by string-casting the sums on both sides.
-#   2. q_evt_session — gained a real oracle in round 2 (commit 30799ee)
-#      but its only external record is r1's no_oracle row.
-#   3. The 9 oracle-backed queries that have never been inside a
-#      driver window (r3's entries 51-59).
-#   4. New round-4 oracle-backed queries (batches r4/r4b/r4c+corpus).
-#   5. Rows-only entries never driver-run, as many as fit.
-# Rollover to round 5: the rows-only entries that didn't fit —
-# q_agg_sketch_union, q_sim_join, q_text_fingerprint, q_sim_ivf,
-# q_mm_frames, q_sample_stratified, q_sample, q_pack_sequences,
-# q_sim_recall, q_sim_ann_topk, q_dedup_simhash, q_graph_pagerank,
-# plus the late round-4 rows-only additions q_stream_ewma,
-# q_stream_dedup, q_snapshot_timetravel, and the evicted
-# q_pipeline_curate. Invariants are asserted, not narrated — see
-# tests/test_plans.py::test_driver_priority_round4_window.
+# each round submits queries the driver has not yet externally verified.
+# After rounds 1-4 every oracle-backed query has a hash-green record,
+# so the round-5 window is: new round-5 ORACLE-BACKED queries first
+# (the strong {rows,schema,hash} gate), then the 16 rows-only entries
+# that rolled over from round 4, then the new round-5 rows-only
+# queries (q_tokenize_bpe — the BPE seam, q_snapshot_vacuum — the
+# vacuum-grace semantics), then re-confirmation picks of already-green
+# oracle queries filling any remaining slots (allowed only once every
+# never-verified query holds a slot — asserted, not narrated).
 DRIVER_PRIORITY: list[str] = [
-    # (1) the round-3 regression, fixed this round
-    "q_agg_decimal_exact",
-    # (2) oracle added in r2, never externally hash-checked
-    "q_evt_session",
-    # (3) oracle-backed, never inside a driver window
-    "q_fn_levenshtein", "q_agg_moments", "q_agg_bitops", "q_fn_encoding",
-    "q_join_nullsafe", "q_explode_outer", "q_fn_variant", "q_fn_date_arith",
-    "q_tpch_q2_shape",
-    # (4) round-4 additions (oracle-backed)
-    "q_pivot_status", "q_unpivot_metrics", "q_agg_mode",
-    "q_agg_string_agg", "q_ts_ohlc", "q_cohort_retention",
-    "q_funnel_conversion", "q_basket_pairs", "q_agg_mad",
-    "q_join_asof_fwd",
-    "q_markov_transitions", "q_time_weighted_avg", "q_ewma",
-    "q_weighted_sample", "q_embed_dim_stats", "q_runs_islands",
-    "q_fuzzy_join", "q_dist_drift",
-    "q_rollup_incremental", "q_graph_triangles", "q_hierarchy_depth",
-    "q_interval_concurrency",
-    "q_agg_entropy", "q_chi_square", "q_win_median", "q_win_distinct",
-    "q_skyline", "q_graph_bfs", "q_text_bm25", "q_shuffle_shards",
-    "q_length_buckets", "q_join_incremental", "q_sql_lateral",
-    "q_stream_tumbling", "q_win_running_distinct",
-    # (5) rows-only, never driver-run (weaker rows-only gate); the
-    #     reference-surface operators (chunker, LLM map, multimodal)
-    #     first — q_pipeline_curate (a composition of individually
-    #     verified parts) yields its slot to the oracle-backed
-    #     running-distinct proof and rolls to round 5
-    "q_chunk_assign", "q_llm_map", "q_mm_features", "q_mm_audio",
+    # (1) round-5 oracle-backed additions (never externally verified)
+    "q_sketch_bounds", "q_quantile_bounds", "q_win_cume",
+    "q_agg_percentiles", "q_corr_regr", "q_histogram_fixed",
+    "q_topk_joined", "q_yoy_growth", "q_orphan_check",
+    "q_agg_filtered", "q_fn_regexp", "q_embed_dot",
+    "q_date_fill", "q_pair_lift", "q_length_hist_log", "q_sql_subquery",
+    "q_win_range_frame", "q_dedup_latest", "q_profile_nulls",
+    "q_benford", "q_weighted_median", "q_rolling_active",
+    "q_char_ngrams", "q_zscore", "q_ratio_to_total", "q_exists_agg",
+    "q_gini", "q_dedup_consecutive", "q_longest_streak",
+    "q_pareto_front", "q_gap_stats", "q_nearest_event",
+    # (2) rows-only rollover from round 4 (weaker rows-count gate)
+    "q_agg_sketch_union", "q_sim_join", "q_text_fingerprint",
+    "q_sim_ivf", "q_pipeline_curate", "q_mm_frames",
+    "q_sample_stratified", "q_sample", "q_pack_sequences",
+    "q_sim_recall", "q_sim_ann_topk", "q_dedup_simhash",
+    "q_graph_pagerank", "q_stream_ewma", "q_stream_dedup",
+    "q_snapshot_timetravel",
+    # (3) new round-5 rows-only queries
+    "q_tokenize_bpe", "q_snapshot_vacuum",
 ]
 
 
@@ -104,6 +93,8 @@ def load_all() -> None:
         analytics_r4,
         analytics_r4b,
         analytics_r4c,
+        analytics_r5,
+        analytics_r5b,
         corpus_ops,
         embedding_stats,
         events,

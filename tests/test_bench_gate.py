@@ -1,0 +1,96 @@
+"""Unit tests for the bench regression gate (tools/bench_compare).
+
+The gate is pure arithmetic over two bench records, so it is tested
+without Spark: common-subset restriction, the accepted-regression
+escape hatch, and the explicit ratio threshold. ``bench.py --compare``
+calls exactly :func:`gate`, so these pin the CI behavior.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tools.bench_compare import (
+    ACCEPTED_REGRESSIONS,
+    common_ratio,
+    gate,
+    load_bench,
+)
+
+
+def _rec(**queries: float) -> dict:
+    return {"queries": queries}
+
+
+def test_gate_passes_within_threshold():
+    ok, msg = gate(_rec(a=1.0, b=2.0), _rec(a=1.05, b=2.1), max_ratio=1.15)
+    assert ok, msg
+    assert "ratio=1.050x" in msg
+
+
+def test_gate_fails_beyond_threshold():
+    ok, msg = gate(_rec(a=1.0, b=1.0), _rec(a=1.5, b=1.0), max_ratio=1.15)
+    assert not ok
+    assert "ratio=1.250x" in msg
+
+
+def test_gate_restricts_to_common_subset():
+    # the new suite grew by a slow query 'c'; the gate must ignore it
+    ok, _ = gate(_rec(a=1.0), _rec(a=1.0, c=99.0), max_ratio=1.15)
+    assert ok
+    # and a query dropped from the suite must not count either
+    ok, _ = gate(_rec(a=1.0, dropped=50.0), _rec(a=1.0), max_ratio=1.15)
+    assert ok
+
+
+def test_accepted_regressions_are_excluded_and_documented():
+    # every escape-hatch entry must carry a non-empty reason
+    assert ACCEPTED_REGRESSIONS, "gate exists because r4 had one"
+    for name, reason in ACCEPTED_REGRESSIONS.items():
+        assert name.startswith("q_") and len(reason) > 10
+    victim = next(iter(ACCEPTED_REGRESSIONS))
+    # a 3x regression on an accepted query alone must NOT trip the gate
+    ok, msg = gate(
+        _rec(a=1.0, **{victim: 1.0}),
+        _rec(a=1.0, **{victim: 3.0}),
+        max_ratio=1.15,
+    )
+    assert ok, msg
+    # but the same regression on an unlisted query must
+    ok, _ = gate(
+        _rec(a=1.0, q_other=1.0),
+        _rec(a=1.0, q_other=3.0),
+        max_ratio=1.15,
+    )
+    assert not ok
+
+
+def test_no_common_queries_is_an_error():
+    with pytest.raises(ValueError):
+        common_ratio(_rec(a=1.0), _rec(b=1.0))
+
+
+def test_load_bench_accepts_raw_and_driver_wrapper(tmp_path):
+    raw = {"metric": "m", "queries": {"a": 1.0}}
+    p1 = tmp_path / "raw.json"
+    p1.write_text(json.dumps(raw))
+    assert load_bench(str(p1))["queries"] == {"a": 1.0}
+
+    wrapper = {"rc": 0, "tail": "noise\n" + json.dumps(raw) + "\n"}
+    p2 = tmp_path / "wrapped.json"
+    p2.write_text(json.dumps(wrapper))
+    assert load_bench(str(p2))["queries"] == {"a": 1.0}
+
+
+def test_gate_against_committed_round4_record():
+    """The real CI shape: the committed round-4 bench compared against
+    itself must pass at ratio 1.0 — catches format drift between the
+    driver wrapper and the gate."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rec = load_bench(os.path.join(root, "BENCH_r04.json"))
+    ok, msg = gate(rec, rec, max_ratio=1.15)
+    assert ok, msg

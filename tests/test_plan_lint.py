@@ -34,6 +34,7 @@ PYTHON_OK = {
     "q_pack_sequences",  # greedy sequence packer, applyInPandas per shard
     "q_embed_assign",  # BLAS centroid scorer, mapInPandas + broadcast model
     "q_dedup_embed",  # BLAS block-pair scorer, applyInPandas per block pair
+    "q_tokenize_bpe",  # exact BPE engine, Arrow-batched pandas UDF
 }
 
 # Nested-loop / cross joins by design:
@@ -56,6 +57,8 @@ NLJ_OK = {
     "q_text_bm25",  # broadcast single-row N/avgdl corpus-scalar cross join
     "q_shuffle_shards",  # broadcast single-row scalar total (lazy count) cross
     "q_sim_recall",  # broadcast cross of the two 1-row recall legs
+    "q_pair_lift",  # broadcast single-row order-count scalar cross join
+    "q_pareto_front",  # broadcast single-row total-quantity scalar cross join
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -336,20 +336,26 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
     )
 
 
-def test_driver_priority_round4_window():
-    """Round-4 rotation invariants, derived from the recorded
-    CORRECTNESS files rather than hand-counted. The surface now holds
-    more never-externally-seen queries than the 50-entry window fits,
-    so the invariant is a triage, strongest signal first:
-    (a) every ORACLE-BACKED query never hash-checked by the driver
+def test_driver_priority_round5_window():
+    """Rotation invariants for the current window, derived from the
+    CORRECTNESS records of rounds STRICTLY BEFORE the window's round
+    (registry.DRIVER_PRIORITY_ROUND). The round-4 variant read every
+    record on disk, so the driver landing the in-flight round's own
+    file made all 50 slots "already verified" and the suite went red
+    exactly because the round succeeded — a self-falsifying invariant
+    (judge finding #1, round 4). Pinning the verification basis to
+    earlier rounds keeps the assertion true before, during, and after
+    the window's round. The triage, strongest signal first:
+    (a) every ORACLE-BACKED query with no prior hash-green record
         sits inside the window (the {rows,schema,hash} gate);
-    (b) every window slot is spent on a never-externally-seen query
-        (no slot wasted re-confirming greens while anything is
-        unverified);
+    (b) a slot re-confirms an already-green query only when every
+        never-verified query already holds a slot;
     (c) whatever never-seen queries remain outside the window are all
-        rows-only — the weaker gate they roll over to round 5 with."""
+        rows-only — the weaker gate they roll over to the next round
+        with."""
     import json
     import os
+    import re as _re
 
     from mapreduce_llm_spark import registry
 
@@ -357,10 +363,12 @@ def test_driver_priority_round4_window():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     records: dict[str, list[dict]] = {}
     for fname in sorted(os.listdir(root)):
-        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
-            with open(os.path.join(root, fname)) as fh:
-                for name, rec in json.load(fh).items():
-                    records.setdefault(name, []).append(rec)
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m or int(m.group(1)) >= registry.DRIVER_PRIORITY_ROUND:
+            continue
+        with open(os.path.join(root, fname)) as fh:
+            for name, rec in json.load(fh).items():
+                records.setdefault(name, []).append(rec)
 
     def verified_at_strength(name: str) -> bool:
         # oracle-backed: needs a full hash-green record (a rows-only or
@@ -380,10 +388,18 @@ def test_driver_priority_round4_window():
         f"record outside the 50-entry window: {sorted(oracle_missing)}"
     )
 
-    wasted = window - unverified
-    assert not wasted, (
-        f"window slots wasted on already-verified queries: {sorted(wasted)}"
-    )
+    if len(unverified) >= 50:
+        wasted = window - unverified
+        assert not wasted, (
+            f"window slots wasted on already-verified queries while "
+            f"unverified ones roll over: {sorted(wasted)}"
+        )
+    else:
+        missing = unverified - window
+        assert not missing, (
+            f"window has spare capacity but these never-verified "
+            f"queries are outside it: {sorted(missing)}"
+        )
 
     oracle_rollover = (unverified - window) & set(registry.ORACLE)
     assert not oracle_rollover, (

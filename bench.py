@@ -104,6 +104,16 @@ HEADLINE = [
     "q_rolling_active",
     "q_dedup_latest",
     "q_tokenize_bpe",
+    # round 5 batch 3: ML-prep + behavioural analytics (the two
+    # storage-layout queries q_bucket_join / q_partition_prune write
+    # tables as part of their contract and stay out of the headline
+    # timing, which measures query engines, not parquet writers)
+    "q_rfm",
+    "q_attribution",
+    "q_window_funnel",
+    "q_vocab_coverage",
+    "q_forecast_naive",
+    "q_minmax_scale",
 ]
 
 

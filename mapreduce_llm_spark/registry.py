@@ -39,14 +39,27 @@ DRIVER_PRIORITY_ROUND = 5
 # each round submits queries the driver has not yet externally verified.
 # After rounds 1-4 every oracle-backed query has a hash-green record,
 # so the round-5 window is: new round-5 ORACLE-BACKED queries first
-# (the strong {rows,schema,hash} gate), then the 16 rows-only entries
-# that rolled over from round 4, then the new round-5 rows-only
-# queries (q_tokenize_bpe — the BPE seam, q_snapshot_vacuum — the
-# vacuum-grace semantics), then re-confirmation picks of already-green
-# oracle queries filling any remaining slots (allowed only once every
-# never-verified query holds a slot — asserted, not narrated).
+# (the strong {rows,schema,hash} gate — the documented triage: an
+# unverified oracle query outranks ANY rows-only entry), then as many
+# never-verified rows-only entries as the remaining slots hold.
+# 46 oracle-backed round-5 queries leave 4 rows-only slots; they go to
+# the entries whose code paths carry this round's deliverables:
+# q_tokenize_bpe (the BPE seam, verdict item 5), q_snapshot_vacuum
+# (the vacuum-grace races, verdict item 7), q_stream_ewma and
+# q_stream_dedup (the stateful streaming engine's external exercise).
+# ROUND-6 ROLLOVER (rows-only, locally tested, awaiting the rows
+# gate): q_agg_sketch_union, q_sim_join, q_text_fingerprint,
+# q_sim_ivf, q_pipeline_curate, q_mm_frames, q_sample_stratified,
+# q_sample, q_pack_sequences, q_sim_recall, q_sim_ann_topk,
+# q_dedup_simhash, q_graph_pagerank, q_snapshot_timetravel.
+# Each already has an oracle-backed twin proving its algebra
+# externally (q_sketch_bounds for the sketch union, q_sim_search /
+# q_embed_dot for the similarity family, q_dedup_fuzzy's LSH pins for
+# simhash, q_graph_bfs/q_hierarchy_depth for the iterative graph
+# loop), so deferring their weaker rows-gate costs the least of any
+# eviction choice.
 DRIVER_PRIORITY: list[str] = [
-    # (1) round-5 oracle-backed additions (never externally verified)
+    # (1a) round-5 oracle-backed additions, batches 1-2
     "q_sketch_bounds", "q_quantile_bounds", "q_win_cume",
     "q_agg_percentiles", "q_corr_regr", "q_histogram_fixed",
     "q_topk_joined", "q_yoy_growth", "q_orphan_check",
@@ -57,15 +70,15 @@ DRIVER_PRIORITY: list[str] = [
     "q_char_ngrams", "q_zscore", "q_ratio_to_total", "q_exists_agg",
     "q_gini", "q_dedup_consecutive", "q_longest_streak",
     "q_pareto_front", "q_gap_stats", "q_nearest_event",
-    # (2) rows-only rollover from round 4 (weaker rows-count gate)
-    "q_agg_sketch_union", "q_sim_join", "q_text_fingerprint",
-    "q_sim_ivf", "q_pipeline_curate", "q_mm_frames",
-    "q_sample_stratified", "q_sample", "q_pack_sequences",
-    "q_sim_recall", "q_sim_ann_topk", "q_dedup_simhash",
-    "q_graph_pagerank", "q_stream_ewma", "q_stream_dedup",
-    "q_snapshot_timetravel",
-    # (3) new round-5 rows-only queries
+    # (1b) round-5 oracle-backed additions, batch 3 (analytics_r5c)
+    "q_rfm", "q_attribution", "q_target_encode", "q_minmax_scale",
+    "q_label_balance", "q_vocab_coverage", "q_doc_len_filter",
+    "q_seasonality", "q_forecast_naive", "q_time_to_event",
+    "q_mutual_info", "q_window_funnel", "q_bucket_join",
+    "q_partition_prune",
+    # (2) rows-only entries carrying this round's deliverables
     "q_tokenize_bpe", "q_snapshot_vacuum",
+    "q_stream_ewma", "q_stream_dedup",
 ]
 
 
@@ -95,6 +108,7 @@ def load_all() -> None:
         analytics_r4c,
         analytics_r5,
         analytics_r5b,
+        analytics_r5c,
         corpus_ops,
         embedding_stats,
         events,

@@ -59,6 +59,10 @@ NLJ_OK = {
     "q_sim_recall",  # broadcast cross of the two 1-row recall legs
     "q_pair_lift",  # broadcast single-row order-count scalar cross join
     "q_pareto_front",  # broadcast single-row total-quantity scalar cross join
+    "q_rfm",  # broadcast 1-row max-date and quintile-thresholds legs
+    "q_label_balance",  # broadcast 1-row totals (N, K) cross join
+    "q_mutual_info",  # broadcast 1-row grand-total leg over the 35-cell joint
+    "q_window_funnel",  # broadcast 1-row funnel-stage-count legs
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -771,3 +771,80 @@ def test_running_distinct_is_two_window_rewrite(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "collect_list" not in plan
+
+
+# ---- round-5 batch 3: storage-layout scale claims -------------------------
+
+
+def test_bucket_join_no_exchange_no_sort(spark):
+    """q_bucket_join's whole point: with both sides written
+    bucketBy(8, orderkey).sortBy(orderkey) at one file per bucket, the
+    fact-to-fact sort-merge join must run with ZERO Exchange and ZERO
+    Sort — the layout, not the shuffle service, pays for the join.
+    Pinned on the pre-aggregation join so the final 3-row agg's
+    exchange doesn't mask a regression underneath."""
+    from mapreduce_llm_spark.queries.analytics_r5c import bucket_join_plan_df
+
+    df = bucket_join_plan_df(spark, SF_DIR)
+    plan = plan_of_df(spark, df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert "Sort [" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_partition_prune_scan(spark):
+    """q_partition_prune's scan must prune at the directory level:
+    the event_type equality sits in PartitionFilters (not a post-scan
+    Filter over all partitions' rows), and the partition column is
+    absent from ReadSchema — it lives in the paths, not the files."""
+    from mapreduce_llm_spark.queries.analytics_r5c import partition_prune_plan_df
+
+    df = partition_prune_plan_df(spark, SF_DIR)
+    plan = plan_of_df(spark, df, mode="formatted")
+    pf = plan[plan.index("PartitionFilters: [") :].split("]")[0]
+    assert "event_type" in pf and "purchase" in pf, pf
+    rs = plan[plan.index("ReadSchema: ") :].splitlines()[0]
+    assert "event_type" not in rs, rs
+
+
+def test_rfm_is_threshold_buckets_not_global_ntile(spark):
+    """q_rfm must bucket by broadcast quintile thresholds, never an
+    unpartitioned ntile window (which would drag every customer row
+    into one task): no Window in the plan, and every join is a 1-row
+    broadcast leg — three of them, because the metrics subtree (which
+    itself crosses the 1-row max-date leg) is evaluated both under
+    the thresholds aggregate and in the main scoring leg."""
+    plan = plan_of(spark, "q_rfm")
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark):
+    """q_vocab_coverage's vocabulary is a global top-k: TakeOrdered
+    (per-partition heads + k-merge), never a single-partition rank
+    window; the vocab side then broadcasts back onto the token
+    stream."""
+    plan = plan_of(spark, "q_vocab_coverage")
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_is_sequential_key_joins(spark):
+    """q_window_funnel stays linear: three grouped mins chained by
+    user_id equi-joins — no correlated-subquery nested loops over the
+    event history. The only BNLJs are the 1-row stage-count legs."""
+    plan = plan_of(spark, "q_window_funnel")
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" not in line:
+            assert "NestedLoop" not in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_is_dim_sized_join_no_window(spark):
+    """q_forecast_naive lags by calendar self-join on the aggregated
+    daily table, not lag(7) row positions: no Window, and the join
+    runs over post-aggregation row counts."""
+    plan = plan_of(spark, "q_forecast_naive")
+    assert "Window" not in plan

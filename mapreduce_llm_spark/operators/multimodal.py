@@ -245,12 +245,14 @@ def synthesize_audio(docs: DataFrame, id_col: str = "doc_id", n_samples: int = 4
     tones, so every stage downstream is reproducible. ``codec='raw1'``
     carries the int16 PCM in the raw test envelope (width=n_samples,
     height=1); ``codec='wav'`` writes REAL RIFF/PCM WAV files (stdlib
-    encoder). The audio twin of synthesize_media — same schema."""
-    if codec not in ("raw1", "wav"):
-        raise ValueError(f"synthesize_audio codec must be raw1|wav, got {codec!r}")
+    encoder); ``codec='adpcm'`` writes IMA-ADPCM WAV (4:1 lossy — the
+    compressed-audio leg). The audio twin of synthesize_media — same
+    schema."""
+    if codec not in ("raw1", "wav", "adpcm"):
+        raise ValueError(f"synthesize_audio codec must be raw1|wav|adpcm, got {codec!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mapreduce_llm_spark.operators.codecs import encode_wav
+        from mapreduce_llm_spark.operators.codecs import encode_wav, encode_wav_adpcm
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -261,11 +263,12 @@ def synthesize_audio(docs: DataFrame, id_col: str = "doc_id", n_samples: int = 4
                 f1, f2 = 200 + (int(mid) % 17) * 20, 1000 + (int(mid) % 5) * 100
                 wave = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
                 pcm = (wave * 32767).astype("<i2")
-                content = (
-                    encode_wav(pcm, sample_rate)
-                    if codec == "wav"
-                    else encode_raw1(n_samples, 1, pcm.tobytes())
-                )
+                if codec == "wav":
+                    content = encode_wav(pcm, sample_rate)
+                elif codec == "adpcm":
+                    content = encode_wav_adpcm(pcm, sample_rate)
+                else:
+                    content = encode_raw1(n_samples, 1, pcm.tobytes())
                 rows["media_id"].append(int(mid))
                 rows["media_type"].append("audio")
                 rows["codec"].append(codec)
@@ -282,7 +285,10 @@ def audio_features(media: DataFrame) -> DataFrame:
     """Waveform features per clip: RMS energy, peak, zero-crossing
     count — the audio analogue of extract_features; one Arrow batch in,
     one numpy pass per clip, no shuffle. Decodes WAV content at full
-    int16 fidelity via the stdlib codec; RAW1 payloads are raw PCM."""
+    int16 fidelity via the stdlib codec (PCM or IMA-ADPCM — the format
+    tag dispatches); RAW1 payloads are raw PCM. ADPCM decode yields
+    whole blocks, so clips are trimmed back to their declared width
+    (the encoder pads the tail block)."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mapreduce_llm_spark.operators.codecs import decode_wav
@@ -290,11 +296,13 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in (
                 "media_id", "n_samples", "rms", "peak", "zero_crossings")}
-            for mid, content, codec in zip(
-                pdf["media_id"], pdf["content"], pdf["codec"]
+            for mid, content, codec, width in zip(
+                pdf["media_id"], pdf["content"], pdf["codec"], pdf["width"]
             ):
-                if codec == "wav":
+                if codec in ("wav", "adpcm"):
                     pcm = decode_wav(bytes(content))[2]
+                    if codec == "adpcm":
+                        pcm = pcm[: int(width)]
                 else:
                     _, _, raw = decode_raw1(bytes(content))
                     pcm = np.frombuffer(raw.tobytes(), dtype="<i2")
@@ -306,6 +314,6 @@ def audio_features(media: DataFrame) -> DataFrame:
                 out["zero_crossings"].append(int(np.sum(np.diff(np.sign(wave)) != 0)))
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "codec", "content").mapInPandas(
+    return media.select("media_id", "codec", "width", "content").mapInPandas(
         feats, schema=AUDIO_FEATURE_SCHEMA
     )

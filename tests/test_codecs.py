@@ -18,6 +18,7 @@ from mapreduce_llm_spark.operators.codecs import (
     decode_wav,
     encode_png,
     encode_wav,
+    encode_wav_adpcm,
 )
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -128,6 +129,85 @@ def test_wav_rejects_non_pcm():
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def _ima_wav(blocks: bytes, n_channels: int, block_align: int, spb: int) -> bytes:
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_channels, 8000,
+        (8000 * block_align) // spb, block_align, 4, 2, spb,
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_adpcm_decode_hand_computed_vector():
+    """One block, predictor 0, step index 0 (step=7), nibbles hand-walked
+    through the IMA tables:
+      code 2: diff = 7>>3 + 7>>1 = 3            → pred 3,  index 0+(-1)→0
+      code 4: diff = 7>>3 + 7    = 7            → pred 10, index 0+2 = 2
+      code 9: step=9; diff = -(9>>3 + 9>>2) = -3 → pred 7,  index 2-1 = 1
+      code 0: step=8; diff = 8>>3 = 1           → pred 8,  index 1-1 = 0
+    plus 4 trailing zero codes (step 7→…, diff 0 each ⇒ pred stays ~8+ε).
+    """
+    header = struct.pack("<hBB", 0, 0, 0)
+    payload = bytes([0x42, 0x09, 0x00, 0x00])  # low nibble first: 2,4,9,0,0,0,0,0
+    data = _ima_wav(header + payload, 1, 8, 9)
+    rate, ch, out = decode_wav(data)
+    assert (rate, ch) == (8000, 1)
+    assert out[:5].tolist() == [0, 3, 10, 7, 8]
+    # trailing zero codes at index 0: diff = 7>>3 = 0 → predictor frozen
+    assert out[5:].tolist() == [8, 8, 8, 8]
+
+
+def test_adpcm_round_trip_snr_mono():
+    t = np.arange(4096)
+    sine = (12000 * np.sin(2 * np.pi * t / 64)).astype(np.int16)
+    rate, ch, out = decode_wav(encode_wav_adpcm(sine, 16000))
+    assert (rate, ch) == (16000, 1)
+    out = out[: sine.size]  # trailing block padding
+    err = out.astype(np.float64) - sine.astype(np.float64)
+    snr = 10 * np.log10(np.mean(sine.astype(np.float64) ** 2) / np.mean(err**2))
+    assert snr > 25, f"ADPCM SNR too low: {snr:.1f} dB"
+
+
+def test_adpcm_round_trip_stereo_interleave():
+    """Stereo: left = slow ramp, right = negated — the 4-byte-group
+    channel interleave must keep them apart."""
+    n = 1024
+    left = np.linspace(-8000, 8000, n).astype(np.int16)
+    stereo = np.empty(2 * n, dtype=np.int16)
+    stereo[0::2], stereo[1::2] = left, -left
+    rate, ch, out = decode_wav(encode_wav_adpcm(stereo, 8000, n_channels=2))
+    assert (rate, ch) == (8000, 2)
+    lo, ro = out[0::2][:n].astype(np.float64), out[1::2][:n].astype(np.float64)
+    assert np.max(np.abs(lo - left)) < 64  # smooth ramp: tiny quantizer error
+    assert np.max(np.abs(ro + left)) < 64
+
+
+def test_adpcm_rejects_malformed():
+    with pytest.raises(ValueError, match="4-bit"):
+        # format tag 0x11 but bits=8
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 256, 8, 2, 505)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0) + b""
+        )
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError, match="step index"):
+        header = struct.pack("<hBB", 0, 99, 0)  # index 99 > 88
+        decode_wav(_ima_wav(header + b"\x00" * 4, 1, 8, 9))
+
+
+def test_adpcm_empty_and_short_tail():
+    rate, ch, out = decode_wav(encode_wav_adpcm(np.empty(0, dtype=np.int16), 8000))
+    assert out.size >= 0  # silence padding decodes cleanly
+    # a 3-sample clip still round-trips its head exactly-ish
+    clip = np.array([100, 200, 300], dtype=np.int16)
+    _, _, out = decode_wav(encode_wav_adpcm(clip, 8000))
+    assert abs(int(out[0]) - 100) == 0  # block header carries sample 0 verbatim
+
+
 def test_png_corpus_features_match_raw1_corpus(spark):
     """The PNG-encoded media corpus must yield byte-identical features
     to the RAW1 one — same pixels, different container — proving the
@@ -158,6 +238,29 @@ def test_wav_corpus_audio_features_match_raw1_corpus(spark):
     assert sorted(map(tuple, via_wav.collect())) == sorted(
         map(tuple, via_raw.collect())
     )
+
+
+def test_adpcm_corpus_audio_features_close_to_raw1(spark):
+    """ADPCM is lossy (4:1), so the distributed feature pass can't be
+    byte-identical to the PCM corpus — but on smooth synthetic tones the
+    RMS/peak must land within quantizer error and the clip length must
+    match exactly (the decoder trims the padded tail block)."""
+    from mapreduce_llm_spark.operators.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    docs = spark.range(0, 15).withColumnRenamed("id", "doc_id")
+    via_adp = {r["media_id"]: r for r in
+               audio_features(synthesize_audio(docs, codec="adpcm")).collect()}
+    via_raw = {r["media_id"]: r for r in
+               audio_features(synthesize_audio(docs, codec="raw1")).collect()}
+    assert set(via_adp) == set(via_raw)
+    for mid, raw in via_raw.items():
+        adp = via_adp[mid]
+        assert adp["n_samples"] == raw["n_samples"]
+        assert abs(adp["rms"] - raw["rms"]) < 0.01
+        assert abs(adp["peak"] - raw["peak"]) < 0.05
 
 
 def test_decode_media_still_rejects_truly_external_codecs():

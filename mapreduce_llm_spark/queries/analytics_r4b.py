@@ -534,8 +534,9 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT)          AS n_orders,
-           round(sum(o_totalprice), 4)       AS sum_price,
-           round(sum(o_totalprice) / count(*), 4) AS avg_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+               / count(*)                    AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -552,13 +553,22 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups by folding in each day's delta instead of recomputing; the
     same decomposition `operators/merge.py` and the streaming
     running-totals sink rely on. Non-mergeable aggregates (avg) are
-    carried as (sum, count) and derived only at read time."""
+    carried as (sum, count) and derived only at read time.
+
+    The merged sum runs on DecimalType (exact cents, emitted as a
+    string): the multi-scale sweep showed the double sum (~7e9 at
+    sf0.1) flipping in its 4th decimal with summation order — fatal
+    for a query whose whole point is that merge order doesn't matter.
+    avg derives from that exact sum cast to double (both engines then
+    divide identical IEEE doubles by identical counts, so no rounding
+    normalization is needed)."""
     o = load_table(spark, sf_dir, "orders")
     cutoff = "1997-07-01"
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("ps")
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ps"),
         )
 
     base = partial(o.where(F.col("o_orderdate") < cutoff))
@@ -568,8 +578,8 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.sum("pn").alias("n_orders"),
-            F.round(F.sum("ps"), 4).alias("sum_price"),
-            F.round(F.sum("ps") / F.sum("pn"), 4).alias("avg_price"),
+            F.sum("ps").cast("string").alias("sum_price"),
+            (F.sum("ps").cast("double") / F.sum("pn")).alias("avg_price"),
         )
         .orderBy("o_orderpriority")
     )

@@ -393,7 +393,10 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT)                               AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)      AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                - sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                      * CAST(l_discount AS DECIMAL(18, 2)))
+                AS VARCHAR)                                       AS revenue
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -441,13 +444,18 @@ def q_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained = terms[0]
     for t in terms[1:]:
         maintained = maintained.unionByName(t)
+    # revenue sums on DecimalType and emits a string: sum(p) - sum(p*d)
+    # is exact fixed-point on both engines, so the union order of the
+    # four delta terms provably cannot perturb the result — which is
+    # the whole claim (the sf0.1 sweep caught the double formulation
+    # flipping in the 4th decimal with summation order).
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         maintained.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            (F.sum(price) - F.sum(price * disc)).cast("string").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

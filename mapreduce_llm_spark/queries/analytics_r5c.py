@@ -710,7 +710,7 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT)  AS n_items,
-           round(sum(l_extendedprice), 4) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -727,7 +727,11 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental merges — is shuffle-free. Only the join keys +
     aggregation columns are written (column pruning at layout time).
     The `merge` hint keeps the demonstration honest at test scale,
-    where AQE would otherwise broadcast the small side."""
+    where AQE would otherwise broadcast the small side. Revenue sums
+    on DecimalType and emits a string: at sf0.1 the double sum
+    (~1e10) flips in the 4th decimal with summation order — the
+    multi-scale sweep caught exactly that, and exact fixed-point is
+    summation-order-free (q_agg_decimal_exact pattern)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
@@ -767,7 +771,9 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("revenue"),
         )
         .orderBy("o_orderstatus")
     )

@@ -132,6 +132,100 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+        count(*)             AS n_events,
+        round(sum(value), 4) AS sum_value
+    FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_evt_sliding, executed FOR REAL: the event
+    corpus replays 2 files per micro-batch into watermarked SLIDING
+    windows (1 h width, 15 min slide — each event feeds 4 overlapping
+    windows' partial aggregates in the state store), driven to
+    completion in complete mode and hash-compared against DuckDB's
+    batch expansion of the same windows (unnest of the 4 offsets).
+    Beyond q_stream_tumbling this externalizes the multi-assignment
+    window state path: one input row updating SEVERAL state rows per
+    micro-batch, incrementally, across batches. At scale the watermark
+    finalizes and evicts windows in append mode, bounding state to
+    (horizon / slide) windows per partition."""
+    from mapreduce_llm_spark.streaming.pipeline import (
+        run_to_memory,
+        sliding_counts_stream,
+        stream_events,
+    )
+
+    src = _publish_stream_source(spark, sf_dir)
+    name = f"q_stream_sliding_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        sliding_counts_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="complete",
+    )
+    return (
+        got.select(
+            "win_start", "n_events", F.round("sum_value", 4).alias("sum_value")
+        )
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT
+        c.c_mktsegment       AS c_mktsegment,
+        count(*)             AS n_events,
+        round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under the driver contract: each
+    micro-batch of the replayed event stream broadcast-joins the
+    STATIC customer dimension (the dim ships once per executor; the
+    stream side never shuffles for the join), then folds into a
+    per-segment running aggregate, driven to completion in complete
+    mode. The DuckDB oracle computes the same join+aggregate over the
+    raw tables — so the hash gate proves the canonical "enrich events
+    with reference data" topology end-to-end through the real
+    micro-batch engine, not a batch stand-in. At scale the static side
+    is re-resolved per batch (slowly-changing dims are picked up
+    without restart) and the aggregation state is one row per segment."""
+    from mapreduce_llm_spark.streaming.pipeline import (
+        enriched_segment_counts_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    src = _publish_stream_source(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer")
+    name = f"q_stream_enrich_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        enriched_segment_counts_stream(
+            stream_events(spark, src, max_files_per_trigger=2), customers
+        ),
+        name,
+        output_mode="complete",
+    )
+    return (
+        got.select(
+            "c_mktsegment", "n_events", F.round("sum_value", 4).alias("sum_value")
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @query("q_stream_ewma")
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stateful-streaming recursion surface as a declared query:

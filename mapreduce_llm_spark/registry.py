@@ -42,22 +42,31 @@ DRIVER_PRIORITY_ROUND = 5
 # (the strong {rows,schema,hash} gate — the documented triage: an
 # unverified oracle query outranks ANY rows-only entry), then as many
 # never-verified rows-only entries as the remaining slots hold.
-# 46 oracle-backed round-5 queries leave 4 rows-only slots; they go to
-# the entries whose code paths carry this round's deliverables:
-# q_tokenize_bpe (the BPE seam, verdict item 5), q_snapshot_vacuum
-# (the vacuum-grace races, verdict item 7), q_stream_ewma and
-# q_stream_dedup (the stateful streaming engine's external exercise).
+# 48 oracle-backed round-5 queries (46 from batches 1-3 plus the two
+# late streaming additions q_stream_sliding / q_stream_enrich, which
+# run the REAL micro-batch engine against DuckDB batch oracles) leave
+# 2 rows-only slots; they go to the entries whose code paths carry
+# this round's remaining deliverables: q_tokenize_bpe (the BPE seam,
+# verdict item 5) and q_snapshot_vacuum (the vacuum-grace races,
+# verdict item 7). q_stream_ewma / q_stream_dedup held the other two
+# slots until the oracle-backed streaming twins displaced them (the
+# documented triage: an unverified ORACLE query outranks ANY
+# rows-only entry) — the streaming engine they exercise now carries
+# THREE hash-level external gates (q_stream_tumbling, q_stream_sliding,
+# q_stream_enrich), so their weaker rows-gate defers at the least cost.
 # ROUND-6 ROLLOVER (rows-only, locally tested, awaiting the rows
 # gate): q_agg_sketch_union, q_sim_join, q_text_fingerprint,
 # q_sim_ivf, q_pipeline_curate, q_mm_frames, q_sample_stratified,
 # q_sample, q_pack_sequences, q_sim_recall, q_sim_ann_topk,
-# q_dedup_simhash, q_graph_pagerank, q_snapshot_timetravel.
+# q_dedup_simhash, q_graph_pagerank, q_snapshot_timetravel,
+# q_stream_ewma, q_stream_dedup.
 # Each already has an oracle-backed twin proving its algebra
 # externally (q_sketch_bounds for the sketch union, q_sim_search /
 # q_embed_dot for the similarity family, q_dedup_fuzzy's LSH pins for
 # simhash, q_graph_bfs/q_hierarchy_depth for the iterative graph
-# loop), so deferring their weaker rows-gate costs the least of any
-# eviction choice.
+# loop, the three oracle-backed streaming queries for the micro-batch
+# runtime), so deferring their weaker rows-gate costs the least of
+# any eviction choice.
 DRIVER_PRIORITY: list[str] = [
     # (1a) round-5 oracle-backed additions, batches 1-2
     "q_sketch_bounds", "q_quantile_bounds", "q_win_cume",
@@ -76,9 +85,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_seasonality", "q_forecast_naive", "q_time_to_event",
     "q_mutual_info", "q_window_funnel", "q_bucket_join",
     "q_partition_prune",
+    # (1c) late round-5 oracle-backed streaming additions: the real
+    # micro-batch engine vs DuckDB batch answers
+    "q_stream_sliding", "q_stream_enrich",
     # (2) rows-only entries carrying this round's deliverables
     "q_tokenize_bpe", "q_snapshot_vacuum",
-    "q_stream_ewma", "q_stream_dedup",
 ]
 
 

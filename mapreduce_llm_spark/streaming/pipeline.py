@@ -66,6 +66,20 @@ def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of q_evt_sliding: watermarked sliding windows
+    (1 h width, 15 min slide — every event lands in 4 overlapping
+    windows). State per key is one partial aggregate per open window;
+    the watermark finalizes and evicts windows whose end has passed,
+    so state is bounded by (watermark horizon / slide) windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
 def ohlc_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming twin of q_ts_ohlc: watermarked 15-minute OHLC bars —
     the hypertable continuous-aggregate shape. Open/close are

@@ -25,6 +25,7 @@ strings, no array/decimal outputs.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -32,6 +33,15 @@ from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
+
+# One written storage layout per (process, sf_dir) — the storage-pair
+# queries (q_bucket_join, q_partition_prune) write tables as part of
+# their contract, and repeated invocations in one process (plan lint +
+# oracle gate + driver smoke in a single pytest session) would
+# otherwise leak a fresh full-table copy into /tmp per call (the same
+# leak class streaming_queries._publish_stream_source memoizes away).
+_BUCKET_TABLES_SF: list[str] = []  # [sf_dir] the catalog tables hold
+_PART_DIRS: dict[str, str] = {}  # sf_dir -> partitioned copy path
 
 
 @query(
@@ -732,32 +742,43 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1e10) flips in the 4th decimal with summation order — the
     multi-scale sweep caught exactly that, and exact fixed-point is
     summation-order-free (q_agg_decimal_exact pattern)."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
-    )
-    spark.sql("DROP TABLE IF EXISTS mrs_bucket_orders")
-    spark.sql("DROP TABLE IF EXISTS mrs_bucket_lineitem")
-    # repartition on the bucket key before writing: one write task per
-    # bucket → ONE file per bucket, which is what lets the reader trust
-    # the per-bucket sortBy order and elide the join sorts entirely
-    # (multi-file buckets are concatenated on read and lose the order)
-    (
-        o.repartition(8, "o_orderkey")
-        .write.mode("overwrite")
-        .option("path", tempfile.mkdtemp(prefix="mrs_bkt_o_"))
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable("mrs_bucket_orders")
-    )
-    (
-        l.repartition(8, "l_orderkey")
-        .write.mode("overwrite")
-        .option("path", tempfile.mkdtemp(prefix="mrs_bkt_l_"))
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable("mrs_bucket_lineitem")
-    )
+    # write-once per (process, sf_dir): the layout is the amortized
+    # ingest-time artifact the query demonstrates — re-invocations
+    # (plan lint, oracle gate, driver) reuse the catalog tables instead
+    # of re-writing a /tmp copy per call
+    if _BUCKET_TABLES_SF != [sf_dir] or not spark.catalog.tableExists(
+        "mrs_bucket_orders"
+    ):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        spark.sql("DROP TABLE IF EXISTS mrs_bucket_orders")
+        spark.sql("DROP TABLE IF EXISTS mrs_bucket_lineitem")
+        # repartition on the bucket key before writing: one write task
+        # per bucket → ONE file per bucket, which is what lets the
+        # reader trust the per-bucket sortBy order and elide the join
+        # sorts entirely (multi-file buckets are concatenated on read
+        # and lose the order)
+        (
+            o.repartition(8, "o_orderkey")
+            .write.mode("overwrite")
+            .option("path", tempfile.mkdtemp(prefix="mrs_bkt_o_"))
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("mrs_bucket_orders")
+        )
+        (
+            l.repartition(8, "l_orderkey")
+            .write.mode("overwrite")
+            .option("path", tempfile.mkdtemp(prefix="mrs_bkt_l_"))
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("mrs_bucket_lineitem")
+        )
+        _BUCKET_TABLES_SF[:] = [sf_dir]
     # off by default since Spark 3.0 because it lists files at planning
     # time to PROVE one-file-per-bucket before trusting the sortBy
     # order; our repartition-by-key write guarantees that layout, and
@@ -811,10 +832,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the difference between reading one partition and the whole
     table; the partition column also vanishes from the data files
     (it lives in the path), shrinking the layout."""
-    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    pdir = tempfile.mkdtemp(prefix="mrs_part_events_")
-    e.write.mode("overwrite").partitionBy("event_type").parquet(pdir)
-    r = spark.read.parquet(pdir).where(F.col("event_type") == "purchase")
+    r = _pruned_purchases(spark, sf_dir)
     return (
         r.groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
         .agg(
@@ -825,10 +843,21 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pruned_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned copy (written once per process per sf_dir — see the
+    module-level memo note) scanned with the pruning predicate."""
+    pdir = _PART_DIRS.get(sf_dir)
+    if pdir is None or not os.path.isdir(pdir):
+        e = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value"
+        )
+        pdir = tempfile.mkdtemp(prefix="mrs_part_events_")
+        e.write.mode("overwrite").partitionBy("event_type").parquet(pdir)
+        _PART_DIRS[sf_dir] = pdir
+    return spark.read.parquet(pdir).where(F.col("event_type") == "purchase")
+
+
 def partition_prune_plan_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruned scan of q_partition_prune, exposed for the plan pin:
     PartitionFilters must carry the event_type equality."""
-    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    pdir = tempfile.mkdtemp(prefix="mrs_part_events_")
-    e.write.mode("overwrite").partitionBy("event_type").parquet(pdir)
-    return spark.read.parquet(pdir).where(F.col("event_type") == "purchase")
+    return _pruned_purchases(spark, sf_dir)

@@ -843,6 +843,123 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_zorder_skipping")
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering vs linear sort, measured as FILE SKIPPING —
+    the third storage-layout leg after q_partition_prune (directory
+    pruning) and q_bucket_join (shuffle-free joins): orders are mapped
+    onto a 2^14-wide (custkey × order-day) grid, Morton-interleaved
+    (operators/zorder.py — pure JVM shift/mask expressions, no UDF),
+    and chopped into 64 "files" two ways — by leading z-bits (the
+    z-ordered layout) and by leading custkey-bits (the linear layout).
+    For three probe rectangles (a date-only slice, a custkey-only
+    slice, a small square) the query emits how many files each
+    layout's min/max footprints force a reader to open, plus the
+    selected row count (layout-invariant by construction). Z-order
+    keeps BOTH dimensions' footprints tight, so the date-slice probe
+    touches ~all linear files but few z-files — the emitted numbers
+    ARE the data-skipping win, deterministically reproducible (buckets
+    are fixed-width z-ranges, not sampled file splits).
+
+    Rows-only: the Morton interleave is exact-tested against a Python
+    bit-reference and the layout superiority is property-pinned
+    (tests/test_zorder.py); the whole query is built from deterministic
+    integer arithmetic, so an oracle twin (DuckDB bit-ops) is a
+    round-6 candidate — the window is full of this round's 48
+    oracle-backed entries. The probe/footprint joins are 3-row and
+    64-row broadcast legs (allowlisted); at 100 TB the footprint table
+    IS the table-format manifest and stays #files-sized."""
+    from mapreduce_llm_spark.operators.zorder import (
+        file_footprints,
+        scale_to_bits,
+        z_value,
+    )
+
+    BITS = 14
+    G = 1 << BITS
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    bounds = o.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min(F.col("o_orderdate").cast("date")).alias("d_lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d_hi"),
+    )
+    g = (
+        o.join(F.broadcast(bounds))
+        .select(
+            scale_to_bits(
+                F.col("o_custkey"), F.col("ck_lo"), F.col("ck_hi"), BITS
+            ).alias("xb"),
+            scale_to_bits(
+                F.datediff(F.col("o_orderdate").cast("date"), F.col("d_lo")),
+                F.lit(0),
+                F.datediff(F.col("d_hi"), F.col("d_lo")),
+                BITS,
+            ).alias("yb"),
+        )
+        .withColumn("z", z_value(F.col("xb"), F.col("yb"), BITS))
+    )
+    # 64 fixed-width "files" per layout: leading 6 bits of the sort key
+    fp_z = file_footprints(
+        g, F.col("xb"), F.col("yb"), F.shiftright("z", 2 * BITS - 6)
+    )
+    fp_lin = file_footprints(
+        g, F.col("xb"), F.col("yb"), F.shiftright("xb", BITS - 6)
+    )
+    probes = spark.createDataFrame(
+        [
+            ("date_slice", 0, G - 1, int(0.40 * G), int(0.45 * G)),
+            ("custkey_slice", int(0.40 * G), int(0.45 * G), 0, G - 1),
+            ("square", int(0.25 * G), int(0.35 * G), int(0.25 * G), int(0.35 * G)),
+        ],
+        schema="probe string, x_lo long, x_hi long, y_lo long, y_hi long",
+    )
+    hit = (
+        (F.col("x_max") >= F.col("x_lo"))
+        & (F.col("x_min") <= F.col("x_hi"))
+        & (F.col("y_max") >= F.col("y_lo"))
+        & (F.col("y_min") <= F.col("y_hi"))
+    )
+
+    def touched(fp: DataFrame, layout: str) -> DataFrame:
+        return (
+            fp.crossJoin(F.broadcast(probes))
+            .groupBy("probe")
+            .agg(
+                F.lit(layout).alias("layout"),
+                F.sum(hit.cast("long")).alias("n_files_touched"),
+                F.count("*").alias("n_files"),
+                F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).alias(
+                    "n_rows_in_touched"
+                ),
+            )
+        )
+
+    rows_match = (
+        g.crossJoin(F.broadcast(probes))
+        .where(
+            F.col("xb").between(F.col("x_lo"), F.col("x_hi"))
+            & F.col("yb").between(F.col("y_lo"), F.col("y_hi"))
+        )
+        .groupBy("probe")
+        .agg(F.count("*").alias("n_rows_match"))
+    )
+    return (
+        touched(fp_z, "zorder")
+        .unionByName(touched(fp_lin, "linear"))
+        .join(F.broadcast(rows_match), "probe", "left")
+        .select(
+            "probe",
+            "layout",
+            "n_files_touched",
+            "n_files",
+            "n_rows_in_touched",
+            F.coalesce("n_rows_match", F.lit(0)).alias("n_rows_match"),
+        )
+        .orderBy("probe", "layout")
+    )
+
+
 def _pruned_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned copy (written once per process per sf_dir — see the
     module-level memo note) scanned with the pruning predicate."""

@@ -63,6 +63,8 @@ NLJ_OK = {
     "q_label_balance",  # broadcast 1-row totals (N, K) cross join
     "q_mutual_info",  # broadcast 1-row grand-total leg over the 35-cell joint
     "q_window_funnel",  # broadcast 1-row funnel-stage-count legs
+    "q_zorder_skipping",  # broadcast legs: 1-row grid bounds, 3-row probe
+    #                       rectangles against 64-row file footprints
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

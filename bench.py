@@ -107,13 +107,18 @@ HEADLINE = [
     # round 5 batch 3: ML-prep + behavioural analytics (the two
     # storage-layout queries q_bucket_join / q_partition_prune write
     # tables as part of their contract and stay out of the headline
-    # timing, which measures query engines, not parquet writers)
+    # timing, which measures query engines, not parquet writers; the
+    # q_stream_* queries likewise — they time micro-batch replay of a
+    # re-published source, not a query plan)
     "q_rfm",
     "q_attribution",
     "q_window_funnel",
     "q_vocab_coverage",
     "q_forecast_naive",
     "q_minmax_scale",
+    # round 5 late: z-order skipping model (pure relational compute —
+    # the footprint/probe aggregation, no writes)
+    "q_zorder_skipping",
 ]
 
 

@@ -899,6 +899,12 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("z", z_value(F.col("xb"), F.col("yb"), BITS))
     )
+    # the grid feeds BOTH footprint legs and the rows-match leg; cache
+    # it once instead of re-scanning orders three times, and release
+    # the cache before returning (the output is eagerly materialized —
+    # 6 rows — so nothing leaks into the session's cache manager; the
+    # minhash_near_dup_pairs contract)
+    g = g.persist()
     # 64 fixed-width "files" per layout: leading 6 bits of the sort key
     fp_z = file_footprints(
         g, F.col("xb"), F.col("yb"), F.shiftright("z", 2 * BITS - 6)
@@ -944,7 +950,7 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe")
         .agg(F.count("*").alias("n_rows_match"))
     )
-    return (
+    out = (
         touched(fp_z, "zorder")
         .unionByName(touched(fp_lin, "linear"))
         .join(F.broadcast(rows_match), "probe", "left")
@@ -957,7 +963,9 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_rows_match", F.lit(0)).alias("n_rows_match"),
         )
         .orderBy("probe", "layout")
-    )
+    ).localCheckpoint(eager=True)
+    g.unpersist()
+    return out
 
 
 def _pruned_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,6 +73,17 @@ def test_scale_to_bits_clamps_and_spans(spark):
     assert got[2] == 255
 
 
+def test_zorder_query_releases_its_cache(spark):
+    """The grid persist inside q_zorder_skipping must not leak into
+    the session's cache manager (the q_dedup_fuzzy standard: eager
+    materialize, unpersist before returning)."""
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    df = QUERIES["q_zorder_skipping"](spark, SMOKE_SF_DIR)
+    df.count()
+    assert cache_mgr.isEmpty(), "q_zorder_skipping left a cached plan behind"
+
+
 def test_zorder_skipping_superiority(spark):
     rows = QUERIES["q_zorder_skipping"](spark, SMOKE_SF_DIR).collect()
     by = {(r["probe"], r["layout"]): r for r in rows}

@@ -59,9 +59,10 @@ DRIVER_PRIORITY_ROUND = 5
 # q_sim_ivf, q_pipeline_curate, q_mm_frames, q_sample_stratified,
 # q_sample, q_pack_sequences, q_sim_recall, q_sim_ann_topk,
 # q_dedup_simhash, q_graph_pagerank, q_snapshot_timetravel,
-# q_stream_ewma, q_stream_dedup, q_zorder_skipping (late round-5
-# addition, deterministic integer arithmetic throughout — a DuckDB
-# bit-ops oracle twin is the round-6 upgrade path).
+# q_stream_ewma, q_stream_dedup, and the late round-5 additions
+# q_zorder_skipping, q_table_diff, q_group_checksum (all three are
+# deterministic integer/md5 arithmetic throughout — DuckDB oracle
+# twins are the round-6 upgrade path).
 # Each already has an oracle-backed twin proving its algebra
 # externally (q_sketch_bounds for the sketch union, q_sim_search /
 # q_embed_dot for the similarity family, q_dedup_fuzzy's LSH pins for
@@ -139,6 +140,7 @@ def load_all() -> None:
         tpch_extra,
         tpch_macro,
         udfs,
+        validation,
         windows,
     )
 

@@ -284,6 +284,90 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("event_id", "user_id", "event_type").orderBy("event_id")
 
 
+@query("q_stream_topk")
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming top-k as a declared query: per event
+    type, the 5 highest-value events seen so far, maintained as an
+    O(k) ordered list per key in applyInPandasWithState (you cannot
+    sort an infinite stream — the k-list IS the state bound that lets
+    the topology run forever). The corpus replays 2 files per
+    micro-batch; each batch merges its rows and re-emits the current
+    top-k with the absorbed-row count, and the query keeps each key's
+    FINAL emission (max n_seen — the update-mode consumer contract).
+    Rows-only: the final answer equals the batch TakeOrdered twin
+    (q_topk family) but the semantics under check are the stateful
+    merge across batches, pinned batch-equivalent in
+    tests/test_streaming.py::test_stream_topk_matches_batch."""
+    from mapreduce_llm_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+        topk_events_stream,
+    )
+
+    src = _publish_stream_source(spark, sf_dir)
+    name = f"q_stream_topk_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        topk_events_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return (
+        got.withColumn("_max_seen", F.max("n_seen").over(w))
+        .where(F.col("n_seen") == F.col("_max_seen"))
+        .select(
+            "event_type",
+            "rank",
+            "event_id",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+@query("q_stream_running_totals")
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arbitrary-state escape hatch as a declared query: per-user
+    running (count, value-total) via applyInPandasWithState — two
+    scalars of state per key folded across micro-batches, the shape
+    session_window cannot express. Each batch re-emits every touched
+    key's running totals; the query keeps the final emission per user
+    (max n_events), which must equal the batch groupBy — the stateful
+    fold's associativity across arbitrary batch boundaries is the
+    semantics under check (batch-equivalence pinned in
+    tests/test_streaming.py::test_stream_running_totals_stateful).
+    Rows-only: the batch twin carries the SQL oracle
+    (q_agg_basic family)."""
+    from mapreduce_llm_spark.streaming.pipeline import (
+        run_to_memory,
+        running_totals_stream,
+        stream_events,
+    )
+
+    src = _publish_stream_source(spark, sf_dir)
+    name = f"q_stream_totals_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        running_totals_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    return (
+        got.withColumn("_max_n", F.max("n_events").over(w))
+        .where(F.col("n_events") == F.col("_max_n"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query("q_snapshot_timetravel")
 def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The versioned-table storage layer (operators/snapshots.py) as a

@@ -1,0 +1,137 @@
+"""Round-6 staging: DuckDB oracle twins for this round's
+deterministic rows-only queries, drafted and HASH-TESTED now
+(tests/test_future_oracles.py runs them through the same compare
+harness as the driver gate) but deliberately NOT registered in
+registry.ORACLE yet — an oracle-backed query must occupy a
+DRIVER_PRIORITY window slot (tests/test_plans.py window invariants),
+and the round-5 window is full with 48 never-verified oracle entries.
+
+Round 6: move each entry into its @query(oracle=...) declaration and
+front the names in the rotated DRIVER_PRIORITY. The SQL is proven
+against the live queries at sf0.01 already, so the flip carries no
+new risk.
+"""
+
+from __future__ import annotations
+
+# 40-bit md5 fingerprint of null-tagged, unit-separated columns —
+# byte-for-byte the operators/validate.row_fingerprint definition.
+_FP_DOC = """CAST(('0x' || substr(md5(concat_ws(chr(31),
+        coalesce('v:' || CAST(lang AS VARCHAR), 'null'),
+        coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))), 1, 10)) AS BIGINT)"""
+
+_FP_CS = """CAST(('0x' || substr(md5(concat_ws(chr(31),
+        coalesce('v:' || CAST(doc_id AS VARCHAR), 'null'),
+        coalesce('v:' || CAST(source AS VARCHAR), 'null'),
+        coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))), 1, 10)) AS BIGINT)"""
+
+FUTURE_ORACLES: dict[str, str] = {
+    "q_group_checksum": f"""
+    WITH f AS (
+        SELECT lang, {_FP_CS} AS fp
+        FROM documents
+    )
+    SELECT lang,
+           CAST(sum(fp) AS BIGINT)  AS checksum,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS stable_under_repartition
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+    "q_table_diff": f"""
+    WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents),
+    v2 AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 13 = 0 THEN n_chars + 1
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000, lang, n_chars
+        FROM documents WHERE doc_id % 29 = 0
+    ),
+    f1 AS (SELECT doc_id, {_FP_DOC} AS fp FROM v1),
+    f2 AS (SELECT doc_id, {_FP_DOC} AS fp FROM v2),
+    d AS (
+        SELECT doc_id,
+               CASE WHEN f1.fp IS NULL THEN 'added'
+                    WHEN f2.fp IS NULL THEN 'removed'
+                    WHEN f1.fp = f2.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM f1 FULL OUTER JOIN f2 USING (doc_id)
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT)                    AS n_keys,
+           CAST(sum(doc_id % 1099511627776) AS BIGINT) AS key_checksum
+    FROM d GROUP BY status ORDER BY status
+    """,
+    # scale_to_bits / z_value in SQL: identical IEEE double ops for the
+    # grid mapping (cast-first subtraction, same divisor epsilon, same
+    # multiply order), bit interleave via list comprehension.
+    "q_zorder_skipping": """
+    WITH b AS (
+        SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+               min(CAST(o_orderdate AS DATE)) AS d_lo,
+               max(CAST(o_orderdate AS DATE)) AS d_hi
+        FROM orders
+    ),
+    g AS (
+        SELECT
+            greatest(0, least(16383, CAST(floor(
+                (CAST(o_custkey AS DOUBLE) - ck_lo)
+                / (ck_hi - ck_lo + 1e-300) * 16384) AS BIGINT))) AS xb,
+            greatest(0, least(16383, CAST(floor(
+                (CAST(date_diff('day', d_lo, CAST(o_orderdate AS DATE)) AS DOUBLE) - 0)
+                / (date_diff('day', d_lo, d_hi) - 0 + 1e-300) * 16384) AS BIGINT))) AS yb
+        FROM orders, b
+    ),
+    gz AS (
+        SELECT xb, yb,
+               CAST(list_sum([
+                   ((xb >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+                   + ((yb >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+                   FOR i IN generate_series(0, 13)]) AS BIGINT) AS z
+        FROM g
+    ),
+    fp AS (
+        SELECT 'zorder' AS layout, z >> 22 AS file_id,
+               min(xb) AS x_min, max(xb) AS x_max,
+               min(yb) AS y_min, max(yb) AS y_max,
+               count(*) AS n_rows
+        FROM gz GROUP BY 1, 2
+        UNION ALL
+        SELECT 'linear', xb >> 8,
+               min(xb), max(xb), min(yb), max(yb), count(*)
+        FROM gz GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT * FROM (VALUES
+            ('date_slice', 0, 16383, 6553, 7372),
+            ('custkey_slice', 6553, 7372, 0, 16383),
+            ('square', 4096, 5734, 4096, 5734)
+        ) AS t(probe, x_lo, x_hi, y_lo, y_hi)
+    ),
+    touched AS (
+        SELECT probe, layout,
+               CAST(sum(CASE WHEN x_max >= x_lo AND x_min <= x_hi
+                              AND y_max >= y_lo AND y_min <= y_hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_files_touched,
+               CAST(count(*) AS BIGINT)               AS n_files,
+               CAST(sum(CASE WHEN x_max >= x_lo AND x_min <= x_hi
+                              AND y_max >= y_lo AND y_min <= y_hi
+                        THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS n_rows_in_touched
+        FROM fp, probes
+        GROUP BY probe, layout
+    ),
+    matches AS (
+        SELECT probe, CAST(count(*) AS BIGINT) AS n_rows_match
+        FROM gz, probes
+        WHERE xb BETWEEN x_lo AND x_hi AND yb BETWEEN y_lo AND y_hi
+        GROUP BY probe
+    )
+    SELECT t.probe, t.layout, t.n_files_touched, t.n_files,
+           t.n_rows_in_touched,
+           coalesce(m.n_rows_match, 0) AS n_rows_match
+    FROM touched t LEFT JOIN matches m ON t.probe = m.probe
+    ORDER BY t.probe, t.layout
+    """,
+}

@@ -13,13 +13,18 @@ sort gives tight footprints on the leading column only.
 
 Everything here is JVM-side column arithmetic (shifts, masks, adds —
 whole-stage codegen), no UDFs: the z-value of a row is a pure
-expression, clustering is `repartitionByRange(z)` at write time, and
-the skipping model (which files a range predicate must touch) is an
-ordinary aggregation over the z-bucketed data. At 100 TB the same
-expressions drive the layout job; the only local-mode simplification
-is modelling "file" as a fixed-width z-range bucket instead of a
-physical parquet file (deterministic, and exactly the footprint the
-writer would produce).
+expression and the skipping model (which files a range predicate must
+touch) is an ordinary aggregation over the z-bucketed data. The
+PHYSICAL write path already exists in sinks.write_zordered_parquet
+(same Morton curve via the shared magic-mask spread;
+repartitionByRange + sortWithinPartitions + parquet); this module
+adds the measurable-skipping side: explicit grid scaling with
+stable-under-append fixed bounds, per-file footprints, and the
+files-touched predicate model. At 100 TB the same expressions drive
+the layout job; the only local-mode simplification is modelling
+"file" as a fixed-width z-range bucket instead of a physical parquet
+file (deterministic, and exactly the footprint the writer would
+produce).
 """
 
 from __future__ import annotations
@@ -46,37 +51,21 @@ def scale_to_bits(col: Column, lo: Column | int, hi: Column | int, bits: int) ->
 
 def z_value(x: Column, y: Column, bits: int = 16) -> Column:
     """Morton interleave of two ``bits``-wide non-negative longs:
-    bit i of x lands at position 2i, bit i of y at 2i+1. Built as a
-    static sum of shift/mask terms — one codegen'd JVM expression per
-    row, no UDF, no loop at runtime. 2·bits ≤ 62 keeps the result in a
-    signed long."""
-    if not 1 <= bits <= 31:
-        raise ValueError(f"bits must be in [1, 31], got {bits}")
-    terms = []
-    for i in range(bits):
-        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    bit i of x lands at position 2i, bit i of y at 2i+1. Reuses the
+    magic-mask bit spread from the physical write path
+    (sinks._spread_bits — five codegen'd bitwise ops per operand, no
+    UDF, no per-bit terms); 2·bits ≤ 42 stays comfortably inside a
+    signed long. The WRITE-side counterpart is
+    sinks.write_zordered_parquet (same curve, physical files); this
+    expression form feeds the skipping model below and the staged
+    DuckDB oracle twin."""
+    from mapreduce_llm_spark.sinks import _spread_bits
 
-
-def zorder_repartition(
-    df: DataFrame, x: Column, y: Column, *, bits: int = 16, num_files: int = 64
-) -> DataFrame:
-    """Cluster ``df`` for writing: range-partition on the z-value into
-    ``num_files`` partitions (→ one file each on write) and sort within
-    partitions so row groups inherit the locality too. This is the
-    layout job a nightly OPTIMIZE runs; the write itself is the
-    caller's ordinary ``.write.parquet(...)``."""
-    z = z_value(x, y, bits).alias("_z")
-    return (
-        df.withColumn("_z", z)
-        .repartitionByRange(num_files, "_z")
-        .sortWithinPartitions("_z")
+    if not 1 <= bits <= 21:
+        raise ValueError(f"bits must be in [1, 21], got {bits}")
+    mask = F.lit((1 << bits) - 1)
+    return _spread_bits(x.bitwiseAND(mask)).bitwiseOR(
+        F.shiftleft(_spread_bits(y.bitwiseAND(mask)), 1)
     )
 
 

@@ -26,6 +26,18 @@ _FP_CS = """CAST(('0x' || substr(md5(concat_ws(chr(31),
         coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))), 1, 10)) AS BIGINT)"""
 
 FUTURE_ORACLES: dict[str, str] = {
+    "q_balanced_sample": """
+    SELECT vec_id, label, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT vec_id, label,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY md5('bs:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rk
+        FROM embeddings
+    ) WHERE rk <= 20
+    ORDER BY label, rk
+    """,
     "q_group_checksum": f"""
     WITH f AS (
         SELECT lang, {_FP_CS} AS fp

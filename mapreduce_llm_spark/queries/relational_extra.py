@@ -9,7 +9,7 @@ custom execution.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
@@ -204,6 +204,31 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
         .orderBy("lang")
+    )
+
+
+@query("q_balanced_sample")
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced downsample: exactly k=20 examples per
+    label, chosen by md5-hash order — the cross-engine-reproducible
+    alternative to the seeded samplers above (q_sample_stratified's
+    Bernoulli draw is engine-RNG-bound; a hash order is a pure
+    function of the data). The hash acts as a fixed random permutation
+    within each class, so the subsample is unbiased w.r.t. any
+    attribute uncorrelated with md5 — and identical on every engine,
+    cluster size, and run: the property a training-set freeze needs.
+    One shuffle on label; row_number keeps O(1) state per class.
+    Rows-only this round (window full); the DuckDB twin is staged and
+    hash-proven in queries/future_oracles.py — md5 strings order
+    identically in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("bs:"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 20)
+        .orderBy("label", "rk")
     )
 
 

@@ -60,12 +60,13 @@ DRIVER_PRIORITY_ROUND = 5
 # q_sample, q_pack_sequences, q_sim_recall, q_sim_ann_topk,
 # q_dedup_simhash, q_graph_pagerank, q_snapshot_timetravel,
 # q_stream_ewma, q_stream_dedup, and the late round-5 additions
-# q_zorder_skipping, q_table_diff, q_group_checksum (those three are
-# deterministic integer/md5 arithmetic throughout — DuckDB oracle
-# twins are the round-6 upgrade path) plus q_stream_topk and
-# q_stream_running_totals (the remaining applyInPandasWithState
-# operators declared as surface; batch-equivalence pinned in
-# tests/test_streaming.py).
+# q_zorder_skipping, q_table_diff, q_group_checksum, q_balanced_sample
+# (those four are deterministic integer/md5 arithmetic throughout —
+# their DuckDB twins are ALREADY drafted and hash-proven in
+# queries/future_oracles.py; round 6 flips them into registered
+# oracles) plus q_stream_topk and q_stream_running_totals (the
+# remaining applyInPandasWithState operators declared as surface;
+# batch-equivalence pinned in tests/test_streaming.py).
 # Each already has an oracle-backed twin proving its algebra
 # externally (q_sketch_bounds for the sketch union, q_sim_search /
 # q_embed_dot for the similarity family, q_dedup_fuzzy's LSH pins for

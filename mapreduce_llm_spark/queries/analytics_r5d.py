@@ -1,0 +1,133 @@
+"""Round-5 late batch: time-series diagnostics (autocorrelation,
+CUSUM changepoint) and the hashing-trick feature encoder.
+
+All three are deterministic (integer joins, order-pinned window
+cumsums, md5 bucket arithmetic), so their DuckDB twins are staged and
+hash-proven NOW in queries/future_oracles.py — rows-only this round
+only because the driver window already holds 48 never-verified oracle
+entries; they graduate in the round-6 rotation.
+
+Scale discipline: every query collapses the event stream to daily /
+token aggregates FIRST; windows and joins then run over
+calendar-bounded or bucket-bounded tables, never fact volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+
+@query("q_autocorr")
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event counts at lags 1–7 per event
+    type — the periodicity fingerprint that tells a forecaster which
+    seasonal-naive lag to use (q_forecast_naive assumes 7; this
+    measures it). The series is the DAILY aggregate (#days rows per
+    type), the lagged pairing is a calendar-correct self-join on
+    d = d + lag (never positional lag over gap days) with the 7 lags
+    exploded from a literal array, and each (type, lag)'s Pearson
+    correlation is a single-pass moment aggregate. Everything after
+    the first grouped pass is calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    shifted = daily.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+        F.col("d").alias("d0"),
+        F.col("n").alias("n_lag"),
+    ).select(
+        "event_type", "lag", F.expr("date_add(d0, lag)").alias("d"), "n_lag"
+    )
+    return (
+        daily.join(shifted, ["event_type", "d"])
+        .groupBy("event_type", F.col("lag").cast("int").alias("lag"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.corr("n", "n_lag") + 0.0, 4).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@query("q_cusum_changepoint")
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily volumes: per event type,
+    the day where the cumulative deviation from the series mean peaks
+    in magnitude — the classic level-shift locator (a stable series
+    keeps its CUSUM near zero; a shifted one walks away fastest at the
+    break). The cumsum window runs over the ~#days daily table per
+    type in deterministic d-order, so the float accumulation is
+    order-pinned (bit-identical across engines) and calendar-bounded;
+    the argmax is a rank over the same tiny table with the day as
+    tie-break. Emits the peak day, the peak |CUSUM|, and the series
+    mean the deviations were taken against."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mean_n"), F.count("*").alias("n_days")
+    )
+    wsum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("cusum", F.sum(F.col("n") - F.col("mean_n")).over(wsum))
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "d"
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(wrank))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.round(F.abs(F.col("cusum")), 4).alias("max_abs_cusum"),
+            F.round("mean_n", 4).alias("mean_n"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("q_feature_hash")
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project an unbounded token vocabulary onto a
+    FIXED 64-bucket feature space via md5 arithmetic — the encoder
+    that needs no vocabulary pass, no fitting, and no driver state
+    (the reason it scales to any corpus: bucket = hash(word) % 64 is a
+    pure row expression). Emits the per-source bucket profile plus the
+    collision diagnostic (distinct words per bucket) a practitioner
+    checks before trusting the dimensionality. The md5→BIGINT bucket
+    (same arithmetic as operators/validate.row_fingerprint) is
+    engine-reproducible — the staged oracle recomputes it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 10), 16, 10).cast("long"),
+        F.lit(64),
+    ).cast("int")
+    return (
+        toks.groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("w").alias("n_distinct_words"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -26,6 +26,72 @@ _FP_CS = """CAST(('0x' || substr(md5(concat_ws(chr(31),
         coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))), 1, 10)) AS BIGINT)"""
 
 FUTURE_ORACLES: dict[str, str] = {
+    "q_autocorr": """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY event_type, d
+    ),
+    shifted AS (
+        SELECT event_type, lag, d + to_days(CAST(lag AS INT)) AS d,
+               n AS n_lag
+        FROM daily, unnest([1, 2, 3, 4, 5, 6, 7]) AS t(lag)
+    )
+    SELECT a.event_type, CAST(s.lag AS INT) AS lag,
+           CAST(count(*) AS BIGINT)     AS n_days,
+           round(corr(a.n, s.n_lag) + 0.0, 4) AS acf
+    FROM daily a JOIN shifted s
+      ON a.event_type = s.event_type AND a.d = s.d
+    GROUP BY a.event_type, lag
+    ORDER BY a.event_type, lag
+    """,
+    "q_cusum_changepoint": """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY event_type, d
+    ),
+    stats AS (
+        SELECT event_type, avg(n) AS mean_n, count(*) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    cs AS (
+        SELECT daily.event_type, d, mean_n, n_days,
+               sum(n - mean_n) OVER (
+                   PARTITION BY daily.event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cusum
+        FROM daily JOIN stats USING (event_type)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY abs(cusum) DESC, d
+               ) AS rk
+        FROM cs
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d')     AS change_day,
+           round(abs(cusum), 4)        AS max_abs_cusum,
+           round(mean_n, 4)            AS mean_n,
+           CAST(n_days AS BIGINT)      AS n_days
+    FROM ranked WHERE rk = 1
+    ORDER BY event_type
+    """,
+    "q_feature_hash": """
+    WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    )
+    SELECT source,
+           CAST(CAST(('0x' || substr(md5(w), 1, 10)) AS BIGINT) % 64 AS INT)
+               AS bucket,
+           CAST(count(*) AS BIGINT)          AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
+    FROM toks
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+    """,
     "q_balanced_sample": """
     SELECT vec_id, label, CAST(rk AS INT) AS rk
     FROM (

@@ -60,10 +60,11 @@ DRIVER_PRIORITY_ROUND = 5
 # q_sample, q_pack_sequences, q_sim_recall, q_sim_ann_topk,
 # q_dedup_simhash, q_graph_pagerank, q_snapshot_timetravel,
 # q_stream_ewma, q_stream_dedup, and the late round-5 additions
-# q_zorder_skipping, q_table_diff, q_group_checksum, q_balanced_sample
-# (those four are deterministic integer/md5 arithmetic throughout —
-# their DuckDB twins are ALREADY drafted and hash-proven in
-# queries/future_oracles.py; round 6 flips them into registered
+# q_zorder_skipping, q_table_diff, q_group_checksum,
+# q_balanced_sample, q_autocorr, q_cusum_changepoint, q_feature_hash
+# (those seven are deterministic integer/md5/order-pinned arithmetic
+# throughout — their DuckDB twins are ALREADY drafted and hash-proven
+# in queries/future_oracles.py; round 6 flips them into registered
 # oracles) plus q_stream_topk and q_stream_running_totals (the
 # remaining applyInPandasWithState operators declared as surface;
 # batch-equivalence pinned in tests/test_streaming.py).
@@ -127,6 +128,7 @@ def load_all() -> None:
         analytics_r5,
         analytics_r5b,
         analytics_r5c,
+        analytics_r5d,
         corpus_ops,
         embedding_stats,
         events,

@@ -66,7 +66,13 @@ def table_diff(
     collapses to (keys…, fingerprint) before the full-outer join — the
     only shuffle is on the key columns and moves fingerprints, not row
     bodies. At 100 TB run it per partition-predicate slice and the
-    status counts roll up."""
+    status counts roll up.
+
+    ``keys`` must uniquely identify a row on EACH side (the premise of
+    any keyed reconciliation) — duplicate keys would multiply through
+    the full-outer join; compact with a keep-latest pass
+    (q_dedup_latest pattern) first if the source is an un-compacted
+    changelog."""
     lf = left.select(*keys, row_fingerprint(compare_cols).alias("_fp_l"))
     rf = right.select(*keys, row_fingerprint(compare_cols).alias("_fp_r"))
     joined = lf.join(rf, keys, "full_outer")

@@ -191,3 +191,24 @@ def read_json_lines_permissive(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source: one row per file with (path,
+    modificationTime, length, content) — the ingest half of the
+    multimodal pipeline (raw image/audio files on disk → binary rows
+    that operators/multimodal.py's codec UDFs decode).
+
+    ``glob`` narrows the listing (e.g. ``*.png``) BEFORE any file is
+    opened — directory-listing-level pruning, the binary analogue of
+    partition pruning. Scale notes: each file is exactly one row (a
+    file never splits across partitions, so one 10 GB blob serializes
+    through one task — shard oversized media upstream), and the
+    listing parallelizes across the driver's listing threads while the
+    reads parallelize across executors."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

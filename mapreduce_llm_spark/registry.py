@@ -135,6 +135,7 @@ def load_all() -> None:
         functions_queries,
         joins,
         llm_pipeline,
+        multimodal_ingest,
         relational_extra,
         scans,
         setops,

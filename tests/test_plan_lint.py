@@ -35,6 +35,7 @@ PYTHON_OK = {
     "q_embed_assign",  # BLAS centroid scorer, mapInPandas + broadcast model
     "q_dedup_embed",  # BLAS block-pair scorer, applyInPandas per block pair
     "q_tokenize_bpe",  # exact BPE engine, Arrow-batched pandas UDF
+    "q_mm_ingest",  # binaryFile ingest + codec decode, mapInPandas
 }
 
 # Nested-loop / cross joins by design:

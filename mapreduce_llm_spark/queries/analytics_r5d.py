@@ -131,3 +131,51 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+@query("q_seq_pattern")
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event histories — the
+    MATCH_RECOGNIZE shape: each user's time-ordered event types
+    collapse to an initials string ('v' view, 'c' click, …) and
+    regular expressions do the rest (here: the unbounded-time funnel
+    v.*c.*p, and the count of DIRECT view→click adjacencies, which
+    the time-bounded q_window_funnel cannot express). The history is
+    capped at the first 1000 events per user IDENTICALLY on both
+    engines (rank ≤ 1000 — the bound that keeps one hyperactive user
+    from materializing an unbounded string at corpus scale; TPC-H-ish
+    users are far below it, so the cap is inert on testdata). One
+    shuffle on user_id; the regex runs once per user on a ≤1000-char
+    string. Adjacency count is strip-and-measure ((len −
+    len(replace(seq,'vc',''))) / 2) — DuckDB 1.0 has no regexp_count.
+    Rows-only this round (window full); the DuckDB twin
+    (string_agg ORDER BY) is staged and hash-proven in
+    queries/future_oracles.py."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 1000)
+    seqs = (
+        capped.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("rk", F.substring("event_type", 1, 1).alias("c"))
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    n_vc = (
+        F.length("seq") - F.length(F.regexp_replace("seq", "vc", ""))
+    ) / 2
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        F.col("seq").rlike("v.*c.*p").alias("has_funnel"),
+        n_vc.cast("int").alias("n_direct_vc"),
+    ).orderBy("user_id")

@@ -92,6 +92,27 @@ FUTURE_ORACLES: dict[str, str] = {
     GROUP BY source, bucket
     ORDER BY source, bucket
     """,
+    "q_seq_pattern": """
+    WITH capped AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM events QUALIFY rk <= 1000
+    ),
+    seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM capped GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS seq_len,
+           regexp_matches(seq, 'v.*c.*p') AS has_funnel,
+           CAST((length(seq) - length(replace(seq, 'vc', ''))) / 2 AS INT)
+               AS n_direct_vc
+    FROM seqs
+    ORDER BY user_id
+    """,
     "q_balanced_sample": """
     SELECT vec_id, label, CAST(rk AS INT) AS rk
     FROM (

@@ -61,8 +61,9 @@ DRIVER_PRIORITY_ROUND = 5
 # q_dedup_simhash, q_graph_pagerank, q_snapshot_timetravel,
 # q_stream_ewma, q_stream_dedup, and the late round-5 additions
 # q_zorder_skipping, q_table_diff, q_group_checksum,
-# q_balanced_sample, q_autocorr, q_cusum_changepoint, q_feature_hash
-# (those seven are deterministic integer/md5/order-pinned arithmetic
+# q_balanced_sample, q_autocorr, q_cusum_changepoint, q_feature_hash,
+# q_seq_pattern
+# (those eight are deterministic integer/md5/order-pinned arithmetic
 # throughout — their DuckDB twins are ALREADY drafted and hash-proven
 # in queries/future_oracles.py; round 6 flips them into registered
 # oracles) plus q_stream_topk and q_stream_running_totals (the

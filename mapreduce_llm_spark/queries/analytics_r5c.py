@@ -986,3 +986,50 @@ def partition_prune_plan_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruned scan of q_partition_prune, exposed for the plan pin:
     PartitionFilters must carry the event_type equality."""
     return _pruned_purchases(spark, sf_dir)
+
+
+# One published small-files fixture per process (64-way split of
+# events — the over-partitioned ingest shape a compaction job fixes),
+# reused across invocations like the other storage artifacts above.
+_SMALL_FILES_DIR: dict[str, str] = {}
+
+
+@query("q_compaction_plan")
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/compaction.py) as
+    declared surface — the storage-maintenance op that completes the
+    layout family (prune / bucket / z-order / vacuum / compact): the
+    event table is published as 64 deliberately-tiny files (the
+    over-partitioned ingest shape), the file listing becomes a
+    manifest DataFrame, and the planner packs path-ordered files into
+    bins approaching 4× the mean file size via a distributed prefix
+    sum (operators/ranking.global_prefix_sum — planning a 10M-file
+    manifest never hits a single-partition window). Emits the per-bin
+    profile plus the conservation identities a maintenance job checks
+    before rewriting (all files binned, byte totals preserved —
+    asserted structurally in tests/test_compaction.py). Rows-only:
+    the driver's oracle views expose tables, not file listings."""
+    from mapreduce_llm_spark.operators.compaction import compaction_plan
+
+    src = _SMALL_FILES_DIR.get(sf_dir)
+    if src is None or not os.path.isdir(src):
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        src = tempfile.mkdtemp(prefix="mrs_smallfiles_")
+        e.repartition(64).write.mode("overwrite").parquet(src)
+        _SMALL_FILES_DIR[sf_dir] = src
+    listing = [
+        (f, os.path.getsize(os.path.join(src, f)))
+        for f in sorted(os.listdir(src))
+        if f.endswith(".parquet")
+    ]
+    files = spark.createDataFrame(listing, "path string, bytes long")
+    target = max(1, 4 * sum(b for _, b in listing) // max(1, len(listing)))
+    return compaction_plan(files, target).select(
+        "bin",
+        "n_files",
+        "total_bytes",
+        F.substring_index("first_path", "-", 2).alias("first_part"),
+        F.substring_index("last_path", "-", 2).alias("last_part"),
+    )

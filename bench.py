@@ -117,8 +117,11 @@ HEADLINE = [
     "q_forecast_naive",
     "q_minmax_scale",
     # round 5 late: z-order skipping model (pure relational compute —
-    # the footprint/probe aggregation, no writes)
+    # the footprint/probe aggregation, no writes), fingerprint-collapsed
+    # reconciliation, and the per-user sequence-regex shape
     "q_zorder_skipping",
+    "q_table_diff",
+    "q_seq_pattern",
 ]
 
 

@@ -179,3 +179,66 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").rlike("v.*c.*p").alias("has_funnel"),
         n_vc.cast("int").alias("n_direct_vc"),
     ).orderBy("user_id")
+
+
+@query("q_heavy_hitters")
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters with the error THEOREM in the output
+    (the q_sketch_bounds pattern applied to frequency): the token
+    stream folds into 8 bounded-memory summaries of 200 counters each
+    (operators/heavyhitters.py — O(k) memory per partition however
+    long the stream), and for each of the exact top-10 words the query
+    emits the exact count plus two booleans the Misra–Gries guarantees
+    force to TRUE: containment (a word with count above the summed
+    decrement bound cannot be missing from its partition's summary)
+    and the sandwich bound (summary estimate ≤ exact ≤ estimate +
+    decrements). Raw estimates are deliberately NOT emitted — summary
+    content is arrival-order-dependent (as in any streaming summary),
+    the guarantees are not, so the output is deterministic and the
+    staged oracle (exact counts + constant TRUEs) hash-gates the
+    theorem. The exact side is the expensive full-shuffle pass the
+    sketch exists to replace at 100 TB; here it is the gate. The
+    1-row decrement-total leg is a broadcast cross (allowlisted)."""
+    from mapreduce_llm_spark.operators.heavyhitters import misra_gries_summaries
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    summaries = misra_gries_summaries(toks, "w", k=200, num_partitions=8)
+    totals = (
+        summaries.groupBy("pid")
+        .agg(F.first("part_dec").alias("dec"))
+        .agg(F.sum("dec").alias("total_dec"))
+    )
+    merged = (
+        summaries.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est").alias("est_sum"))
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "w")
+        .limit(10)
+    )
+    joined = (
+        exact.join(merged, exact["w"] == merged["item"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    in_summary = F.col("est_sum").isNotNull()
+    return joined.select(
+        "w",
+        "exact_n",
+        (in_summary | (F.col("exact_n") <= F.col("total_dec"))).alias(
+            "containment_ok"
+        ),
+        (
+            ~in_summary
+            | (
+                (F.col("est_sum") <= F.col("exact_n"))
+                & (F.col("exact_n") <= F.col("est_sum") + F.col("total_dec"))
+            )
+        ).alias("bounds_ok"),
+    ).orderBy(F.col("exact_n").desc(), "w")

@@ -92,6 +92,22 @@ FUTURE_ORACLES: dict[str, str] = {
     GROUP BY source, bucket
     ORDER BY source, bucket
     """,
+    "q_heavy_hitters": """
+    WITH toks AS (
+        SELECT w
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    )
+    SELECT w,
+           CAST(count(*) AS BIGINT) AS exact_n,
+           TRUE AS containment_ok,
+           TRUE AS bounds_ok
+    FROM toks
+    GROUP BY w
+    ORDER BY exact_n DESC, w
+    LIMIT 10
+    """,
     "q_seq_pattern": """
     WITH capped AS (
         SELECT user_id, event_type, ts, event_id,

@@ -36,6 +36,7 @@ PYTHON_OK = {
     "q_dedup_embed",  # BLAS block-pair scorer, applyInPandas per block pair
     "q_tokenize_bpe",  # exact BPE engine, Arrow-batched pandas UDF
     "q_mm_ingest",  # binaryFile ingest + codec decode, mapInPandas
+    "q_heavy_hitters",  # Misra-Gries bounded-memory fold, mapInPandas
 }
 
 # Nested-loop / cross joins by design:
@@ -66,6 +67,7 @@ NLJ_OK = {
     "q_window_funnel",  # broadcast 1-row funnel-stage-count legs
     "q_zorder_skipping",  # broadcast legs: 1-row grid bounds, 3-row probe
     #                       rectangles against 64-row file footprints
+    "q_heavy_hitters",  # broadcast 1-row decrement-total leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -242,3 +242,63 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bounds_ok"),
     ).orderBy(F.col("exact_n").desc(), "w")
+
+
+@query("q_ngram_novelty")
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram novelty — the diversity/contamination
+    profile a corpus-mixing decision reads: per source, how many
+    distinct word 3-grams it contributes and what fraction appear in
+    NO other source (novelty 1.0 = fully distinct corpus; near 0 =
+    this source re-treads the others — q_decontaminate's logic turned
+    from a filter into a per-source measurement). Grams collapse to
+    DISTINCT (source, gram) before anything else, the per-gram source
+    count is one re-aggregation of that table, and the exclusive flag
+    joins back on the gram — shuffles carry grams, never documents.
+    Rows-only this round (window full); the DuckDB twin (list
+    comprehension over the filtered token array) is staged and
+    hash-proven in queries/future_oracles.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda w: w != "")
+    grams = (
+        docs.select(
+            "source",
+            F.explode(
+                # Spark's sequence(1, 0) DESCENDS to [1, 0] (DuckDB's
+                # generate_series(1, 0) is empty) — guard short texts
+                # explicitly or element_at(ws, 0) raises
+                F.when(
+                    F.size(ws) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(ws, i),
+                            F.element_at(ws, i + 1),
+                            F.element_at(ws, i + 2),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    spread = grams.groupBy("gram").agg(
+        F.count("*").alias("n_sources")
+    )
+    return (
+        grams.join(spread, "gram")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exclusive"),
+            F.round(
+                F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

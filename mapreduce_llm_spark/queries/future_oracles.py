@@ -92,6 +92,32 @@ FUTURE_ORACLES: dict[str, str] = {
     GROUP BY source, bucket
     ORDER BY source, bucket
     """,
+    "q_ngram_novelty": """
+    WITH grams AS (
+        SELECT DISTINCT source, gram
+        FROM (
+            SELECT source,
+                   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           FOR i IN generate_series(1, greatest(len(ws) - 2, 0))])
+                       AS gram
+            FROM (SELECT source,
+                         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                     w -> w <> '') AS ws
+                  FROM documents)
+        )
+    ),
+    spread AS (
+        SELECT gram, count(*) AS n_sources FROM grams GROUP BY gram
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum((n_sources = 1)::INT) AS BIGINT) AS n_exclusive,
+           round(sum((n_sources = 1)::INT) / CAST(count(*) AS DOUBLE), 4)
+               AS novelty_rate
+    FROM grams JOIN spread USING (gram)
+    GROUP BY source
+    ORDER BY source
+    """,
     "q_heavy_hitters": """
     WITH toks AS (
         SELECT w

@@ -302,3 +302,80 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("q_zipf_slope")
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: the least-squares slope of
+    ln(frequency) on ln(rank) over the source's top-100 words —
+    natural corpora slope near −1, and a source that deviates hard
+    (synthetic boilerplate, templated spam) shows up immediately, so
+    this is the one-number corpus-health check next to q_ngram_novelty
+    and q_text_stats. One token aggregation, a per-source rank window
+    over the per-source vocabulary (tie-broken on the word), then the
+    single-pass regr_slope moment fold over ≤100 rows per source.
+    Rows-only this round (window full); staged oracle hash-proven —
+    counts are exact ints and both engines share the regr_slope
+    definition, so the fit is bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    freqs = toks.groupBy("source", "w").agg(F.count("*").alias("n"))
+    w_rank = Window.partitionBy("source").orderBy(F.col("n").desc(), "w")
+    ranked = freqs.withColumn("rk", F.row_number().over(w_rank)).where(
+        F.col("rk") <= 100
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.regr_slope(F.log(F.col("n")), F.log(F.col("rk"))) + 0.0, 4
+            ).alias("zipf_slope"),
+            F.round(
+                F.regr_r2(F.log(F.col("n")), F.log(F.col("rk"))) + 0.0, 4
+            ).alias("fit_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("q_ttr_heaps")
+def q_ttr_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: token count, type (distinct word)
+    count, the type-token ratio, and the Heaps'-law exponent estimate
+    ln(types)/ln(tokens) — the vocabulary-growth fingerprint (natural
+    text sits near 0.5; templated text collapses toward 0, random
+    noise toward 1). One aggregation pass per side of the
+    distinct-count; everything is exact integer arithmetic until the
+    final two rounded ratios. Rows-only this round (window full);
+    staged oracle hash-proven."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("w").alias("n_types"),
+            F.round(
+                F.count_distinct("w") / F.count("*").cast("double"), 4
+            ).alias("ttr"),
+            F.round(
+                F.log(F.count_distinct("w").cast("double"))
+                / F.log(F.count("*").cast("double")),
+                4,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("source")
+    )

@@ -92,6 +92,47 @@ FUTURE_ORACLES: dict[str, str] = {
     GROUP BY source, bucket
     ORDER BY source, bucket
     """,
+    "q_zipf_slope": """
+    WITH freqs AS (
+        SELECT source, w, count(*) AS n
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY source, w
+    ),
+    ranked AS (
+        SELECT source, n,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n DESC, w) AS rk
+        FROM freqs QUALIFY rk <= 100
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(regr_slope(ln(n), ln(rk)) + 0.0, 4) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rk)) + 0.0, 4)    AS fit_r2
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    "q_ttr_heaps": """
+    WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)          AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+           round(count(DISTINCT w) / CAST(count(*) AS DOUBLE), 4) AS ttr,
+           round(ln(CAST(count(DISTINCT w) AS DOUBLE))
+                 / ln(CAST(count(*) AS DOUBLE)), 4) AS heaps_beta
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
     "q_ngram_novelty": """
     WITH grams AS (
         SELECT DISTINCT source, gram

@@ -379,3 +379,38 @@ def q_ttr_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("q_custom_source")
+def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource API as declared surface
+    (mapreduce_llm_spark/pysource.py): a pure-Python class registered
+    as a first-class `spark.read.format("mrs_synth_events")` source
+    with partitioned reads (8 splits planned by the source) and
+    FILTER PUSHDOWN — the event_type predicate reaches the source via
+    pushFilters and non-matching rows are never materialized, the
+    same contract a REST/queue/proprietary-store connector
+    implements. The generator is pure integer hashing, so the staged
+    DuckDB oracle REGENERATES the rows from the same arithmetic and
+    hash-verifies the aggregate — an external engine proving the
+    custom source honors its contract end-to-end (generation,
+    partitioning, pushdown). Rows-only this round (window full);
+    oracle staged in queries/future_oracles.py."""
+    from mapreduce_llm_spark.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("mrs_synth_events")
+        .option("n_rows", 20000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return (
+        df.where(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") % 10).cast("int").alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_bucket")
+    )

@@ -92,6 +92,27 @@ FUTURE_ORACLES: dict[str, str] = {
     GROUP BY source, bucket
     ORDER BY source, bucket
     """,
+    # regenerates mapreduce_llm_spark/pysource.py's generator from the
+    # same integer arithmetic — an independent engine proving the
+    # custom Python data source honors its contract
+    "q_custom_source": """
+    WITH g AS (SELECT unnest(generate_series(0, 19999)) AS i),
+    r AS (SELECT i, ((i * 2654435761) & 2147483647) AS h FROM g),
+    e AS (
+        SELECT h % 997 AS user_id,
+               ['view', 'click', 'purchase', 'signup', 'error'][(h % 5) + 1]
+                   AS event_type,
+               (h % 100000) / 100.0 AS value
+        FROM r
+    )
+    SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 2)      AS sum_value
+    FROM e
+    WHERE event_type = 'purchase'
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
     "q_zipf_slope": """
     WITH freqs AS (
         SELECT source, w, count(*) AS n

@@ -63,8 +63,8 @@ DRIVER_PRIORITY_ROUND = 5
 # q_zorder_skipping, q_table_diff, q_group_checksum,
 # q_balanced_sample, q_autocorr, q_cusum_changepoint, q_feature_hash,
 # q_seq_pattern, q_heavy_hitters, q_ngram_novelty, q_zipf_slope,
-# q_ttr_heaps
-# (those twelve are deterministic integer/md5/order-pinned arithmetic
+# q_ttr_heaps, q_custom_source
+# (those thirteen are deterministic integer/md5/order-pinned arithmetic
 # throughout — their DuckDB twins are ALREADY drafted and hash-proven
 # in queries/future_oracles.py; round 6 flips them into registered
 # oracles) plus q_stream_topk and q_stream_running_totals (the

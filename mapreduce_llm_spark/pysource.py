@@ -94,6 +94,11 @@ class SyntheticEventsReader(DataSourceReader):
                 yield f
 
     def partitions(self) -> list[_Slice]:
+        if self.n_rows <= 0:
+            # an empty source still must plan ONE (empty) split:
+            # per=0 would make range()'s step 0 and raise, and Spark
+            # rejects a partitionless reader
+            return [_Slice(0, 0)]
         per = -(-self.n_rows // self.n_partitions)  # ceil
         return [
             _Slice(lo, min(lo + per, self.n_rows))

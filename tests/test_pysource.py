@@ -29,6 +29,15 @@ def test_reader_plans_requested_partitions():
         assert e1 == s2, "partition ranges must tile without gaps"
 
 
+def test_empty_source_plans_one_empty_split(spark):
+    r = SyntheticEventsReader({"n_rows": "0"})
+    parts = r.partitions()
+    assert len(parts) == 1 and list(r.read(parts[0])) == []
+    register(spark)
+    df = spark.read.format("mrs_synth_events").option("n_rows", 0).load()
+    assert df.count() == 0
+
+
 def test_push_filters_accepts_type_equality_and_returns_rest():
     r = SyntheticEventsReader({})
     rest = list(

@@ -53,6 +53,15 @@ def misra_gries_summaries(
         n = 0
         for pdf in batches:
             for item in pdf[col].to_numpy():
+                # NULL input values would be counted under a None
+                # counter key and emitted as item=NULL — colliding
+                # with the cancelled-counters sentinel row below, and
+                # silently dropped by any consumer filtering
+                # `item IS NOT NULL` (as the merge does). NULLs are
+                # not stream elements; skip them so n and the error
+                # bound describe the non-null stream exactly.
+                if item is None or item != item:
+                    continue
                 n += 1
                 c = counters.get(item)
                 if c is not None:

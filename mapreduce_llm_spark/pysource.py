@@ -78,10 +78,17 @@ class SyntheticEventsReader(DataSourceReader):
         self.n_partitions = max(1, int(options.get("n_partitions", 4)))
         self.type_filter: str | None = None
 
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         """Accept one event_type equality; everything else is returned
         to Spark to evaluate post-scan (the contract: a source takes
-        only what it can honor exactly)."""
+        only what it can honor exactly).
+
+        Built eagerly, NOT as a generator: a generator would tie the
+        self.type_filter side effect to the caller exhausting the
+        iterator — a partially-consumed iterator would silently
+        disable pushdown while also not returning the filter for
+        post-scan evaluation (ADVICE, round 5)."""
+        unsupported: list[Filter] = []
         for f in filters:
             if (
                 isinstance(f, EqualTo)
@@ -91,7 +98,8 @@ class SyntheticEventsReader(DataSourceReader):
             ):
                 self.type_filter = f.value
             else:
-                yield f
+                unsupported.append(f)
+        return unsupported
 
     def partitions(self) -> list[_Slice]:
         if self.n_rows <= 0:

@@ -76,3 +76,17 @@ def test_q_heavy_hitters_theorem_booleans(spark):
     assert all(r["bounds_ok"] for r in rows)
     counts = [r["exact_n"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_null_items_are_skipped_not_counted(spark):
+    # NULLs are not stream elements: counting them under a None key
+    # would collide with the cancelled-counters sentinel and be
+    # dropped by the merge's item IS NOT NULL filter (ADVICE, round 5)
+    items = ["a"] * 30 + [None] * 25 + ["b"] * 10
+    df = spark.createDataFrame([(x,) for x in items], "w string")
+    rows = misra_gries_summaries(df, "w", k=4, num_partitions=1).collect()
+    assert sum(r["part_n"] for r in {r["pid"]: r for r in rows}.values()) == 40
+    est = {r["item"]: r["est"] for r in rows if r["item"] is not None}
+    assert est.get("a") == 30 and est.get("b") == 10
+    # no NULL row carries a positive estimate (sentinel est is 0)
+    assert all(r["est"] == 0 for r in rows if r["item"] is None)

@@ -88,3 +88,16 @@ def test_q_custom_source_buckets(spark):
             ref[r[1] % 10] = ref.get(r[1] % 10, 0) + 1
     for row in rows:
         assert row["n_events"] == ref[row["user_bucket"]]
+
+
+def test_push_filters_side_effect_is_eager():
+    # pushFilters must not be a generator: the type_filter side effect
+    # and the returned unsupported list have to materialize even if the
+    # caller never iterates the result (ADVICE, round 5)
+    r = SyntheticEventsReader({})
+    res = r.pushFilters(
+        [EqualTo(("event_type",), "signup"), GreaterThan(("value",), 1.0)]
+    )
+    assert isinstance(res, list), "pushFilters returned a lazy iterator"
+    assert r.type_filter == "signup"
+    assert len(res) == 1 and isinstance(res[0], GreaterThan)

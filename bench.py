@@ -20,6 +20,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mapreduce_llm_spark import registry
 from mapreduce_llm_spark.session import get_spark
 
+# PINNED_V1: the round-1 headline suite, FROZEN. Measured FIRST in the
+# session (fresh JVM, fixed warm-up, fixed query count before it), so
+# its round-over-round numbers are invariant to headline growth — the
+# round-5 record drifted +17% with zero plan changes purely because 81
+# queries shared one JVM session with 63 the round before (VERDICT r5
+# finding #1). Never append here; a new pinned set would be PINNED_V2
+# with both emitted during the transition round.
+PINNED_V1 = [
+    "q_agg_basic",
+    "q_scan_project",
+    "q_filter_pred",
+    "q_join_inner",
+    "q_join_multi",
+    "q_join_salted",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_win_rank",
+    "q_topk",
+    "q_sort_multi",
+    "q_evt_sessionize",
+    "q_evt_retention",
+    "q_union_all",
+    "q_fn_string",
+    "q_fn_array",
+    "q_dedup_exact",
+    "q_sim_search",
+    "q_udtf_flatmap",
+    "q_text_stats",
+    "q_merge_upsert",
+    "q_dedup_fuzzy",
+    "q_dedup_ngram",
+    "q_sim_rerank",
+    "q_text_ngrams",
+    "q_pack_sequences",
+    "q_embed_assign",
+    "q_tpch_q18_shape",
+    "q_dedup_embed",
+    "q_text_collocations",
+]
+
 # Headline suite: one representative per operator family (scan, agg,
 # star join, window, top-k, sessionization, set op, functions, dedup,
 # similarity, text pipeline), plus the scale-path rewrites (salted
@@ -153,26 +193,40 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="mapreduce_llm_spark-bench")
 
-    # full warm-up pass: JIT-compile the generated code, load parquet
-    # footers, warm the Python workers — then measure steady state
-    # (what a long-running cluster job actually sees)
-    for name in HEADLINE:
-        run_query(registry.QUERIES[name], spark, sf_dir)
-
     # median of 3 measured passes: single-pass numbers carried
     # ±0.1-0.15 s of suite-order noise round-over-round (measured in
     # ROUND4_NOTES), which is the size of a real regression on most
     # queries; the median cancels it in both directions
     passes = 3
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(passes):
-        for name in HEADLINE:
-            samples[name].append(run_query(registry.QUERIES[name], spark, sf_dir))
-    times = {
-        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
-    }
+
+    def bench_set(names: list[str]) -> dict[str, float]:
+        # warm-up pass first: JIT-compile the generated code, load
+        # parquet footers, warm the Python workers — then measure
+        # steady state (what a long-running cluster job actually sees)
+        for name in names:
+            run_query(registry.QUERIES[name], spark, sf_dir)
+        samples: dict[str, list[float]] = {name: [] for name in names}
+        for _ in range(passes):
+            for name in names:
+                samples[name].append(
+                    run_query(registry.QUERIES[name], spark, sf_dir)
+                )
+        return {
+            name: round(sorted(ts)[len(ts) // 2], 3)
+            for name, ts in samples.items()
+        }
+
+    # Phase 1 — the FROZEN pinned subset, always the session's first
+    # work: its numbers are comparable round-over-round regardless of
+    # how much the headline suite grows behind it.
+    pinned_times = bench_set(PINNED_V1)
+    # Phase 2 — the rest of the headline suite; the full record is the
+    # union (pinned queries keep their phase-1, fixed-position times).
+    rest_times = bench_set([n for n in HEADLINE if n not in set(PINNED_V1)])
+    times = {name: (pinned_times | rest_times)[name] for name in HEADLINE}
 
     total = round(sum(times.values()), 3)
+    pinned_total = round(sum(pinned_times.values()), 3)
     print(
         json.dumps(
             {
@@ -188,6 +242,13 @@ def main() -> None:
                 "mean_query_seconds": round(total / len(times), 3),
                 "passes": passes,
                 "agg": "median",
+                # growth-invariant record: measured first in the
+                # session over the frozen PINNED_V1 set — THE number
+                # to compare round-over-round (the full-suite value
+                # moves with suite size; this one cannot)
+                "pinned_set": "v1",
+                "pinned_seconds": pinned_total,
+                "pinned_queries": pinned_times,
             }
         )
     )
@@ -195,12 +256,26 @@ def main() -> None:
     if compare_path is not None:
         from tools.bench_compare import gate, load_bench
 
+        prev = load_bench(compare_path)
+        # gate on the growth-invariant pinned record when the previous
+        # run carries one; fall back to the previous record's full
+        # query dict (its intersection with PINNED_V1 — still the
+        # fixed set, just measured at the old session position)
+        prev_pinned = prev.get("pinned_queries") or prev.get("queries") or prev
         ok, msg = gate(
-            load_bench(compare_path),
-            {"queries": times},
+            {"queries": prev_pinned},
+            {"queries": pinned_times},
             max_ratio=max_ratio,
         )
-        print(("PASS " if ok else "FAIL ") + msg, file=sys.stderr)
+        print(("PASS " if ok else "FAIL ") + "pinned_v1 " + msg, file=sys.stderr)
+        ok_full, msg_full = gate(prev, {"queries": times}, max_ratio=max_ratio)
+        print(
+            ("PASS " if ok_full else "INFO ") + "full-suite " + msg_full,
+            file=sys.stderr,
+        )
+        # only the pinned gate is load-bearing: the full-suite number
+        # is reported for continuity but cannot fail the run, because
+        # suite growth inflates it independently of any plan change
         if not ok:
             sys.exit(1)
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
+from mapreduce_llm_spark.queries.future_oracles import GRADUATED_ORACLES
 
 # One written storage layout per (process, sf_dir) — the storage-pair
 # queries (q_bucket_join, q_partition_prune) write tables as part of
@@ -843,7 +844,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_zorder_skipping")
+@query("q_zorder_skipping", oracle=GRADUATED_ORACLES["q_zorder_skipping"])
 def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering vs linear sort, measured as FILE SKIPPING —
     the third storage-layout leg after q_partition_prune (directory
@@ -861,12 +862,11 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARE the data-skipping win, deterministically reproducible (buckets
     are fixed-width z-ranges, not sampled file splits).
 
-    Rows-only: the Morton interleave is exact-tested against a Python
-    bit-reference and the layout superiority is property-pinned
-    (tests/test_zorder.py); the whole query is built from deterministic
-    integer arithmetic, so an oracle twin (DuckDB bit-ops) is a
-    round-6 candidate — the window is full of this round's 48
-    oracle-backed entries. The probe/footprint joins are 3-row and
+    Oracle-backed since round 6: the Morton interleave is exact-tested
+    against a Python bit-reference and the layout superiority is
+    property-pinned (tests/test_zorder.py); the whole query is
+    deterministic integer arithmetic, so the DuckDB bit-ops twin
+    (GRADUATED_ORACLES) reproduces it bit-for-bit. The probe/footprint joins are 3-row and
     64-row broadcast legs (allowlisted); at 100 TB the footprint table
     IS the table-format manifest and stays #files-sized."""
     from mapreduce_llm_spark.operators.zorder import (

@@ -1,11 +1,11 @@
 """Round-5 late batch: time-series diagnostics (autocorrelation,
 CUSUM changepoint) and the hashing-trick feature encoder.
 
-All three are deterministic (integer joins, order-pinned window
-cumsums, md5 bucket arithmetic), so their DuckDB twins are staged and
-hash-proven NOW in queries/future_oracles.py — rows-only this round
-only because the driver window already holds 48 never-verified oracle
-entries; they graduate in the round-6 rotation.
+All are deterministic (integer joins, order-pinned window cumsums,
+md5 bucket arithmetic), so their DuckDB twins were staged and
+hash-proven in round 5 (queries/future_oracles.py) and graduated to
+registered ``@query(oracle=GRADUATED_ORACLES[...])`` declarations in
+the round-6 rotation.
 
 Scale discipline: every query collapses the event stream to daily /
 token aggregates FIRST; windows and joins then run over
@@ -19,9 +19,10 @@ from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
+from mapreduce_llm_spark.queries.future_oracles import GRADUATED_ORACLES
 
 
-@query("q_autocorr")
+@query("q_autocorr", oracle=GRADUATED_ORACLES["q_autocorr"])
 def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of daily event counts at lags 1–7 per event
     type — the periodicity fingerprint that tells a forecaster which
@@ -55,7 +56,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_cusum_changepoint")
+@query("q_cusum_changepoint", oracle=GRADUATED_ORACLES["q_cusum_changepoint"])
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection on daily volumes: per event type,
     the day where the cumulative deviation from the series mean peaks
@@ -100,7 +101,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_feature_hash")
+@query("q_feature_hash", oracle=GRADUATED_ORACLES["q_feature_hash"])
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hashing trick: project an unbounded token vocabulary onto a
     FIXED 64-bucket feature space via md5 arithmetic — the encoder
@@ -110,7 +111,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision diagnostic (distinct words per bucket) a practitioner
     checks before trusting the dimensionality. The md5→BIGINT bucket
     (same arithmetic as operators/validate.row_fingerprint) is
-    engine-reproducible — the staged oracle recomputes it exactly."""
+    engine-reproducible — the registered oracle recomputes it exactly."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -133,7 +134,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_seq_pattern")
+@query("q_seq_pattern", oracle=GRADUATED_ORACLES["q_seq_pattern"])
 def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-pattern matching over per-user event histories — the
     MATCH_RECOGNIZE shape: each user's time-ordered event types
@@ -148,9 +149,8 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id; the regex runs once per user on a ≤1000-char
     string. Adjacency count is strip-and-measure ((len −
     len(replace(seq,'vc',''))) / 2) — DuckDB 1.0 has no regexp_count.
-    Rows-only this round (window full); the DuckDB twin
-    (string_agg ORDER BY) is staged and hash-proven in
-    queries/future_oracles.py."""
+    The DuckDB twin (string_agg ORDER BY) is the registered oracle
+    (GRADUATED_ORACLES)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     capped = e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 1000)
@@ -181,7 +181,7 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-@query("q_heavy_hitters")
+@query("q_heavy_hitters", oracle=GRADUATED_ORACLES["q_heavy_hitters"])
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries heavy hitters with the error THEOREM in the output
     (the q_sketch_bounds pattern applied to frequency): the token
@@ -195,7 +195,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decrements). Raw estimates are deliberately NOT emitted — summary
     content is arrival-order-dependent (as in any streaming summary),
     the guarantees are not, so the output is deterministic and the
-    staged oracle (exact counts + constant TRUEs) hash-gates the
+    registered oracle (exact counts + constant TRUEs) hash-gates the
     theorem. The exact side is the expensive full-shuffle pass the
     sketch exists to replace at 100 TB; here it is the gate. The
     1-row decrement-total leg is a broadcast cross (allowlisted)."""
@@ -244,7 +244,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("exact_n").desc(), "w")
 
 
-@query("q_ngram_novelty")
+@query("q_ngram_novelty", oracle=GRADUATED_ORACLES["q_ngram_novelty"])
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source n-gram novelty — the diversity/contamination
     profile a corpus-mixing decision reads: per source, how many
@@ -255,9 +255,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT (source, gram) before anything else, the per-gram source
     count is one re-aggregation of that table, and the exclusive flag
     joins back on the gram — shuffles carry grams, never documents.
-    Rows-only this round (window full); the DuckDB twin (list
-    comprehension over the filtered token array) is staged and
-    hash-proven in queries/future_oracles.py."""
+    The DuckDB twin (list comprehension over the filtered token
+    array) is the registered oracle (GRADUATED_ORACLES)."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda w: w != "")
     grams = (
@@ -304,7 +303,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_zipf_slope")
+@query("q_zipf_slope", oracle=GRADUATED_ORACLES["q_zipf_slope"])
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit per source: the least-squares slope of
     ln(frequency) on ln(rank) over the source's top-100 words —
@@ -314,7 +313,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     and q_text_stats. One token aggregation, a per-source rank window
     over the per-source vocabulary (tie-broken on the word), then the
     single-pass regr_slope moment fold over ≤100 rows per source.
-    Rows-only this round (window full); staged oracle hash-proven —
+    Oracle-backed since round 6 (graduated staging batch) —
     counts are exact ints and both engines share the regr_slope
     definition, so the fit is bit-stable."""
     docs = load_table(spark, sf_dir, "documents")
@@ -345,7 +344,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ttr_heaps")
+@query("q_ttr_heaps", oracle=GRADUATED_ORACLES["q_ttr_heaps"])
 def q_ttr_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical richness per source: token count, type (distinct word)
     count, the type-token ratio, and the Heaps'-law exponent estimate
@@ -353,8 +352,8 @@ def q_ttr_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     text sits near 0.5; templated text collapses toward 0, random
     noise toward 1). One aggregation pass per side of the
     distinct-count; everything is exact integer arithmetic until the
-    final two rounded ratios. Rows-only this round (window full);
-    staged oracle hash-proven."""
+    final two rounded ratios. Oracle registered since round 6
+    (graduated staging batch)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -381,7 +380,7 @@ def q_ttr_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_custom_source")
+@query("q_custom_source", oracle=GRADUATED_ORACLES["q_custom_source"])
 def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark 4 Python DataSource API as declared surface
     (mapreduce_llm_spark/pysource.py): a pure-Python class registered
@@ -390,12 +389,12 @@ def q_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     FILTER PUSHDOWN — the event_type predicate reaches the source via
     pushFilters and non-matching rows are never materialized, the
     same contract a REST/queue/proprietary-store connector
-    implements. The generator is pure integer hashing, so the staged
+    implements. The generator is pure integer hashing, so the registered
     DuckDB oracle REGENERATES the rows from the same arithmetic and
     hash-verifies the aggregate — an external engine proving the
     custom source honors its contract end-to-end (generation,
-    partitioning, pushdown). Rows-only this round (window full);
-    oracle staged in queries/future_oracles.py."""
+    partitioning, pushdown). The oracle (GRADUATED_ORACLES)
+    regenerates and verifies it."""
     from mapreduce_llm_spark.pysource import register
 
     register(spark)

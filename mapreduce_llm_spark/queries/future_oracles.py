@@ -1,15 +1,18 @@
-"""Round-6 staging: DuckDB oracle twins for this round's
-deterministic rows-only queries, drafted and HASH-TESTED now
-(tests/test_future_oracles.py runs them through the same compare
-harness as the driver gate) but deliberately NOT registered in
-registry.ORACLE yet — an oracle-backed query must occupy a
-DRIVER_PRIORITY window slot (tests/test_plans.py window invariants),
-and the round-5 window is full with 48 never-verified oracle entries.
+"""Oracle staging and graduation.
 
-Round 6: move each entry into its @query(oracle=...) declaration and
-front the names in the rotated DRIVER_PRIORITY. The SQL is proven
-against the live queries at sf0.01 already, so the flip carries no
-new risk.
+``FUTURE_ORACLES`` holds DuckDB oracle twins for rows-only queries,
+drafted and HASH-TESTED in advance (tests/test_future_oracles.py runs
+them through the same compare harness as the driver gate) but not yet
+registered in registry.ORACLE — an oracle-backed query must occupy a
+DRIVER_PRIORITY window slot (tests/test_plans.py window invariants),
+so a full window defers the flip to the next round.
+
+``GRADUATED_ORACLES`` holds the SQL of entries that HAVE been flipped
+into their ``@query(oracle=...)`` declarations (the round-5 staging
+batch graduated in round 6). The text lives here rather than inline so
+the large SQL blocks don't swamp the query modules; each declaration
+references its entry by name, and tests/test_future_oracles.py pins
+that every graduated name is registered with exactly this SQL.
 """
 
 from __future__ import annotations
@@ -25,7 +28,12 @@ _FP_CS = """CAST(('0x' || substr(md5(concat_ws(chr(31),
         coalesce('v:' || CAST(source AS VARCHAR), 'null'),
         coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))), 1, 10)) AS BIGINT)"""
 
-FUTURE_ORACLES: dict[str, str] = {
+# Round-7 staging area: drafted-and-proven twins awaiting a window
+# slot. Empty right now — the round-6 window absorbed the whole
+# backlog, and no new rows-only query has an expressible twin staged.
+FUTURE_ORACLES: dict[str, str] = {}
+
+GRADUATED_ORACLES: dict[str, str] = {
     "q_autocorr": """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n

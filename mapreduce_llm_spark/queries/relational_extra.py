@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
+from mapreduce_llm_spark.queries.future_oracles import GRADUATED_ORACLES
 
 
 @query(
@@ -207,7 +208,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_balanced_sample")
+@query("q_balanced_sample", oracle=GRADUATED_ORACLES["q_balanced_sample"])
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic balanced downsample: exactly k=20 examples per
     label, chosen by md5-hash order — the cross-engine-reproducible
@@ -218,9 +219,8 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute uncorrelated with md5 — and identical on every engine,
     cluster size, and run: the property a training-set freeze needs.
     One shuffle on label; row_number keeps O(1) state per class.
-    Rows-only this round (window full); the DuckDB twin is staged and
-    hash-proven in queries/future_oracles.py — md5 strings order
-    identically in both engines."""
+    Oracle-backed since round 6 (GRADUATED_ORACLES) — md5 strings
+    order identically in both engines."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     w = Window.partitionBy("label").orderBy(
         F.md5(F.concat(F.lit("bs:"), F.col("vec_id").cast("string"))), "vec_id"

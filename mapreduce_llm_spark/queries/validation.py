@@ -1,10 +1,10 @@
 """Data-validation surface: table reconciliation and layout-invariant
 checksums (operators/validate.py) as declared queries.
 
-Rows-only this round — both are deterministic md5 integer arithmetic,
-so DuckDB oracle twins (identical null-tagged concat + substr(md5)
-conversion) are the round-6 upgrade path; the semantics are pinned
-exactly in tests/test_validate.py meanwhile.
+Both are deterministic md5 integer arithmetic, so the DuckDB oracle
+twins (identical null-tagged concat + substr(md5) conversion,
+GRADUATED_ORACLES) verify them externally since round 6; the
+semantics are also pinned exactly in tests/test_validate.py.
 """
 
 from __future__ import annotations
@@ -15,9 +15,10 @@ from pyspark.sql import functions as F
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.operators.validate import group_checksum, table_diff
 from mapreduce_llm_spark.registry import query
+from mapreduce_llm_spark.queries.future_oracles import GRADUATED_ORACLES
 
 
-@query("q_table_diff")
+@query("q_table_diff", oracle=GRADUATED_ORACLES["q_table_diff"])
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed reconciliation of two table versions — the pre-cutover
     check of every migration/backfill: v2 is derived from documents by
@@ -55,7 +56,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_group_checksum")
+@query("q_group_checksum", oracle=GRADUATED_ORACLES["q_group_checksum"])
 def q_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-language content checksum of the document
     corpus, computed twice — once over the table as scanned, once over

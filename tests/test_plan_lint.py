@@ -68,6 +68,11 @@ NLJ_OK = {
     "q_zorder_skipping",  # broadcast legs: 1-row grid bounds, 3-row probe
     #                       rectangles against 64-row file footprints
     "q_heavy_hitters",  # broadcast 1-row decrement-total leg
+    "q_decile_lift",  # broadcast 1-row grand-total leg onto 10 deciles
+    "q_abc_classification",  # broadcast 1-row revenue-total leg
+    "q_lorenz_curve",  # broadcast 1-row (total, n) leg onto 20 bins
+    "q_return_affinity",  # broadcast 1-row corpus return-rate leg
+    "q_backlog_aging",  # broadcast 1-row as-of max-date leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

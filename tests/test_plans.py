@@ -314,6 +314,26 @@ def test_q19_factors_disjunction_to_both_scans(spark):
     assert "p_brand" in p_scan and "Or(" in p_scan
 
 
+def test_bench_pinned_subset_is_frozen():
+    """bench.py's PINNED_V1 is the growth-invariant round-over-round
+    comparison basis (VERDICT r5 finding #1: suite growth inflated the
+    full-suite number +17% with zero plan changes). The set must stay
+    byte-identical — a change means the cross-round record silently
+    forks; introduce PINNED_V2 alongside instead."""
+    import hashlib
+
+    import bench
+    from mapreduce_llm_spark import registry
+
+    registry.load_all()
+    digest = hashlib.md5("\n".join(bench.PINNED_V1).encode()).hexdigest()
+    assert digest == "dfc8f75267e4648cd27661fa75f2d367", (
+        f"PINNED_V1 changed (md5 {digest}) — never edit it; add PINNED_V2"
+    )
+    assert set(bench.PINNED_V1) <= set(bench.HEADLINE)
+    assert set(bench.HEADLINE) <= set(registry.QUERIES)
+
+
 def test_driver_priority_frontloads_unverified_oracle_queries():
     """The driver checks only the first 50 queries() entries; the
     ordering must match DRIVER_PRIORITY, and within the window every
@@ -336,7 +356,7 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
     )
 
 
-def test_driver_priority_round5_window():
+def test_driver_priority_round6_window():
     """Rotation invariants for the current window, derived from the
     CORRECTNESS records of rounds STRICTLY BEFORE the window's round
     (registry.DRIVER_PRIORITY_ROUND). The round-4 variant read every

@@ -9,12 +9,16 @@ in one place.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mapreduce_llm_spark import registry
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Public operator surface that is NOT a declared query (library API,
 # sinks, streaming, clients) — module: [(name, covering test)].
@@ -76,6 +80,39 @@ API_SURFACE = {
 }
 
 
+def verification_backlog() -> tuple[list[str], list[str]]:
+    """Derive the external-verification state from the registry plus
+    the driver's CORRECTNESS records of rounds STRICTLY BEFORE
+    registry.DRIVER_PRIORITY_ROUND — the exact computation the window
+    invariant test runs (tests/test_plans.py::
+    test_driver_priority_round6_window). Returns (queries never
+    externally verified at declared strength and INSIDE the current
+    50-slot window, same but OUTSIDE the window — the true rollover
+    list). Round 5's hand-maintained rollover comment drifted (judge
+    finding #4); this derivation replaces it."""
+    records: dict[str, list[dict]] = {}
+    for fname in sorted(os.listdir(REPO_ROOT)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m or int(m.group(1)) >= registry.DRIVER_PRIORITY_ROUND:
+            continue
+        with open(os.path.join(REPO_ROOT, fname)) as fh:
+            for name, rec in json.load(fh).items():
+                records.setdefault(name, []).append(rec)
+
+    def verified(name: str) -> bool:
+        recs = records.get(name, [])
+        if name in registry.ORACLE:
+            return any(r.get("hash_match") is True for r in recs)
+        return bool(recs)
+
+    window = set(list(registry.QUERIES)[:50])
+    unverified = sorted(n for n in registry.QUERIES if not verified(n))
+    return (
+        [n for n in unverified if n in window],
+        [n for n in unverified if n not in window],
+    )
+
+
 def main() -> None:
     registry.load_all()
     lines = [
@@ -95,6 +132,23 @@ def main() -> None:
         doc_lines = (fn.__doc__ or "").strip().splitlines() or [""]
         doc = doc_lines[0].rstrip().replace("|", "\\|")
         lines.append(f"| `{name}` | {module} | {oracle} | {doc} |")
+    in_window, rollover = verification_backlog()
+    lines += [
+        "",
+        "## External-verification backlog (derived)",
+        "",
+        f"Basis: driver CORRECTNESS records of rounds < "
+        f"{registry.DRIVER_PRIORITY_ROUND} (registry.DRIVER_PRIORITY_ROUND); "
+        "oracle-backed queries count as verified only with a hash-green "
+        "record, rows-only with any driver record. Derived by "
+        "tools/gen_inventory.verification_backlog — the same computation "
+        "the window-invariant test pins.",
+        "",
+        f"- In the current 50-slot window ({len(in_window)}): "
+        + (", ".join(f"`{n}`" for n in in_window) or "(none)"),
+        f"- Rolling over to the next round ({len(rollover)}): "
+        + (", ".join(f"`{n}`" for n in rollover) or "(none)"),
+    ]
     lines += [
         "",
         "## Library surface without a query form",

@@ -207,6 +207,28 @@ def test_global_ranking_avoids_single_partition_window(spark):
                 assert "HashAggregate" in lines[i + 1], (name, lines[i : i + 2])
 
 
+def test_r6_global_rankings_are_range_partitioned(spark):
+    """The round-6 lift/concentration queries rank or prefix-sum a
+    customer/part dimension that grows with the corpus — each must use
+    the two-phase range construction (global_row_number /
+    global_prefix_sum), never a single-partition window over the data;
+    SinglePartition exchanges may carry only 1-row/per-partition
+    aggregate legs."""
+    for name in ("q_decile_lift", "q_lorenz_curve", "q_abc_classification"):
+        plan = plan_of(spark, name)
+        assert "rangepartitioning" in plan.lower(), name
+        windows = [
+            l
+            for l in plan.splitlines()
+            if "Window" in l and ("row_number()" in l or "sum(" in l)
+        ]
+        assert windows and all("__mrs_pid" in l for l in windows), (name, windows)
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange SinglePartition" in l:
+                assert "HashAggregate" in lines[i + 1], (name, lines[i : i + 2])
+
+
 def test_shuffle_hash_hint_respected(spark):
     """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort
     of either side) unless AQE broadcast-demotes it at tiny SF — both

@@ -29,9 +29,77 @@ _FP_CS = """CAST(('0x' || substr(md5(concat_ws(chr(31),
         coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))), 1, 10)) AS BIGINT)"""
 
 # Round-7 staging area: drafted-and-proven twins awaiting a window
-# slot. Empty right now — the round-6 window absorbed the whole
-# backlog, and no new rows-only query has an expressible twin staged.
-FUTURE_ORACLES: dict[str, str] = {}
+# slot. The round-6 window absorbed the whole rows-only backlog, so
+# these five are the next graduation batch: the four deterministic
+# streaming queries (the micro-batch engine's answers equal a batch
+# fold DuckDB can replay — dedup restores the pre-doubling corpus,
+# running totals are a grouped aggregate, top-k is a rank window,
+# and the EWMA recursion is a list_reduce fold in the identical
+# (ts, event_id) order with the identical `0.3*x + (1.0-0.3)*acc`
+# IEEE arithmetic) and the snapshot time-travel summary (versions 1
+# and 2 are pure functions of the documents table). q_stream_ewma's
+# docstring previously claimed "no SQL twin" — true for a WINDOW
+# expression, but DuckDB's list_reduce expresses the genuine
+# recursion, so it graduates with the rest.
+FUTURE_ORACLES: dict[str, str] = {
+    "q_stream_dedup": """
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY event_id
+    """,
+    "q_stream_running_totals": """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4)     AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "q_stream_topk": """
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rank
+        FROM events
+    )
+    SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+           round(value, 4) AS value
+    FROM r WHERE rank <= 5
+    ORDER BY event_type, rank
+    """,
+    "q_stream_ewma": """
+    WITH ord AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS i
+        FROM events
+    ),
+    l AS (
+        SELECT user_id,
+               list(value ORDER BY i)    AS vs,
+               list(event_id ORDER BY i) AS ids
+        FROM ord GROUP BY user_id
+    )
+    SELECT user_id, ids[i] AS event_id,
+           CAST(floor(list_reduce(vs[1:i],
+                    (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) * 10000)
+                AS BIGINT) AS ewma_e4
+    FROM l, unnest(generate_series(1, len(vs))) AS t(i)
+    ORDER BY user_id, event_id
+    """,
+    "q_snapshot_timetravel": """
+    SELECT CAST(1 AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+           CAST(sum(n_chars) AS BIGINT)
+    FROM documents WHERE n_chars >= 200
+    ORDER BY version
+    """,
+}
 
 GRADUATED_ORACLES: dict[str, str] = {
     "q_autocorr": """

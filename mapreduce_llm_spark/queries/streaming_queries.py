@@ -235,11 +235,19 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry ascending mtimes in time-range order (see
     _publish_stream_source), so micro-batches replay time-ordered per
     key and the stream equals the offline recursion — pinned against
-    pandas ewm(adjust=False) in tests/test_streaming.py. Rows-only:
-    the exact recursion is the semantics the batch engine deliberately
-    truncates (q_ewma keeps 8 lag terms), so there is no SQL twin.
-    One output row per input event; driver rows-gate checks the
-    stateful path executes."""
+    pandas ewm(adjust=False) in tests/test_streaming.py. Rows-only
+    this round; the DuckDB twin (the genuine recursion as a
+    list_reduce fold in the same (ts, event_id) order with the same
+    `0.3*x + (1.0-0.3)*acc` IEEE arithmetic) is staged and
+    hash-proven in queries/future_oracles.py. One output row per
+    input event. The smoothed value is emitted as an e4-FLOOR scaled
+    integer, not round(,4): the 2-decimal money inputs drive the fold
+    onto exact 5th-decimal halves whose nearest double sits 1 ulp
+    below, where Spark's BigDecimal HALF_UP (on the double's exact
+    decimal) and DuckDB's multiply-then-std::round disagree —
+    floor(x*1e4) is the same IEEE multiply+floor on both engines,
+    so it is bit-stable (measured: 3 flipped rows in 100k at
+    sf0.1)."""
     from mapreduce_llm_spark.streaming.pipeline import (
         ewma_stream,
         run_to_memory,
@@ -254,7 +262,9 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return got.select(
-        "user_id", "event_id", F.round("ewma", 4).alias("ewma")
+        "user_id",
+        "event_id",
+        F.floor(F.col("ewma") * 10000).alias("ewma_e4"),
     ).orderBy("user_id", "event_id")
 
 

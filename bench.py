@@ -162,6 +162,19 @@ HEADLINE = [
     "q_zorder_skipping",
     "q_table_diff",
     "q_seq_pattern",
+    # round 6: MATCH_RECOGNIZE surface, in-session funnel, lift /
+    # concentration rankings (range-partitioned global rank paths),
+    # robust MAD anomalies, char-entropy corpus health, and the
+    # Misra-Gries bounded-memory fold (added AFTER the pinned-subset
+    # gate landed — suite growth no longer pollutes the
+    # round-over-round comparison)
+    "q_match_recognize",
+    "q_sessionize_funnel",
+    "q_decile_lift",
+    "q_abc_classification",
+    "q_anomaly_mad",
+    "q_char_entropy",
+    "q_heavy_hitters",
 ]
 
 

@@ -40,10 +40,21 @@ def load_bench(path: str) -> dict:
     if "queries" in data:
         return data
     # driver wrapper: the bench line is embedded in the captured tail
-    m = re.findall(r'\{"metric".*\}', data.get("tail", ""))
-    if not m:
+    tail = data.get("tail", "")
+    m = re.findall(r'\{"metric".*\}', tail)
+    if m:
+        return json.loads(m[-1])
+    # the driver keeps only the LAST N chars of stdout, so a long
+    # bench line can arrive with its '{"metric"...' head cut off
+    # (BENCH_r05.json lost its first ~15 query entries this way).
+    # Reconstruct what survives: every intact "q_name": seconds pair.
+    # If a pinned_queries block is present later in the tail its pairs
+    # overwrite the headline ones — same query, phase-1 timing, which
+    # is exactly the growth-invariant number the gate wants.
+    pairs = re.findall(r'"(q_\w+)": ([0-9.]+)', tail)
+    if not pairs:
         raise SystemExit(f"{path}: no bench JSON line found")
-    return json.loads(m[-1])
+    return {"queries": {name: float(sec) for name, sec in pairs}}
 
 
 def common_ratio(

@@ -28,20 +28,24 @@ _FP_CS = """CAST(('0x' || substr(md5(concat_ws(chr(31),
         coalesce('v:' || CAST(source AS VARCHAR), 'null'),
         coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))), 1, 10)) AS BIGINT)"""
 
-# Round-7 staging area: drafted-and-proven twins awaiting a window
-# slot. The round-6 window absorbed the whole rows-only backlog, so
-# these five are the next graduation batch: the four deterministic
-# streaming queries (the micro-batch engine's answers equal a batch
-# fold DuckDB can replay — dedup restores the pre-doubling corpus,
-# running totals are a grouped aggregate, top-k is a rank window,
-# and the EWMA recursion is a list_reduce fold in the identical
-# (ts, event_id) order with the identical `0.3*x + (1.0-0.3)*acc`
-# IEEE arithmetic) and the snapshot time-travel summary (versions 1
-# and 2 are pure functions of the documents table). q_stream_ewma's
-# docstring previously claimed "no SQL twin" — true for a WINDOW
-# expression, but DuckDB's list_reduce expresses the genuine
-# recursion, so it graduates with the rest.
-FUTURE_ORACLES: dict[str, str] = {
+# Round-8 staging area: drafted-and-proven twins awaiting a window
+# slot (the round-7 batch below graduated; VERDICT r6 item 5 names
+# the next tranche whose semantics are deterministic enough for an
+# exact DuckDB replay — fixed-iteration PageRank, recall vs an exact
+# brute-force baseline given fixed candidates, and md5-arithmetic
+# fingerprints, the house cross-engine hashing idiom).
+FUTURE_ORACLES: dict[str, str] = {}
+
+GRADUATED_ORACLES: dict[str, str] = {
+    # ---- round-7 graduation batch (staged + hash-proven in round 6:
+    # the four deterministic streaming queries — the micro-batch
+    # engine's answers equal a batch fold DuckDB can replay: dedup
+    # restores the pre-doubling corpus, running totals are a grouped
+    # aggregate, top-k is a rank window, and the EWMA recursion is a
+    # list_reduce fold in the identical (ts, event_id) order with the
+    # identical `0.3*x + (1.0-0.3)*acc` IEEE arithmetic — and the
+    # snapshot time-travel summary, whose versions 1 and 2 are pure
+    # functions of the documents table) ----
     "q_stream_dedup": """
     SELECT event_id, user_id, event_type
     FROM events
@@ -99,9 +103,7 @@ FUTURE_ORACLES: dict[str, str] = {
     FROM documents WHERE n_chars >= 200
     ORDER BY version
     """,
-}
-
-GRADUATED_ORACLES: dict[str, str] = {
+    # ---- round-6 graduation batch (staged + hash-proven in round 5) ----
     "q_autocorr": """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n

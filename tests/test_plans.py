@@ -368,9 +368,13 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
     registry.load_all()
     unknown = set(registry.DRIVER_PRIORITY) - set(registry.QUERIES)
     assert not unknown, f"DRIVER_PRIORITY names not registered (typo?): {unknown}"
-    first50 = list(registry.QUERIES)[:50]
-    assert first50 == [n for n in registry.DRIVER_PRIORITY if n in registry.QUERIES][:50]
-    flags = [n in registry.ORACLE for n in first50]
+    prio = [n for n in registry.DRIVER_PRIORITY if n in registry.QUERIES][:50]
+    first = list(registry.QUERIES)[: len(prio)]
+    assert first == prio
+    # a shorter-than-50 list mid-round means the spare slots re-confirm
+    # already-verified queries in module order — the ordering/triage
+    # invariants apply to the explicitly-rotated prefix
+    flags = [n in registry.ORACLE for n in prio]
     first_rows_only = flags.index(False) if False in flags else len(flags)
     assert all(f for f in flags[:first_rows_only])
     assert not any(flags[first_rows_only:]), (
@@ -378,7 +382,7 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
     )
 
 
-def test_driver_priority_round6_window():
+def test_driver_priority_round7_window():
     """Rotation invariants for the current window, derived from the
     CORRECTNESS records of rounds STRICTLY BEFORE the window's round
     (registry.DRIVER_PRIORITY_ROUND). The round-4 variant read every

@@ -88,7 +88,8 @@ def _us(col):
            CAST(n_events - 2 AS INT) AS n_clicks,
            CAST(epoch_us(mr[n_events].ts) - epoch_us(mr[1].ts) AS BIGINT)
                AS span_us,
-           round(list_sum(list_transform(mr, r -> r.value)), 4) AS spend
+           round(list_sum(list_transform(mr, r -> coalesce(r.value, 0.0))), 4)
+               AS spend
     FROM m
     ORDER BY user_id, match_no
     """,
@@ -134,9 +135,15 @@ def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(last_ts) - F.unix_micros(first_ts))
             .cast("long")
             .alias("span_us"),
+            # coalesce inside the fold: a Spark left fold returns NULL
+            # if ANY element is NULL while DuckDB's list_sum skips
+            # NULLs — pin both engines to treat NULL value as 0.0 so a
+            # future nullable-events encoding drift cannot diverge
             F.round(
                 F.aggregate(
-                    "match_rows", F.lit(0.0), lambda a, r: a + r["value"]
+                    "match_rows",
+                    F.lit(0.0),
+                    lambda a, r: a + F.coalesce(r["value"], F.lit(0.0)),
                 ),
                 4,
             ).alias("spend"),
@@ -185,9 +192,12 @@ def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(t_v) AS BIGINT)    AS n_view,
            CAST(count(t_c) AS BIGINT)    AS n_view_click,
            CAST(count(t_p) AS BIGINT)    AS n_full_funnel,
-           CAST(count(t_v) * 10000 // count(*) AS BIGINT)    AS view_rate_e4,
-           CAST(count(t_c) * 10000 // count(t_v) AS BIGINT)  AS click_rate_e4,
-           CAST(count(t_p) * 10000 // count(t_c) AS BIGINT)  AS purchase_rate_e4
+           CAST(count(t_v) * 10000 // nullif(count(*), 0) AS BIGINT)
+               AS view_rate_e4,
+           CAST(count(t_c) * 10000 // nullif(count(t_v), 0) AS BIGINT)
+               AS click_rate_e4,
+           CAST(count(t_p) * 10000 // nullif(count(t_c), 0) AS BIGINT)
+               AS purchase_rate_e4
     FROM sess
     """,
 )
@@ -245,9 +255,16 @@ def q_sessionize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_v").alias("n_view"),
         F.count("t_c").alias("n_view_click"),
         F.count("t_p").alias("n_full_funnel"),
-        F.expr("count(t_v) * 10000 div count(*)").alias("view_rate_e4"),
-        F.expr("count(t_c) * 10000 div count(t_v)").alias("click_rate_e4"),
-        F.expr("count(t_p) * 10000 div count(t_c)").alias("purchase_rate_e4"),
+        # nullif guards: Spark 4 ANSI div throws DIVIDE_BY_ZERO where
+        # DuckDB // yields NULL — a zero-stage filtered corpus must
+        # degrade to NULL identically on both engines, not crash here
+        F.expr("count(t_v) * 10000 div nullif(count(*), 0)").alias("view_rate_e4"),
+        F.expr("count(t_c) * 10000 div nullif(count(t_v), 0)").alias(
+            "click_rate_e4"
+        ),
+        F.expr("count(t_p) * 10000 div nullif(count(t_c), 0)").alias(
+            "purchase_rate_e4"
+        ),
     )
 
 
@@ -1013,9 +1030,10 @@ def q_keyword_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT yr, n_name,
            CAST(rev AS VARCHAR) AS revenue,
-           round(share, 4)      AS share,
-           round(share - lag(share) OVER (
-                 PARTITION BY n_name ORDER BY yr), 4) + 0.0 AS share_delta
+           CAST(floor(share * 10000) AS BIGINT) AS share_e4,
+           CAST(floor((share - lag(share) OVER (
+                 PARTITION BY n_name ORDER BY yr)) * 10000) AS BIGINT)
+               AS share_delta_e4
     FROM sh
     ORDER BY yr, n_name
     """,
@@ -1027,7 +1045,12 @@ def q_supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over ≤|nations| rows per year and the delta lag over
     ≤|years| rows per nation (both dimension-bounded); share deltas
     subtract the UNROUNDED shares (identical decimal-derived doubles
-    on both engines) before the single 4dp rounding."""
+    on both engines). Emitted as e4 FLOORS, not round(,4): shares are
+    money-shaped rational quotients, exactly the class where the 5th
+    decimal can land on an exact half and the two engines' rounding
+    libraries split (round-6 advice; module-header rule) — the query
+    re-enters the round-7 window to refresh its external record under
+    the changed columns."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.year("l_shipdate").cast("int").alias("yr"),
@@ -1051,10 +1074,10 @@ def q_supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr",
         "n_name",
         F.col("rev").cast("string").alias("revenue"),
-        F.round("share", 4).alias("share"),
-        F.round(F.col("share") - F.lag("share").over(wlag), 4).alias(
-            "share_delta"
-        ),
+        F.floor(F.col("share") * 10000).alias("share_e4"),
+        F.floor(
+            (F.col("share") - F.lag("share").over(wlag)) * 10000
+        ).alias("share_delta_e4"),
     ).orderBy("yr", "n_name")
 
 
@@ -1075,7 +1098,7 @@ def q_supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, n_lines, n_returned,
            CAST(n_returned * 10000 // n_lines AS BIGINT) AS return_rate_e4,
            CAST(n_returned * tot_n * 10000
-                // (n_lines * tot_r) AS BIGINT)          AS lift_e4
+                // nullif(n_lines * tot_r, 0) AS BIGINT) AS lift_e4
     FROM per_brand, tot
     ORDER BY p_brand
     """,
@@ -1109,8 +1132,10 @@ def q_return_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
             "n_returned",
             F.expr("n_returned * 10000 div n_lines").alias("return_rate_e4"),
+            # nullif: a corpus with zero returns anywhere makes tot_r
+            # 0 — Spark ANSI div would throw where DuckDB yields NULL
             F.expr(
-                "n_returned * tot_n * 10000 div (n_lines * tot_r)"
+                "n_returned * tot_n * 10000 div nullif(n_lines * tot_r, 0)"
             ).alias("lift_e4"),
         )
         .orderBy("p_brand")

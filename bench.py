@@ -240,10 +240,14 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     pinned_total = round(sum(pinned_times.values()), 3)
+    # Full record FIRST: the complete per-query map, for humans and
+    # for cross-round full-subset comparison when the whole stdout is
+    # kept (tools/bench_compare.load_bench also reconstructs pairs
+    # from a truncated copy of this line).
     print(
         json.dumps(
             {
-                "metric": "headline_suite_seconds",
+                "metric": "headline_suite_seconds_full",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
@@ -255,14 +259,35 @@ def main() -> None:
                 "mean_query_seconds": round(total / len(times), 3),
                 "passes": passes,
                 "agg": "median",
+            }
+        )
+    )
+    # Compact gate record LAST: the driver keeps only the last ~2 KB
+    # of stdout, and both BENCH_r05 and BENCH_r06 lost the head of the
+    # single big line to that capture ("parsed": null — VERDICT r6
+    # item 3). This line is ~0.8 KB (pinned map only, no spaces), so
+    # it survives any last-N capture intact and parses standalone;
+    # its "queries" map IS the growth-invariant PINNED_V1 gate basis.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(times),
+                "mean_query_seconds": round(total / len(times), 3),
+                "passes": passes,
+                "agg": "median",
                 # growth-invariant record: measured first in the
                 # session over the frozen PINNED_V1 set — THE number
                 # to compare round-over-round (the full-suite value
                 # moves with suite size; this one cannot)
                 "pinned_set": "v1",
                 "pinned_seconds": pinned_total,
-                "pinned_queries": pinned_times,
-            }
+                "queries": pinned_times,
+            },
+            separators=(",", ":"),
         )
     )
 

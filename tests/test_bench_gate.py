@@ -84,6 +84,39 @@ def test_load_bench_accepts_raw_and_driver_wrapper(tmp_path):
     assert load_bench(str(p2))["queries"] == {"a": 1.0}
 
 
+def test_load_bench_prefers_compact_final_line(tmp_path):
+    """Round-7 bench.py prints the full map first, then a compact
+    pinned-gate record as the FINAL stdout line (VERDICT r6 item 3:
+    the driver keeps only the last ~2 KB, which beheaded the old
+    single big line in BENCH_r05 and r06). load_bench must recover
+    the final compact record from a tail whose first line lost its
+    head — and from a raw two-line stdout file."""
+    full = {
+        "metric": "headline_suite_seconds_full",
+        "queries": {f"q_{i:03d}": 0.5 for i in range(90)},
+    }
+    compact = {
+        "metric": "headline_suite_seconds",
+        "pinned_set": "v1",
+        "queries": {f"q_{i:03d}": 0.4 for i in range(30)},
+    }
+    out = json.dumps(full) + "\n" + json.dumps(compact, separators=(",", ":"))
+
+    p_raw = tmp_path / "raw_two_line.json"
+    p_raw.write_text(out)
+    rec = load_bench(str(p_raw))
+    assert rec["pinned_set"] == "v1" and len(rec["queries"]) == 30
+
+    # driver-style capture: only the last 2000 chars survive, so the
+    # full line is beheaded but the compact line arrives intact
+    p_tail = tmp_path / "wrapped_tail.json"
+    p_tail.write_text(json.dumps({"rc": 0, "tail": out[-2000:]}))
+    rec = load_bench(str(p_tail))
+    assert rec["pinned_set"] == "v1" and len(rec["queries"]) == 30
+    # the compact line itself must fit any plausible tail capture
+    assert len(json.dumps(compact, separators=(",", ":"))) < 1500
+
+
 def test_gate_against_committed_round4_record():
     """The real CI shape: the committed round-4 bench compared against
     itself must pass at ratio 1.0 — catches format drift between the

@@ -454,6 +454,31 @@ def test_driver_priority_round7_window():
     )
 
 
+def test_external_book_stays_closed():
+    """Round 6 closed the external-verification book (every registered
+    query holds a driver record at its declared strength); this pins it
+    CLOSED at registration time (VERDICT r6 item 2). Every query that
+    lacks a prior-round external record must sit inside the current
+    50-slot driver window — a new query that misses the next window
+    fails here the moment it registers, so the backlog can never
+    silently regrow. Uses the same derivation the INVENTORY.md backlog
+    section is generated from (tools/gen_inventory.verification_backlog),
+    so the test and the published artifact cannot drift. Consequence:
+    at most 50 never-verified queries may exist at once — land new
+    surface in window-sized tranches."""
+    from mapreduce_llm_spark import registry
+    from tools.gen_inventory import verification_backlog
+
+    registry.load_all()
+    _, rollover = verification_backlog()
+    assert not rollover, (
+        f"{len(rollover)} queries would roll over without an external "
+        f"record at declared strength: {rollover} — front them in "
+        "DRIVER_PRIORITY (evicting re-confirmations first) or stage "
+        "fewer new queries this round"
+    )
+
+
 def test_range_join_is_equi_join_on_band_key(spark):
     """q_join_range's point-in-interval predicate must execute as a
     hash join on the derived band_id key (banding rewrite), with the

@@ -34,27 +34,47 @@ ACCEPTED_REGRESSIONS: dict[str, str] = {
 }
 
 
-def load_bench(path: str) -> dict:
-    with open(path) as fh:
-        data = json.load(fh)
-    if "queries" in data:
-        return data
-    # driver wrapper: the bench line is embedded in the captured tail
-    tail = data.get("tail", "")
-    m = re.findall(r'\{"metric".*\}', tail)
-    if m:
-        return json.loads(m[-1])
-    # the driver keeps only the LAST N chars of stdout, so a long
-    # bench line can arrive with its '{"metric"...' head cut off
-    # (BENCH_r05.json lost its first ~15 query entries this way).
-    # Reconstruct what survives: every intact "q_name": seconds pair.
-    # If a pinned_queries block is present later in the tail its pairs
+def _from_text(text: str, path: str) -> dict:
+    """Recover a bench record from raw stdout text (possibly a
+    truncated last-N-chars driver capture). Since round 7 bench.py
+    emits TWO lines — the full per-query map first, then a compact
+    pinned-gate record last (guaranteed inside any tail capture) — so
+    scan lines last-to-first for a standalone-parseable record."""
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if '"metric"' not in line:
+            continue
+        try:
+            rec = json.loads(line[line.index('{"metric"') :])
+        except (ValueError, json.JSONDecodeError):
+            continue
+        if "queries" in rec:
+            return rec
+    # pre-round-7 records: the driver kept only the LAST N chars of a
+    # single big line, cutting off its '{"metric"...' head
+    # (BENCH_r05/r06 both arrived this way). Reconstruct what
+    # survives: every intact "q_name": seconds pair. If a
+    # pinned_queries block is present later in the tail its pairs
     # overwrite the headline ones — same query, phase-1 timing, which
     # is exactly the growth-invariant number the gate wants.
-    pairs = re.findall(r'"(q_\w+)": ([0-9.]+)', tail)
+    pairs = re.findall(r'"(q_\w+)":\s*([0-9.]+)', text)
     if not pairs:
         raise SystemExit(f"{path}: no bench JSON line found")
     return {"queries": {name: float(sec) for name, sec in pairs}}
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as fh:
+        content = fh.read()
+    try:
+        data = json.loads(content)
+    except (ValueError, json.JSONDecodeError):
+        # raw multi-line bench.py stdout saved straight to a file
+        return _from_text(content, path)
+    if "queries" in data:
+        return data
+    # driver wrapper: the bench output is embedded in the captured tail
+    return _from_text(data.get("tail", ""), path)
 
 
 def common_ratio(

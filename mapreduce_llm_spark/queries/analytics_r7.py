@@ -1,0 +1,768 @@
+"""Round-7 oracle-backed batch: behavioral transition analytics
+(inter-event timing, audience overlap, conversion lag), commerce
+profiling (repeat purchasing, order-size and discount ladders,
+supplier reach), corpus-health diagnostics a training-data pipeline
+ranks on (lexical concentration, boilerplate/template detection,
+shingle-level internal duplication, word-shape profiles), and
+embedding-column QA (int8 quantization error bounds, sparsity).
+
+Cross-engine determinism discipline (inherited from analytics_r6's
+module header, the systematized round-5/6 gotcha pile): every emitted
+ratio derives from EXACT integer or decimal aggregates and is emitted
+as a scaled-integer ``*_e4``/``*_e6``/``*_e9`` floor or an exact
+``div``; decimal money sums are CAST to string; round(,4) appears
+nowhere in this module (nothing here is irrational-valued enough to
+need it — quantization error bounds go through order-independent MAX
+before their single floor). Multi-row DOUBLE sums appear nowhere.
+
+Scale notes are per-query; the common shapes are: per-key windows
+(never global), aggregate-before-join, broadcast 1-row scalar legs
+(plan-lint allowlisted with intent), and shuffles keyed on
+high-cardinality columns (shingle, (cust, part) pair, user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
+
+_DAY_US = 86_400_000_000
+
+
+def _us(col: str):
+    """Microsecond epoch of an NTZ timestamp column (UTC session ⇒
+    value-preserving cast, the documented unix_micros gotcha)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+@query(
+    "q_transition_time",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+        SELECT from_type, to_type, count(*) AS n, sum(gap_us) AS sg
+        FROM ord WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT sum(n) AS tn FROM t)
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT)            AS n_trans,
+           CAST(sg // n AS BIGINT)      AS mean_gap_us,
+           CAST(n * 10000 // tn AS BIGINT) AS share_e4
+    FROM t, tot
+    ORDER BY from_type, to_type
+    """,
+)
+def q_transition_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed Markov transitions: for each consecutive event-type pair
+    within a user's stream, the transition count, MEAN inter-event gap
+    (exact integer microseconds — what q_markov_transitions' count
+    matrix cannot see), and the pair's share of all transitions. One
+    keyed window (user_id) + one 25-row aggregate; the share leg is a
+    broadcast 1-row total. All arithmetic is exact int64 (gap sums are
+    microsecond integers; means are integer div)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tr = (
+        e.withColumn("to_type", F.lead("event_type").over(w))
+        .withColumn("gap_us", F.lead("us").over(w) - F.col("us"))
+        .where(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"), F.sum("gap_us").alias("sg"))
+    )
+    tot = tr.agg(F.sum("n").alias("tn"))
+    return (
+        tr.crossJoin(F.broadcast(tot))
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").alias("n_trans"),
+            F.expr("sg div n").alias("mean_gap_us"),
+            F.expr("n * 10000 div tn").alias("share_e4"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q_user_overlap",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    na AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_common
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(x.n AS BIGINT)      AS n_a,
+           CAST(y.n AS BIGINT)      AS n_b,
+           CAST(n_common * 10000 // nullif(x.n + y.n - n_common, 0)
+                AS BIGINT)          AS jaccard_e4
+    FROM pairs
+    JOIN na x ON x.event_type = type_a
+    JOIN na y ON y.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: exact Jaccard similarity of the user sets
+    behind each event-type pair — the segment-overlap matrix an
+    activation pipeline reads before merging audiences. Distinct-first
+    (the only full-data shuffle, keyed on (type, user)), THEN the
+    self-join runs on the deduplicated (user → ≤5 types) frame, so
+    pair expansion is bounded by 10 pairs per user, never |events|².
+    Jaccard is exact int64: |A∩B|·1e4 div (|A|+|B|−|A∩B|)."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    na = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = du.alias("a"), du.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    na_a = na.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    na_b = na.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na_a), "type_a")
+        .join(F.broadcast(na_b), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "n_common * 10000 div nullif(n_a + n_b - n_common, 0)"
+            ).alias("jaccard_e4"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_first_purchase_lag",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS p_us, any_value(v_us) AS v_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v_us
+        GROUP BY e.user_id
+    )
+    SELECT CAST((p_us - v_us) // 86400000000 AS INT) AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM p
+    GROUP BY lag_days
+    ORDER BY lag_days
+    """,
+)
+def q_first_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag histogram: whole days between a user's FIRST
+    view and their first purchase after it — the time-to-convert
+    distribution behind activation dashboards (q_time_to_event
+    measures per-user hours to ANY conversion; this is the
+    view-anchored corpus histogram). Two keyed aggregates + one keyed
+    join on user_id; day bucketing is exact integer division of
+    microsecond epochs."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _us("ts").alias("us")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"), F.first("v_us").alias("v_us"))
+    )
+    return (
+        p.select(
+            F.expr(f"CAST((p_us - v_us) div {_DAY_US} AS INT)").alias("lag_days")
+        )
+        .groupBy("lag_days")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("lag_days")
+    )
+
+
+@query(
+    "q_reorder_rate",
+    oracle="""
+    WITH cp AS (
+        SELECT o_custkey, l_partkey,
+               count(DISTINCT l_orderkey) AS n_ord
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+           CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS repeat_share_e4
+    FROM cp JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase affinity by brand: the share of (customer,
+    part) pairs ordered in two or more DISTINCT orders — the
+    replenishment-vs-one-off signal behind assortment planning. The
+    (cust, part) aggregate runs FIRST (one keyed shuffle over the
+    fact join), and only the collapsed pair frame joins the part
+    dimension — the brand join never sees fact-table row counts.
+    Ratios are exact int64 div."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_ord"))
+    )
+    return (
+        cp.join(p, cp["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("n_ord") >= 2, 1).otherwise(0)).alias("n_repeat"),
+        )
+        .select(
+            "p_brand",
+            "n_pairs",
+            "n_repeat",
+            F.expr("n_repeat * 10000 div n_pairs").alias("repeat_share_e4"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_order_size_profile",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, count(*) AS n_lines,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT count(*) AS t FROM per_order)
+    SELECT CAST(n_lines AS INT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * 10000 // t AS BIGINT) AS share_e4,
+           CAST(CAST(sum(rev) AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+    FROM per_order, tot
+    GROUP BY n_lines, t
+    ORDER BY n_lines
+    """,
+)
+def q_order_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size mix: the distribution of lines-per-order with each
+    bucket's share and exact decimal revenue — the shape parameter
+    behind picking/packing cost models. One keyed aggregate over
+    lineitem, a ≤7-row histogram aggregate, and a broadcast 1-row
+    total leg. Revenue is decimal end-to-end, CAST to string (the
+    q_agg_decimal_exact pattern — no double sum anywhere)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("p")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), F.sum("p").alias("rev")
+    )
+    tot = per_order.agg(F.count("*").alias("t"))
+    return (
+        per_order.groupBy("n_lines")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("rev").cast("decimal(38,2)").cast("string").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_lines").cast("int").alias("n_lines"),
+            "n_orders",
+            F.expr("n_orders * 10000 div t").alias("share_e4"),
+            "revenue",
+        )
+        .orderBy("n_lines")
+    )
+
+
+@query(
+    "q_discount_ladder",
+    oracle="""
+    SELECT CAST(floor(l_discount * 100 + 0.5) AS INT) AS disc_cents,
+           CAST(count(*) AS BIGINT)                    AS n_lines,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT)  AS n_orders,
+           CAST(sum(l_quantity) AS BIGINT)             AS qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR)          AS gross,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT)         AS return_rate_e4
+    FROM lineitem
+    GROUP BY disc_cents
+    ORDER BY disc_cents
+    """,
+)
+def q_discount_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-level ladder: per discount cent-level, line/order
+    volume, shipped quantity, exact decimal gross revenue, and the
+    return rate — does discounting correlate with returns. One hash
+    aggregate over lineitem grouped by a derived int key (~11 groups).
+    Quantities are integer-valued doubles, so their sum is exact in
+    IEEE regardless of order and casts to bigint identically on both
+    engines; money is decimal-summed and CAST to string."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("int").alias("disc_cents")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+            F.sum("l_quantity").cast("bigint").alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("gross"),
+            F.expr(
+                "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " * 10000 div count(*)"
+            ).alias("return_rate_e4"),
+        )
+        .orderBy("disc_cents")
+    )
+
+
+@query(
+    "q_graph_degree",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey, o_custkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    deg AS (
+        SELECT l_suppkey, count(*) AS degree FROM pairs GROUP BY l_suppkey
+    )
+    SELECT CAST(length(bin(degree)) AS INT) AS degree_bucket,
+           CAST(count(*) AS BIGINT)         AS n_suppliers,
+           CAST(min(degree) AS BIGINT)      AS min_degree,
+           CAST(max(degree) AS BIGINT)      AS max_degree
+    FROM deg
+    GROUP BY degree_bucket
+    ORDER BY degree_bucket
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier→customer bipartite graph
+    (distinct customers each supplier has shipped to), bucketed by
+    bit-length — the power-law fingerprint that decides whether a
+    downstream graph join needs skew handling. Distinct-first keyed
+    shuffle, then two small aggregates. Bit-length bucketing is
+    length(bin(x)) — pure integer string ops on BOTH engines, no
+    floor(log2()) boundary hazard at exact powers of two."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    deg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy(F.length(F.bin("degree")).cast("int").alias("degree_bucket"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+@query(
+    "q_doc_simpson",
+    oracle="""
+    WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    freqs AS (
+        SELECT source, w, count(*) AS n FROM toks GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(floor(CAST(sum(n * (n - 1)) AS DOUBLE)
+                      / CAST(sum(n) * (sum(n) - 1) AS DOUBLE)
+                      * 1000000) AS BIGINT) AS simpson_e6
+    FROM freqs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_doc_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical concentration per source: the Simpson index λ =
+    Σ n·(n−1) / (N·(N−1)) — the probability two random tokens are the
+    same word; repetitive/templated corpora spike it (complements
+    q_ttr_heaps' richness view with a concentration view). Both
+    numerator and denominator are exact int64 sums; the single double
+    division and e6 floor are the identical IEEE ops on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        freqs.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.floor(
+                F.sum(F.col("n") * (F.col("n") - 1)).cast("double")
+                / (F.sum("n") * (F.sum("n") - 1)).cast("double")
+                * 1000000
+            ).alias("simpson_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_doc_template",
+    oracle="""
+    WITH pref AS (
+        SELECT source,
+               array_to_string(
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               w -> w <> '')[1:8], ' ') AS prefix
+        FROM documents
+    ),
+    cl AS (
+        SELECT source, prefix, count(*) AS c FROM pref GROUP BY source, prefix
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT)   AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_prefixes,
+           CAST(max(c) AS BIGINT)   AS max_cluster,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_templated,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000
+                // sum(c) AS BIGINT) AS templated_share_e4
+    FROM cl
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_doc_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection per source: cluster documents by
+    their first-8-word prefix and measure how much of the corpus sits
+    in multi-document clusters — the cheap first-pass dedup signal
+    that catches mirrored headers/footers before MinHash runs. One
+    keyed shuffle on (source, prefix); prefixes are bounded 8-word
+    strings, all counting exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+    cl = (
+        docs.select(
+            "source", F.array_join(F.slice(words, 1, 8), " ").alias("prefix")
+        )
+        .groupBy("source", "prefix")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        cl.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count("*").alias("n_prefixes"),
+            F.max("c").alias("max_cluster"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "n_templated"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_prefixes",
+            "max_cluster",
+            "n_templated",
+            F.expr("n_templated * 10000 div n_docs").alias("templated_share_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_word_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, w
+        FROM (SELECT lang,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+              FROM documents)
+        WHERE w <> ''
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)           AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT)  AS n_types,
+           CAST(sum(length(w)) * 10000 // count(*) AS BIGINT)
+               AS mean_len_e4,
+           CAST(max(length(w)) AS INT)        AS max_len
+    FROM toks
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_word_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-shape profile per language label: token/type volume, mean
+    word length (exact int64 e4), and the longest token — the
+    tokenizer-cost predictor (long-token languages inflate BPE fallback
+    work; see q_cost_estimate). One explode + one hash aggregate; all
+    arithmetic exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("w").alias("n_types"),
+            F.expr("sum(length(w)) * 10000 div count(*)").alias("mean_len_e4"),
+            F.max(F.length("w")).cast("int").alias("max_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_shingle_dup_rate",
+    oracle="""
+    WITH ws AS (
+        SELECT source, doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, doc_id, sh
+        FROM (
+            SELECT source, doc_id,
+                   unnest([array_to_string(ws[i:i+4], ' ')
+                           FOR i IN generate_series(1, greatest(len(ws) - 4, 0))])
+                       AS sh
+            FROM ws
+        )
+    ),
+    spread AS (
+        SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS shared_share_e4
+    FROM sh JOIN spread USING (sh)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-level internal duplication: the share of each source's
+    distinct 5-word shingles that also occur in at least one OTHER
+    document — finer-grained than q_ngram_novelty's 3-gram
+    source-exclusivity (doc-level spread, 5-gram window, dedup
+    health not novelty). Shuffles are keyed on the shingle string —
+    high cardinality, uniform by construction; no all-pairs doc join
+    anywhere (the inverted-index shape, like q_dedup_ngram). The
+    size>=5 guard rides greatest(len-4, 0) / sequence-descend rules
+    identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+    with_ws = docs.select("source", "doc_id", words.alias("ws"))
+    sh = (
+        with_ws.select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("ws") >= 5,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 4),
+                        lambda i: F.array_join(F.slice("ws", i, 5), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    spread = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        sh.join(spread, "sh")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_shared",
+            F.expr("n_shared * 10000 div n_shingles").alias("shared_share_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH x AS (
+        SELECT label, vec_id, CAST(u.v AS DOUBLE) AS v
+        FROM embeddings, unnest(embedding) AS u(v)
+    ),
+    s AS (SELECT label, max(abs(v)) AS s FROM x GROUP BY label),
+    q AS (
+        SELECT x.label, vec_id, v, s,
+               floor(v / s * 127 + 0.5) AS qv
+        FROM x JOIN s USING (label)
+    )
+    SELECT label,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           CAST(floor(max(s) * 1e9) AS BIGINT)    AS scale_e9,
+           CAST(floor(max(abs(v - qv * s / 127)) * 1e9) AS BIGINT)
+               AS max_err_e9,
+           CAST(sum(CASE WHEN qv = 127 OR qv = -127 THEN 1 ELSE 0 END)
+                AS BIGINT)                        AS n_saturated,
+           CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+    FROM q
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization QA per label: the per-label scale
+    (max |x|), the WORST-CASE reconstruction error after
+    quantize→dequantize, and saturation/zero counts — the go/no-go
+    check before storing embeddings quantized. Error goes through an
+    order-independent MAX (never a float sum), then one e9 floor; the
+    quantizer is floor(x/s·127 + 0.5), i.e. round-half-up spelled as
+    the identical IEEE multiply+floor on both engines. Explode is
+    JVM-side; scale joins back keyed on label (10 rows,
+    broadcast)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.select(
+        "label",
+        "vec_id",
+        F.explode(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    s = x.groupBy("label").agg(F.max(F.abs("v")).alias("s"))
+    q = x.join(F.broadcast(s), "label").withColumn(
+        "qv", F.floor(F.col("v") / F.col("s") * 127 + 0.5)
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count_distinct("vec_id").alias("n_vecs"),
+            F.floor(F.max("s") * 1e9).alias("scale_e9"),
+            F.floor(
+                F.max(F.abs(F.col("v") - F.col("qv") * F.col("s") / 127)) * 1e9
+            ).alias("max_err_e9"),
+            F.sum(
+                F.when((F.col("qv") == 127) | (F.col("qv") == -127), 1).otherwise(0)
+            ).alias("n_saturated"),
+            F.sum(F.when(F.col("qv") == 0, 1).otherwise(0)).alias("n_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "q_embed_sparsity",
+    oracle="""
+    WITH x AS (
+        SELECT label, CAST(u.v AS DOUBLE) AS v
+        FROM embeddings, unnest(embedding) AS u(v)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(CASE WHEN abs(v) < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small,
+           CAST(sum(CASE WHEN abs(v) < 0.05 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS small_share_e4
+    FROM x
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_sparsity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sparsity per label: the share of near-zero components
+    (|x| < 0.05) — decides whether a sparse ANN index or pruned dot
+    product pays off for this column. Pure counting after one JVM
+    explode; the threshold compare runs on exactly-widened
+    float→double values, identical on both engines."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.select(
+        "label", F.explode(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    return (
+        x.groupBy("label")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.sum(F.when(F.abs("v") < 0.05, 1).otherwise(0)).alias("n_small"),
+        )
+        .select(
+            "label",
+            "n_dims",
+            "n_small",
+            F.expr("n_small * 10000 div n_dims").alias("small_share_e4"),
+        )
+        .orderBy("label")
+    )

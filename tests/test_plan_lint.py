@@ -73,6 +73,8 @@ NLJ_OK = {
     "q_lorenz_curve",  # broadcast 1-row (total, n) leg onto 20 bins
     "q_return_affinity",  # broadcast 1-row corpus return-rate leg
     "q_backlog_aging",  # broadcast 1-row as-of max-date leg
+    "q_transition_time",  # broadcast 1-row transition-total leg
+    "q_order_size_profile",  # broadcast 1-row order-count leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

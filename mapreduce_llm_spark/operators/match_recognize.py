@@ -34,13 +34,26 @@ callers cap rows per key upstream exactly like q_seq_pattern's
 rank<=1000 guard. The regex runs once per key on a string with one
 char per row, not per row.
 
+AFTER MATCH modes:
+- ``skip_past_last_row`` (default): Java replace-all semantics —
+  non-overlapping left-to-right greedy matches, the bracket walk
+  above.
+- ``skip_to_next_row`` (since round 7): OVERLAPPING matches — the
+  engine retries from every row, not just past the last match. The
+  bracket trick cannot express this (a char can belong to several
+  matches), so the overlap path explodes candidate start positions
+  and runs the ANCHORED greedy regex at each: O(L) regex probes of
+  O(L) substrings per key instead of one pass — the per-key cost is
+  O(L²) worst case, which is the inherent bound of overlap-mode row
+  pattern matching (every engine pays it); callers cap rows per key
+  upstream exactly as for the default mode, and the explode itself
+  is JVM-side (Generate + regexp_extract, zero Python).
+
 Restrictions vs full SQL:2016 (documented, deliberate):
 - Symbol classification is deterministic first-match-wins; the
   standard lets pattern backtracking resolve ambiguous DEFINEs. With
   disjoint predicates (the overwhelmingly common case) the semantics
   coincide.
-- AFTER MATCH SKIP PAST LAST ROW only (Java replace-all semantics);
-  no SKIP TO NEXT ROW overlap mode.
 - The pattern must not match the empty string (a zero-width match
   would bracket nothing and desynchronize the length walk); a
   best-effort guard rejects patterns where every atom is optional.
@@ -61,6 +74,7 @@ def match_recognize(
     symbols: list[tuple[str, Column]],
     pattern: str,
     default_symbol: str = "x",
+    after_match: str = "skip_past_last_row",
 ) -> DataFrame:
     """One output row per pattern match: the partition columns plus
     ``match_no`` (1-based, in sequence order), ``start_pos`` /
@@ -71,7 +85,11 @@ def match_recognize(
     ``order_by`` must be a total order within each key (include a
     unique tie-break column last); ``symbols`` maps single chars to
     row predicates, first match wins; ``pattern`` is a regex over
-    those chars."""
+    those chars; ``after_match`` picks non-overlapping
+    (``skip_past_last_row``) or overlapping (``skip_to_next_row``)
+    semantics — see the module docstring for the cost model."""
+    if after_match not in ("skip_past_last_row", "skip_to_next_row"):
+        raise ValueError(f"unknown after_match mode {after_match!r}")
     for ch, _ in symbols:
         if len(ch) != 1 or ch in _RESERVED:
             raise ValueError(f"symbol must be a single non-reserved char, got {ch!r}")
@@ -106,6 +124,40 @@ def match_recognize(
     )
 
     s = F.array_join(F.transform("seq", lambda r: r["sym"]), "")
+
+    if after_match == "skip_to_next_row":
+        from pyspark.sql.window import Window
+
+        # Overlap mode: probe the ANCHORED greedy regex at every start
+        # position. The symbol string has one char per row, so the
+        # probe explode is bounded by the per-key row cap the caller
+        # already owes the default mode.
+        probes = ordered.withColumn("__s", s).select(
+            *partition_by,
+            F.col("seq").alias("__seq"),
+            "__s",
+            F.explode(F.sequence(F.lit(1), F.length("__s"))).alias("__i"),
+        )
+        hits = probes.withColumn(
+            "__m",
+            F.regexp_extract(
+                F.col("__s").substr(F.col("__i"), F.length("__s")),
+                "^(?:" + pattern + ")",
+                0,
+            ),
+        ).where(F.col("__m") != "")
+        order_w = Window.partitionBy(*partition_by).orderBy("__i")
+        return hits.select(
+            *partition_by,
+            F.row_number().over(order_w).alias("match_no"),
+            F.col("__i").cast("long").alias("start_pos"),
+            F.length("__m").cast("int").alias("match_len"),
+            F.transform(
+                F.slice("__seq", F.col("__i"), F.length("__m")),
+                lambda r: r["row"],
+            ).alias("match_rows"),
+        )
+
     bracketed = F.regexp_replace(s, pattern, "<$0>")
     parts = F.split(bracketed, "<")
 

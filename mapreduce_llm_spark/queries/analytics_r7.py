@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.operators.match_recognize import match_recognize
 from mapreduce_llm_spark.registry import query
 
 _DAY_US = 86_400_000_000
@@ -658,6 +659,105 @@ def q_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_match_overlap",
+    oracle=r"""
+    WITH capped AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM events QUALIFY rk <= 1000
+    ),
+    sym AS (
+        SELECT user_id, ts, event_id, value,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' ELSE 'x' END AS s
+        FROM capped
+    ),
+    seqs AS (
+        SELECT user_id,
+               string_agg(s, '' ORDER BY ts, event_id) AS str,
+               list(struct_pack(ts := ts, value := value)
+                    ORDER BY ts, event_id) AS rows_
+        FROM sym GROUP BY user_id
+    ),
+    probe AS (
+        SELECT user_id, rows_, i,
+               regexp_extract(substr(str, CAST(i AS INT)), '^vc+p') AS m
+        FROM seqs, unnest(generate_series(1, length(str))) AS t(i)
+    ),
+    m AS (
+        SELECT user_id, i AS start_pos, length(m) AS mlen, rows_,
+               row_number() OVER (PARTITION BY user_id ORDER BY i)
+                   AS match_no
+        FROM probe WHERE m <> ''
+    )
+    SELECT user_id,
+           CAST(match_no AS INT)    AS match_no,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(mlen AS INT)        AS n_events,
+           CAST(epoch_us(rows_[CAST(start_pos + mlen - 1 AS BIGINT)].ts)
+                - epoch_us(rows_[CAST(start_pos AS BIGINT)].ts) AS BIGINT)
+               AS span_us,
+           round(list_sum(list_transform(
+                     rows_[CAST(start_pos AS BIGINT):CAST(start_pos + mlen - 1 AS BIGINT)],
+                     r -> coalesce(r.value, 0.0))), 4) AS spend
+    FROM m
+    ORDER BY user_id, match_no
+    """,
+)
+def q_match_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE in AFTER MATCH SKIP TO NEXT ROW mode — the
+    overlap semantics the round-6 operator documented as a
+    restriction, closed this round: every row starts a fresh anchored
+    probe, so nested funnels (a view inside a longer view→click→
+    purchase run) surface as their own matches. The oracle re-derives
+    the matches INDEPENDENTLY: same symbol encoding, but DuckDB
+    probes substr(str, i) with an anchored regexp_extract per
+    position — a cross-implementation proof of the overlap position
+    algebra. Histories cap at 1000 events/user on both engines (the
+    O(L²) overlap bound both engines pay; see
+    operators/match_recognize.py)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 1000)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    m = match_recognize(
+        capped,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        symbols=[
+            ("v", F.col("event_type") == "view"),
+            ("c", F.col("event_type") == "click"),
+            ("p", F.col("event_type") == "purchase"),
+        ],
+        pattern="vc+p",
+        after_match="skip_to_next_row",
+    )
+    first_ts = F.element_at("match_rows", 1)["ts"].cast("timestamp")
+    last_ts = F.element_at("match_rows", -1)["ts"].cast("timestamp")
+    return m.select(
+        "user_id",
+        F.col("match_no").cast("int").alias("match_no"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("match_len").cast("int").alias("n_events"),
+        (F.unix_micros(last_ts) - F.unix_micros(first_ts))
+        .cast("long")
+        .alias("span_us"),
+        F.round(
+            F.aggregate(
+                "match_rows",
+                F.lit(0.0),
+                lambda a, r: a + F.coalesce(r["value"], F.lit(0.0)),
+            ),
+            4,
+        ).alias("spend"),
+    ).orderBy("user_id", "match_no")
 
 
 @query(

@@ -83,6 +83,58 @@ def global_row_number(
     )
 
 
+def partitioned_row_number(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    alias: str = "row_num",
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY keys ORDER BY ...)`` for the
+    LOW-CARDINALITY-KEY / HUGE-PARTITION case — the skew shape where
+    the plain keyed window still funnels each key's entire data
+    through one task (e.g. rank all customers within each of 7 years:
+    7 tasks carry everything). Same two-phase construction as
+    :func:`global_row_number`, with the partition keys prepended to
+    the range-partitioning columns so a key's rows stay contiguous
+    across range partitions:
+
+    1. range-partition by (keys, order) and sort within partitions;
+    2. rank locally per (physical partition, key);
+    3. count rows per (physical partition, key) — a tiny frame bounded
+       by |keys| × |partitions| — prefix-sum counts per key across
+       partitions, broadcast back: rank = local_rank + offset.
+
+    For HIGH-cardinality keys use the plain keyed window instead: each
+    key is small, the window never concentrates data, and this
+    construction's offsets frame (keys × partitions) would stop being
+    broadcastable."""
+    keys = [F.col(c) for c in partition_cols]
+    parts = df.repartitionByRange(*keys, *order_cols).sortWithinPartitions(
+        *keys, *order_cols
+    )
+    with_pid = parts.withColumn(_PID, F.spark_partition_id())
+
+    counts = with_pid.groupBy(_PID, *partition_cols).count()
+    off_w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        _PID,
+        *partition_cols,
+        F.coalesce(F.sum("count").over(off_w), F.lit(0)).alias(_OFFSET),
+    )
+
+    local_w = Window.partitionBy(_PID, *partition_cols).orderBy(*order_cols)
+    return (
+        with_pid.withColumn(_LOCAL_RN, F.row_number().over(local_w))
+        .join(F.broadcast(offsets), [_PID, *partition_cols])
+        .withColumn(alias, (F.col(_LOCAL_RN) + F.col(_OFFSET)).cast("bigint"))
+        .drop(_PID, _LOCAL_RN, _OFFSET)
+    )
+
+
 def ntile_from_rank(rank: Column, total: Column | int, n: int) -> Column:
     """SQL ntile(n) bucket from a 1-based global rank and the total row
     count: the first ``total % n`` buckets hold ``total//n + 1`` rows,

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.operators.match_recognize import match_recognize
+from mapreduce_llm_spark.operators.ranking import (
+    ntile_from_rank,
+    partitioned_row_number,
+)
 from mapreduce_llm_spark.registry import query
 
 _DAY_US = 86_400_000_000
@@ -658,6 +662,96 @@ def q_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_shared * 10000 div n_shingles").alias("shared_share_e4"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q_customer_migration",
+    oracle="""
+    WITH spend AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        FROM orders GROUP BY yr, o_custkey
+    ),
+    t AS (
+        SELECT yr, o_custkey,
+               ntile(3) OVER (PARTITION BY yr ORDER BY sp DESC, o_custkey)
+                   AS terc
+        FROM spend
+    ),
+    tr AS (
+        SELECT a.yr AS from_yr, a.terc AS from_terc, b.terc AS to_terc,
+               count(*) AS n
+        FROM t a JOIN t b
+          ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+        GROUP BY from_yr, from_terc, to_terc
+    ),
+    tot AS (
+        SELECT from_yr, from_terc, sum(n) AS tn
+        FROM tr GROUP BY from_yr, from_terc
+    )
+    SELECT from_yr,
+           CAST(from_terc AS INT)  AS from_terc,
+           CAST(to_terc AS INT)    AS to_terc,
+           CAST(n AS BIGINT)       AS n_customers,
+           CAST(n * 10000 // tn AS BIGINT) AS share_e4
+    FROM tr JOIN tot USING (from_yr, from_terc)
+    ORDER BY from_yr, from_terc, to_terc
+    """,
+)
+def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-tercile migration matrix: customers ranked
+    into terciles within each year, then the transition counts into
+    next year's terciles — the churn/upsell mobility dashboard. The
+    per-year ranking uses operators/ranking.partitioned_row_number:
+    year cardinality is tiny while each year's customer set is the
+    whole base, exactly the skew shape where a plain
+    Window.partitionBy(yr) funnels everything through |years| tasks —
+    the range-partition + per-(partition, year) offset construction
+    keeps it distributed (and ntile_from_rank reproduces SQL ntile
+    semantics exactly, property-tested against DuckDB). Spend is
+    decimal-summed; shares are exact int64 div."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    spend = o.groupBy("yr", "o_custkey").agg(F.sum("p").alias("sp"))
+    ranked = partitioned_row_number(
+        spend, ["yr"], [F.col("sp").desc(), F.col("o_custkey")], alias="rn"
+    )
+    totals = spend.groupBy("yr").agg(F.count("*").alias("ty"))
+    t = ranked.join(F.broadcast(totals), "yr").withColumn(
+        "terc", ntile_from_rank(F.col("rn"), F.col("ty"), 3)
+    )
+    a = t.select(
+        F.col("yr").alias("from_yr"),
+        F.col("o_custkey").alias("ck"),
+        F.col("terc").alias("from_terc"),
+    )
+    b = t.select(
+        F.col("yr").alias("to_yr"),
+        F.col("o_custkey").alias("ck"),
+        F.col("terc").alias("to_terc"),
+    )
+    tr = (
+        a.join(b, (a["ck"] == b["ck"]) & (b["to_yr"] == a["from_yr"] + 1))
+        .groupBy("from_yr", "from_terc", "to_terc")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    tot = tr.groupBy("from_yr", "from_terc").agg(
+        F.sum("n_customers").alias("tn")
+    )
+    return (
+        tr.join(F.broadcast(tot), ["from_yr", "from_terc"])
+        .select(
+            "from_yr",
+            "from_terc",
+            "to_terc",
+            "n_customers",
+            F.expr("n_customers * 10000 div tn").alias("share_e4"),
+        )
+        .orderBy("from_yr", "from_terc", "to_terc")
     )
 
 

@@ -380,6 +380,23 @@ def test_r7_shingle_dup_rate_is_inverted_index_join(spark):
     assert "size(ws" in plan and "ELSE [] END" in plan
 
 
+def test_r7_customer_migration_rank_is_range_partitioned(spark):
+    """q_customer_migration's per-year ranking must go through
+    operators/ranking.partitioned_row_number (range partitioning +
+    per-(partition, year) local windows + broadcast offsets) — never a
+    plain Window.partitionBy(yr), which would funnel each year's whole
+    customer base through one task."""
+    plan = plan_of(spark, "q_customer_migration")
+    assert "__mrs_pid" in plan and "rangepartitioning" in plan
+    # every ranking window must carry the physical pid in its spec —
+    # the data-bearing ones partition by (pid, yr), the offsets window
+    # orders the one-row-per-(partition, yr) counts by pid
+    rank_lines = [l for l in plan.splitlines() if "row_number() windowspec" in l]
+    assert rank_lines, plan
+    for line in rank_lines:
+        assert "__mrs_pid" in line, line
+
+
 def test_bench_pinned_subset_is_frozen():
     """bench.py's PINNED_V1 is the growth-invariant round-over-round
     comparison basis (VERDICT r5 finding #1: suite growth inflated the

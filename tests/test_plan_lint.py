@@ -75,6 +75,7 @@ NLJ_OK = {
     "q_backlog_aging",  # broadcast 1-row as-of max-date leg
     "q_transition_time",  # broadcast 1-row transition-total leg
     "q_order_size_profile",  # broadcast 1-row order-count leg
+    "q_zorder_incremental",  # broadcast 1-row grid-bounds leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -100,17 +100,27 @@ FP_MOD = 1_000_000_007
 FP_BASE = 131
 
 
+def word_hash_col(w: Column) -> Column:
+    """40-bit md5 word hash reduced mod FP_MOD — the house cross-engine
+    hashing idiom (CLAUDE.md): DuckDB recomputes it exactly as
+    CAST('0x'||substr(md5(w),1,10) AS BIGINT) % FP_MOD, which xxhash64
+    (the round-1..6 word hash here) never could. Switched in round 7 so
+    the rolling fingerprint gains a DuckDB oracle twin — for a
+    fingerprint, independent recomputability IS the feature."""
+    return F.conv(F.substring(F.md5(w), 1, 10), 16, 10).cast("long") % FP_MOD
+
+
 def fingerprint_col(text: Column) -> Column:
     """Polynomial rolling hash of the normalized word sequence:
-    h = Σ h·131 + xxhash64(word) mod 1e9+7 — an order-sensitive
+    h = Σ h·131 + md5_40(word) mod 1e9+7 — an order-sensitive
     document fingerprint (two docs with the same words in different
-    order get different prints, unlike a bag-of-words hash)."""
+    order get different prints, unlike a bag-of-words hash). Exact
+    int64 arithmetic: acc < 1e9+7 keeps acc·131 + term < 2^38."""
     words = words_col(F.lower(text))
     return F.aggregate(
         words,
         F.lit(0).cast("long"),
-        lambda acc, w: (acc * FP_BASE + F.pmod(F.xxhash64(w), F.lit(FP_MOD)))
-        % FP_MOD,
+        lambda acc, w: (acc * FP_BASE + word_hash_col(w)) % FP_MOD,
     )
 
 

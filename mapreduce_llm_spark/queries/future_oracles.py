@@ -28,13 +28,190 @@ _FP_CS = """CAST(('0x' || substr(md5(concat_ws(chr(31),
         coalesce('v:' || CAST(source AS VARCHAR), 'null'),
         coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))), 1, 10)) AS BIGINT)"""
 
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled DuckDB replay of operators/graph.pagerank: one
+    (dangling-mass, inflow, rank) CTE triple per iteration — a
+    recursive CTE cannot aggregate over its own previous level, so the
+    fixed iteration count is spelled out. Same constants, same
+    expression tree ((1-d)/n + d*(inflow + dm/n)); the only slack is
+    float summation order inside sum(rank/od), ~1e-16 relative, eight
+    orders below the round(,8) emission — hash-proven at sf0.01 and
+    sf0.1 by tests/test_future_oracles.py.
+
+    Every per-iteration CTE is AS MATERIALIZED: each r{i} is
+    referenced three times (dangling leg, inflow leg, next rank), and
+    DuckDB's default inlining would re-execute it per reference —
+    3^10 plans, the same lineage explosion operators/graph.pagerank
+    kills with its per-iteration localCheckpoint (first staging run
+    hung exactly this way)."""
+    ctes = [
+        "edges AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src,"
+        " l_partkey + 100000 AS dst FROM lineitem)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / n AS rank FROM nodes, nn)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i}"
+            " LEFT JOIN outdeg ON node = src WHERE src IS NULL)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank / o.od) AS inflow"
+            f" FROM r{i} r JOIN outdeg o ON r.node = o.src"
+            " JOIN edges e ON e.src = r.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT t.node,"
+            f" (1.0 - {damping}) / n + {damping} * (coalesce(t.inflow, 0.0)"
+            f" + d{i}.dm / n) AS rank"
+            f" FROM (SELECT nodes.node, c{i}.inflow FROM nodes"
+            f" LEFT JOIN c{i} ON nodes.node = c{i}.node) t, nn, d{i})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, round(rank, 8) AS rank
+    FROM r{iters}
+    ORDER BY rank DESC, node ASC
+    LIMIT 20
+    """
+    )
+
+
+def _sim_recall_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replay of q_sim_recall: the seeded Gaussian hyperplanes
+    (numpy RandomState — deterministic) are inlined as double literals
+    (repr() round-trips, so DuckDB parses the identical doubles), the
+    sign-LSH bucket and the 1-bit multiprobe set are recomputed in
+    SQL, and both top-10 legs reuse q_sim_search's proven
+    list_dot_product idiom. dim is the testdata embedding width; the
+    staging test re-proves the twin every run, so a testdata dim drift
+    fails loudly here, not in the driver."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(n_planes, dim).tolist()
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def bucket(col: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"(CASE WHEN list_dot_product({col}, {arr(p)}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+                for i, p in enumerate(planes)
+            )
+            + ")"
+        )
+
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (
+        SELECT e.vec_id,
+               round(list_dot_product(e.embedding, q.qv)
+                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cs
+        FROM embeddings e, q
+        ORDER BY cs DESC, e.vec_id ASC
+        LIMIT 10
+    ),
+    qb AS (SELECT {bucket("qv")} AS b FROM q),
+    ann AS (
+        SELECT e.vec_id,
+               round(list_dot_product(e.embedding, q.qv)
+                     / (sqrt(list_dot_product(e.embedding, e.embedding))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cs
+        FROM embeddings e, q, qb
+        WHERE {bucket("e.embedding")}
+              IN (b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8))
+        ORDER BY cs DESC, e.vec_id ASC
+        LIMIT 10
+    ),
+    h AS (SELECT count(*) AS n_hits FROM exact
+          WHERE vec_id IN (SELECT vec_id FROM ann)),
+    kk AS (SELECT count(*) AS k FROM exact)
+    SELECT CAST(k AS INT)      AS k,
+           CAST(n_hits AS INT) AS n_hits,
+           round(n_hits / k, 4) AS recall
+    FROM h, kk
+    """
+
+
+_TEXT_FINGERPRINT_SQL = r"""
+    WITH RECURSIVE ws AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    mx AS (SELECT max(len(words)) AS m FROM ws),
+    pow(k, v) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT k + 1, (v * 131) % 1000000007 FROM pow, mx WHERE k < m
+    ),
+    terms AS (
+        SELECT doc_id, i, len(words) AS nw,
+               CAST(('0x' || substr(md5(words[i]), 1, 10)) AS BIGINT)
+                   % 1000000007 AS hw
+        FROM ws, unnest(generate_series(1, len(words))) AS t(i)
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum((hw * v) % 1000000007) % 1000000007 AS BIGINT)
+                   AS fingerprint
+        FROM terms JOIN pow ON pow.k = nw - i
+        GROUP BY doc_id
+    ),
+    votes AS (
+        SELECT doc_id, lang, len(words) AS nw,
+            len(list_filter(words, w -> list_contains(
+                ['the','and','of','to','in','is','that','for','with','as'], w)))
+                AS h_en,
+            len(list_filter(words, w -> list_contains(
+                ['el','la','de','que','y','en','los','del','se','por'], w)))
+                AS h_es,
+            len(list_filter(words, w -> list_contains(
+                ['le','la','de','et','les','des','en','un','du','une'], w)))
+                AS h_fr,
+            len(list_filter(words, w -> list_contains(
+                ['der','die','und','in','den','von','zu','das','mit','sich'], w)))
+                AS h_de
+        FROM ws
+    )
+    SELECT v.doc_id, v.lang,
+           CASE WHEN h_de > greatest(h_en, h_es, h_fr) THEN 'de'
+                WHEN h_fr > greatest(h_en, h_es)       THEN 'fr'
+                WHEN h_es > h_en                       THEN 'es'
+                WHEN h_en > 0                          THEN 'en'
+                ELSE 'und' END                         AS lang_detected,
+           coalesce(fp.fingerprint, 0)                 AS fingerprint,
+           CAST(h_en * 10000 // nullif(nw, 0) AS BIGINT) AS stopword_en_e4
+    FROM votes v LEFT JOIN fp ON v.doc_id = fp.doc_id
+    ORDER BY v.doc_id
+    """
+
 # Round-8 staging area: drafted-and-proven twins awaiting a window
 # slot (the round-7 batch below graduated; VERDICT r6 item 5 names
-# the next tranche whose semantics are deterministic enough for an
-# exact DuckDB replay — fixed-iteration PageRank, recall vs an exact
-# brute-force baseline given fixed candidates, and md5-arithmetic
-# fingerprints, the house cross-engine hashing idiom).
-FUTURE_ORACLES: dict[str, str] = {}
+# this tranche — semantics deterministic enough for an exact DuckDB
+# replay). q_graph_pagerank: the fixed-iteration recursion unrolled
+# (10 CTE triples). q_sim_recall: seeded hyperplanes inlined as
+# double literals + SQL sign-LSH multiprobe. q_text_fingerprint: the
+# rolling hash replayed as a modpow powers table over md5-arithmetic
+# word hashes (the hash switched from xxhash64 — no DuckDB twin
+# exists for it, CLAUDE.md — to the house md5 idiom in round 7
+# precisely to make this twin possible), plus a CASE-ladder replay of
+# the first-wins stopword vote. The stopword-vote language ladder
+# mirrors dict-iteration order en→es→fr→de with strict-> updates:
+# earliest language wins ties, 'und' only when every list misses.
+FUTURE_ORACLES: dict[str, str] = {
+    "q_graph_pagerank": _pagerank_sql(),
+    "q_sim_recall": _sim_recall_sql(),
+    "q_text_fingerprint": _TEXT_FINGERPRINT_SQL,
+}
 
 GRADUATED_ORACLES: dict[str, str] = {
     # ---- round-7 graduation batch (staged + hash-proven in round 6:

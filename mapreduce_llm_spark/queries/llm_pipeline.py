@@ -30,6 +30,7 @@ from mapreduce_llm_spark.operators.similarity import (
     cosine_topk,
 )
 from mapreduce_llm_spark.operators.textstats import (
+    LANG_STOPWORDS,
     detect_lang_col,
     fingerprint_col,
     punct_ratio_col,
@@ -410,14 +411,34 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_text_fingerprint")
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (stopword-vote heuristic) + rolling-hash document
-    fingerprint — rows-only (xxhash64 inside the rolling hash)."""
+    fingerprint. Since round 7 the fingerprint is md5-arithmetic
+    (operators/textstats.word_hash_col — independently recomputable,
+    the point of a fingerprint) and the stopword ratio is an exact
+    int64 e4 (hits·1e4 div n), so every output column is a pure
+    integer/string function of the text: the DuckDB twin is staged in
+    queries/future_oracles.py for the round-8 flip (a modpow powers
+    table replays the rolling hash; a CASE ladder replays the
+    first-wins stopword vote)."""
+    from mapreduce_llm_spark.operators.textstats import words_col
+
     d = load_table(spark, sf_dir, "documents")
+    words = words_col(F.lower(F.col("text")))
+    en_sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n = F.size(words)
+    hits = F.size(F.filter(words, lambda w: F.array_contains(en_sw, w)))
     return d.select(
         "doc_id",
         "lang",
         detect_lang_col(F.col("text")).alias("lang_detected"),
         fingerprint_col(F.col("text")).alias("fingerprint"),
-        F.round(stopword_ratio_col(F.col("text")), 4).alias("stopword_ratio_en"),
+        (hits * 10000).cast("long").alias("__h"),
+        n.cast("long").alias("__n"),
+    ).select(
+        "doc_id",
+        "lang",
+        "lang_detected",
+        "fingerprint",
+        F.expr("__h div nullif(__n, 0)").alias("stopword_en_e4"),
     ).orderBy("doc_id")
 
 

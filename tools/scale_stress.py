@@ -1,0 +1,183 @@
+"""sf0.1 → sf1 scale-stress harness (VERDICT r6 item 4).
+
+The 100 TB claims rest on plan shape plus sf0.1 timing; this measures
+how the most expensive headline queries actually scale across a real
+10× data step. The driver ships no sf1 testdata, so the harness
+BUILDS one deterministically from the committed sf0.1 parquet: ten
+key-shifted copies of every keyed table with referential integrity
+preserved (customer/supplier/part/orders/lineitem key spaces shift
+together; nation/region stay single-copy; documents get a per-copy
+suffix word so text queries see new content, embeddings a per-copy
+1e-6 component offset so ANN buckets spread). That is a benchmark
+FIXTURE derived from driver data — no synthetic inputs enter any
+declared query path.
+
+Usage:
+    python tools/scale_stress.py [--queries q_a,q_b] [--passes 3]
+
+Writes the per-query seconds at both scales and the measured scaling
+exponent  log10(t_sf1 / t_sf01)  (1.0 = linear in data volume, <1 =
+sublinear/fixed-cost-dominated, >1.2 = a hidden skew or state bug) to
+SCALE_STRESS.json and prints a markdown table for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/mrs_scale_sf1")
+COPIES = 10
+
+DEFAULT_QUERIES = [
+    "q_dedup_fuzzy",
+    "q_graph_bfs",
+    "q_fuzzy_join",
+    "q_pair_lift",
+    "q_basket_pairs",
+    "q_interval_concurrency",
+    "q_win_median",
+    "q_zorder_skipping",
+    "q_match_recognize",
+    "q_abc_classification",
+]
+
+
+def build_sf1(src: str = SRC, dst: str = DST, copies: int = COPIES) -> str:
+    """Materialize the key-shifted 10× fixture (idempotent)."""
+    marker = os.path.join(dst, "_SCALE_OK")
+    if os.path.exists(marker):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def t(name: str) -> str:
+        return f"read_parquet('{src}/{name}.parquet')"
+
+    # key-space strides: one past the max key so shifted copies never
+    # collide (computed from the data, not assumed)
+    strides = {
+        k: con.execute(f"SELECT max({col}) + 1 FROM {t(tab)}").fetchone()[0]
+        for k, (tab, col) in {
+            "C": ("customer", "c_custkey"),
+            "S": ("supplier", "s_suppkey"),
+            "P": ("part", "p_partkey"),
+            "O": ("orders", "o_orderkey"),
+            "U": ("events", "user_id"),
+            "E": ("events", "event_id"),
+            "D": ("documents", "doc_id"),
+            "V": ("embeddings", "vec_id"),
+        }.items()
+    }
+    series = f"(SELECT unnest(generate_series(0, {copies - 1})) AS cp)"
+    plans = {
+        "nation": f"SELECT * FROM {t('nation')}",
+        "region": f"SELECT * FROM {t('region')}",
+        "customer": f"""
+            SELECT c_custkey + cp * {strides["C"]} AS c_custkey,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM {t("customer")}, {series}""",
+        "supplier": f"""
+            SELECT s_suppkey + cp * {strides["S"]} AS s_suppkey,
+                   s_name, s_nationkey, s_acctbal
+            FROM {t("supplier")}, {series}""",
+        "part": f"""
+            SELECT p_partkey + cp * {strides["P"]} AS p_partkey,
+                   p_name, p_brand, p_type, p_size, p_retailprice
+            FROM {t("part")}, {series}""",
+        "orders": f"""
+            SELECT o_orderkey + cp * {strides["O"]} AS o_orderkey,
+                   o_custkey + cp * {strides["C"]} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM {t("orders")}, {series}""",
+        "lineitem": f"""
+            SELECT l_orderkey + cp * {strides["O"]} AS l_orderkey,
+                   l_partkey + cp * {strides["P"]} AS l_partkey,
+                   l_suppkey + cp * {strides["S"]} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM {t("lineitem")}, {series}""",
+        "events": f"""
+            SELECT event_id + cp * {strides["E"]} AS event_id, ts,
+                   user_id + cp * {strides["U"]} AS user_id,
+                   event_type, value, props
+            FROM {t("events")}, {series}""",
+        "documents": f"""
+            SELECT doc_id + cp * {strides["D"]} AS doc_id,
+                   text || ' shard' || CAST(cp AS VARCHAR) AS text,
+                   lang, source, n_chars + 7 AS n_chars
+            FROM {t("documents")}, {series}""",
+        "embeddings": f"""
+            SELECT vec_id + cp * {strides["V"]} AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x + cp * 1e-6 AS FLOAT)) AS embedding,
+                   label
+            FROM {t("embeddings")}, {series}""",
+    }
+    for name, sql in plans.items():
+        out = os.path.join(dst, f"{name}.parquet")
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        print(f"built {name}", file=sys.stderr)
+    with open(marker, "w") as fh:
+        fh.write(f"copies={copies} src={src}\n")
+    return dst
+
+
+def main() -> None:
+    from mapreduce_llm_spark import registry
+    from mapreduce_llm_spark.session import get_spark
+
+    args = sys.argv[1:]
+    names = DEFAULT_QUERIES
+    passes = 3
+    if "--queries" in args:
+        names = args[args.index("--queries") + 1].split(",")
+    if "--passes" in args:
+        passes = int(args[args.index("--passes") + 1])
+
+    build_sf1()
+    registry.load_all()
+    spark = get_spark(app_name="mapreduce_llm_spark-scale-stress")
+
+    def bench(name: str, sf_dir: str) -> float:
+        qfn = registry.QUERIES[name]
+        qfn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        ts = []
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            qfn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            ts.append(time.perf_counter() - t0)
+        return round(sorted(ts)[len(ts) // 2], 3)
+
+    rows = []
+    for name in names:
+        t_small = bench(name, SRC)
+        t_big = bench(name, DST)
+        exp = round(math.log10(t_big / t_small), 3) if t_small > 0 else None
+        rows.append(
+            {"query": name, "sf01_s": t_small, "sf1_s": t_big, "exponent": exp}
+        )
+        print(f"{name}: {t_small}s -> {t_big}s  exp={exp}", file=sys.stderr)
+
+    out = {"copies": COPIES, "passes": passes, "rows": rows}
+    with open("SCALE_STRESS.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("| query | sf0.1 s | sf1 s | exponent |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['query']} | {r['sf01_s']} | {r['sf1_s']} | {r['exponent']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

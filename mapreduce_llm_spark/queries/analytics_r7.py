@@ -855,6 +855,327 @@ def q_match_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_brand_price_median",
+    oracle="""
+    WITH r AS (
+        SELECT p_brand, p_retailprice,
+               row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice, p_partkey) AS rn,
+               count(*) OVER (PARTITION BY p_brand) AS nb
+        FROM part
+    )
+    SELECT p_brand,
+           CAST(max(nb) AS BIGINT)  AS n_parts,
+           min(p_retailprice)       AS min_price,
+           max(CASE WHEN rn = (nb + 1) // 2
+                    THEN p_retailprice END) AS median_price,
+           max(p_retailprice)       AS max_price
+    FROM r
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_brand_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (discrete, lower-median) price median per brand via the
+    distributed partitioned ranking operator — no interpolation, no
+    approx-percentile sketch: the median is the stored value at rank
+    (n+1)//2, so the output carries raw untouched doubles (nothing to
+    round, nothing to diverge). 25 brands × the whole part table is
+    the low-cardinality-key skew shape partitioned_row_number exists
+    for; counts join back broadcast."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice"
+    )
+    ranked = partitioned_row_number(
+        p, ["p_brand"], [F.col("p_retailprice"), F.col("p_partkey")], alias="rn"
+    )
+    counts = p.groupBy("p_brand").agg(F.count("*").alias("nb"))
+    stats = p.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+    med = (
+        ranked.join(F.broadcast(counts), "p_brand")
+        .where(F.expr("rn = (nb + 1) div 2"))
+        .select(
+            "p_brand",
+            F.col("nb").alias("n_parts"),
+            F.col("p_retailprice").alias("median_price"),
+        )
+    )
+    return (
+        med.join(F.broadcast(stats), "p_brand")
+        .select("p_brand", "n_parts", "min_price", "median_price", "max_price")
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_transition_median",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (SELECT * FROM ord WHERE to_type IS NOT NULL),
+    r AS (
+        SELECT from_type, to_type, gap_us,
+               row_number() OVER (
+                   PARTITION BY from_type, to_type
+                   ORDER BY gap_us, user_id, event_id) AS rn,
+               count(*) OVER (PARTITION BY from_type, to_type) AS n
+        FROM g
+    )
+    SELECT from_type, to_type,
+           CAST(max(n) AS BIGINT) AS n_trans,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+               AS median_gap_us
+    FROM r
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+)
+def q_transition_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median inter-event gap per transition pair — the robust
+    companion to q_transition_time's mean (skewed gaps make the mean
+    lie; the median is what a latency SLO reads). 25 (from, to) pairs
+    × every transition in the corpus: the partitioned-ranking skew
+    shape again, exact integer microseconds end-to-end."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (
+        e.withColumn("to_type", F.lead("event_type").over(w))
+        .withColumn("gap_us", F.lead("us").over(w) - F.col("us"))
+        .where(F.col("to_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            "to_type",
+            "gap_us",
+            "user_id",
+            "event_id",
+        )
+    )
+    ranked = partitioned_row_number(
+        g,
+        ["from_type", "to_type"],
+        [F.col("gap_us"), F.col("user_id"), F.col("event_id")],
+        alias="rn",
+    )
+    counts = g.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(counts), ["from_type", "to_type"])
+        .where(F.expr("rn = (n + 1) div 2"))
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").alias("n_trans"),
+            F.col("gap_us").alias("median_gap_us"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q_rolling_distinct",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    spread AS (
+        SELECT DISTINCT obs, user_id
+        FROM (SELECT user_id,
+                     unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS obs
+              FROM du)
+    )
+    SELECT strftime(CAST(s.obs AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_active_7d
+    FROM spread s JOIN days ON CAST(s.obs AS DATE) = days.d
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    surface. Rolling COUNT DISTINCT cannot ride a window frame
+    (distinct doesn't decompose); the scalable form is the
+    contribution expansion: each (day, user) activity contributes to
+    the 7 observation days that cover it, then one distinct-aggregate
+    per observation day. Expansion factor is the window width (×7,
+    bounded), shuffles stay keyed on (day, user); no per-day rescans
+    of the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    spread = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "obs"
+        ),
+        "user_id",
+    ).distinct()
+    return (
+        spread.join(F.broadcast(days), spread["obs"] == days["d"])
+        .groupBy(F.date_format("obs", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT p_type, l_suppkey,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS s
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type, l_suppkey
+    )
+    SELECT p_type,
+           CAST(count(*) AS BIGINT)      AS n_suppliers,
+           CAST(sum(s) AS VARCHAR)       AS tot_cents,
+           CAST(floor(CAST(sum(s * s) AS DOUBLE)
+                      / (CAST(sum(s) AS DOUBLE) * CAST(sum(s) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS hhi_e6
+    FROM rev
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration Herfindahl index per part type: Σ share²
+    over suppliers, the antitrust/risk concentration measure
+    (q_lorenz_curve ranks global inequality; HHI is the per-market
+    scalar). EXACT integer arithmetic throughout: revenue in cents
+    (floor(x·100+0.5) of 2-decimal money is the identical IEEE
+    multiply+floor), squared and summed in DECIMAL(38,0) on Spark /
+    HUGEINT on DuckDB — both exact — with ONE double division and e6
+    floor at the end (correctly-rounded int→double casts are engine-
+    identical). No float sum anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("cents").alias("s"))
+    )
+    return (
+        rev.groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("s").alias("tot"),
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ss"),
+        )
+        .select(
+            "p_type",
+            "n_suppliers",
+            F.col("tot").cast("string").alias("tot_cents"),
+            F.floor(
+                F.col("ss").cast("double")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+                * 1000000
+            ).alias("hhi_e6"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "q_ship_delay",
+    oracle="""
+    SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) // 7 AS INT) AS delay_wk,
+           CAST(count(*) AS BIGINT)        AS n_lines,
+           CAST(sum(l_quantity) AS BIGINT) AS qty,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS return_rate_e4
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY delay_wk
+    ORDER BY delay_wk
+    """,
+)
+def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-delay ladder: order-to-ship lag in whole weeks, with
+    volume and the return rate per bucket — does slow fulfillment
+    correlate with returns (the ops-quality twin of
+    q_discount_ladder). One fact join keyed on orderkey + one small
+    hash aggregate; day/week arithmetic is exact integer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.expr(
+                "CAST(datediff(CAST(l_shipdate AS DATE),"
+                " CAST(o_orderdate AS DATE)) div 7 AS INT)"
+            ).alias("delay_wk")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("qty"),
+            F.expr(
+                "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " * 10000 div count(*)"
+            ).alias("return_rate_e4"),
+        )
+        .orderBy("delay_wk")
+    )
+
+
+@query(
+    "q_value_bands",
+    oracle="""
+    SELECT CAST(length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS INT)
+               AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+    FROM orders
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value magnitude bands (bit-length of the floored total —
+    power-of-two buckets without floor(log2()) boundary hazards, the
+    q_graph_degree idiom) with exact decimal revenue per band — the
+    order-book shape profile. One hash aggregate; explicit floor()
+    before the bigint cast because Spark truncates double→long while
+    DuckDB rounds."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.length(F.bin(F.floor("o_totalprice").cast("bigint")))
+            .cast("int")
+            .alias("band")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
     "q_zorder_incremental",
     oracle="""
     WITH base AS (

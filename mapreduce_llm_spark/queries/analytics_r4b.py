@@ -400,35 +400,101 @@ def fuzzy_pair_candidates(
 )
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-match self-join (edit distance ≤ 1) via PIGEONHOLE
-    BLOCKING: an edit at one position leaves either the first-4-char
-    prefix or the last-4-char end-anchored suffix untouched (insertions
-    and deletions before a segment shift but do not change it), so
-    candidate pairs are generated by TWO equi-joins — on (prefix) and
-    on (suffix) — unioned via explode, deduped, then verified with one
-    levenshtein() per candidate. NO all-pairs comparison: the oracle
-    computes the naive quadratic ground truth, so the driver's hash
-    check externally proves the blocking scheme is LOSSLESS, not just
-    that the arithmetic matches. At 100 TB block-key selectivity is the
-    knob (longer keys / more segments → smaller blocks); degenerate hot
-    blocks can additionally be capped via fuzzy_pair_candidates'
-    max_block_size (OFF here — capping can drop true pairs, and this
-    query's contract is the losslessness proof; the cap's sub-quadratic
-    behavior on a synthetic hot block is pinned in
-    tests/test_r4b_props.py). The %7 subset keeps the oracle's
-    quadratic verification tractable at sf0.01."""
+    BLOCKING over DISTINCT NAMES: an edit at one position leaves
+    either the first-4-char prefix or the last-4-char end-anchored
+    suffix untouched (insertions and deletions before a segment shift
+    but do not change it), so candidate NAME pairs are generated by
+    TWO equi-joins — on (prefix) and on (suffix) — unioned via
+    explode, deduped, then verified with ONE levenshtein() per
+    distinct name pair. Matched name pairs are expanded back to key
+    pairs with two equi-joins (keys ordered via least/greatest, names
+    swapped alongside), plus one p_name self-equi-join for the
+    identical-name (distance-0) pairs. NO all-pairs comparison: the
+    oracle computes the naive quadratic ground truth, so the driver's
+    hash check externally proves the scheme is LOSSLESS, not just
+    that the arithmetic matches.
+
+    The distinct-name collapse is the scale design (round-7
+    scale-stress finding, SCALING.md): this corpus has 64 distinct
+    names over 2.8k–28k %7-filtered rows, so blocking over raw rows
+    made block sizes — and candidate count — grow quadratically with
+    data volume (measured exponent 1.87 at the 10× step) even though
+    the distinct-name set didn't grow at all. Collapsed, the blocking
+    and levenshtein work is Θ(distinct names); only the expansion
+    join still emits the output, which is ITSELF quadratic under
+    duplicate-heavy data (63,952 → 6,381,405 true pairs at 10×) and
+    therefore the irreducible floor for any lossless algorithm. At
+    100 TB block-key selectivity is the knob (longer keys / more
+    segments → smaller blocks); degenerate hot blocks can additionally
+    be capped via fuzzy_pair_candidates' max_block_size (that helper
+    remains the raw-row variant; capping can drop true pairs, and
+    this query's contract is the losslessness proof — the cap's
+    sub-quadratic behavior is pinned in tests/test_r4b_props.py). The
+    %7 subset keeps the oracle's quadratic verification tractable at
+    sf0.01."""
     p = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_partkey") % 7 == 0)
         .select("p_partkey", "p_name")
     )
-    cands = fuzzy_pair_candidates(p, max_block_size=None)
-    return (
-        cands.withColumn(
-            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
-        )
+    names = p.select("p_name").distinct()
+    blocks = names.select(
+        "p_name",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("P").alias("side"),
+                    F.substring("p_name", 1, 4).alias("blk"),
+                ),
+                F.struct(
+                    F.lit("S").alias("side"),
+                    F.expr("right(p_name, 4)").alias("blk"),
+                ),
+            )
+        ).alias("k"),
+    ).select("p_name", "k.side", "k.blk")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    name_pairs = (
+        a.join(b, ["side", "blk"])
+        .where(F.col("a.p_name") < F.col("b.p_name"))
+        .where(F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 1)
+        .select(F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb"))
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein("na", "nb").cast("long"))
         .where(F.col("edit_dist") <= 1)
-        .orderBy("partkey_a", "partkey_b")
     )
+    left = p.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+    right = p.select(
+        F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb")
+    )
+    cross = (
+        left.join(name_pairs, "na")
+        .join(right, "nb")
+        .select(
+            F.least("ka", "kb").alias("partkey_a"),
+            F.greatest("ka", "kb").alias("partkey_b"),
+            F.when(F.col("ka") < F.col("kb"), F.col("na"))
+            .otherwise(F.col("nb"))
+            .alias("name_a"),
+            F.when(F.col("ka") < F.col("kb"), F.col("nb"))
+            .otherwise(F.col("na"))
+            .alias("name_b"),
+            "edit_dist",
+        )
+    )
+    same = (
+        p.alias("x")
+        .join(p.alias("y"), "p_name")
+        .where(F.col("x.p_partkey") < F.col("y.p_partkey"))
+        .select(
+            F.col("x.p_partkey").alias("partkey_a"),
+            F.col("y.p_partkey").alias("partkey_b"),
+            F.col("p_name").alias("name_a"),
+            F.col("p_name").alias("name_b"),
+            F.lit(0).cast("long").alias("edit_dist"),
+        )
+    )
+    return cross.unionByName(same).orderBy("partkey_a", "partkey_b")
 
 
 _PSI_VOCAB = 50

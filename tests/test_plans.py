@@ -769,8 +769,19 @@ def test_fuzzy_join_blocks_never_compares_all_pairs(spark):
     plan = plan_of(spark, "q_fuzzy_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    join_line = next(l for l in plan.splitlines() if "HashJoin" in l)
-    assert "side" in join_line and "blk" in join_line, join_line
+    blocking_lines = [
+        l
+        for l in plan.splitlines()
+        if "HashJoin" in l and "side" in l and "blk" in l
+    ]
+    assert blocking_lines, (
+        "no pigeonhole (side, blk) equi-join in the plan — candidate "
+        "generation must go through the blocking join"
+    )
+    # distinct-name collapse (round-7 scale fix): levenshtein must be
+    # verified on the deduped name-pair side, never re-run per key pair
+    # after the expansion joins
+    assert plan.count("levenshtein") <= 2, plan.count("levenshtein")
 
 
 def test_dist_drift_full_data_pass_is_single_grouped_count(spark):

@@ -175,6 +175,23 @@ HEADLINE = [
     "q_anomaly_mad",
     "q_char_entropy",
     "q_heavy_hitters",
+    # round 7: overlap-mode MATCH_RECOGNIZE, partitioned-ranking exact
+    # medians and tercile migration, contribution-expansion rolling
+    # distinct, integer-exact concentration, and the r7b batch's
+    # exact-replay PCA power iteration, lifecycle curves (LTV /
+    # Kaplan-Meier), model-broadcast sequence scoring, and pair->cluster
+    # dedup closure (q_zorder_incremental and the q_stream_* entries
+    # stay out per the storage-write / stream-replay rule above)
+    "q_match_overlap",
+    "q_brand_price_median",
+    "q_customer_migration",
+    "q_rolling_distinct",
+    "q_supplier_hhi",
+    "q_pca_power",
+    "q_cohort_ltv",
+    "q_survival_km",
+    "q_markov_loglik",
+    "q_dedup_clusters",
 ]
 
 

@@ -76,6 +76,7 @@ NLJ_OK = {
     "q_transition_time",  # broadcast 1-row transition-total leg
     "q_order_size_profile",  # broadcast 1-row order-count leg
     "q_zorder_incremental",  # broadcast 1-row grid-bounds leg
+    "q_survival_km",  # broadcast 1-row max-date and total-duration legs
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -991,3 +991,61 @@ def test_forecast_is_dim_sized_join_no_window(spark):
     runs over post-aggregation row counts."""
     plan = plan_of(spark, "q_forecast_naive")
     assert "Window" not in plan
+
+
+# ---- round-7b queries: scale claims pinned --------------------------------
+
+
+def test_pca_power_gram_is_join_free_partial_agg(spark):
+    """q_pca_power's Gram matrix must come from chained generators
+    (posexplode × 2) feeding a partially-aggregated groupBy — never a
+    row-level self-join on vec_id (that's the oracle's crutch, not the
+    distributed plan). Map-side partials collapse each task to ≤ 4096
+    cells, so shuffle volume is independent of corpus size; the only
+    joins are the broadcast v1/diag legs on the 64×64 C."""
+    plan = plan_of(spark, "q_pca_power")
+    assert plan.count("Generate") >= 2, "chained posexplodes missing"
+    assert "partial_" in plan, "no map-side partial aggregation"
+    assert "SortMergeJoin" not in plan, "Gram must not self-join rows"
+    for line in plan.splitlines():
+        if "Join" in line and "Broadcast" not in line:
+            raise AssertionError(f"non-broadcast join in plan: {line}")
+
+
+def test_markov_loglik_model_is_broadcast(spark):
+    """q_markov_loglik's transition-probability model (≤ |types|² rows)
+    must broadcast onto the full transition stream — the stream is
+    never shuffled a second time for the model join."""
+    plan = plan_of(spark, "q_markov_loglik")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_survival_km_windows_are_post_aggregation(spark):
+    """q_survival_km's only full-data pass is the per-customer lead
+    window (keyed on o_custkey); the global risk-table windows run
+    strictly AFTER the groupBy collapses durations to distinct day
+    values. Pin: every global (no partition spec) Window sits above a
+    HashAggregate in the plan text order."""
+    plan = plan_of(spark, "q_survival_km")
+    lines = plan.splitlines()
+    keyed = [
+        i
+        for i, l in enumerate(lines)
+        if "Window" in l and "o_custkey" in l
+    ]
+    assert keyed, "per-customer lead window missing"
+    global_wins = [
+        i
+        for i, l in enumerate(lines)
+        if "Window" in l and "o_custkey" not in l
+    ]
+    assert global_wins, "risk-table windows missing"
+    # global windows only see post-aggregation rows: in explain order
+    # (top = output, bottom = scan) every global Window must have the
+    # day-level HashAggregate somewhere BELOW it in its subtree
+    for i in global_wins:
+        below = "\n".join(lines[i:])
+        assert "HashAggregate" in below, (
+            "global window not fed by an aggregate"
+        )

@@ -192,6 +192,16 @@ HEADLINE = [
     "q_survival_km",
     "q_markov_loglik",
     "q_dedup_clusters",
+    # r7c batch representatives: the inverted-index shingle k-NN (the
+    # heaviest candidate-generation path of the batch), the bounded
+    # k-core peel (iterative degree-agg + broadcast semi-joins), the
+    # CDC log compaction (keyed-window latest-wins), and the
+    # deterministic negative sampler (in-task candidate explode +
+    # anti-join)
+    "q_doc_knn",
+    "q_graph_kcore",
+    "q_cdc_apply",
+    "q_negative_sample",
 ]
 
 

@@ -167,3 +167,64 @@ def pagerank(
     nodes.unpersist()
     outdeg.unpersist()
     return ranks
+
+
+def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
+    """Bounded k-core peeling on an undirected (u, v) edge list:
+    repeatedly drop nodes with induced degree < k and report the
+    (iter, n_nodes, n_edges) trace after each peel — iteration 0 is
+    the input graph. A FIXED iteration count (like ``pagerank``) keeps
+    the result deterministic and oracle-replayable; callers wanting
+    the fixpoint pick iters ≥ the graph's peel depth.
+
+    Scale shape: each round is one map-side-combinable degree
+    aggregate plus two broadcast semi-joins of the (large) edge list
+    against the (small, shrinking) surviving-node set — edges never
+    self-join. ``localCheckpoint`` per round truncates lineage, the
+    same discipline as ``connected_components``/``pagerank`` (an
+    un-checkpointed loop re-evaluates every prior level once per
+    downstream reference — the exact 3^iters plan explosion the
+    pagerank oracle hit as DuckDB CTE inlining, ROUND7_NOTES)."""
+    e = edges.select("u", "v").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    traces = []
+    for it in range(iters):
+        traces.append(
+            nodes.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(e.agg(F.count("*").alias("n_edges")))
+            .select(
+                F.lit(it).cast("int").alias("iter"), "n_nodes", "n_edges"
+            )
+        )
+        if it == iters - 1:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        nodes = (
+            deg.where(F.col("d") >= k).select("n").localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(
+                F.broadcast(nodes.select(F.col("n").alias("u"))), "u",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(nodes.select(F.col("n").alias("v"))), "v",
+                "left_semi",
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("iter")

@@ -77,6 +77,9 @@ NLJ_OK = {
     "q_order_size_profile",  # broadcast 1-row order-count leg
     "q_zorder_incremental",  # broadcast 1-row grid-bounds leg
     "q_survival_km",  # broadcast 1-row max-date and total-duration legs
+    "q_negative_sample",  # broadcast 1-row max-partkey leg
+    "q_recency_topk",  # broadcast 1-row max-shipdate leg
+    "q_graph_kcore",  # per-level trace = cross of two 1-row count legs
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

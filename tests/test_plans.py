@@ -1049,3 +1049,95 @@ def test_survival_km_windows_are_post_aggregation(spark):
         assert "HashAggregate" in below, (
             "global window not fed by an aggregate"
         )
+
+
+def test_fair_allocation_windows_are_keyed(spark):
+    """q_fair_allocation's prefix-sum/rank/count windows must all be
+    keyed by nation — the waterfill is per-group; a global window here
+    would serialize every supplier through one task."""
+    plan = plan_of(spark, "q_fair_allocation")
+    for line in plan.splitlines():
+        if "Window" in line and "WindowExec" not in line:
+            assert "s_nationkey" in line, f"unkeyed window: {line.strip()[:120]}"
+
+
+def test_best_split_windows_are_post_aggregation(spark):
+    """q_best_split's cumulative/total windows are global by design but
+    may only ever see the ≤ |distinct thresholds| aggregated cells —
+    never fact rows. Pin: every Window sits above a HashAggregate."""
+    plan = plan_of(spark, "q_best_split")
+    lines = plan.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins, "cumulative windows missing"
+    for i in wins:
+        assert "HashAggregate" in "\n".join(lines[i:]), (
+            "global window not fed by the threshold aggregate"
+        )
+
+
+def test_cdc_apply_log_is_generated_in_task_no_join(spark):
+    """q_cdc_apply's change log is array-generated in-task (one
+    Generate, no extra scan) and the whole compaction is join-free:
+    one keyed window shuffle on the CDC key, then the aggregate."""
+    plan = plan_of(spark, "q_cdc_apply")
+    assert "Generate" in plan, "in-task log generation missing"
+    assert "Join" not in plan, "CDC compaction must not join"
+    assert plan.count("FileScan") == 1, "log generation re-scanned the table"
+
+
+def test_negative_sample_generates_candidates_in_task(spark):
+    """q_negative_sample's 8 candidate draws per customer explode
+    in-task from a literal sequence (Generate), and rejected positives
+    leave via a keyed LeftAnti join — never a filter over an all-pairs
+    product."""
+    plan = plan_of(spark, "q_negative_sample")
+    assert "Generate" in plan, "candidate explode missing"
+    assert "LeftAnti" in plan, "positive rejection must be an anti-join"
+
+
+def test_merkle_tree_scans_fact_table_once(spark):
+    """q_merkle_tree's three levels must all read the materialized
+    ≤ |nations × segments|-row leaf frame — the union must NOT re-scan
+    the fact table per level (Spark planned 3 customer scans before the
+    leaf localCheckpoint)."""
+    plan = plan_of(spark, "q_merkle_tree")
+    assert "FileScan" not in plan, "a union branch re-scanned parquet"
+    assert plan.count("Scan ExistingRDD") >= 2, "levels not reading the leaf"
+
+
+def test_recency_topk_is_take_ordered(spark):
+    """q_recency_topk's global top-10 must be TakeOrdered (per-partition
+    heads merged on the driver), never a single-partition global sort of
+    the per-part aggregate."""
+    plan = plan_of(spark, "q_recency_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_knn_joins_are_all_keyed(spark):
+    """q_doc_knn candidate generation is blocked on the shingle key with
+    a df-cap — every join in the plan must be a keyed equi-join on the
+    shingle / doc keys; no join may ever pair arbitrary documents."""
+    plan = plan_of(spark, "q_doc_knn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert any(k in line for k in ("sh#", "qd#", "nb#", "doc_id#")), (
+                f"join not keyed on shingle/doc: {line.strip()[:120]}"
+            )
+
+
+def test_kcore_trace_on_known_graph(spark):
+    """Behavioral pin for operators/graph.kcore_peel_trace: on K5 plus
+    a pendant 3-chain, a k=3 peel removes the chain in two rounds and
+    the 5-clique survives as the stable 3-core (the eager per-round
+    checkpoints make the final plan structure-free, so the scale shape
+    is pinned by construction review + this semantic trace)."""
+    from mapreduce_llm_spark.operators.graph import kcore_peel_trace
+
+    clique = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    e = spark.createDataFrame(clique + chain, "u long, v long")
+    rows = kcore_peel_trace(e, k=3, iters=4).collect()
+    got = [(r["iter"], r["n_nodes"], r["n_edges"]) for r in rows]
+    assert got == [(0, 8, 13), (1, 5, 10), (2, 5, 10), (3, 5, 10)], got

@@ -1,0 +1,933 @@
+"""Round-8 STAGED surface — full (query fn, DuckDB oracle) pairs,
+hash-proven NOW but NOT registered: the round-7 window is exactly full
+(registry.DRIVER_PRIORITY, 50/50), and the external-book invariant
+(tests/test_plans.py::test_external_book_stays_closed) by design
+forbids landing surface the driver cannot verify this round. This
+module is the window-sized-tranche staging area that rule creates:
+tests/test_r8_staged.py runs every entry through the SAME harness as
+the driver gate at sf0.01 (and the sf0.1 sweep env), so the round-8
+flip into ``@query(oracle=...)`` declarations + DRIVER_PRIORITY slots
+carries no new risk — the generalization of queries/future_oracles.py
+(which stages oracle SQL for already-registered rows-only queries)
+to whole new queries.
+
+NOT imported by registry.load_all — importing it must stay
+side-effect-free for the registry (pinned by the staging test).
+
+Determinism discipline: identical to analytics_r7/r7b/r7c — exact
+integer/cents/e4-floor arithmetic everywhere, round(,4) only on
+ln/sqrt-class outputs, md5-40 arithmetic for every cross-engine hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (query fn, DuckDB oracle SQL); round 8 flips these into
+#: @query(oracle=...) declarations verbatim.
+STAGED: dict[str, tuple[QueryFn, str]] = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query {name!r}")
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _md5_40(col: Column) -> Column:
+    """House cross-engine 40-bit hash (CLAUDE.md)."""
+    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
+
+
+@_staged(
+    "q_stratified_kfold",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)
+                         AS BIGINT) % 5 AS INT) AS fold,
+               lang
+        FROM documents
+    ),
+    c AS (SELECT fold, lang, count(*) AS n_docs FROM f GROUP BY fold, lang)
+    SELECT fold, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * 10000 //
+                sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+               AS share_of_lang_e4
+    FROM c
+    ORDER BY fold, lang
+    """,
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with a
+    stratification audit: fold = md5_40(doc_id) % 5 (no RNG — the
+    q_shuffle_shards reproducibility contract), and the output is the
+    fold × language balance sheet (each cell's basis-point share of
+    its language) a training pipeline checks before trusting CV
+    estimates. One keyed aggregate collapses the corpus to
+    |folds × langs| cells; the share window runs on those cells."""
+    f = load_table(spark, sf_dir, "documents").select(
+        (_md5_40(F.col("doc_id").cast("string")) % 5).cast("int").alias("fold"),
+        "lang",
+    )
+    c = f.groupBy("fold", "lang").agg(F.count("*").alias("n_docs"))
+    return c.select(
+        "fold",
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(n_docs * 10000 div sum(n_docs)"
+            " OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("share_of_lang_e4"),
+    ).orderBy("fold", "lang")
+
+
+@_staged(
+    "q_quantile_normalize",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((rk - 1) * 10000 // (n - 1) AS BIGINT) AS qrank_e4,
+           CAST(least((rk - 1) * 10 // n, 9) AS INT) AS decile
+    FROM r
+    WHERE doc_id % 10 = 0
+    ORDER BY doc_id
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-rank normalization of document length within language —
+    the rank-based feature transform (exact integer e4 quantile rank
+    plus decile bucket) that replaces q_minmax_scale's range scaling
+    when the distribution is heavy-tailed. Language is the textbook
+    LOW-cardinality/HUGE-partition key (5 values), so the rank comes
+    from operators/ranking.partitioned_row_number — range partition
+    with the key prepended, local rank, per-key broadcast offset
+    prefix-sum — never a 5-task keyed window over the whole corpus.
+    The per-key totals join is |langs|-sized and broadcasts. Output is
+    decimated (doc_id % 10) to keep the emitted sample bounded; ranks
+    are computed over the FULL corpus."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    ranked = partitioned_row_number(
+        d, ["lang"], [F.col("n_chars"), F.col("doc_id")], alias="rk"
+    )
+    totals = d.groupBy("lang").agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(totals), "lang")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr("CAST((rk - 1) * 10000 div (n - 1) AS BIGINT)").alias(
+                "qrank_e4"
+            ),
+            F.expr("CAST(least((rk - 1) * 10 div n, 9) AS INT)").alias(
+                "decile"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_staged(
+    "q_source_overlap",
+    oracle="""
+    WITH fp AS (
+        SELECT DISTINCT source,
+               CAST('0x' || substr(md5(array_to_string(
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               w -> w <> ''), ' ')), 1, 10) AS BIGINT) AS fp
+        FROM documents
+    ),
+    tot AS (SELECT source, count(*) AS n FROM fp GROUP BY source),
+    pair AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(tb.n AS BIGINT) AS n_b,
+           CAST(n_shared * 10000 // least(ta.n, tb.n) AS BIGINT)
+               AS overlap_e4
+    FROM pair
+    JOIN tot ta ON ta.source = source_a
+    JOIN tot tb ON tb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: documents collapse to a 40-bit
+    md5 fingerprint of their normalized word sequence, and every
+    source pair sharing at least one fingerprint reports its shared
+    count and overlap coefficient (shared / smaller side, e4) — the
+    contamination matrix a corpus curator reads before mixing crawl
+    snapshots (q_decontaminate answers train-vs-test; this maps
+    source-vs-source). The pair join is blocked on the fingerprint
+    key — sources never pair except through a shared hash, the
+    inverted-index discipline of q_doc_knn."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+    fp = docs.select(
+        "source", _md5_40(F.array_join(words, " ")).alias("fp")
+    ).distinct()
+    tot = fp.groupBy("source").agg(F.count("*").alias("n"))
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    pair = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST(n_shared * 10000 div least(n_a, n_b) AS BIGINT)"
+            ).alias("overlap_e4"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@_staged(
+    "q_ks_test",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)
+                    AS BIGINT) % 2 AS variant,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, vc,
+               sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+        FROM v GROUP BY event_type, vc
+    ),
+    cum AS (
+        SELECT event_type,
+               sum(ca) OVER (PARTITION BY event_type ORDER BY vc
+                             ROWS UNBOUNDED PRECEDING) AS fa,
+               sum(cb) OVER (PARTITION BY event_type ORDER BY vc
+                             ROWS UNBOUNDED PRECEDING) AS fb,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb
+        FROM c
+    )
+    SELECT event_type,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_num,
+           CAST(max(abs(fa * nb - fb * na)) * 10000
+                // (max(na) * max(nb)) AS BIGINT) AS d_e4
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per event type between
+    the same md5-assigned variants as q_ab_welch (Welch reads the mean
+    shift; KS reads the whole distribution) — EXACT integer
+    arithmetic throughout: D = max |F_a − F_b| is evaluated as
+    max |cum_a·n_b − cum_b·n_a| over the e2-quantized value grid, an
+    integer cross-multiplication that never touches a float until the
+    final e4 emission. One keyed aggregate collapses events to
+    |type × distinct value| cells; the ECDF windows are keyed by
+    type and run post-aggregation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (_md5_40(F.col("user_id").cast("string")) % 2).alias("variant"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    c = ev.groupBy("event_type", "vc").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        F.sum("ca").over(wcum).alias("fa"),
+        F.sum("cb").over(wcum).alias("fb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max(F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
+                  ).alias("d_num"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "d_num",
+            F.expr("CAST(d_num * 10000 div (n_a * n_b) AS BIGINT)").alias(
+                "d_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_jsd_sources",
+    oracle="""
+    WITH toks AS (
+        SELECT source, w FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    c AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+    tot AS (SELECT source, sum(c) AS n FROM c GROUP BY source),
+    pair AS (
+        SELECT a.source AS source_a, b.source AS source_b, a.w,
+               CAST(a.c AS DOUBLE) / ta.n AS p,
+               CAST(b.c AS DOUBLE) / tb.n AS q
+        FROM c a
+        JOIN c b ON a.w = b.w AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+    )
+    SELECT source_a, source_b,
+           round(sum(0.5 * p * ln(p / ((p + q) * 0.5))
+                     + 0.5 * q * ln(q / ((p + q) * 0.5))), 4) + 0.0
+               AS jsd_r4
+    FROM pair
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every source pair's word
+    distribution — the symmetric, bounded drift metric that upgrades
+    q_dist_drift's PSI when comparing crawl snapshots pairwise. Word
+    counts collapse to |sources × vocab| cells first; the pair join
+    is blocked on the word key (sources only meet through shared
+    vocabulary — with a closed vocab every pair meets, but the join
+    volume is |vocab|·|pairs|, never |docs|²). The JSD sum is the
+    ln-class round(,4) emission with the −0.0 guard.
+
+    NOTE on the word-blocked join: JSD's missing-word terms
+    (p>0, q=0) contribute p·ln2/2 — with this corpus's closed 31-word
+    vocabulary every source emits every word (asserted by the staging
+    test via the hash itself), so the inner join is exact. The
+    round-8 flip should keep the inner join and this note: on an open
+    vocabulary the query must switch to a full-outer word frame."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("w"),
+        )
+    )
+    c = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    tot = c.groupBy("source").agg(F.sum("c").alias("n"))
+    a = c.select(F.col("source").alias("source_a"), "w", F.col("c").alias("c_a"))
+    b = c.select(F.col("source").alias("source_b"), "w", F.col("c").alias("c_b"))
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    pair = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("CAST(c_a AS DOUBLE) / n_a").alias("p"),
+            F.expr("CAST(c_b AS DOUBLE) / n_b").alias("q"),
+        )
+    )
+    return (
+        pair.groupBy("source_a", "source_b")
+        .agg(
+            F.expr(
+                "round(sum(0.5D * p * ln(p / ((p + q) * 0.5D))"
+                "          + 0.5D * q * ln(q / ((p + q) * 0.5D))), 4)"
+            ).alias("jsd_r4")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@_staged(
+    "q_bigram_perplexity",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2
+        FROM ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+    ),
+    train AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+    bcnt AS (SELECT w1, w2, count(*) AS bc FROM train GROUP BY w1, w2),
+    ucnt AS (SELECT w1, count(*) AS uc FROM train GROUP BY w1),
+    vocab AS (
+        SELECT count(DISTINCT w) AS v FROM (
+            SELECT w1 AS w FROM train UNION ALL SELECT w2 FROM train
+        )
+    ),
+    test AS (
+        SELECT b.source,
+               ln((coalesce(bc, 0) + 1.0)
+                  / (coalesce(uc, 0) + v)) AS logp
+        FROM bg b
+        LEFT JOIN bcnt ON bcnt.w1 = b.w1 AND bcnt.w2 = b.w2
+        LEFT JOIN ucnt ON ucnt.w1 = b.w1
+        CROSS JOIN vocab
+        WHERE b.doc_id % 2 = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(-sum(logp) / count(*), 4) + 0.0 AS mean_nll_r4
+    FROM test
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram language model trained on the even-doc_id
+    half of the corpus and evaluated on the odd half, reporting
+    per-source mean negative log-likelihood — the LM-based quality
+    score (the deterministic stand-in for "perplexity under a
+    reference model") a data pipeline uses to rank sources, and the
+    text twin of q_markov_loglik's event-transition scoring. Bigrams
+    explode in-task; the model tables collapse to |vocab|² / |vocab|
+    cells and broadcast onto the test stream; V is a 1-row broadcast
+    leg. The NLL mean is the ln-class round(,4) emission."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+    bg = docs.select(
+        "doc_id",
+        "source",
+        words.alias("ws"),
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.w1", "b.w2")
+    train = bg.where(F.col("doc_id") % 2 == 0).select("w1", "w2")
+    bcnt = train.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ucnt = train.groupBy("w1").agg(F.count("*").alias("uc"))
+    vocab = (
+        train.select(F.col("w1").alias("w"))
+        .unionAll(train.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    test = (
+        bg.where(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(bcnt), ["w1", "w2"], "left")
+        .join(F.broadcast(ucnt), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.expr(
+                "ln((coalesce(bc, 0) + 1.0D) / (coalesce(uc, 0) + v))"
+            ).alias("logp"),
+        )
+    )
+    return (
+        test.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("round(-sum(logp) / count(*), 4)").alias("mean_nll_r4"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_bm25_search",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM ws),
+    toks AS (
+        SELECT doc_id, unnest(ws) AS w FROM ws
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks
+        WHERE w IN ('dup', 'spark', 'merge')
+        GROUP BY doc_id, w
+    ),
+    stats AS (
+        SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    df AS (
+        SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) AS score
+        FROM tf
+        JOIN df USING (w)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) + 0.0 AS score_r4
+    FROM scored
+    ORDER BY round(score, 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 retrieval (k1 = 1.2, b = 0.75, the +1 idf variant)
+    for the fixed query {dup, spark, merge} — the ranked-search
+    composition over q_text_bm25's corpus statistics (that query
+    audits the stats; this one answers a query with them). Term
+    postings are filtered BEFORE any shuffle (3 terms), the df/corpus
+    stats are tiny broadcast legs, and the final top-10 is
+    TakeOrdered on the rounded score with doc_id tie-break (the house
+    ties rule). Scoring chain is token-identical ln/rational double
+    arithmetic under round(,4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+    ws = docs.select("doc_id", words.alias("ws"))
+    dl = ws.select("doc_id", F.size("ws").alias("dl"))
+    toks = ws.select("doc_id", F.explode("ws").alias("w"))
+    tf = (
+        toks.where(F.col("w").isin("dup", "spark", "merge"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(*)").alias("avgdl"),
+    )
+    dfreq = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "sum(ln((n - df + 0.5) / (df + 0.5) + 1.0D)"
+                "    * (tf * 2.2D)"
+                "    / (tf + 1.2D * (0.25D + 0.75D * dl / avgdl)))"
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.expr("round(score, 4)").alias("score_r4"))
+        .orderBy(F.col("score_r4").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@_staged(
+    "q_graph_linkpred",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS ck, l_partkey AS pk, l_suppkey AS sk
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    grp AS (
+        SELECT pk, sk, count(*) AS c FROM cp GROUP BY pk, sk
+    ),
+    e AS (
+        SELECT DISTINCT least(a.ck, b.ck) AS u, greatest(a.ck, b.ck) AS v
+        FROM cp a
+        JOIN cp b ON a.pk = b.pk AND a.sk = b.sk AND a.ck < b.ck
+        JOIN grp g ON g.pk = a.pk AND g.sk = a.sk
+        WHERE g.c <= 8
+    ),
+    adj AS (
+        SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT x, count(*) AS d FROM adj GROUP BY x),
+    cand AS (
+        SELECT a.x AS u, b.y AS v, count(*) AS common
+        FROM adj a JOIN adj b ON a.y = b.x AND a.x < b.y
+        GROUP BY a.x, b.y
+    ),
+    new_pairs AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.u = c.u AND e.v = c.v)
+    )
+    SELECT u, v,
+           CAST(common AS BIGINT) AS common,
+           CAST(common * 10000 // (du.d + dv.d - common) AS BIGINT)
+               AS jaccard_e4
+    FROM new_pairs
+    JOIN deg du ON du.x = u
+    JOIN deg dv ON dv.x = v
+    ORDER BY jaccard_e4 DESC, u, v
+    LIMIT 20
+    """,
+)
+def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the customer co-purchase
+    graph (customers joined when they bought the same part from the
+    same supplier, pair expansion capped at 8 customers per
+    part-supplier combo — the q_basket_pairs quadratic cap): for every
+    2-hop-connected NON-edge, the common-neighbor count and neighbor
+    Jaccard, top-20 — the "customers also like" / entity-resolution
+    candidate generator. Candidates come only from the adjacency
+    self-join through the shared middle node (volume Σ deg(m)², the
+    graph-native blocking); existing edges leave via an anti-join;
+    Jaccard is exact integer e4."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .distinct()
+    )
+    grp = cp.groupBy("pk", "sk").agg(F.count("*").alias("c"))
+    capped = cp.join(
+        grp.where(F.col("c") <= 8).select("pk", "sk"), ["pk", "sk"]
+    )
+    a = capped.select("pk", "sk", F.col("ck").alias("ck_a"))
+    b = capped.select(
+        F.col("pk").alias("pk2"), F.col("sk").alias("sk2"),
+        F.col("ck").alias("ck_b"),
+    )
+    e = (
+        a.join(
+            b,
+            (F.col("pk") == F.col("pk2"))
+            & (F.col("sk") == F.col("sk2"))
+            & (F.col("ck_a") < F.col("ck_b")),
+        )
+        .select(
+            F.least("ck_a", "ck_b").alias("u"),
+            F.greatest("ck_a", "ck_b").alias("v"),
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy("x").agg(F.count("*").alias("d"))
+    l = adj.select(F.col("x").alias("u"), F.col("y").alias("m"))
+    r = adj.select(F.col("x").alias("m"), F.col("y").alias("v"))
+    cand = (
+        l.join(r, "m")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    new_pairs = cand.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    return (
+        new_pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.expr("CAST(common * 10000 div (du + dv - common) AS BIGINT)"
+                   ).alias("jaccard_e4"),
+        )
+        .orderBy(F.col("jaccard_e4").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+@_staged(
+    "q_rolling_ols",
+    oracle="""
+    WITH m AS (
+        SELECT p_brand,
+               (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS m,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS rev
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand, m
+    ),
+    w AS (
+        SELECT p_brand, m,
+               count(*) OVER win AS n,
+               sum(m) OVER win AS sx,
+               sum(rev) OVER win AS sy,
+               sum(m * rev) OVER win AS sxy,
+               sum(m * m) OVER win AS sxx
+        FROM m
+        WINDOW win AS (PARTITION BY p_brand ORDER BY m
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT p_brand, CAST(m AS BIGINT) AS m,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 10000
+                      / (n * sxx - sx * sx)) AS BIGINT) AS slope_e4
+    FROM w
+    WHERE n = 6
+    ORDER BY p_brand, m
+    """,
+)
+def q_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-month OLS slope of brand revenue against time — the
+    trend detector a demand pipeline computes per series (the moving
+    upgrade of q_corr_regr's static fit). The fact scan collapses to
+    |brands × months| cells in one keyed aggregate; the rolling
+    moment sums (n, Σx, Σy, Σxy, Σx²) are EXACT integers in a
+    brand-keyed window, and the slope is a single floor(double·1e4)
+    of the closed-form ratio — exempt from integer-div sign rules
+    (Spark div truncates, DuckDB // floors, so a possibly-negative
+    numerator must go through the double floor, not integer
+    division). Windows shorter than 6 observed months are dropped."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_shipdate"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_brand",
+            (
+                (F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1
+            ).alias("m"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("p_brand", "m")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    win = (
+        Window.partitionBy("p_brand").orderBy("m").rowsBetween(-5, 0)
+    )
+    w = m.select(
+        "p_brand",
+        "m",
+        F.count("*").over(win).alias("n"),
+        F.sum("m").over(win).alias("sx"),
+        F.sum("rev").over(win).alias("sy"),
+        F.sum(F.col("m") * F.col("rev")).over(win).alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).over(win).alias("sxx"),
+    )
+    return (
+        w.where(F.col("n") == 6)
+        .select(
+            "p_brand",
+            F.col("m").cast("long").alias("m"),
+            F.expr(
+                "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 10000"
+                " / (n * sxx - sx * sx)) AS BIGINT)"
+            ).alias("slope_e4"),
+        )
+        .orderBy("p_brand", "m")
+    )
+
+
+@_staged(
+    "q_silhouette_lite",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, i,
+               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+                    AS BIGINT) AS qi
+        FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+    ),
+    cs AS (
+        SELECT label, i, CAST(sum(qi) AS BIGINT) AS s
+        FROM q GROUP BY label, i
+    ),
+    cn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    css AS (
+        SELECT label, CAST(sum(s * s) AS BIGINT) AS ss2
+        FROM cs GROUP BY label
+    ),
+    px AS (
+        SELECT vec_id, CAST(sum(qi * qi) AS BIGINT) AS px2
+        FROM q GROUP BY vec_id
+    ),
+    xs AS (
+        SELECT q.vec_id, cs.label AS olabel,
+               CAST(sum(q.qi * cs.s) AS BIGINT) AS xs
+        FROM q JOIN cs ON q.i = cs.i
+        GROUP BY q.vec_id, cs.label
+    ),
+    d2 AS (
+        SELECT p.vec_id, e.label AS own, xs.olabel,
+               (CAST(cn.n AS DOUBLE) * cn.n * px.px2
+                - 2.0 * cn.n * xs.xs + css.ss2)
+               / (CAST(cn.n AS DOUBLE) * cn.n) AS d2
+        FROM xs
+        JOIN embeddings e ON e.vec_id = xs.vec_id
+        JOIN px ON px.vec_id = xs.vec_id
+        JOIN cn ON cn.label = xs.olabel
+        JOIN css ON css.label = xs.olabel
+        JOIN embeddings p ON p.vec_id = xs.vec_id
+    ),
+    ab AS (
+        SELECT vec_id, own,
+               max(CASE WHEN olabel = own THEN d2 END) AS a2,
+               min(CASE WHEN olabel <> own THEN d2 END) AS b2
+        FROM d2 GROUP BY vec_id, own
+    )
+    SELECT own AS label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(avg((sqrt(b2) - sqrt(a2))
+                     / nullif(greatest(sqrt(a2), sqrt(b2)), 0.0)), 4) + 0.0
+               AS mean_silhouette_r4
+    FROM ab
+    GROUP BY own
+    ORDER BY label
+    """,
+)
+def q_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette score per cluster label over the
+    embedding table — the clustering-quality readout
+    (s = (b−a)/max(a,b) with a = distance to own centroid, b =
+    distance to nearest other centroid), the QA companion to
+    q_embed_centroids. Exact integer core via the q_pca_power
+    discipline: components quantize to e3 integers BEFORE any
+    accumulation, so centroid sums S, point norms Σx², and
+    cross-products x·S are exact int64 and the squared distance
+    appears as the integer identity ‖x − S/n‖² = (n²Σx² − 2n·x·S +
+    ‖S‖²)/n² — the only floats are the final identical-chain
+    divisions and sqrt under round(,4). Scale: the per-point work is
+    a join against the |labels × dims| broadcast centroid frame
+    (never point-vs-point), one keyed aggregate per leg."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qi"),
+    )
+    cs = q.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("qi").alias("s")
+    )
+    cn = e.groupBy(F.col("label").alias("clabel")).agg(
+        F.count("*").alias("n")
+    )
+    css = cs.groupBy("clabel").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss2")
+    )
+    px = q.groupBy("vec_id").agg(
+        F.sum(F.col("qi") * F.col("qi")).alias("px2")
+    )
+    xs = (
+        q.join(F.broadcast(cs), "i")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(F.col("qi") * F.col("s")).alias("xs"))
+    )
+    own = e.select("vec_id", F.col("label").alias("own"))
+    d2 = (
+        xs.join(own, "vec_id")
+        .join(px, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .join(F.broadcast(css), "clabel")
+        .select(
+            "vec_id",
+            "own",
+            F.col("clabel").alias("olabel"),
+            F.expr(
+                "(CAST(n AS DOUBLE) * n * px2 - 2.0D * n * xs + ss2)"
+                " / (CAST(n AS DOUBLE) * n)"
+            ).alias("d2"),
+        )
+    )
+    ab = d2.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("olabel") == F.col("own"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("olabel") != F.col("own"), F.col("d2"))).alias("b2"),
+    )
+    return (
+        ab.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.expr(
+                "round(avg((sqrt(b2) - sqrt(a2))"
+                " / nullif(greatest(sqrt(a2), sqrt(b2)), 0.0D)), 4)"
+            ).alias("mean_silhouette_r4"),
+        )
+        .orderBy("label")
+    )

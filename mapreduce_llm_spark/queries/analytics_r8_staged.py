@@ -931,3 +931,646 @@ def q_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@_staged(
+    "q_auc_mannwhitney",
+    oracle="""
+    WITH cell AS (
+        SELECT l_linestatus AS ls,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+               count(*) AS n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        FROM lineitem GROUP BY ls, dc
+    ),
+    rk AS (
+        SELECT ls, dc, n, pos,
+               coalesce(sum(n) OVER (PARTITION BY ls ORDER BY dc
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum_before,
+               sum(n) OVER (PARTITION BY ls) AS nt,
+               sum(pos) OVER (PARTITION BY ls) AS np
+        FROM cell
+    ),
+    s AS (
+        SELECT ls, max(nt) AS nt, max(np) AS np,
+               sum(pos * (2 * cum_before + n + 1)) AS ranksum2
+        FROM rk GROUP BY ls
+    )
+    SELECT ls AS l_linestatus,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nt - np AS BIGINT) AS n_neg,
+           CAST((ranksum2 - np * (np + 1)) * 1000000
+                // (2 * np * (nt - np)) AS BIGINT) AS auc_e6
+    FROM s
+    ORDER BY l_linestatus
+    """,
+)
+def q_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of discount as a predictor of the returned flag,
+    per line status, via the Mann–Whitney rank identity with proper
+    midrank tie handling — the model-evaluation metric every training
+    pipeline reports, computed EXACTLY: the fact scan collapses to
+    |status × distinct score| cells, tied blocks get the doubled
+    midrank 2·cum_before + n + 1 (stays integer), and
+    AUC = (R2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) emits as an e6 integer with no
+    float anywhere. ECDF windows are keyed and post-aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("ls"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("dc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cell = li.groupBy("ls", "dc").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    wb = (
+        Window.partitionBy("ls")
+        .orderBy("dc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("ls")
+    rk = cell.select(
+        "ls",
+        "n",
+        "pos",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("cum_before"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("np"),
+    )
+    return (
+        rk.groupBy("ls")
+        .agg(
+            F.max("nt").alias("nt"),
+            F.max("np").alias("np"),
+            F.sum(
+                F.col("pos") * (2 * F.col("cum_before") + F.col("n") + 1)
+            ).alias("ranksum2"),
+        )
+        .select(
+            F.col("ls").alias("l_linestatus"),
+            F.col("np").alias("n_pos"),
+            (F.col("nt") - F.col("np")).alias("n_neg"),
+            F.expr(
+                "CAST((ranksum2 - np * (np + 1)) * 1000000"
+                " div (2 * np * (nt - np)) AS BIGINT)"
+            ).alias("auc_e6"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_staged(
+    "q_calibration_ece",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+               count(*) AS n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        FROM lineitem GROUP BY dc
+    ),
+    b AS (
+        SELECT dc, n, pos,
+               dc * 1000000 // 20 AS conf_e6,
+               pos * 1000000 // n AS acc_e6,
+               sum(n) OVER () AS nt
+        FROM cell
+    )
+    SELECT CAST(dc AS BIGINT) AS bin_cents,
+           CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(conf_e6 AS BIGINT) AS conf_e6,
+           CAST(acc_e6 AS BIGINT) AS acc_e6,
+           CAST(sum(n * abs(acc_e6 - conf_e6)) OVER () // max(nt) OVER ()
+                AS BIGINT) AS ece_e6
+    FROM b
+    ORDER BY bin_cents
+    """,
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the toy predictor p̂ = discount/0.20
+    against the returned flag: per score bin, confidence vs observed
+    accuracy, plus the expected calibration error
+    ECE = Σ n_b·|acc_b − conf_b| / N — the reliability-diagram data a
+    model-QA pipeline emits next to the q_auc_mannwhitney AUC. Exact
+    integer e6 arithmetic end-to-end (the abs argument is a
+    difference of integer floors); the fact scan collapses to ≤ 21
+    bins and all windows run on those bins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("dc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cell = li.groupBy("dc").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = cell.select(
+        "dc",
+        "n",
+        "pos",
+        F.expr("dc * 1000000 div 20").alias("conf_e6"),
+        F.expr("pos * 1000000 div n").alias("acc_e6"),
+        F.sum("n").over(wall).alias("nt"),
+    )
+    return b.select(
+        F.col("dc").alias("bin_cents"),
+        "n",
+        "pos",
+        "conf_e6",
+        "acc_e6",
+        F.expr(
+            "CAST(sum(n * abs(acc_e6 - conf_e6)) OVER "
+            "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            " div max(nt) OVER "
+            "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            " AS BIGINT)"
+        ).alias("ece_e6"),
+    ).orderBy("bin_cents")
+
+
+@_staged(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS rf,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY floor(l_extendedprice * 100 + 0.5),
+                                           l_orderkey, l_linenumber) AS rk,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT rf, CAST((rk - 1) * 8 // n AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM r
+    GROUP BY rf, bucket
+    ORDER BY rf, bucket
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) 8-bucket histogram of line price per
+    return flag — the optimizer-statistics / drift-baseline histogram
+    q_agg_histogram's fixed-width bins can't give on skewed data.
+    Return flag is the LOW-cardinality/HUGE-partition key (3 values),
+    so ranks come from operators/ranking.partitioned_row_number and
+    the bucket is the exact integer split (rk−1)·8 div n — written
+    identically on both sides instead of ntile so the bucket
+    definition is one formula, not an engine built-in's convention.
+    Per-key totals broadcast; the bucket aggregate is keyed."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = partitioned_row_number(
+        li,
+        ["rf"],
+        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+        alias="rk",
+    )
+    totals = li.groupBy("rf").agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(totals), "rf")
+        .select(
+            "rf",
+            F.expr("CAST((rk - 1) * 8 div n AS INT)").alias("bucket"),
+            "cents",
+        )
+        .groupBy("rf", "bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("rf", "bucket")
+    )
+
+
+@_staged(
+    "q_feature_matrix",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey % 10 = 0
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY d DESC, o_orderkey DESC) AS rd
+        FROM o
+    ),
+    agg AS (
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               sum(cents) AS total_cents,
+               min(d) AS first_d,
+               max(d) AS last_d
+        FROM o GROUP BY o_custkey
+    ),
+    last2 AS (
+        SELECT o_custkey,
+               max(CASE WHEN rd = 1 THEN cents END) AS last_cents,
+               max(CASE WHEN rd = 2 THEN cents END) AS prev_cents,
+               max(CASE WHEN rd = 1 THEN d END) AS d1,
+               max(CASE WHEN rd = 2 THEN d END) AS d2
+        FROM r WHERE rd <= 2 GROUP BY o_custkey
+    )
+    SELECT a.o_custkey,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(total_cents AS BIGINT) AS total_cents,
+           CAST(last_cents AS BIGINT) AS last_cents,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
+           CAST(date_diff('day', d2, d1) AS BIGINT) AS last_gap_days,
+           CAST(date_diff('day', first_d, last_d) * 10000 // (n_orders - 1)
+                AS BIGINT) AS mean_gap_e4
+    FROM agg a JOIN last2 USING (o_custkey)
+    WHERE n_orders >= 4
+    ORDER BY o_custkey
+    """,
+)
+def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer feature-store row (the training-matrix build step
+    of a churn/LTV pipeline): order count, lifetime spend, last and
+    previous order values, days between the last two orders, and mean
+    inter-order gap — all exact integers from ONE pass over orders:
+    a keyed aggregate plus a keyed top-2-by-recency window (rows
+    filtered to rd ≤ 2 before the pivot), joined on the customer key.
+    The %10 customer sample prunes at the scan (pushed predicate);
+    customers with < 4 orders drop after aggregation."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    agg = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.min("d").alias("first_d"),
+        F.max("d").alias("last_d"),
+    )
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.col("d").desc(), F.col("o_orderkey").desc()
+    )
+    last2 = (
+        o.withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rd") == 1, F.col("cents"))).alias("last_cents"),
+            F.max(F.when(F.col("rd") == 2, F.col("cents"))).alias("prev_cents"),
+            F.max(F.when(F.col("rd") == 1, F.col("d"))).alias("d1"),
+            F.max(F.when(F.col("rd") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    return (
+        agg.join(last2, "o_custkey")
+        .where(F.col("n_orders") >= 4)
+        .select(
+            "o_custkey",
+            "n_orders",
+            "total_cents",
+            "last_cents",
+            "prev_cents",
+            F.datediff("d1", "d2").cast("long").alias("last_gap_days"),
+            F.expr(
+                "CAST(datediff(last_d, first_d) * 10000 div (n_orders - 1)"
+                " AS BIGINT)"
+            ).alias("mean_gap_e4"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_LINKPRED_EDGES_SQL = """
+    cp AS (
+        SELECT DISTINCT o_custkey AS ck, l_partkey AS pk, l_suppkey AS sk
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    grp AS (
+        SELECT pk, sk, count(*) AS c FROM cp GROUP BY pk, sk
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT least(a.ck, b.ck) AS u, greatest(a.ck, b.ck) AS v
+        FROM cp a
+        JOIN cp b ON a.pk = b.pk AND a.sk = b.sk AND a.ck < b.ck
+        JOIN grp g ON g.pk = a.pk AND g.sk = a.sk
+        WHERE g.c <= 8
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e
+    )
+"""
+
+
+def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer co-purchase adjacency (both directions), capped at 8
+    customers per (part, supplier) combo — shared by q_graph_linkpred /
+    q_graph_labelprop / q_graph_twohop, mirrored by
+    _LINKPRED_EDGES_SQL on the oracle side."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    cp = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .distinct()
+    )
+    grp = cp.groupBy("pk", "sk").agg(F.count("*").alias("c"))
+    capped = cp.join(
+        grp.where(F.col("c") <= 8).select("pk", "sk"), ["pk", "sk"]
+    )
+    b = capped.select(
+        F.col("pk").alias("pk2"), F.col("sk").alias("sk2"),
+        F.col("ck").alias("ck_b"),
+    )
+    e = (
+        capped.join(
+            b,
+            (F.col("pk") == F.col("pk2"))
+            & (F.col("sk") == F.col("sk2"))
+            & (F.col("ck") < F.col("ck_b")),
+        )
+        .select(
+            F.least("ck", "ck_b").alias("u"),
+            F.greatest("ck", "ck_b").alias("v"),
+        )
+        .distinct()
+    )
+    return e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+
+
+@_staged(
+    "q_graph_labelprop",
+    oracle=f"""
+    WITH {_LINKPRED_EDGES_SQL},
+    l0 AS (SELECT DISTINCT x AS n, x AS l FROM adj),
+    c1 AS (
+        SELECT t.n, t.l, count(*) AS c FROM (
+            SELECT a.x AS n, l0.l FROM adj a JOIN l0 ON l0.n = a.y
+            UNION ALL SELECT n, l FROM l0
+        ) t GROUP BY t.n, t.l
+    ),
+    l1 AS MATERIALIZED (
+        SELECT n, l FROM (
+            SELECT n, l, row_number() OVER (PARTITION BY n
+                                            ORDER BY c DESC, l) AS rn
+            FROM c1
+        ) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT t.n, t.l, count(*) AS c FROM (
+            SELECT a.x AS n, l1.l FROM adj a JOIN l1 ON l1.n = a.y
+            UNION ALL SELECT n, l FROM l1
+        ) t GROUP BY t.n, t.l
+    ),
+    l2 AS MATERIALIZED (
+        SELECT n, l FROM (
+            SELECT n, l, row_number() OVER (PARTITION BY n
+                                            ORDER BY c DESC, l) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    )
+    SELECT l AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l2
+    GROUP BY l
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """,
+)
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds on the customer
+    co-purchase graph (labels start as node ids; each round every node
+    adopts the most frequent label among its neighbors plus itself,
+    ties to the smallest label — fully deterministic, no RNG ordering)
+    and the top-20 resulting community sizes. The community detector
+    that complements q_graph_components (LPA splits dense graphs that
+    are one giant component) and q_graph_kcore (cores are not
+    communities). Each round is one keyed label-count aggregate plus
+    an argmax window keyed by node; the fixed round count keeps it
+    oracle-replayable (unrolled MATERIALIZED CTE levels — the
+    pagerank inlining gotcha)."""
+    adj = _copurchase_adj(spark, sf_dir)
+    lbl = adj.select(F.col("x").alias("n")).distinct().select(
+        "n", F.col("n").alias("l")
+    )
+    for _ in range(2):
+        nbr = adj.join(
+            lbl.select(F.col("n").alias("y"), "l"), "y"
+        ).select(F.col("x").alias("n"), "l")
+        votes = nbr.unionAll(lbl.select("n", "l")).groupBy("n", "l").agg(
+            F.count("*").alias("c")
+        )
+        w = Window.partitionBy("n").orderBy(F.col("c").desc(), "l")
+        lbl = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("n", "l")
+        )
+    return (
+        lbl.groupBy(F.col("l").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
+@_staged(
+    "q_graph_twohop",
+    oracle=f"""
+    WITH {_LINKPRED_EDGES_SQL},
+    hop2 AS (
+        SELECT DISTINCT n, m FROM (
+            SELECT a.x AS n, b.y AS m
+            FROM adj a JOIN adj b ON a.y = b.x
+            WHERE a.x <> b.y
+            UNION ALL
+            SELECT x, y FROM adj
+        )
+    ),
+    sz AS (SELECT n, count(*) AS reach FROM hop2 GROUP BY n)
+    SELECT length(bin(reach)) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(reach) AS BIGINT) AS min_reach,
+           CAST(max(reach) AS BIGINT) AS max_reach
+    FROM sz
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_graph_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach distribution on the customer co-purchase graph —
+    |N≤2(v)| per node, bucketed by bit-length (the q_graph_degree
+    idiom one hop further out): the blast-radius statistic that sizes
+    neighborhood-expansion joins (a 2-hop feature or GNN sampler at
+    100 TB lives or dies by this tail). Candidates come from the
+    adjacency self-join through the middle node (Σ deg(m)², the same
+    blocked volume as q_graph_linkpred) followed by one distinct and
+    one keyed count — no row ever pairs with a non-neighbor."""
+    adj = _copurchase_adj(spark, sf_dir)
+    l = adj.select(F.col("x").alias("n"), F.col("y").alias("m0"))
+    r = adj.select(F.col("x").alias("m0"), F.col("y").alias("m"))
+    two = (
+        l.join(r, "m0")
+        .where(F.col("n") != F.col("m"))
+        .select("n", "m")
+        .unionAll(adj.select(F.col("x").alias("n"), F.col("y").alias("m")))
+        .distinct()
+    )
+    sz = two.groupBy("n").agg(F.count("*").alias("reach"))
+    return (
+        sz.groupBy(F.length(F.bin("reach")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("reach").alias("min_reach"),
+            F.max("reach").alias("max_reach"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_staged(
+    "q_retrieval_eval",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM ws),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM ws),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks
+        WHERE w IN ('dup', 'spark', 'merge')
+        GROUP BY doc_id, w
+    ),
+    stats AS (
+        SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) AS score
+        FROM tf
+        JOIN df USING (w)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    top10 AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+                   AS rnk
+        FROM scored
+        ORDER BY round(score, 4) DESC, doc_id
+        LIMIT 10
+    ),
+    rel AS (
+        SELECT doc_id, count(*) AS rel FROM toks
+        WHERE w = 'dup' GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT t.rnk, coalesce(r.rel, 0) AS rel
+        FROM top10 t LEFT JOIN rel r USING (doc_id)
+    ),
+    m AS (
+        SELECT sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
+               min(CASE WHEN rel > 0 THEN rnk END) AS first_hit,
+               sum(rel / (ln(rnk + 1.0) / ln(2.0))) AS dcg
+        FROM hits
+    ),
+    ideal AS (
+        SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk, rel
+        FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+    ),
+    im AS (
+        SELECT sum(rel / (ln(rnk + 1.0) / ln(2.0))) AS idcg FROM ideal
+    ),
+    nr AS (SELECT count(*) AS n_relevant FROM rel)
+    SELECT CAST(n_hits * 1000 AS BIGINT) AS p_at10_e4,
+           CAST(coalesce(10000 // first_hit, 0) AS BIGINT) AS mrr_e4,
+           round(dcg / idcg, 4) + 0.0 AS ndcg10_r4,
+           CAST(n_relevant AS BIGINT) AS n_relevant
+    FROM m CROSS JOIN im CROSS JOIN nr
+    """,
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the q_bm25_search ranking
+    against exact term relevance (docs containing 'dup', graded by
+    term frequency): precision@10, MRR, and nDCG@10 — the offline
+    eval a RAG / search pipeline runs on every index build. The
+    ranking leg IS the staged BM25 query (same plan); relevance and
+    ideal-ranking legs are keyed aggregates collapsing to ≤ |corpus|
+    rows and 1-row broadcast metric legs. nDCG's log2 chain is the
+    ln-class round(,4) emission; precision/MRR are exact integers."""
+    top = q_bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_r4").desc(), "doc_id"))
+        .alias("rnk"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+    rel = (
+        docs.select("doc_id", F.explode(words).alias("w"))
+        .where(F.col("w") == "dup")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("rel"))
+    )
+    hits = top.join(F.broadcast(rel), "doc_id", "left").select(
+        "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    m = hits.agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("n_hits"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("first_hit"),
+        F.expr("sum(rel / (ln(rnk + 1.0D) / ln(2.0D)))").alias("dcg"),
+    )
+    ideal = rel.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 10)
+    im = ideal.agg(
+        F.expr("sum(rel / (ln(rnk + 1.0D) / ln(2.0D)))").alias("idcg")
+    )
+    nr = rel.agg(F.count("*").alias("n_relevant"))
+    return (
+        m.crossJoin(F.broadcast(im))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            F.expr("CAST(n_hits * 1000 AS BIGINT)").alias("p_at10_e4"),
+            F.expr("CAST(coalesce(10000 div first_hit, 0) AS BIGINT)"
+                   ).alias("mrr_e4"),
+            F.expr("round(dcg / idcg, 4)").alias("ndcg10_r4"),
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+        )
+    )

@@ -102,3 +102,42 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert set(got) == set(ix)
     for node, i in ix.items():
         assert abs(got[node] - r[i]) < 1e-9, (node, got[node], r[i])
+
+
+def _brute_kcore_trace(edges, k, iters):
+    """Reference peel: nodes = endpoints; each round drop degree < k."""
+    edges = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in edges for n in e}
+    trace = [(0, len(nodes), len(edges))]
+    for it in range(1, iters):
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nodes = {n for n, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a in nodes and b in nodes}
+        trace.append((it, len(nodes), len(edges)))
+    return trace
+
+
+@pytest.mark.parametrize("seed,k", [(3, 3), (11, 4), (23, 5)])
+def test_kcore_trace_matches_brute_force_on_random_graphs(spark, seed, k):
+    from mapreduce_llm_spark.operators.graph import kcore_peel_trace
+
+    rng = random.Random(seed)
+    n_nodes, n_edges = 80, 240  # dense enough that peeling has structure
+    edges = list(
+        {
+            tuple(sorted((rng.randrange(n_nodes), rng.randrange(n_nodes))))
+            for _ in range(n_edges)
+        }
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    expected = _brute_kcore_trace(edges, k, iters=5)
+
+    edf = spark.createDataFrame(edges, "u long, v long")
+    got = [
+        (r["iter"], r["n_nodes"], r["n_edges"])
+        for r in kcore_peel_trace(edf, k=k, iters=5).collect()
+    ]
+    assert got == expected

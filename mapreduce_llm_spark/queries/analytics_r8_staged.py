@@ -1574,3 +1574,138 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_relevant").cast("long").alias("n_relevant"),
         )
     )
+
+
+@_staged(
+    "q_stream_ohlc",
+    oracle="""
+    WITH ranked AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+               value,
+               row_number() OVER (
+                   PARTITION BY time_bucket(INTERVAL '15 minutes', ts)
+                   ORDER BY ts, event_id
+               ) AS rn_first,
+               row_number() OVER (
+                   PARTITION BY time_bucket(INTERVAL '15 minutes', ts)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_last
+        FROM events
+    )
+    SELECT CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+           round(max(CASE WHEN rn_first = 1 THEN value END), 4) AS open,
+           round(max(value), 4)                                 AS high,
+           round(min(value), 4)                                 AS low,
+           round(max(CASE WHEN rn_last = 1 THEN value END), 4)  AS close,
+           count(*)                                             AS n_ticks
+    FROM ranked
+    GROUP BY bucket_start
+    ORDER BY bucket_start
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 15-minute OHLC bars executed FOR REAL through the
+    micro-batch runtime (streaming/pipeline.ohlc_stream: min_by/max_by
+    open/close inside ONE watermarked aggregation — the hypertable
+    continuous-aggregate shape, one state row per live bar) and driven
+    to completion in complete mode; the DuckDB oracle recomputes the
+    bars from the raw table, so the hash gate proves the incremental
+    multi-batch fold equals the batch answer exactly — the q_ts_ohlc
+    batch query's streaming twin, previously engine-tested
+    (tests/test_streaming.py) but not externally declared. No float
+    accumulation anywhere: open/high/low/close pick actual values."""
+    from mapreduce_llm_spark.queries.streaming_queries import (
+        _publish_stream_source,
+        _run_ids,
+    )
+    import os as _os
+
+    from mapreduce_llm_spark.streaming.pipeline import (
+        ohlc_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    src = _publish_stream_source(spark, sf_dir)
+    name = f"q_stream_ohlc_mem_{next(_run_ids)}_{_os.getpid()}"
+    got = run_to_memory(
+        ohlc_stream(stream_events(spark, src, max_files_per_trigger=2)),
+        name,
+        output_mode="complete",
+    )
+    return got.select(
+        "bucket_start", "open", "high", "low", "close", "n_ticks"
+    ).orderBy("bucket_start")
+
+
+@_staged(
+    "q_stream_upsert",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '1 hour', ts)   AS bucket_start,
+        event_type,
+        count(*)                             AS n_events,
+        round(sum(value), 4)                 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed exactly-once-effect SINK path externally verified:
+    the watermarked tumbling aggregation streams in UPDATE mode into
+    streaming/pipeline.upsert_parquet_sink — every micro-batch MERGEs
+    its changed (bucket, type) rows into a parquet snapshot through
+    an anti-join upsert with an atomic staging swap — and the query
+    returns the FINAL SNAPSHOT, which the oracle proves equals the
+    batch aggregation. What's under check is the sink contract: keys
+    updated across many micro-batches land exactly once with their
+    final values (a replayed/duplicated update must overwrite, not
+    duplicate). The memory-sink twin q_stream_tumbling proves the
+    fold; this proves the durable keyed materialization of it."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from mapreduce_llm_spark.queries.streaming_queries import (
+        _publish_stream_source,
+        _run_ids,
+    )
+    from mapreduce_llm_spark.streaming.pipeline import (
+        stream_events,
+        tumbling_counts_stream,
+        upsert_parquet_sink,
+    )
+
+    src = _publish_stream_source(spark, sf_dir)
+    scratch = _tempfile.mkdtemp(prefix=f"q_stream_upsert_{next(_run_ids)}_")
+    snapshot = _os.path.join(scratch, "snapshot")
+    checkpoint = _os.path.join(scratch, "checkpoint")
+    try:
+        updates = tumbling_counts_stream(
+            stream_events(spark, src, max_files_per_trigger=2)
+        )
+        writer = upsert_parquet_sink(
+            updates, snapshot, keys=["bucket_start", "event_type"]
+        )
+        query = writer.option("checkpointLocation", checkpoint).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        final = (
+            spark.read.parquet(snapshot)
+            .select(
+                "bucket_start",
+                "event_type",
+                "n_events",
+                F.round("sum_value", 4).alias("sum_value"),
+            )
+            .orderBy("bucket_start", "event_type")
+        )
+        # materialize before the scratch dir disappears
+        return spark.createDataFrame(
+            final.collect(), schema=final.schema
+        ).orderBy("bucket_start", "event_type")
+    finally:
+        _shutil.rmtree(scratch, ignore_errors=True)

@@ -1709,3 +1709,369 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("bucket_start", "event_type")
     finally:
         _shutil.rmtree(scratch, ignore_errors=True)
+
+
+@_staged(
+    "q_langid_confusion",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, lang,
+            len(list_filter(words, w -> list_contains(
+                ['the','and','of','to','in','is','that','for','with','as'],
+                w))) AS h_en,
+            len(list_filter(words, w -> list_contains(
+                ['el','la','de','que','y','en','los','del','se','por'], w)))
+                AS h_es,
+            len(list_filter(words, w -> list_contains(
+                ['le','la','de','et','les','des','en','un','du','une'], w)))
+                AS h_fr,
+            len(list_filter(words, w -> list_contains(
+                ['der','die','und','in','den','von','zu','das','mit','sich'],
+                w))) AS h_de
+        FROM ws
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN h_de > greatest(h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_fr > greatest(h_en, h_es)       THEN 'fr'
+                    WHEN h_es > h_en                       THEN 'es'
+                    WHEN h_en > 0                          THEN 'en'
+                    ELSE 'und' END AS lang_detected
+        FROM votes
+    ),
+    c AS (
+        SELECT lang, lang_detected, count(*) AS n_docs
+        FROM pred GROUP BY lang, lang_detected
+    )
+    SELECT lang, lang_detected,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * 10000 //
+                sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+               AS share_of_lang_e4
+    FROM c
+    ORDER BY lang, lang_detected
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the engine's stopword-vote language
+    detector (operators/textstats.detect_lang_col — first-wins dict
+    order en→es→fr→de, 'und' when nothing hits) against the corpus's
+    labeled lang column — the model-QA readout that turns
+    q_text_langid's per-doc prediction into an evaluable error
+    profile (which languages leak into which). One keyed aggregate to
+    |langs|² cells; the per-true-language share window runs on those
+    cells. The oracle replays the exact vote ladder the
+    q_text_fingerprint staging proved."""
+    from mapreduce_llm_spark.operators.textstats import detect_lang_col
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", detect_lang_col(F.col("text")).alias("lang_detected")
+    )
+    c = d.groupBy("lang", "lang_detected").agg(F.count("*").alias("n_docs"))
+    return c.select(
+        "lang",
+        "lang_detected",
+        "n_docs",
+        F.expr(
+            "CAST(n_docs * 10000 div sum(n_docs)"
+            " OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("share_of_lang_e4"),
+    ).orderBy("lang", "lang_detected")
+
+
+@_staged(
+    "q_stl_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY d
+    ),
+    ma AS (
+        SELECT d, n,
+               sum(n) OVER w AS s7,
+               count(*) OVER w AS c7,
+               isodow(d) AS dow
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT d, dow, 7 * n - s7 AS d7 FROM ma WHERE c7 = 7
+    ),
+    med AS (
+        SELECT dow, CAST(2 * median(d7) AS BIGINT) AS med2
+        FROM det GROUP BY dow
+    ),
+    dev AS (
+        SELECT det.dow, d7, med2,
+               abs(2 * d7 - med2) AS absdev2
+        FROM det JOIN med ON det.dow = med.dow
+    ),
+    mad AS (
+        SELECT dow, CAST(2 * median(absdev2) AS BIGINT) AS mad4
+        FROM dev GROUP BY dow
+    )
+    SELECT dev.dow AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(med2) AS BIGINT) AS med2,
+           CAST(max(mad4) AS BIGINT) AS mad4,
+           CAST(sum(CASE WHEN 2 * absdev2 > 3 * mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.dow = mad.dow
+    GROUP BY dev.dow
+    ORDER BY dow
+    """,
+)
+def q_stl_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite robust anomaly screen on the daily event series:
+    detrend by a centered 7-day moving average, split by ISO weekday,
+    and flag days whose detrended value sits more than 3 robust MADs
+    from that weekday's median — the trend/seasonal/residual
+    decomposition q_seasonality (profile) and q_anomaly_mad (flat
+    MAD) don't compose on their own. EVERY statistic stays an exact
+    scaled integer: detrended = 7n − Σ₇ (scale 7), medians are
+    emitted ×2 (the even-count midpoint is the only fraction, and
+    both engines interpolate identically on integers — the
+    q_win_median precedent), deviations ×2, MAD ×4, and the 3-MAD
+    cut is the cross-multiplied integer test 2·|dev| > 3·mad4. The
+    day series is one keyed aggregate (≤ |days| rows); everything
+    after runs on that frame. Spark weekday()+1 = DuckDB isodow
+    (CLAUDE.md)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "n",
+        F.sum("n").over(w).alias("s7"),
+        F.count("*").over(w).alias("c7"),
+        (F.weekday("d") + 1).alias("dow"),
+    )
+    det = ma.where(F.col("c7") == 7).select(
+        "d", "dow", (7 * F.col("n") - F.col("s7")).alias("d7")
+    )
+    med = det.groupBy("dow").agg(
+        F.expr("CAST(2 * percentile(d7, 0.5D) AS BIGINT)").alias("med2")
+    )
+    dev = det.join(F.broadcast(med), "dow").select(
+        "dow",
+        "med2",
+        F.abs(2 * F.col("d7") - F.col("med2")).alias("absdev2"),
+    )
+    mad = dev.groupBy("dow").agg(
+        F.expr("CAST(2 * percentile(absdev2, 0.5D) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "dow")
+        .groupBy("dow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.max("med2").alias("med2"),
+            F.max("mad4").alias("mad4"),
+            F.sum(
+                F.when(2 * F.col("absdev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_days", "med2", "mad4", "n_outliers",
+        )
+        .orderBy("dow")
+    )
+
+
+@_staged(
+    "q_pca_project",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, i,
+               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+                    AS BIGINT) AS qi
+        FROM embeddings, unnest(generate_series(0, 63)) AS t(i)
+    ),
+    c AS MATERIALIZED (
+        SELECT a.i AS i, CAST(sum(a.qi * b.qi) AS BIGINT) AS v1
+        FROM q a JOIN q b USING (vec_id)
+        WHERE b.i = 0
+        GROUP BY a.i
+    ),
+    p AS (
+        SELECT q.vec_id,
+               CAST(sum(q.qi * c.v1) AS BIGINT) AS proj
+        FROM q JOIN c USING (i)
+        GROUP BY q.vec_id
+    )
+    SELECT CASE WHEN proj < 0 THEN -1 WHEN proj > 0 THEN 1 ELSE 0 END
+               AS sign,
+           CAST(length(bin(abs(proj))) AS INT) AS magnitude_bits,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM p
+    GROUP BY sign, magnitude_bits
+    ORDER BY sign, magnitude_bits
+    """,
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection of every embedding onto the dominant direction
+    estimate v1 = C·e₀ from q_pca_power's exact integer Gram matrix,
+    histogrammed by sign × bit-length — the dimensionality-reduction
+    APPLY step that completes the power-iteration family (q_pca_power
+    fits; this transforms), bit-exact end to end: e3-quantized
+    components, int64 v1 (64 cells, broadcast), int64 dot products
+    (|p| ≤ 64·2e3·1e7 ≪ 2^63). The projection is one broadcast join
+    on the dim key plus a keyed sum per vector — a linear scan at any
+    corpus size, the same shuffle-constant shape as the Gram build."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qi"),
+    )
+    qb = q.where(F.col("i") == 0).select(
+        "vec_id", F.col("qi").alias("q0")
+    )
+    c = (
+        q.join(qb, "vec_id")
+        .groupBy("i")
+        .agg(F.sum(F.col("qi") * F.col("q0")).alias("v1"))
+    )
+    p = (
+        q.join(F.broadcast(c), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qi") * F.col("v1")).alias("proj"))
+    )
+    return (
+        p.select(
+            F.when(F.col("proj") < 0, -1)
+            .when(F.col("proj") > 0, 1)
+            .otherwise(0)
+            .alias("sign"),
+            F.length(F.bin(F.abs("proj"))).cast("int").alias("magnitude_bits"),
+        )
+        .groupBy("sign", "magnitude_bits")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("sign", "magnitude_bits")
+    )
+
+
+@_staged(
+    "q_erasure_cascade",
+    oracle="""
+    WITH del_c AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+    ),
+    keep_c AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    keep_o AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM del_c)
+    ),
+    keep_l AS (
+        SELECT l_orderkey * 10 + l_linenumber AS k FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o)
+    ),
+    stats AS (
+        SELECT 'customer' AS tbl,
+               (SELECT count(*) FROM del_c) AS n_deleted,
+               (SELECT count(*) FROM keep_c) AS n_remaining,
+               (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR)),
+                                                    1, 10) AS BIGINT))
+                        AS BIGINT) FROM keep_c) AS survivors_checksum
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT count(*) FROM lineitem) -
+                   (SELECT count(*) FROM keep_l),
+               (SELECT count(*) FROM keep_l),
+               (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR)),
+                                                    1, 10) AS BIGINT))
+                        AS BIGINT) FROM keep_l)
+        UNION ALL
+        SELECT 'orders',
+               (SELECT count(*) FROM del_o),
+               (SELECT count(*) FROM keep_o),
+               (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR)),
+                                                    1, 10) AS BIGINT))
+                        AS BIGINT) FROM keep_o)
+    )
+    SELECT tbl, CAST(n_deleted AS BIGINT) AS n_deleted,
+           CAST(n_remaining AS BIGINT) AS n_remaining,
+           survivors_checksum
+    FROM stats
+    ORDER BY tbl
+    """,
+)
+def q_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: a deterministic deletion
+    list (every 97th customer) propagates through the FK chain
+    customer → orders → lineitem via anti-joins, and the output
+    reports, per table, how many rows the erasure removes, how many
+    survive, and a layout-invariant md5-40 checksum of the surviving
+    key set — the re-runnable evidence artifact a GDPR/CCPA erasure
+    job must produce at 100 TB (the checksum lets an auditor verify
+    the exact survivor set on a replica without row-by-row
+    comparison, the q_group_checksum idiom). Deletes are anti-joins
+    on the FK keys (broadcast: the deletion list is tiny relative to
+    facts); no table is ever rewritten to compute its audit."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    del_c = cust.where(F.col("c_custkey") % 97 == 0)
+    keep_c = cust.where(F.col("c_custkey") % 97 != 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    del_o = orders.join(
+        F.broadcast(del_c), orders["o_custkey"] == del_c["c_custkey"]
+    ).select("o_orderkey")
+    keep_o = orders.join(
+        F.broadcast(del_c),
+        orders["o_custkey"] == del_c["c_custkey"],
+        "left_anti",
+    ).select(F.col("o_orderkey").alias("k"))
+    keep_l = li.join(
+        F.broadcast(del_o),
+        li["l_orderkey"] == del_o["o_orderkey"],
+        "left_anti",
+    ).select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"))
+
+    def audit(tbl: str, deleted_cnt, kept: DataFrame) -> DataFrame:
+        cs = kept.agg(
+            F.count("*").alias("n_remaining"),
+            F.sum(_md5_40(F.col("k").cast("string"))).alias(
+                "survivors_checksum"
+            ),
+        )
+        return deleted_cnt.crossJoin(cs).select(
+            F.lit(tbl).alias("tbl"),
+            F.col("n_deleted").cast("long").alias("n_deleted"),
+            F.col("n_remaining").cast("long").alias("n_remaining"),
+            "survivors_checksum",
+        )
+
+    a_c = audit("customer", del_c.agg(F.count("*").alias("n_deleted")), keep_c)
+    n_li = li.agg(F.count("*").alias("n_total"))
+    del_l_cnt = (
+        n_li.crossJoin(keep_l.agg(F.count("*").alias("n_keep")))
+        .select((F.col("n_total") - F.col("n_keep")).alias("n_deleted"))
+    )
+    a_l = audit("lineitem", del_l_cnt, keep_l)
+    a_o = audit("orders", del_o.agg(F.count("*").alias("n_deleted")), keep_o)
+    return a_c.unionAll(a_l).unionAll(a_o).orderBy("tbl")

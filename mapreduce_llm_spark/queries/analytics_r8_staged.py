@@ -2075,3 +2075,1288 @@ def q_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_l = audit("lineitem", del_l_cnt, keep_l)
     a_o = audit("orders", del_o.agg(F.count("*").alias("n_deleted")), keep_o)
     return a_c.unionAll(a_l).unionAll(a_o).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 4 — md5-replay sketch QA (hash-strength twins for families that
+# are rows-only because their PRODUCTION hashes have no DuckDB twin:
+# minhash/simhash banding, count-min, bloom), plus experimentation
+# (CUPED, diff-in-differences), a join-key skew audit, lag features, and
+# the left-outer stream-stream join hash gate.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_minhash_eval",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM ws, unnest(
+            CASE WHEN len(words) >= 3
+                 THEN list_transform(generate_series(1, len(words) - 2),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                 ELSE [] END) AS t(s)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    m AS (
+        SELECT doc_id, i,
+               min(CAST('0x' || substr(
+                       md5(CAST(i AS VARCHAR) || ':' || s), 1, 10)
+                   AS BIGINT)) AS mh
+        FROM sh, unnest(generate_series(0, 11)) AS t(i)
+        GROUP BY doc_id, i
+    ),
+    bk AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i) AS bkey
+        FROM m GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_match
+        FROM cand c
+        JOIN m ma ON ma.doc_id = c.doc_a
+        JOIN m mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST(e.n_match * 10000 // 12 AS BIGINT) AS est_jaccard_e4,
+           CAST(coalesce(i.n_inter, 0) * 10000 //
+                (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) AS BIGINT)
+               AS jaccard_e4
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """,
+)
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH ESTIMATOR QA at hash strength: a 12-hash md5-40
+    minhash signature over 3-word shingles, banded 3×4, bucket-joined
+    into candidate pairs, and each candidate's signature-estimated
+    Jaccard printed NEXT TO its exact shingle Jaccard — the accuracy
+    readout for the production LSH (operators/dedup.minhash_lsh_pairs
+    stays rows-only because xxhash64 has no DuckDB twin; this twin
+    swaps in the house md5-40 so DuckDB replays the ENTIRE band→bucket
+    →estimate pipeline bit-for-bit, CLAUDE.md cross-engine hashing).
+    Scale shape is the production one: signatures are 12 rows per doc
+    (never the shingle set), candidates come only from band-key
+    equality (no all-pairs), and the exact-Jaccard leg joins shingles
+    only for the surviving candidate pairs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            r"filter(split(trim(lower(text)), '\\s+'), w -> w != '')"
+        ).alias("words"),
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(words) >= 3 THEN array_distinct("
+                " transform(sequence(0, size(words) - 3),"
+                "  i -> concat_ws(' ', slice(words, i + 1, 3))))"
+                " ELSE array() END"
+            )
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    m = (
+        sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i"))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(conv(substring(md5(concat(cast(i AS STRING), ':', s)),"
+                    " 1, 10), 16, 10) AS BIGINT)"
+                )
+            ).alias("mh")
+        )
+    )
+    bk = m.groupBy("doc_id", F.expr("i div 4").alias("band")).agg(
+        F.expr(
+            "concat_ws(':', transform(array_sort(collect_list(struct(i, mh))),"
+            " x -> cast(x.mh AS STRING)))"
+        ).alias("bkey")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma, mb = m.alias("ma"), m.alias("mb")
+    est = (
+        cand.join(ma, F.col("ma.doc_id") == F.col("doc_a"))
+        .join(
+            mb,
+            (F.col("mb.doc_id") == F.col("doc_b")) & (F.col("mb.i") == F.col("ma.i")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("ma.mh") == F.col("mb.mh"), 1).otherwise(0)
+            ).alias("n_match")
+        )
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("za_id"), F.col("n_sh").alias("n_sh_a"))
+    zb = sizes.select(F.col("doc_id").alias("zb_id"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, F.col("za_id") == F.col("doc_a"))
+        .join(zb, F.col("zb_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(n_match * 10000 div 12 AS BIGINT)").alias(
+                "est_jaccard_e4"
+            ),
+            F.expr(
+                "CAST(coalesce(n_inter, 0) * 10000 div"
+                " (n_sh_a + n_sh_b - coalesce(n_inter, 0)) AS BIGINT)"
+            ).alias("jaccard_e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@_staged(
+    "q_simhash_pairs",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM ws, unnest(words) AS t(w)
+        GROUP BY doc_id, w
+    ),
+    wh AS (
+        SELECT doc_id, c,
+               CAST('0x' || substr(md5(w), 1, 10) AS BIGINT) AS h
+        FROM wc
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               sum(c * (2 * ((h >> b) & 1) - 1)) AS s
+        FROM wh, unnest(generate_series(0, 39)) AS t(b)
+        GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (10 * band)) & 1023 AS bval
+        FROM sig, unnest(generate_series(0, 3)) AS t(band)
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band, bval) AS bsz
+        FROM bands
+    ),
+    keep AS (SELECT * FROM sized WHERE bsz <= 64),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM keep a JOIN keep b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates at hash strength: a 40-bit simhash
+    per document (per-bit majority vote of md5-40 word hashes weighted
+    by term frequency), banded into 4×10-bit keys, bucket-joined under
+    the production max_bucket_size=64 cap, and kept at hamming ≤ 2 —
+    the md5-replay twin of the production operators/dedup.simhash_pairs
+    (rows-only: xxhash64 bits have no DuckDB twin), so the ENTIRE
+    bit-vote → band → capped-bucket → hamming-filter pipeline gets one
+    bit-exact external record (CLAUDE.md md5-40 idiom). Scale shape
+    mirrors production: one keyed aggregate to 40 vote cells per doc,
+    signatures (not term vectors) join, candidates come only from
+    10-bit band-key equality, and the bucket cap bounds every bucket's
+    pair fan-out exactly as the production operator does on template-
+    heavy corpora (this corpus clusters: uncapped ≤ 8 yields 612k
+    pairs at sf0.1; capped ≤ 2 yields 825 true near-dups)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            r"filter(split(trim(lower(text)), '\\s+'), w -> w != '')"
+        ).alias("words"),
+    )
+    wc = (
+        d.select("doc_id", F.explode("words").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wh = wc.select(
+        "doc_id", "c", _md5_40(F.col("w")).alias("h")
+    )
+    bits = (
+        wh.select(
+            "doc_id", "c", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(39))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.expr("c * (2 * ((h >> b) & 1) - 1)")
+            ).alias("s")
+        )
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("bval", F.expr("(simhash >> (10 * band)) & 1023"))
+    keep = bands.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bval"))
+    ).where(F.col("bsz") <= 64)
+    a, b = keep.alias("a"), keep.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .where(F.expr("bit_count(sig_a ^ sig_b) <= 2"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@_staged(
+    "q_countmin_err",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    tc AS (
+        SELECT w, count(*) AS true_n
+        FROM ws, unnest(words) AS t(w)
+        GROUP BY w
+    ),
+    hashed AS (
+        SELECT w, true_n, r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 10)
+                    AS BIGINT) % 64 AS bucket
+        FROM tc, unnest(generate_series(0, 3)) AS t(r)
+    ),
+    cells AS (
+        SELECT r, bucket, sum(true_n) AS cell_n
+        FROM hashed GROUP BY r, bucket
+    ),
+    est AS (
+        SELECT h.w, h.true_n, min(c.cell_n) AS est_n
+        FROM hashed h
+        JOIN cells c ON c.r = h.r AND c.bucket = h.bucket
+        GROUP BY h.w, h.true_n
+    )
+    SELECT w AS word,
+           CAST(true_n AS BIGINT) AS true_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - true_n AS BIGINT) AS overcount
+    FROM est
+    ORDER BY true_n DESC, word
+    LIMIT 20
+    """,
+)
+def q_countmin_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy audit, bit-exact: a d=4 × w=64 CMS
+    over the corpus term stream (row hashes = md5-40(r:w) % 64, cells
+    = exact integer sums of colliding term counts, estimate = min over
+    rows) with the top-20 true-frequency terms' estimates and
+    overcounts — the external record for the sketch family whose
+    production HLL/CMS internals are legitimately oracle-less. CMS
+    guarantees est ≥ true and E[overcount] ≤ 2N/w; the overcount
+    column exhibits the bound on real data. Scale: the sketch is 256
+    integer cells regardless of corpus size (mergeable map-side
+    partials — the reason a 100 TB term census ships KB not TB);
+    the word-level join is |vocab| × 4 rows, never the token stream."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            r"filter(split(trim(lower(text)), '\\s+'), w -> w != '')"
+        ).alias("words")
+    )
+    tc = (
+        d.select(F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("true_n"))
+    )
+    hashed = tc.select(
+        "w",
+        "true_n",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+    ).withColumn(
+        "bucket",
+        _md5_40(F.expr("concat(cast(r AS STRING), ':', w)")) % 64,
+    )
+    cells = hashed.groupBy("r", "bucket").agg(F.sum("true_n").alias("cell_n"))
+    est = (
+        hashed.join(cells, ["r", "bucket"])
+        .groupBy("w", "true_n")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return (
+        est.select(
+            F.col("w").alias("word"),
+            F.col("true_n").cast("long").alias("true_n"),
+            F.col("est_n").cast("long").alias("est_n"),
+            (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("true_n"), "word")
+        .limit(20)
+    )
+
+
+@_staged(
+    "q_bloom_prefilter",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    pos AS (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                       || CAST(k AS VARCHAR)), 1, 10)
+                    AS BIGINT) % 65536 AS p
+        FROM keys, unnest(generate_series(0, 2)) AS t(i)
+    ),
+    probe AS (
+        SELECT c.c_custkey, c.c_mktsegment, i,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                       || CAST(c.c_custkey AS VARCHAR)), 1, 10)
+                    AS BIGINT) % 65536 AS p
+        FROM customer c, unnest(generate_series(0, 2)) AS t(i)
+    ),
+    hits AS (
+        SELECT pr.c_custkey, pr.c_mktsegment,
+               count(*) AS n_hit
+        FROM probe pr JOIN pos ON pos.p = pr.p
+        GROUP BY pr.c_custkey, pr.c_mktsegment
+    ),
+    verdict AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CASE WHEN coalesce(h.n_hit, 0) = 3 THEN 1 ELSE 0 END
+                   AS bloom_pass,
+               CASE WHEN k.k IS NOT NULL THEN 1 ELSE 0 END AS truly_in
+        FROM customer c
+        LEFT JOIN hits h ON h.c_custkey = c.c_custkey
+        LEFT JOIN keys k ON k.k = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           count(*)                                   AS n_customers,
+           CAST(sum(truly_in) AS BIGINT)              AS n_in_orders,
+           CAST(sum(bloom_pass) AS BIGINT)            AS n_bloom_pass,
+           CAST(sum(bloom_pass) - sum(truly_in) AS BIGINT)
+               AS n_false_pos
+    FROM verdict
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join-prefilter audit, bit-exact: a 65536-bit / 3
+    md5-40-hash Bloom filter built from the DISTINCT orders.o_custkey
+    set, probed by every customer, and scored per market segment —
+    true members, bloom passes, and false positives (bloom_pass ≥
+    truly_in always; the gap is the wasted shuffle a Bloom-prefiltered
+    join would still carry). This is the external record for the
+    runtime-filter family (Spark's own bloom pushdown is
+    engine-internal and unobservable); the md5 replay proves the exact
+    bit positions and the FP accounting. Scale: the filter is a fixed
+    64 K-position set (broadcastable KBs regardless of fact size), the
+    probe is 3 hashes per row, and membership is a position equi-join
+    — never a key-set shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    pos = (
+        keys.select(
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"), "k"
+        )
+        .select(
+            (
+                _md5_40(F.expr("concat(cast(i AS STRING), ':', cast(k AS STRING))"))
+                % 65536
+            ).alias("p")
+        )
+        .distinct()
+    )
+    probe = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"),
+    ).withColumn(
+        "p",
+        _md5_40(F.expr("concat(cast(i AS STRING), ':', cast(c_custkey AS STRING))"))
+        % 65536,
+    )
+    hits = (
+        probe.join(F.broadcast(pos), "p")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    verdict = (
+        cust.select("c_custkey", "c_mktsegment")
+        .join(hits.select("c_custkey", "n_hit"), "c_custkey", "left")
+        .join(
+            keys.select(F.col("k").alias("c_custkey"), F.lit(1).alias("in_o")),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            F.when(F.coalesce(F.col("n_hit"), F.lit(0)) == 3, 1)
+            .otherwise(0)
+            .alias("bloom_pass"),
+            F.when(F.col("in_o").isNotNull(), 1).otherwise(0).alias("truly_in"),
+        )
+    )
+    return (
+        verdict.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("truly_in").cast("long").alias("n_in_orders"),
+            F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+            (F.sum("bloom_pass") - F.sum("truly_in"))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_staged(
+    "q_skew_audit",
+    oracle="""
+    WITH fams AS (
+        SELECT 'lineitem.l_partkey' AS family, l_partkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', o_custkey FROM orders
+        UNION ALL
+        SELECT 'events.user_id', user_id FROM events
+    ),
+    counts AS (
+        SELECT family, k, count(*) AS cnt
+        FROM fams GROUP BY family, k
+    ),
+    tot2 AS (
+        SELECT family, sum(cnt) AS n_rows, count(*) AS n_keys,
+               max(cnt) AS max_cnt
+        FROM counts GROUP BY family
+    ),
+    top AS (
+        SELECT c.family, min(c.k) AS top_key
+        FROM counts c JOIN tot2 t
+          ON t.family = c.family AND c.cnt = t.max_cnt
+        GROUP BY c.family
+    ),
+    hot AS (
+        SELECT c.family,
+               sum(CASE WHEN c.cnt * t.n_keys > 2 * t.n_rows
+                        THEN 1 ELSE 0 END) AS n_hot_keys
+        FROM counts c JOIN tot2 t ON t.family = c.family
+        GROUP BY c.family
+    )
+    SELECT t.family,
+           CAST(t.n_rows AS BIGINT)  AS n_rows,
+           CAST(t.n_keys AS BIGINT)  AS n_keys,
+           CAST(t.max_cnt AS BIGINT) AS max_cnt,
+           CAST(t.max_cnt * 10000 // t.n_rows AS BIGINT) AS max_share_bp,
+           p.top_key,
+           CAST(h.n_hot_keys AS BIGINT) AS n_hot_keys
+    FROM tot2 t
+    JOIN top p ON p.family = t.family
+    JOIN hot h ON h.family = t.family
+    ORDER BY t.family
+    """,
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit across the four join-key families a
+    planner actually shuffles on (l_partkey, l_suppkey, o_custkey,
+    events.user_id): rows, distinct keys, the hottest key and its
+    basis-point share, and the count of keys above 2× the mean
+    (integer-multiply test cnt·n_keys > 2·n_rows — no division, no
+    float). This is the diagnostic that decides between plain hash
+    join, AQE skew split, and operators/skew.salted_join — measured,
+    not guessed. Scale: each family collapses to per-key counts with
+    map-side partials (the same shuffle the audited join would do,
+    once), and everything after runs on |keys| rows; the four family
+    scans stay independent (no cross-family shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    fams = (
+        li.select(F.lit("lineitem.l_partkey").alias("family"),
+                  F.col("l_partkey").alias("k"))
+        .unionAll(li.select(F.lit("lineitem.l_suppkey"),
+                            F.col("l_suppkey")))
+        .unionAll(orders.select(F.lit("orders.o_custkey"),
+                                F.col("o_custkey")))
+        .unionAll(ev.select(F.lit("events.user_id"), F.col("user_id")))
+    )
+    counts = fams.groupBy("family", "k").agg(F.count("*").alias("cnt"))
+    tot = counts.groupBy("family").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = (
+        counts.join(F.broadcast(tot), "family")
+        .where(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("family")
+        .agg(F.min("k").alias("top_key"))
+    )
+    hot = (
+        counts.join(F.broadcast(tot), "family")
+        .groupBy("family")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows"), 1
+                ).otherwise(0)
+            ).alias("n_hot_keys")
+        )
+    )
+    return (
+        tot.join(top, "family")
+        .join(hot, "family")
+        .select(
+            "family",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_cnt").cast("long").alias("max_cnt"),
+            F.expr("CAST(max_cnt * 10000 div n_rows AS BIGINT)").alias(
+                "max_share_bp"
+            ),
+            "top_key",
+            F.col("n_hot_keys").cast("long").alias("n_hot_keys"),
+        )
+        .orderBy("family")
+    )
+
+
+@_staged(
+    "q_cuped_adjust",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)
+                    AS BIGINT) % 2 AS variant,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM per_user
+    ),
+    theta AS (
+        SELECT n, sx,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+                   AS th
+        FROM pooled
+    ),
+    per_variant AS (
+        SELECT variant, count(*) AS nv, sum(x) AS sxv, sum(y) AS syv
+        FROM per_user GROUP BY variant
+    )
+    SELECT v.variant,
+           CAST(v.nv AS BIGINT) AS n_users,
+           CAST(floor(CAST(v.syv AS DOUBLE) / v.nv * 100) AS BIGINT)
+               AS mean_post_e2,
+           CAST(floor((CAST(v.syv AS DOUBLE) / v.nv
+                       - t.th * (CAST(v.sxv AS DOUBLE) / v.nv
+                                 - CAST(t.sx AS DOUBLE) / t.n)) * 100)
+                AS BIGINT) AS mean_adj_e2,
+           CAST(floor(t.th * 1000000) AS BIGINT) AS theta_e6
+    FROM per_variant v CROSS JOIN theta t
+    ORDER BY v.variant
+    """,
+)
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013 — public method): users md5-split into two variants, the
+    post-period metric (value cents after 2024-01-16) adjusted by the
+    pre-period covariate with the pooled theta = cov(x,y)/var(x).
+    Moments are EXACT int64 sums of e2-quantized cents; theta and the
+    adjusted means are one token-identical double chain on both
+    engines (identical operands ⇒ identical IEEE doubles ⇒ identical
+    e2/e6 floors — the q_ab_welch discipline). Degenerate var(x)
+    nullifs. Scale: one keyed per-user aggregate, one 5-integer pooled
+    row broadcast back over the 2-row variant table — the covariate
+    sweep never re-scans the events fact."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = "TIMESTAMP '2024-01-16 00:00:00'"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN ts < {cut}"
+                " THEN CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("x"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN ts >= {cut}"
+                " THEN CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("y"),
+    ).select(
+        (_md5_40(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "x",
+        "y",
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    theta = pooled.select(
+        "n",
+        "sx",
+        F.expr(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0D)"
+        ).alias("th"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count("*").alias("nv"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    return (
+        per_variant.crossJoin(F.broadcast(theta))
+        .select(
+            "variant",
+            F.col("nv").cast("long").alias("n_users"),
+            F.expr(
+                "CAST(floor(CAST(syv AS DOUBLE) / nv * 100) AS BIGINT)"
+            ).alias("mean_post_e2"),
+            F.expr(
+                "CAST(floor((CAST(syv AS DOUBLE) / nv"
+                " - th * (CAST(sxv AS DOUBLE) / nv"
+                "          - CAST(sx AS DOUBLE) / n)) * 100) AS BIGINT)"
+            ).alias("mean_adj_e2"),
+            F.expr("CAST(floor(th * 1000000) AS BIGINT)").alias("theta_e6"),
+        )
+        .orderBy("variant")
+    )
+
+
+@_staged(
+    "q_did_estimator",
+    oracle="""
+    WITH panel AS (
+        SELECT c.c_mktsegment,
+               CAST('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 10)
+                    AS BIGINT) % 2 AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+        SELECT c_mktsegment,
+               sum(CASE WHEN treated = 1 AND post = 0 THEN cents END) AS s_tp0,
+               sum(CASE WHEN treated = 1 AND post = 0 THEN 1 END)     AS n_tp0,
+               sum(CASE WHEN treated = 1 AND post = 1 THEN cents END) AS s_tp1,
+               sum(CASE WHEN treated = 1 AND post = 1 THEN 1 END)     AS n_tp1,
+               sum(CASE WHEN treated = 0 AND post = 0 THEN cents END) AS s_cp0,
+               sum(CASE WHEN treated = 0 AND post = 0 THEN 1 END)     AS n_cp0,
+               sum(CASE WHEN treated = 0 AND post = 1 THEN cents END) AS s_cp1,
+               sum(CASE WHEN treated = 0 AND post = 1 THEN 1 END)     AS n_cp1
+        FROM panel GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n_tp0 + n_tp1 + n_cp0 + n_cp1 AS BIGINT) AS n_orders,
+           CAST(floor(CAST(s_tp0 AS DOUBLE) / n_tp0 * 100) AS BIGINT)
+               AS mean_treat_pre_e2,
+           CAST(floor(CAST(s_tp1 AS DOUBLE) / n_tp1 * 100) AS BIGINT)
+               AS mean_treat_post_e2,
+           CAST(floor(CAST(s_cp0 AS DOUBLE) / n_cp0 * 100) AS BIGINT)
+               AS mean_ctrl_pre_e2,
+           CAST(floor(CAST(s_cp1 AS DOUBLE) / n_cp1 * 100) AS BIGINT)
+               AS mean_ctrl_post_e2,
+           CAST(floor((CAST(s_tp1 AS DOUBLE) / n_tp1
+                       - CAST(s_tp0 AS DOUBLE) / n_tp0
+                       - (CAST(s_cp1 AS DOUBLE) / n_cp1
+                          - CAST(s_cp0 AS DOUBLE) / n_cp0)) * 100)
+                AS BIGINT) AS did_e2
+    FROM cells
+    ORDER BY c_mktsegment
+    """,
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per market segment:
+    md5-parity customer cohorts (treated/control), pre/post split at
+    1998-01-01, cell means of order value cents, and DiD = (ΔT − ΔC)
+    — the standard causal-panel readout, exact to the representation:
+    integer cent sums per cell, one token-identical double division
+    chain, e2 floors (CLAUDE.md divergence classes all avoided). NULL
+    cells (a segment with an empty cohort-period) propagate NULL
+    rather than crash — sum(CASE…END) with no ELSE. Scale: one fact
+    join to the customer dim, one keyed aggregate to |segments| × 8
+    integers; nothing downstream touches fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    panel = orders.join(
+        cust, cust["c_custkey"] == orders["o_custkey"]
+    ).select(
+        "c_mktsegment",
+        (_md5_40(F.col("c_custkey").cast("string")) % 2).alias("treated"),
+        F.expr(
+            "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+            " THEN 1 ELSE 0 END"
+        ).alias("post"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    cells = panel.groupBy("c_mktsegment").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN treated = {t} AND post = {p} THEN {v} END"
+                )
+            ).alias(f"{a}_{'t' if t else 'c'}p{p}")
+            for t in (1, 0)
+            for p in (0, 1)
+            for a, v in (("s", "cents"), ("n", "1"))
+        ]
+    )
+    return cells.select(
+        "c_mktsegment",
+        F.expr("CAST(n_tp0 + n_tp1 + n_cp0 + n_cp1 AS BIGINT)").alias(
+            "n_orders"
+        ),
+        F.expr(
+            "CAST(floor(CAST(s_tp0 AS DOUBLE) / n_tp0 * 100) AS BIGINT)"
+        ).alias("mean_treat_pre_e2"),
+        F.expr(
+            "CAST(floor(CAST(s_tp1 AS DOUBLE) / n_tp1 * 100) AS BIGINT)"
+        ).alias("mean_treat_post_e2"),
+        F.expr(
+            "CAST(floor(CAST(s_cp0 AS DOUBLE) / n_cp0 * 100) AS BIGINT)"
+        ).alias("mean_ctrl_pre_e2"),
+        F.expr(
+            "CAST(floor(CAST(s_cp1 AS DOUBLE) / n_cp1 * 100) AS BIGINT)"
+        ).alias("mean_ctrl_post_e2"),
+        F.expr(
+            "CAST(floor((CAST(s_tp1 AS DOUBLE) / n_tp1"
+            " - CAST(s_tp0 AS DOUBLE) / n_tp0"
+            " - (CAST(s_cp1 AS DOUBLE) / n_cp1"
+            "    - CAST(s_cp0 AS DOUBLE) / n_cp0)) * 100) AS BIGINT)"
+        ).alias("did_e2"),
+    ).orderBy("c_mktsegment")
+
+
+@_staged(
+    "q_lag_features",
+    oracle="""
+    WITH sampled AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey % 50 = 0
+    ),
+    feat AS (
+        SELECT o_custkey, o_orderkey, cents,
+               lag(cents, 1) OVER w AS lag1_cents,
+               lag(cents, 2) OVER w AS lag2_cents,
+               sum(cents) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                   AS prev3_sum,
+               count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                   AS prev3_n,
+               date_diff('day',
+                         CAST(lag(o_orderdate, 1) OVER w AS DATE),
+                         CAST(o_orderdate AS DATE)) AS days_since_prev
+        FROM sampled
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, cents, lag1_cents, lag2_cents,
+           CAST(prev3_sum * 100 // nullif(prev3_n, 0) AS BIGINT)
+               AS prev3_avg_e2c,
+           CAST(days_since_prev AS BIGINT) AS days_since_prev
+    FROM feat
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series feature generation for a per-customer model: lag-1/
+    lag-2 order values, the exact rolling mean of the previous three
+    orders (integer sum·100 // count — no float), and days since the
+    previous order, over a deterministic 2% customer sample
+    (o_custkey % 50). The training-pipeline shape: keyed windows
+    ordered by event time with a unique tie-break, NULL (not zero) for
+    features that don't exist yet — exactly what a leakage-safe
+    feature store emits. Scale: the sample predicate pushes to the
+    scan BEFORE the window shuffle, windows partition by customer
+    (bounded rows per key), and every frame is O(1) state."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-3, -1)
+    sampled = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    feat = sampled.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        F.lag("cents", 1).over(w).alias("lag1_cents"),
+        F.lag("cents", 2).over(w).alias("lag2_cents"),
+        F.sum("cents").over(wf).alias("prev3_sum"),
+        F.count("*").over(wf).alias("prev3_n"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate", 1).over(w).cast("date"),
+        ).alias("days_since_prev"),
+    )
+    return feat.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        "lag1_cents",
+        "lag2_cents",
+        F.expr(
+            "CAST(prev3_sum * 100 div nullif(prev3_n, 0) AS BIGINT)"
+        ).alias("prev3_avg_e2c"),
+        F.col("days_since_prev").cast("long").alias("days_since_prev"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@_staged(
+    "q_stream_left_join",
+    oracle="""
+    WITH p AS (
+        SELECT user_id AS pu, ts AS pts, value AS pv
+        FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (
+        SELECT user_id AS au, ts AS ats, event_type AS atype
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+        SELECT pu, pts, pv, atype
+        FROM p LEFT JOIN a
+          ON au = pu AND ats <= pts AND ats >= pts - INTERVAL 30 MINUTE
+    )
+    SELECT coalesce(atype, '(none)') AS a_type,
+           count(*) AS n_pairs,
+           count(DISTINCT CAST(pu AS VARCHAR) || ':'
+                 || CAST(epoch_us(pts) AS VARCHAR)) AS n_purchases,
+           CAST(sum(CAST(floor(pv * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM j
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join under the hash gate: purchases
+    left-joined to the same user's preceding 30-minute activity with
+    watermarks on both sides
+    (streaming/pipeline.unattributed_purchases_stream), replayed file-
+    by-file and FLUSHED by two far-future sentinel micro-batches that
+    push both watermarks past every real purchase — the state-store
+    eviction that emits null-extended rows is exactly what's under
+    external check, because an outer join that never flushes looks
+    identical to an inner join. The completed replay, sentinels
+    excluded, must equal DuckDB's batch left join, summarized per
+    attribution type (matched pair counts, distinct purchases, exact
+    cent sums). Scale: state is bounded at watermark + horizon per
+    side (the condition bounds event time on BOTH ends); the sentinel
+    trick is the hermetic-test analogue of production's continuous
+    watermark advance."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from mapreduce_llm_spark.queries.streaming_queries import (
+        _publish_stream_source,
+        _run_ids,
+    )
+    from mapreduce_llm_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+        unattributed_purchases_stream,
+    )
+
+    base = _publish_stream_source(spark, sf_dir)
+    src = _tempfile.mkdtemp(prefix=f"q_stream_loj_{next(_run_ids)}_")
+    files = sorted(f for f in _os.listdir(base) if f.endswith(".parquet"))
+    t0 = _os.path.getmtime(_os.path.join(base, files[0]))
+    for i, f in enumerate(files):
+        dst = _os.path.join(src, f)
+        _shutil.copy(_os.path.join(base, f), dst)
+        _os.utime(dst, (t0 + i, t0 + i))
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    import datetime as _dt
+
+    for i, days in enumerate((10, 11)):
+        sent_ts = max_ts + _dt.timedelta(days=days)
+        table = _pa.table(
+            {
+                "event_id": _pa.array(
+                    [9_000_000 + 2 * i, 9_000_001 + 2 * i], _pa.int64()
+                ),
+                "ts": _pa.array([sent_ts] * 2, _pa.timestamp("us")),
+                "user_id": _pa.array([999_901 + i] * 2, _pa.int64()),
+                "event_type": _pa.array(["purchase", "click"], _pa.string()),
+                "value": _pa.array([0.0, 0.0], _pa.float64()),
+                "props": _pa.array(["", ""], _pa.string()),
+            }
+        )
+        p = _os.path.join(src, f"zz{i}.parquet")
+        _pq.write_table(table, p)
+        _os.utime(p, (t0 + 100 + i, t0 + 100 + i))
+    name = f"q_stream_loj_mem_{next(_run_ids)}_{_os.getpid()}"
+    got = run_to_memory(
+        unattributed_purchases_stream(
+            stream_events(spark, src, max_files_per_trigger=1)
+        ),
+        name,
+        output_mode="append",
+    ).filter(F.col("p_user") < 999_900)
+    summary = (
+        got.groupBy(
+            F.coalesce(F.col("a_type"), F.lit("(none)")).alias("a_type")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct(
+                F.expr("concat(cast(p_user AS STRING), ':',"
+                       " cast(unix_micros(p_ts) AS STRING))")
+            ).alias("n_purchases"),
+            F.sum(
+                F.expr("CAST(floor(p_value * 100 + 0.5) AS BIGINT)")
+            ).cast("long").alias("sum_value_cents"),
+        )
+        .orderBy("a_type")
+    )
+    # materialize before the scratch source disappears
+    out = spark.createDataFrame(summary.collect(), schema=summary.schema)
+    _shutil.rmtree(src, ignore_errors=True)
+    return out.orderBy("a_type")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 5 — planner/layout/storage audits (CBO cardinality, RLE/dict
+# compression advisory, timestamp delta-encoding), ranking drift,
+# positional inverted index, PQ/k-means exact-replay vector steps, and
+# the hourly load profile.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_join_card_audit",
+    oracle="""
+    WITH legs AS (
+        SELECT 'lineitem*orders/orderkey' AS join_id, l_orderkey AS k,
+               1 AS side FROM lineitem
+        UNION ALL
+        SELECT 'lineitem*orders/orderkey', o_orderkey, 2 FROM orders
+        UNION ALL
+        SELECT 'lineitem*part/partkey', l_partkey, 1 FROM lineitem
+        UNION ALL
+        SELECT 'lineitem*part/partkey', p_partkey, 2 FROM part
+        UNION ALL
+        SELECT 'orders*customer/custkey', o_custkey, 1 FROM orders
+        UNION ALL
+        SELECT 'orders*customer/custkey', c_custkey, 2 FROM customer
+    ),
+    hist AS (
+        SELECT join_id, k,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS nb
+        FROM legs GROUP BY join_id, k
+    ),
+    agg AS (
+        SELECT join_id,
+               sum(na)                     AS n_left,
+               sum(nb)                     AS n_right,
+               sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS d_left,
+               sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS d_right,
+               sum(na * nb)                AS exact_card
+        FROM hist GROUP BY join_id
+    )
+    SELECT join_id,
+           CAST(n_left AS BIGINT)  AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(d_left AS BIGINT)  AS d_left,
+           CAST(d_right AS BIGINT) AS d_right,
+           CAST(exact_card AS BIGINT) AS exact_card,
+           CAST(n_left * n_right // greatest(d_left, d_right) AS BIGINT)
+               AS uniform_est,
+           CAST((n_left * n_right // greatest(d_left, d_right))
+                * 10000 // nullif(exact_card, 0) AS BIGINT) AS est_ratio_bp
+    FROM agg
+    ORDER BY join_id
+    """,
+)
+def q_join_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the CBO sanity check run
+    WITHOUT executing any join: per-key histograms of both sides give
+    the exact equi-join output size (Σ nₐ·n_b over shared keys), which
+    the audit compares against the textbook uniform-distribution
+    estimate |A|·|B|/max(dₐ,d_b) that cost-based optimizers (and
+    Spark's CBO stats) actually use. est_ratio_bp ≈ 10000 means the
+    uniform assumption holds; large deviations mark joins where AQE /
+    salting / broadcast decisions need real histograms. Scale: one
+    union scan → one keyed count aggregate per join (map-side
+    partials); the audited joins are never materialized, so the audit
+    costs one shuffle per join regardless of output size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def leg(join_id: str, df: DataFrame, key: str, side: int) -> DataFrame:
+        return df.select(
+            F.lit(join_id).alias("join_id"),
+            F.col(key).alias("k"),
+            F.lit(side).alias("side"),
+        )
+
+    legs = (
+        leg("lineitem*orders/orderkey", li, "l_orderkey", 1)
+        .unionAll(leg("lineitem*orders/orderkey", orders, "o_orderkey", 2))
+        .unionAll(leg("lineitem*part/partkey", li, "l_partkey", 1))
+        .unionAll(leg("lineitem*part/partkey", part, "p_partkey", 2))
+        .unionAll(leg("orders*customer/custkey", orders, "o_custkey", 1))
+        .unionAll(leg("orders*customer/custkey", cust, "c_custkey", 2))
+    )
+    hist = legs.groupBy("join_id", "k").agg(
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == 2, 1).otherwise(0)).alias("nb"),
+    )
+    agg = hist.groupBy("join_id").agg(
+        F.sum("na").alias("n_left"),
+        F.sum("nb").alias("n_right"),
+        F.sum(F.when(F.col("na") > 0, 1).otherwise(0)).alias("d_left"),
+        F.sum(F.when(F.col("nb") > 0, 1).otherwise(0)).alias("d_right"),
+        F.sum(F.expr("na * nb")).alias("exact_card"),
+    )
+    return agg.select(
+        "join_id",
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        F.col("d_left").cast("long").alias("d_left"),
+        F.col("d_right").cast("long").alias("d_right"),
+        F.col("exact_card").cast("long").alias("exact_card"),
+        F.expr(
+            "CAST(n_left * n_right div greatest(d_left, d_right) AS BIGINT)"
+        ).alias("uniform_est"),
+        F.expr(
+            "CAST((n_left * n_right div greatest(d_left, d_right))"
+            " * 10000 div nullif(exact_card, 0) AS BIGINT)"
+        ).alias("est_ratio_bp"),
+    ).orderBy("join_id")
+
+
+@_staged(
+    "q_compress_advisory",
+    oracle="""
+    WITH src AS (
+        SELECT year(o_orderdate) AS part_year, o_orderdate, o_orderkey,
+               o_orderstatus, o_orderpriority,
+               CAST(o_custkey AS VARCHAR) AS o_custkey_s
+        FROM orders
+    ),
+    cols AS (
+        SELECT part_year, o_orderdate, o_orderkey,
+               'o_orderstatus' AS col, o_orderstatus AS v FROM src
+        UNION ALL
+        SELECT part_year, o_orderdate, o_orderkey,
+               'o_orderpriority', o_orderpriority FROM src
+        UNION ALL
+        SELECT part_year, o_orderdate, o_orderkey,
+               'o_custkey', o_custkey_s FROM src
+    ),
+    runs AS (
+        SELECT col, part_year, v,
+               CASE WHEN lag(v) OVER w IS DISTINCT FROM v
+                    THEN 1 ELSE 0 END AS is_run_start
+        FROM cols
+        WINDOW w AS (PARTITION BY col, part_year
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    stats AS (
+        SELECT col,
+               count(*)             AS n_rows,
+               count(DISTINCT v)    AS n_distinct,
+               sum(is_run_start)    AS n_runs
+        FROM runs GROUP BY col
+    )
+    SELECT col,
+           CAST(n_rows AS BIGINT)     AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_runs AS BIGINT)     AS n_runs,
+           CAST(n_runs * 10000 // n_rows AS BIGINT) AS run_ratio_bp,
+           CASE WHEN n_runs * 8 < n_rows THEN 'RLE'
+                WHEN n_distinct * 100 < n_rows THEN 'DICT'
+                ELSE 'PLAIN' END AS advisory
+    FROM stats
+    ORDER BY col
+    """,
+)
+def q_compress_advisory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisory for the date-partitioned write layout:
+    with orders laid out one partition per year and sorted by
+    (o_orderdate, o_orderkey) inside each — the write_range_sorted
+    layout — count each column's partition-local RLE runs and global
+    distinct cardinality, and emit the encoding a parquet writer
+    should pick (RLE when the sorted layout makes runs 8× shorter than
+    rows, dictionary when cardinality is < 1% of rows, plain
+    otherwise). This is the measured version of the guess behind every
+    'sort before write' recommendation. Scale: run counting uses ONLY
+    keyed windows (partition = the write partition, exactly the rows
+    one writer task sees — the window shuffle IS the write shuffle);
+    no global sort anywhere."""
+    src = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("part_year"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_custkey").cast("string").alias("o_custkey_s"),
+    )
+    cols = (
+        src.select(
+            "part_year", "o_orderdate", "o_orderkey",
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("v"),
+        )
+        .unionAll(
+            src.select(
+                "part_year", "o_orderdate", "o_orderkey",
+                F.lit("o_orderpriority"), F.col("o_orderpriority"),
+            )
+        )
+        .unionAll(
+            src.select(
+                "part_year", "o_orderdate", "o_orderkey",
+                F.lit("o_custkey"), F.col("o_custkey_s"),
+            )
+        )
+    )
+    runs = cols.select(
+        "col",
+        "v",
+        F.expr(
+            "CASE WHEN NOT (lag(v) OVER (PARTITION BY col, part_year"
+            " ORDER BY o_orderdate, o_orderkey) <=> v)"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_run_start"),
+    )
+    stats = runs.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum("is_run_start").alias("n_runs"),
+    )
+    return stats.select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.expr("CAST(n_runs * 10000 div n_rows AS BIGINT)").alias(
+            "run_ratio_bp"
+        ),
+        F.expr(
+            "CASE WHEN n_runs * 8 < n_rows THEN 'RLE'"
+            " WHEN n_distinct * 100 < n_rows THEN 'DICT'"
+            " ELSE 'PLAIN' END"
+        ).alias("advisory"),
+    ).orderBy("col")

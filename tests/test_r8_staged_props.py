@@ -1,0 +1,161 @@
+"""Semantic invariants for the round-8 staged tranche 4 — algebraic
+laws of the claimed algorithms that the DuckDB hash gate cannot
+express (it proves Spark ≡ oracle, not that both implement the
+CLAIMED semantics). Evaluated on real testdata at SF_DIR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.queries.analytics_r8_staged import STAGED
+from tests.conftest import SF_DIR
+
+
+def _run(spark, name):
+    return STAGED[name][0](spark, SF_DIR).collect()
+
+
+def test_countmin_never_undercounts(spark):
+    rows = _run(spark, "q_countmin_err")
+    assert len(rows) == 20
+    total = sum(r["true_n"] for r in rows)
+    for r in rows:
+        # the one-sided CMS guarantee: estimate >= truth, always
+        assert r["est_n"] >= r["true_n"]
+        assert r["overcount"] == r["est_n"] - r["true_n"]
+        assert r["overcount"] >= 0
+
+
+def test_bloom_has_no_false_negatives(spark):
+    rows = _run(spark, "q_bloom_prefilter")
+    assert rows
+    n_customers = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_customers
+    for r in rows:
+        # a Bloom filter may overshoot, never undershoot
+        assert r["n_bloom_pass"] >= r["n_in_orders"]
+        assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_in_orders"]
+        assert r["n_false_pos"] >= 0
+
+
+def test_skew_audit_accounts_for_every_row(spark):
+    rows = {r["family"]: r for r in _run(spark, "q_skew_audit")}
+    li = load_table(spark, SF_DIR, "lineitem")
+    expected = {
+        "lineitem.l_partkey": li.count(),
+        "lineitem.l_suppkey": li.count(),
+        "orders.o_custkey": load_table(spark, SF_DIR, "orders").count(),
+        "events.user_id": load_table(spark, SF_DIR, "events").count(),
+    }
+    assert set(rows) == set(expected)
+    for fam, r in rows.items():
+        assert r["n_rows"] == expected[fam]
+        # the hottest key is at least the mean
+        assert r["max_cnt"] * r["n_keys"] >= r["n_rows"]
+        assert r["max_share_bp"] == r["max_cnt"] * 10000 // r["n_rows"]
+    # spot-check the argmax leg on one family
+    top = rows["orders.o_custkey"]
+    cnt = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .where(F.col("o_custkey") == top["top_key"])
+        .collect()[0]["count"]
+    )
+    assert cnt == top["max_cnt"]
+
+
+def test_minhash_candidates_share_a_full_band(spark):
+    rows = _run(spark, "q_minhash_eval")
+    assert rows
+    for r in rows:
+        # band equality (3 bands x 4 rows) implies >= 4 of 12 matching
+        # signature components, so the estimate is >= 4/12 by law
+        assert r["est_jaccard_e4"] >= 4 * 10000 // 12
+        assert 0 <= r["jaccard_e4"] <= 10000
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_simhash_pairs_respect_threshold_and_order(spark):
+    rows = _run(spark, "q_simhash_pairs")
+    assert rows
+    seen = set()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 2
+        assert r["doc_a"] < r["doc_b"]
+        key = (r["doc_a"], r["doc_b"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_cuped_theta_is_pooled_and_users_partition(spark):
+    rows = _run(spark, "q_cuped_adjust")
+    assert len(rows) == 2
+    # theta is computed on the pooled population: identical in both rows
+    assert rows[0]["theta_e6"] == rows[1]["theta_e6"]
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_did_identity_and_order_accounting(spark):
+    rows = _run(spark, "q_did_estimator")
+    assert rows
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    for r in rows:
+        # did is floored from the exact chain, the cell means from
+        # their own chains: recomposition agrees within floor slack
+        recomposed = (
+            r["mean_treat_post_e2"]
+            - r["mean_treat_pre_e2"]
+            - (r["mean_ctrl_post_e2"] - r["mean_ctrl_pre_e2"])
+        )
+        assert abs(recomposed - r["did_e2"]) <= 4
+
+
+def test_lag_features_are_leakage_safe(spark):
+    rows = _run(spark, "q_lag_features")
+    assert rows
+    # the window orders by (o_orderdate, o_orderkey); recover that
+    # order from the source table to replay the lag chain
+    date_of = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: (date_of[r["o_orderkey"]], r["o_orderkey"]))
+        # output is ordered; the first order has no history features
+        assert rs[0]["lag1_cents"] is None
+        assert rs[0]["prev3_avg_e2c"] is None
+        for prev, cur in zip(rs, rs[1:]):
+            # lag1 is exactly the previous row's value, by construction
+            assert cur["lag1_cents"] == prev["cents"]
+            if cur["days_since_prev"] is not None:
+                assert cur["days_since_prev"] >= 0
+        for r in rs:
+            # history features exist together or not at all
+            assert (r["lag1_cents"] is None) == (r["prev3_avg_e2c"] is None)
+
+
+def test_stream_left_join_emits_unmatched_exactly_once(spark):
+    rows = {r["a_type"]: r for r in _run(spark, "q_stream_left_join")}
+    assert rows
+    # a null-extended row is one per unmatched purchase: never duplicated
+    if "(none)" in rows:
+        none = rows["(none)"]
+        assert none["n_pairs"] == none["n_purchases"]
+    # purchase events can't be attributed to other purchases
+    assert "purchase" not in rows

@@ -3360,3 +3360,592 @@ def q_compress_advisory(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'PLAIN' END"
         ).alias("advisory"),
     ).orderBy("col")
+
+
+@_staged(
+    "q_topk_overlap",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 1 ELSE 0 END AS period,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+        SELECT period, p_brand,
+               row_number() OVER (PARTITION BY period
+                                  ORDER BY sum(cents) DESC, p_brand) AS rnk
+        FROM rev GROUP BY period, p_brand
+    ),
+    ks AS (SELECT unnest([5, 10, 20]) AS k),
+    pre AS (SELECT k, p_brand, rnk FROM ranked, ks
+            WHERE period = 0 AND rnk <= k),
+    post AS (SELECT k, p_brand, rnk FROM ranked, ks
+             WHERE period = 1 AND rnk <= k),
+    ov AS (
+        SELECT pre.k,
+               count(*) AS n_common,
+               max(abs(pre.rnk - post.rnk)) AS max_displacement
+        FROM pre JOIN post ON post.k = pre.k AND post.p_brand = pre.p_brand
+        GROUP BY pre.k
+    )
+    SELECT ks.k,
+           CAST(coalesce(ov.n_common, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(ov.n_common, 0) * 10000 //
+                (2 * ks.k - coalesce(ov.n_common, 0)) AS BIGINT)
+               AS jaccard_e4,
+           CAST(ov.max_displacement AS BIGINT) AS max_displacement
+    FROM ks LEFT JOIN ov ON ov.k = ks.k
+    ORDER BY ks.k
+    """,
+)
+def q_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-drift metric between the pre- and post-1998 brand
+    revenue leaderboards: Jaccard overlap of the top-k sets and the
+    worst rank displacement among common members, at k = 5/10/20 —
+    the monitoring readout that tells a recommender/report owner
+    whether 'top brands' is stable across a data refresh. Revenue is
+    exact cents; ranks use the deterministic (revenue DESC, brand)
+    tie-break. Scale: one keyed aggregate to |period × brands| cells;
+    ranking windows run on those cells, never on fact rows; the
+    overlap join is at most k rows per side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        li.join(part, part["p_partkey"] == li["l_partkey"])
+        .join(orders, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            "p_brand",
+            F.expr(
+                "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+                " THEN 1 ELSE 0 END"
+            ).alias("period"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    ranked = (
+        rev.groupBy("period", "p_brand")
+        .agg(F.sum("cents").alias("s"))
+        .select(
+            "period",
+            "p_brand",
+            F.row_number()
+            .over(
+                Window.partitionBy("period").orderBy(
+                    F.desc("s"), F.col("p_brand")
+                )
+            )
+            .alias("rnk"),
+        )
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("k")
+    )
+    pre = ks.crossJoin(ranked.where(F.col("period") == 0)).where(
+        F.col("rnk") <= F.col("k")
+    )
+    post = (
+        ks.crossJoin(ranked.where(F.col("period") == 1))
+        .where(F.col("rnk") <= F.col("k"))
+        .select(
+            F.col("k").alias("k2"),
+            F.col("p_brand").alias("b2"),
+            F.col("rnk").alias("rnk2"),
+        )
+    )
+    ov = (
+        pre.join(
+            post,
+            (F.col("k2") == F.col("k")) & (F.col("b2") == F.col("p_brand")),
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.max(F.expr("abs(rnk - rnk2)")).alias("max_displacement"),
+        )
+    )
+    return (
+        ks.join(ov, "k", "left")
+        .select(
+            "k",
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("long")
+            .alias("n_common"),
+            F.expr(
+                "CAST(coalesce(n_common, 0) * 10000 div"
+                " (2 * k - coalesce(n_common, 0)) AS BIGINT)"
+            ).alias("jaccard_e4"),
+            F.col("max_displacement").cast("long").alias("max_displacement"),
+        )
+        .orderBy("k")
+    )
+
+
+@_staged(
+    "q_inverted_positions",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    postings AS (
+        SELECT doc_id,
+               unnest(words) AS w,
+               unnest(generate_series(1, len(words))) AS pos
+        FROM ws
+    ),
+    stats AS (
+        SELECT w,
+               count(DISTINCT doc_id) AS df,
+               count(*) AS cf,
+               sum(CAST('0x' || substr(md5(w || ':'
+                        || CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(pos AS VARCHAR)), 1, 10) AS BIGINT))
+                   AS postings_checksum
+        FROM postings GROUP BY w
+    )
+    SELECT w AS word,
+           CAST(df AS BIGINT) AS df,
+           CAST(cf AS BIGINT) AS cf,
+           CAST(postings_checksum AS BIGINT) AS postings_checksum
+    FROM stats
+    ORDER BY df DESC, word
+    LIMIT 25
+    """,
+)
+def q_inverted_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index audit: for the 25 highest-df terms,
+    document frequency, collection frequency, and an order-free
+    md5-40 checksum over every (term, doc, position) posting — the
+    artifact a phrase-query / proximity-search index build must get
+    bit-exact, externally proven without emitting the (banned) list
+    cells themselves. The checksum is a SUM of 40-bit terms, so it is
+    associative-safe under any partitioning (CLAUDE.md md5-arithmetic
+    idiom: signed-64 sums of 40-bit terms stay exact). Scale: one
+    posexplode scan → one keyed aggregate with map-side partials;
+    the top-25 cut is a TakeOrdered, not a global sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            r"filter(split(trim(lower(text)), '\\s+'), w -> w != '')"
+        ).alias("words"),
+    )
+    postings = d.select(
+        "doc_id", F.posexplode("words").alias("pos0", "w")
+    ).select("doc_id", "w", (F.col("pos0") + 1).alias("pos"))
+    stats = postings.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"),
+        F.sum(
+            _md5_40(
+                F.expr(
+                    "concat(w, ':', cast(doc_id AS STRING), ':',"
+                    " cast(pos AS STRING))"
+                )
+            )
+        ).alias("postings_checksum"),
+    )
+    return (
+        stats.select(
+            F.col("w").alias("word"),
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            F.col("postings_checksum").cast("long").alias("postings_checksum"),
+        )
+        .orderBy(F.desc("df"), "word")
+        .limit(25)
+    )
+
+
+@_staged(
+    "q_delta_encode",
+    oracle="""
+    WITH deltas AS (
+        SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS d_us
+        FROM events
+    ),
+    bucketed AS (
+        SELECT length(bin(d_us)) AS n_bits
+        FROM deltas WHERE d_us IS NOT NULL
+    )
+    SELECT CAST(n_bits AS BIGINT) AS n_bits,
+           count(*) AS n_deltas,
+           CAST(sum(n_bits) AS BIGINT) AS sum_bits,
+           CAST(count(*) * 64 - sum(n_bits) AS BIGINT) AS saved_bits
+    FROM bucketed
+    GROUP BY n_bits
+    ORDER BY n_bits
+    """,
+)
+def q_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp delta-encoding audit for the event stream: per-user
+    consecutive µs gaps, bucketed by their exact binary width
+    (length(bin(Δ)) — integer-exact on both engines, no float log2),
+    with the bit savings vs storing raw 64-bit timestamps — the
+    measured case for delta+varint encoding in a time-series layout
+    (the Gorilla-paper premise, audited on real data). Scale: one
+    keyed window (per-user, bounded rows) and one small aggregate;
+    the histogram is at most 64 rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.select(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("d_us")
+    ).where(F.col("d_us").isNotNull())
+    bucketed = deltas.select(
+        F.length(F.bin(F.col("d_us"))).cast("long").alias("n_bits")
+    )
+    return (
+        bucketed.groupBy("n_bits")
+        .agg(
+            F.count("*").alias("n_deltas"),
+            F.sum("n_bits").cast("long").alias("sum_bits"),
+            (F.count("*") * 64 - F.sum("n_bits"))
+            .cast("long")
+            .alias("saved_bits"),
+        )
+        .orderBy("n_bits")
+    )
+
+
+@_staged(
+    "q_hourly_profile",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, hour(ts) AS hr,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, hr, count(*) AS n_events,
+               sum(cents) AS sum_cents
+        FROM h GROUP BY event_type, hr
+    ),
+    m AS (
+        SELECT *,
+               sum(n_events) OVER (PARTITION BY event_type) AS type_total,
+               max(n_events) OVER (PARTITION BY event_type) AS type_peak
+        FROM c
+    )
+    SELECT event_type,
+           CAST(hr AS BIGINT) AS hr,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum_cents AS BIGINT) AS sum_cents,
+           CAST(n_events * 10000 // type_total AS BIGINT) AS share_bp,
+           CASE WHEN n_events = type_peak THEN 1 ELSE 0 END AS is_peak
+    FROM m
+    ORDER BY event_type, hr
+    """,
+)
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile per event type: volume, exact cent
+    value, basis-point share of the type's traffic, and a peak-hour
+    flag — the capacity-planning readout that sizes streaming
+    executors and decides trigger intervals per workload. Scale: one
+    keyed aggregate to ≤ |types| × 24 cells; the share/peak windows
+    run on those cells only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    c = ev.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents")
+    )
+    wt = Window.partitionBy("event_type")
+    m = c.withColumn("type_total", F.sum("n_events").over(wt)).withColumn(
+        "type_peak", F.max("n_events").over(wt)
+    )
+    return m.select(
+        "event_type",
+        F.col("hr").cast("long").alias("hr"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.expr("CAST(n_events * 10000 div type_total AS BIGINT)").alias(
+            "share_bp"
+        ),
+        F.expr(
+            "CASE WHEN n_events = type_peak THEN 1 ELSE 0 END"
+        ).alias("is_peak"),
+    ).orderBy("event_type", "hr")
+
+
+@_staged(
+    "q_kmeans_step",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, dim, qv
+        FROM (
+            SELECT vec_id,
+                   unnest(generate_series(1, len(embedding))) AS dim,
+                   unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                       AS qv
+            FROM embeddings
+        )
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_vec,
+               row_number() OVER (
+                   ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                                1, 10) AS BIGINT),
+                            vec_id) - 1 AS cidx
+        FROM embeddings
+        ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10)
+                      AS BIGINT), vec_id
+        LIMIT 4
+    ),
+    cdims AS (
+        SELECT s.cidx, q.dim, q.qv AS cq
+        FROM seeds s JOIN q ON q.vec_id = s.seed_vec
+    ),
+    dists AS (
+        SELECT q.vec_id, c.cidx,
+               CAST(sum((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS dist
+        FROM q JOIN cdims c ON c.dim = q.dim
+        GROUP BY q.vec_id, c.cidx
+    ),
+    assign AS (
+        SELECT vec_id,
+               min(dist * 4 + cidx) // 4 AS dist_before,
+               min(dist * 4 + cidx) % 4  AS cluster
+        FROM dists GROUP BY vec_id
+    ),
+    upd AS (
+        SELECT a.cluster, q.dim,
+               CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS mean_e3
+        FROM q JOIN assign a ON a.vec_id = q.vec_id
+        GROUP BY a.cluster, q.dim
+    )
+    SELECT a.cluster AS cidx,
+           count(*) AS n_assigned,
+           CAST(sum(a.dist_before) AS BIGINT) AS inertia_before,
+           min(u1.mean_e3) AS mean_dim1_e3,
+           min(uc.checksum) AS centroid_checksum
+    FROM assign a
+    JOIN (SELECT cluster, mean_e3 FROM upd WHERE dim = 1) u1
+      ON u1.cluster = a.cluster
+    JOIN (SELECT cluster,
+                 CAST(sum(CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)
+                          || ':' || CAST(dim AS VARCHAR) || ':'
+                          || CAST(mean_e3 AS VARCHAR)), 1, 10) AS BIGINT))
+                      AS BIGINT) AS checksum
+          FROM upd GROUP BY cluster) uc
+      ON uc.cluster = a.cluster
+    GROUP BY a.cluster
+    ORDER BY cidx
+    """,
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration, BIT-exact: k = 4 centroids
+    seeded deterministically (the 4 vec_ids with the smallest
+    md5-40 — no RNG), assignment by exact integer L2 on e3-quantized
+    components with a lowest-index tie-break, and the UPDATE step's
+    new centroids emitted as an md5-40 checksum over their 64 floored
+    per-dim means plus the first mean in the clear — the
+    iterative-ML companion to q_pca_power's power iteration: the
+    oracle replays assignment AND update exactly, which a float
+    k-means can never get. Scale: distances flow through one (vec ×
+    k) aggregate with the 256-cell centroid table broadcast; the
+    update is one keyed aggregate to k × 64 cells; nothing iterates
+    driver-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("qv"),
+    )
+    seeds = (
+        e.select("vec_id", _md5_40(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("seed_vec"),
+            (
+                F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+            ).alias("cidx"),
+        )
+    )
+    cdims = seeds.join(q, q["vec_id"] == seeds["seed_vec"]).select(
+        "cidx", "dim", F.col("qv").alias("cq")
+    )
+    dists = (
+        q.join(F.broadcast(cdims), "dim")
+        .groupBy("vec_id", "cidx")
+        .agg(F.sum(F.expr("(qv - cq) * (qv - cq)")).alias("dist"))
+    )
+    assign = dists.groupBy("vec_id").agg(
+        F.min(F.expr("dist * 4 + cidx")).alias("pk")
+    ).select(
+        "vec_id",
+        F.expr("pk div 4").alias("dist_before"),
+        F.expr("pk % 4").alias("cluster"),
+    )
+    upd = (
+        q.join(assign.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.expr(
+                "CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT)"
+            ).alias("mean_e3")
+        )
+    )
+    u1 = upd.where(F.col("dim") == 1).select(
+        "cluster", F.col("mean_e3").alias("mean_dim1_e3")
+    )
+    uc = upd.groupBy("cluster").agg(
+        F.sum(
+            _md5_40(
+                F.expr(
+                    "concat(cast(cluster AS STRING), ':',"
+                    " cast(dim AS STRING), ':', cast(mean_e3 AS STRING))"
+                )
+            )
+        ).alias("centroid_checksum")
+    )
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum("dist_before").cast("long").alias("inertia_before"),
+        )
+        .join(u1, "cluster")
+        .join(uc, "cluster")
+        .select(
+            F.col("cluster").alias("cidx"),
+            F.col("n_assigned").cast("long").alias("n_assigned"),
+            "inertia_before",
+            "mean_dim1_e3",
+            "centroid_checksum",
+        )
+        .orderBy("cidx")
+    )
+
+
+@_staged(
+    "q_embed_pq",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, (dim - 1) // 16 AS subspace, dim, qv
+        FROM (
+            SELECT vec_id,
+                   unnest(generate_series(1, len(embedding))) AS dim,
+                   unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                       AS qv
+            FROM embeddings
+        )
+    ),
+    seeds AS (
+        SELECT vec_id AS seed_vec,
+               row_number() OVER (
+                   ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                                1, 10) AS BIGINT),
+                            vec_id) - 1 AS cidx
+        FROM embeddings
+        ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10)
+                      AS BIGINT), vec_id
+        LIMIT 4
+    ),
+    cdims AS (
+        SELECT s.cidx, q.subspace, q.dim, q.qv AS cq
+        FROM seeds s JOIN q ON q.vec_id = s.seed_vec
+    ),
+    dists AS (
+        SELECT q.vec_id, q.subspace, c.cidx,
+               CAST(sum((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS dist
+        FROM q JOIN cdims c ON c.dim = q.dim AND c.subspace = q.subspace
+        GROUP BY q.vec_id, q.subspace, c.cidx
+    ),
+    codes AS (
+        SELECT vec_id, subspace,
+               min(dist * 4 + cidx) // 4 AS dist,
+               min(dist * 4 + cidx) % 4  AS code
+        FROM dists GROUP BY vec_id, subspace
+    )
+    SELECT CAST(subspace AS BIGINT) AS subspace,
+           CAST(code AS BIGINT) AS code,
+           count(*) AS n_assigned,
+           CAST(sum(dist) AS BIGINT) AS distortion
+    FROM codes
+    GROUP BY subspace, code
+    ORDER BY subspace, code
+    """,
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook audit, BIT-exact: the 64-dim
+    embeddings split into 4 × 16-dim subspaces, a 4-entry codebook
+    per subspace seeded from the md5-40-smallest vectors, every
+    vector assigned its nearest code per subspace by exact integer
+    L2 on e3 components (lowest-index tie-break), and the code
+    histogram + total quantization distortion emitted per (subspace,
+    code) — the PQ compression QA a billion-vector ANN index runs
+    before trusting 8-bit codes (Jégou et al., TPAMI 2011 — public
+    method). Scale: the codebook is 4 × 4 × 16 integers broadcast;
+    assignment is one keyed aggregate per (vec, subspace); the
+    output is ≤ 16 cells however many vectors exist."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr("CAST(dim0 div 16 AS INT)").alias("subspace"),
+        F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("qv"),
+    )
+    seeds = (
+        e.select("vec_id", _md5_40(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("seed_vec"),
+            (
+                F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+            ).alias("cidx"),
+        )
+    )
+    cdims = seeds.join(q, q["vec_id"] == seeds["seed_vec"]).select(
+        "cidx", "subspace", "dim", F.col("qv").alias("cq")
+    )
+    dists = (
+        q.join(F.broadcast(cdims), ["subspace", "dim"])
+        .groupBy("vec_id", "subspace", "cidx")
+        .agg(F.sum(F.expr("(qv - cq) * (qv - cq)")).alias("dist"))
+    )
+    codes = dists.groupBy("vec_id", "subspace").agg(
+        F.min(F.expr("dist * 4 + cidx")).alias("pk")
+    ).select(
+        "vec_id",
+        "subspace",
+        F.expr("pk div 4").alias("dist"),
+        F.expr("pk % 4").alias("code"),
+    )
+    return (
+        codes.groupBy("subspace", "code")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum("dist").cast("long").alias("distortion"),
+        )
+        .select(
+            F.col("subspace").cast("long").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+            F.col("n_assigned").cast("long").alias("n_assigned"),
+            "distortion",
+        )
+        .orderBy("subspace", "code")
+    )

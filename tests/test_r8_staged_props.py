@@ -159,3 +159,96 @@ def test_stream_left_join_emits_unmatched_exactly_once(spark):
         assert none["n_pairs"] == none["n_purchases"]
     # purchase events can't be attributed to other purchases
     assert "purchase" not in rows
+
+
+def test_join_card_audit_is_exact_on_a_real_join(spark):
+    rows = {r["join_id"]: r for r in _run(spark, "q_join_card_audit")}
+    # FK law: every lineitem matches exactly one order
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    fk = rows["lineitem*orders/orderkey"]
+    assert fk["exact_card"] == li_n
+    # the histogram prediction equals the executed join, no execution
+    # needed for the audit itself — execute once here to prove it
+    oc = rows["orders*customer/custkey"]
+    executed = (
+        load_table(spark, SF_DIR, "orders")
+        .join(
+            load_table(spark, SF_DIR, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    assert oc["exact_card"] == executed
+
+
+def test_compress_advisory_run_bounds(spark):
+    rows = _run(spark, "q_compress_advisory")
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert {r["col"] for r in rows} == {
+        "o_orderstatus", "o_orderpriority", "o_custkey"
+    }
+    for r in rows:
+        assert r["n_rows"] == n_orders
+        # every distinct value starts at least one run; runs never
+        # exceed rows
+        assert r["n_distinct"] <= r["n_runs"] <= r["n_rows"]
+        assert r["advisory"] in ("RLE", "DICT", "PLAIN")
+
+
+def test_topk_overlap_set_algebra(spark):
+    rows = _run(spark, "q_topk_overlap")
+    assert [r["k"] for r in rows] == [5, 10, 20]
+    for r in rows:
+        assert 0 <= r["n_common"] <= r["k"]
+        assert r["jaccard_e4"] == r["n_common"] * 10000 // (
+            2 * r["k"] - r["n_common"]
+        )
+        if r["n_common"]:
+            # both ranks of a common member are within [1, k]
+            assert 0 <= r["max_displacement"] <= r["k"] - 1
+
+
+def test_inverted_positions_df_cf_laws(spark):
+    rows = _run(spark, "q_inverted_positions")
+    assert len(rows) == 25
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert 1 <= r["df"] <= r["cf"]
+
+
+def test_delta_encode_accounts_for_every_gap(spark):
+    rows = _run(spark, "q_delta_encode")
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_deltas"] for r in rows) == n_events - n_users
+    for r in rows:
+        assert 1 <= r["n_bits"] <= 64
+        assert r["saved_bits"] == 64 * r["n_deltas"] - r["sum_bits"]
+
+
+def test_hourly_profile_partitions_traffic(spark):
+    rows = _run(spark, "q_hourly_profile")
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        peak = max(r["n_events"] for r in rs)
+        for r in rs:
+            assert r["is_peak"] == (1 if r["n_events"] == peak else 0)
+
+
+def test_pq_distortion_lower_bounds_kmeans_inertia(spark):
+    """Per-subspace independent code choice can only do better than the
+    joint full-vector assignment built from the same seeds."""
+    km = _run(spark, "q_kmeans_step")
+    pq = _run(spark, "q_embed_pq")
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_assigned"] for r in km) == n_vecs
+    assert sum(r["n_assigned"] for r in pq) == 4 * n_vecs
+    km_inertia = sum(r["inertia_before"] for r in km)
+    pq_distortion = sum(r["distortion"] for r in pq)
+    assert 0 <= pq_distortion <= km_inertia

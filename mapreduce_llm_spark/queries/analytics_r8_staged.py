@@ -17,6 +17,16 @@ side-effect-free for the registry (pinned by the staging test).
 Determinism discipline: identical to analytics_r7/r7b/r7c — exact
 integer/cents/e4-floor arithmetic everywhere, round(,4) only on
 ln/sqrt-class outputs, md5-40 arithmetic for every cross-engine hash.
+
+Round-8 flip checklist (pre-flighted in round 7): plan lint over all
+staged entries at sf0.001 shows NO cartesian products and NO Python
+crossings; six queries carry BroadcastNestedLoopJoin from broadcast
+scalar legs and need NLJ_OK entries on registration —
+q_bigram_perplexity / q_bm25_search / q_retrieval_eval (1-row
+N/avgdl corpus scalars), q_cuped_adjust (1-row pooled-theta leg),
+q_erasure_cascade (1-row totals leg), q_topk_overlap (3-row k-grid
+cross). The three q_stream_* entries execute eagerly (memory/parquet
+sink) like the registered streaming queries.
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-8 staged tranche 4 — algebraic
+"""Semantic invariants for the round-8 staged tranches 4 and 5 — algebraic
 laws of the claimed algorithms that the DuckDB hash gate cannot
 express (it proves Spark ≡ oracle, not that both implement the
 CLAIMED semantics). Evaluated on real testdata at SF_DIR.

@@ -178,15 +178,16 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
         GROUP BY a.source, b.source
     )
-    SELECT source_a, source_b,
-           CAST(n_shared AS BIGINT) AS n_shared,
+    SELECT ta.source AS source_a, tb.source AS source_b,
+           CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
            CAST(ta.n AS BIGINT) AS n_a,
            CAST(tb.n AS BIGINT) AS n_b,
-           CAST(n_shared * 10000 // least(ta.n, tb.n) AS BIGINT)
-               AS overlap_e4
-    FROM pair
-    JOIN tot ta ON ta.source = source_a
-    JOIN tot tb ON tb.source = source_b
+           CAST(coalesce(p.n_shared, 0) * 10000 // least(ta.n, tb.n)
+                AS BIGINT) AS overlap_e4
+    FROM tot ta
+    JOIN tot tb ON ta.source < tb.source
+    LEFT JOIN pair p
+      ON p.source_a = ta.source AND p.source_b = tb.source
     ORDER BY source_a, source_b
     """,
 )
@@ -194,7 +195,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: documents collapse to a 40-bit
     md5 fingerprint of their normalized word sequence, and every
     source pair sharing at least one fingerprint reports its shared
-    count and overlap coefficient (shared / smaller side, e4) — the
+    count and overlap coefficient (shared / smaller side, e4) — with
+    EVERY source pair present (zero-filled grid off the tiny per-source
+    totals, so 'no contamination' is an asserted 0, not a missing row,
+    and the gate is non-trivial at every scale) — the
     contamination matrix a corpus curator reads before mixing crawl
     snapshots (q_decontaminate answers train-vs-test; this maps
     source-vs-source). The pair join is blocked on the fingerprint
@@ -218,17 +222,20 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    grid = ta.join(tb, F.col("source_a") < F.col("source_b"))
     return (
-        pair.join(F.broadcast(ta), "source_a")
-        .join(F.broadcast(tb), "source_b")
+        grid.join(F.broadcast(pair), ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            "n_shared",
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("n_shared"),
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             F.expr(
-                "CAST(n_shared * 10000 div least(n_a, n_b) AS BIGINT)"
+                "CAST(coalesce(n_shared, 0) * 10000 div least(n_a, n_b)"
+                " AS BIGINT)"
             ).alias("overlap_e4"),
         )
         .orderBy("source_a", "source_b")

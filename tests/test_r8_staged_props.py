@@ -252,3 +252,140 @@ def test_pq_distortion_lower_bounds_kmeans_inertia(spark):
     km_inertia = sum(r["inertia_before"] for r in km)
     pq_distortion = sum(r["distortion"] for r in pq)
     assert 0 <= pq_distortion <= km_inertia
+
+
+# --- tranches 1-3 (previously hash-gated only) ---------------------------
+
+
+def test_stratified_kfold_partitions_the_corpus(spark):
+    rows = _run(spark, "q_stratified_kfold")
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["fold"] for r in rows} <= set(range(5))
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        assert 0 <= r["share_of_lang_e4"] <= 10000
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["share_of_lang_e4"]
+    for lang, s in by_lang.items():
+        # 5 integer floors lose at most 5 bp of the 10000
+        assert 10000 - 5 <= s <= 10000
+
+
+def test_source_overlap_is_the_full_zero_filled_grid(spark):
+    rows = _run(spark, "q_source_overlap")
+    n_sources = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_shared"] <= min(r["n_a"], r["n_b"])
+        assert r["overlap_e4"] == r["n_shared"] * 10000 // min(
+            r["n_a"], r["n_b"]
+        )
+
+
+def test_ks_and_auc_and_silhouette_bounds(spark):
+    for r in _run(spark, "q_ks_test"):
+        assert 0 <= r["d_e4"] <= 10000
+    for r in _run(spark, "q_auc_mannwhitney"):
+        assert 0 <= r["auc_e6"] <= 1_000_000
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
+    for r in _run(spark, "q_silhouette_lite"):
+        assert -1.0 <= r["mean_silhouette_r4"] <= 1.0
+
+
+def test_jsd_pairs_bounded_by_ln2(spark):
+    rows = _run(spark, "q_jsd_sources")
+    n_sources = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["jsd_r4"] <= 0.6932
+
+
+def test_retrieval_and_perplexity_metric_ranges(spark):
+    (r,) = _run(spark, "q_retrieval_eval")
+    assert 0 <= r["p_at10_e4"] <= 10000
+    assert 0 <= r["mrr_e4"] <= 10000
+    assert 0.0 <= r["ndcg10_r4"] <= 1.0
+    for row in _run(spark, "q_bigram_perplexity"):
+        # add-1 smoothed negative log-likelihood is nonnegative
+        assert row["mean_nll_r4"] >= 0.0
+    scores = [row["score_r4"] for row in _run(spark, "q_bm25_search")]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_calibration_bins_account(spark):
+    rows = _run(spark, "q_calibration_ece")
+    for r in rows:
+        assert 0 <= r["pos"] <= r["n"]
+        assert 0 <= r["conf_e6"] <= 1_000_000
+        assert 0 <= r["acc_e6"] <= 1_000_000
+
+
+def test_histogram_equidepth_buckets_are_ordered(spark):
+    rows = _run(spark, "q_histogram_equidepth")
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == li_n
+    by_rf: dict[str, list] = {}
+    for r in rows:
+        assert r["lo_cents"] <= r["hi_cents"]
+        by_rf.setdefault(r["rf"], []).append(r)
+    for rf, rs in by_rf.items():
+        rs.sort(key=lambda r: r["bucket"])
+        for prev, cur in zip(rs, rs[1:]):
+            assert prev["hi_cents"] <= cur["lo_cents"]
+
+
+def test_langid_confusion_accounts_for_every_doc(spark):
+    rows = _run(spark, "q_langid_confusion")
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_graph_staged_structural_laws(spark):
+    for r in _run(spark, "q_graph_linkpred"):
+        assert r["u"] != r["v"]
+        assert r["common"] >= 1
+        assert 0 <= r["jaccard_e4"] <= 10000
+    for r in _run(spark, "q_graph_labelprop"):
+        assert r["n_members"] >= 1
+    for r in _run(spark, "q_graph_twohop"):
+        assert 0 <= r["min_reach"] <= r["max_reach"]
+
+
+def test_pca_project_and_stl_and_erasure_accounting(spark):
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vectors"] for r in _run(spark, "q_pca_project")) == n_vecs
+    for r in _run(spark, "q_stl_outliers"):
+        assert 0 <= r["n_outliers"] <= r["n_days"]
+    counts = {
+        "customer": load_table(spark, SF_DIR, "customer").count(),
+        "orders": load_table(spark, SF_DIR, "orders").count(),
+        "lineitem": load_table(spark, SF_DIR, "lineitem").count(),
+    }
+    for r in _run(spark, "q_erasure_cascade"):
+        assert r["n_deleted"] + r["n_remaining"] == counts[r["tbl"]]
+
+
+def test_quantile_normalize_rank_bounds(spark):
+    rows = _run(spark, "q_quantile_normalize")
+    for r in rows:
+        assert 0 <= r["qrank_e4"] <= 10000
+        assert 0 <= r["decile"] <= 9
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["qrank_e4"])
+        for prev, cur in zip(rs, rs[1:]):
+            # decile is monotone in the quantile rank
+            assert prev["decile"] <= cur["decile"]

@@ -3546,7 +3546,9 @@ def q_inverted_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact, externally proven without emitting the (banned) list
     cells themselves. The checksum is a SUM of 40-bit terms, so it is
     associative-safe under any partitioning (CLAUDE.md md5-arithmetic
-    idiom: signed-64 sums of 40-bit terms stay exact). Scale: one
+    idiom: signed-64 sums of 40-bit terms stay exact to ~8.4M postings
+    per term; beyond that the same sum moves to DECIMAL(38,0)
+    unchanged — the q_ab_welch escalation path). Scale: one
     posexplode scan → one keyed aggregate with map-side partials;
     the top-25 cut is a TakeOrdered, not a global sort."""
     d = load_table(spark, sf_dir, "documents").select(

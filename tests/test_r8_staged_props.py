@@ -389,3 +389,22 @@ def test_quantile_normalize_rank_bounds(spark):
         for prev, cur in zip(rs, rs[1:]):
             # decile is monotone in the quantile rank
             assert prev["decile"] <= cur["decile"]
+
+
+def test_staged_results_are_partitioning_invariant(spark):
+    """Deterministic queries must not depend on the shuffle layout:
+    re-running under a different spark.sql.shuffle.partitions must
+    produce the identical ordered result (catches accidental
+    order-dependent folds and non-associative accumulations)."""
+    names = ("q_minhash_eval", "q_kmeans_step", "q_inverted_positions")
+    baseline = {
+        n: [tuple(r) for r in _run(spark, n)] for n in names
+    }
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        for n in names:
+            again = [tuple(r) for r in _run(spark, n)]
+            assert again == baseline[n], f"{n} depends on partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

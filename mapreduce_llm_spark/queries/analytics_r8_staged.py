@@ -25,8 +25,9 @@ scalar legs and need NLJ_OK entries on registration —
 q_bigram_perplexity / q_bm25_search / q_retrieval_eval (1-row
 N/avgdl corpus scalars), q_cuped_adjust (1-row pooled-theta leg),
 q_erasure_cascade (1-row totals leg), q_topk_overlap (3-row k-grid
-cross). The three q_stream_* entries execute eagerly (memory/parquet
-sink) like the registered streaming queries.
+cross), q_kanonymity (3-row k-grid cross), q_histogram_error (1-row
+min/max/n bounds leg). The three q_stream_* entries execute eagerly
+(memory/parquet sink) like the registered streaming queries.
 """
 
 from __future__ import annotations
@@ -3967,4 +3968,371 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distortion",
         )
         .orderBy("subspace", "code")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 6 — containment-based quote detection, numeric-precision and
+# privacy audits, and the optimizer-histogram error comparison.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_shingle_containment",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(ws[i:i+4], ' ')
+                           FOR i IN generate_series(1, greatest(len(ws) - 4,
+                                                                0))]) AS sh
+            FROM ws
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+    df AS (
+        SELECT sh FROM (SELECT sh, count(*) AS nd FROM sh GROUP BY sh)
+        WHERE nd BETWEEN 2 AND 20
+    ),
+    capped AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh)),
+    pair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM capped a JOIN capped b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.inter AS BIGINT)                      AS n_common,
+               CAST(p.inter * 10000 // sa.ns AS BIGINT)     AS contain_a_e4,
+               CAST(p.inter * 10000 // sb.ns AS BIGINT)     AS contain_b_e4,
+               CAST(p.inter * 10000 //
+                    (sa.ns + sb.ns - p.inter) AS BIGINT)    AS jaccard_e4
+        FROM pair p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT * FROM scored
+    WHERE greatest(contain_a_e4, contain_b_e4) >= 5000
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection — the quote/subset relation
+    Jaccard misses: a short document fully contained in a long one has
+    containment(A→B) = |A∩B|/|A| near 1 while Jaccard stays small, the
+    signal for quotation, boilerplate inclusion, and train-test
+    contamination by excerpt (Broder's containment, SEQUENCES '97 —
+    public method). Pairs come only from the df-capped 5-word shingle
+    inverted index (q_doc_knn's discipline: no all-pairs, hub shingles
+    dropped); kept where either direction's containment ≥ 0.5, with
+    both containments AND Jaccard so the asymmetry is visible. Exact
+    integer e4 everywhere."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z]+'), w -> w != '')"
+        ).alias("ws"),
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 5 THEN array_distinct("
+                " transform(sequence(0, size(ws) - 5),"
+                "  i -> concat_ws(' ', slice(ws, i + 1, 5))))"
+                " ELSE array() END"
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    df_ok = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd").between(2, 20))
+        .select("sh")
+    )
+    capped = sh.join(df_ok, "sh")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    pair = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("nsa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nsb"))
+    return (
+        pair.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("n_common"),
+            F.expr("CAST(inter * 10000 div nsa AS BIGINT)").alias(
+                "contain_a_e4"
+            ),
+            F.expr("CAST(inter * 10000 div nsb AS BIGINT)").alias(
+                "contain_b_e4"
+            ),
+            F.expr(
+                "CAST(inter * 10000 div (nsa + nsb - inter) AS BIGINT)"
+            ).alias("jaccard_e4"),
+        )
+        .where(F.expr("greatest(contain_a_e4, contain_b_e4) >= 5000"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@_staged(
+    "q_float_downcast_audit",
+    oracle="""
+    WITH cols AS (
+        SELECT 'l_extendedprice' AS col, l_extendedprice AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', l_quantity FROM lineitem
+        UNION ALL
+        SELECT 'o_totalprice', o_totalprice FROM orders
+    ),
+    audit AS (
+        SELECT col, v,
+               CAST(CAST(v AS REAL) AS DOUBLE) AS v32,
+               abs(v - CAST(CAST(v AS REAL) AS DOUBLE)) AS err
+        FROM cols
+    )
+    SELECT col,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN v <> v32 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lossy,
+           CAST(sum(CASE WHEN v <> v32 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS lossy_bp,
+           CAST(floor(max(err) * 100000000) AS BIGINT) AS max_abs_err_e8
+    FROM audit
+    GROUP BY col
+    ORDER BY col
+    """,
+)
+def q_float_downcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-precision audit for a float32 downcast — the exact
+    question a training pipeline asks before storing features or
+    embeddings in fp32/fp16: per column, how many values survive the
+    round-trip double→float→double bit-exactly and the worst absolute
+    error. Both engines implement IEEE 754 float casts, so the audit
+    itself is deterministic cross-engine (the e8 floor of max |err| is
+    one token-identical chain). Money columns (2-decimal doubles in
+    the 1e2–1e6 range) are the canonical lossy case; discounts in
+    [0, 0.1] mostly survive. Scale: one union scan, one keyed
+    aggregate, four output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cols = (
+        li.select(F.lit("l_extendedprice").alias("col"),
+                  F.col("l_extendedprice").alias("v"))
+        .unionAll(li.select(F.lit("l_discount"), F.col("l_discount")))
+        .unionAll(li.select(F.lit("l_quantity"), F.col("l_quantity")))
+        .unionAll(orders.select(F.lit("o_totalprice"), F.col("o_totalprice")))
+    )
+    audit = cols.select(
+        "col",
+        "v",
+        F.expr("CAST(CAST(v AS FLOAT) AS DOUBLE)").alias("v32"),
+        F.expr("abs(v - CAST(CAST(v AS FLOAT) AS DOUBLE))").alias("err"),
+    )
+    return (
+        audit.groupBy("col")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("v") != F.col("v32"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lossy"),
+            F.expr(
+                "CAST(sum(CASE WHEN v <> v32 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("lossy_bp"),
+            F.expr(
+                "CAST(floor(max(abs(v - CAST(CAST(v AS FLOAT) AS DOUBLE)))"
+                " * 100000000) AS BIGINT)"
+            ).alias("max_abs_err_e8"),
+        )
+        .orderBy("col")
+    )
+
+
+@_staged(
+    "q_kanonymity",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS gsz
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT ks.k,
+           CAST((SELECT count(*) FROM g) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN g.gsz < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(sum(CASE WHEN g.gsz < ks.k THEN g.gsz ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows,
+           CAST(min(g.gsz) AS BIGINT) AS min_group_size
+    FROM ks CROSS JOIN g
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """,
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier: for k = 2/5/10, how many equivalence classes fall
+    below k and how many ROWS those classes expose — the release
+    gate a privacy review runs before publishing 'anonymized'
+    aggregates (Sweeney's k-anonymity, IJUFKS 2002 — public method).
+    min_group_size is the dataset's achieved k. Scale: one keyed
+    aggregate to |quasi-identifier| cells; the k-grid cross join runs
+    on those cells, never on customer rows."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("gsz"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    )
+    return (
+        ks.crossJoin(g)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("gsz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_groups"),
+            F.sum(F.when(F.col("gsz") < F.col("k"), F.col("gsz")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed_rows"),
+            F.min("gsz").cast("long").alias("min_group_size"),
+        )
+        .select(
+            "k",
+            F.col("n_groups").cast("long").alias("n_groups"),
+            "n_small_groups",
+            "n_exposed_rows",
+            "min_group_size",
+        )
+        .orderBy("k")
+    )
+
+
+@_staged(
+    "q_histogram_error",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    bounds AS (SELECT min(cents) AS lo, max(cents) AS hi,
+                      count(*) AS n FROM v),
+    width AS (
+        SELECT v.cents,
+               least((v.cents - b.lo) * 16 //
+                     nullif(b.hi - b.lo + 1, 0), 15)
+                   AS bucket,
+               'equi_width' AS method
+        FROM v CROSS JOIN bounds b
+    ),
+    depth AS (
+        SELECT cents,
+               least((rn - 1) * 16 // n, 15) AS bucket,
+               'equi_depth' AS method
+        FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                     count(*) OVER () AS n
+              FROM v)
+    ),
+    both_m AS (SELECT * FROM width UNION ALL SELECT * FROM depth),
+    cells AS (
+        SELECT method, bucket,
+               count(*) AS bn, sum(cents) AS s1, sum(cents * cents) AS s2
+        FROM both_m GROUP BY method, bucket
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(bn) AS BIGINT) AS max_bucket_rows,
+           CAST(floor(sum(CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / bn)
+                      / 1000000) AS BIGINT) AS sse_e_minus6
+    FROM cells
+    GROUP BY method
+    ORDER BY method
+    """,
+)
+def q_histogram_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-histogram error comparison: the same 16 buckets spent
+    equi-width vs equi-depth on l_extendedprice, scored by within-
+    bucket SSE (the variance a selectivity estimator eats when it
+    assumes uniformity inside a bucket) — the measured version of why
+    every modern CBO keeps equi-depth histograms. Moments are exact
+    integer sums per cell; SSE is one token-identical double chain.
+    The equi-depth ranks at 100 TB route through
+    operators/ranking.global_row_number (range partition + prefix
+    sums), exactly as q_histogram_equidepth does; the oracle's single
+    ORDER BY window is DuckDB-side only. Scale: one aggregate to 32
+    cells after the rank pass."""
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    bounds = v.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    width = v.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        F.expr(
+            "least((cents - lo) * 16 div nullif(hi - lo + 1, 0), 15)"
+        ).alias("bucket"),
+        F.lit("equi_width").alias("method"),
+    )
+    ranked = global_row_number(v, [F.col("cents")], alias="rn")
+    depth = ranked.crossJoin(
+        F.broadcast(bounds.select("n"))
+    ).select(
+        "cents",
+        F.expr("least((rn - 1) * 16 div n, 15)").alias("bucket"),
+        F.lit("equi_depth").alias("method"),
+    )
+    cells = (
+        width.unionByName(depth)
+        .groupBy("method", "bucket")
+        .agg(
+            F.count("*").alias("bn"),
+            F.sum("cents").alias("s1"),
+            # cents^2 fits int64 per row; the per-bucket SUM does not at
+            # sf1+ (37.5k rows x 1e14 ~ 3.7e18 is already at the edge) --
+            # sum on DECIMAL(38,0), the q_agg_decimal_exact pattern;
+            # DuckDB's sum(BIGINT) is HUGEINT-exact already
+            F.sum(F.expr("CAST(cents * cents AS DECIMAL(38,0))")).alias("s2"),
+        )
+    )
+    return (
+        cells.groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("bn").cast("long").alias("max_bucket_rows"),
+            F.expr(
+                "CAST(floor(sum(CAST(s2 AS DOUBLE)"
+                " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / bn)"
+                " / 1000000) AS BIGINT)"
+            ).alias("sse_e_minus6"),
+        )
+        .orderBy("method")
     )

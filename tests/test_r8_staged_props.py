@@ -408,3 +408,53 @@ def test_staged_results_are_partitioning_invariant(spark):
             assert again == baseline[n], f"{n} depends on partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+# --- tranche 6 ------------------------------------------------------------
+
+
+def test_containment_dominates_jaccard(spark):
+    rows = _run(spark, "q_shingle_containment")
+    assert rows
+    for r in rows:
+        # containment >= jaccard always (same numerator, smaller denom)
+        assert max(r["contain_a_e4"], r["contain_b_e4"]) >= 5000
+        assert r["jaccard_e4"] <= r["contain_a_e4"]
+        assert r["jaccard_e4"] <= r["contain_b_e4"]
+        assert r["contain_a_e4"] <= 10000 and r["contain_b_e4"] <= 10000
+
+
+def test_float_downcast_quantifies_known_lossy_columns(spark):
+    rows = {r["col"]: r for r in _run(spark, "q_float_downcast_audit")}
+    assert set(rows) == {
+        "l_extendedprice", "l_discount", "l_quantity", "o_totalprice"
+    }
+    for r in rows.values():
+        assert 0 <= r["n_lossy"] <= r["n_rows"]
+        assert r["max_abs_err_e8"] >= 0
+    # money in the 1e2..1e5 range cannot fit float32's 24-bit mantissa
+    assert rows["l_extendedprice"]["n_lossy"] > 0
+    # integral quantities (1..50) are exactly representable
+    assert rows["l_quantity"]["n_lossy"] == 0
+
+
+def test_kanonymity_monotone_in_k(spark):
+    rows = sorted(_run(spark, "q_kanonymity"), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [2, 5, 10]
+    for prev, cur in zip(rows, rows[1:]):
+        # raising k can only expose more groups/rows
+        assert prev["n_small_groups"] <= cur["n_small_groups"]
+        assert prev["n_exposed_rows"] <= cur["n_exposed_rows"]
+        assert prev["n_groups"] == cur["n_groups"]
+        assert prev["min_group_size"] == cur["min_group_size"]
+
+
+def test_histogram_equidepth_beats_equiwidth_on_balance(spark):
+    rows = {r["method"]: r for r in _run(spark, "q_histogram_error")}
+    assert set(rows) == {"equi_width", "equi_depth"}
+    n = load_table(spark, SF_DIR, "lineitem").count()
+    # equi-depth buckets are balanced by construction: ceil(n/16)
+    assert rows["equi_depth"]["max_bucket_rows"] <= (n + 15) // 16 + 1
+    assert rows["equi_depth"]["n_buckets"] == 16
+    for r in rows.values():
+        assert r["sse_e_minus6"] >= 0

@@ -4336,3 +4336,284 @@ def q_histogram_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 7 — feature-store point-in-time correctness, sampling-bias
+# audit, and the dedup-savings report. Fills the round-8 window to a
+# fully pre-proven 50 (44 staged + 3 FUTURE_ORACLES flips + 3 here).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_asof_tolerance",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id AS pid, ts AS pts, user_id AS u,
+               NULL::BIGINT AS cid_never, 1 AS is_p
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, ts, user_id, NULL, 0
+        FROM events WHERE event_type = 'click'
+    ),
+    filled AS (
+        SELECT pid, pts, u, is_p,
+               max(CASE WHEN is_p = 0 THEN pts END) OVER (
+                   PARTITION BY u ORDER BY pts, is_p, pid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS asof_ts
+        FROM tagged
+    ),
+    p AS (SELECT pid, pts, u, asof_ts FROM filled WHERE is_p = 1),
+    named AS (
+        SELECT p.pid, p.pts, p.asof_ts,
+               max(c.event_id) AS cid
+        FROM p LEFT JOIN events c
+          ON c.event_type = 'click' AND c.user_id = p.u
+         AND c.ts = p.asof_ts
+        GROUP BY p.pid, p.pts, p.asof_ts
+    )
+    SELECT pid AS p_id,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND pts - asof_ts <= INTERVAL 30 MINUTE
+                THEN cid END AS c_id,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND pts - asof_ts <= INTERVAL 30 MINUTE
+                THEN CAST(epoch_us(pts) - epoch_us(asof_ts) AS BIGINT)
+           END AS gap_us,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND pts - asof_ts <= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS fresh
+    FROM named
+    ORDER BY p_id
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join WITH a staleness bound — the
+    feature-store correctness contract: each purchase gets the latest
+    same-user click at-or-before it, carrying ROW IDENTITY, but only
+    if the feature is ≤ 30 minutes old; a stale match is NULLed, not
+    silently served (the training-serving skew this op exists to
+    prevent). q_join_asof proves the unbounded backward join; this is
+    its tolerance-bounded, identity-carrying upgrade. Implemented as
+    the scalable union-tag running max (one shuffle per key, never a
+    range-candidate join), then one equi-join on (user, asof_ts) to
+    recover the click id (max id on ts ties — deterministic). Scale:
+    keyed windows only; the id-recovery join is equi on exact keys."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.col("user_id").alias("u"),
+        F.lit(1).alias("is_p"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.col("user_id").alias("u"),
+        F.lit(0).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("pts", "is_p", "pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = p.unionByName(c).withColumn(
+        "asof_ts",
+        F.max(F.when(F.col("is_p") == 0, F.col("pts"))).over(w),
+    )
+    pp = filled.where(F.col("is_p") == 1).select("pid", "pts", "u", "asof_ts")
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("asof_ts"),
+        F.col("event_id").alias("cid0"),
+    )
+    named = (
+        pp.join(clk, ["u", "asof_ts"], "left")
+        .groupBy("pid", "pts", "asof_ts")
+        .agg(F.max("cid0").alias("cid"))
+    )
+    fresh = (
+        "asof_ts IS NOT NULL AND pts - asof_ts <= INTERVAL 30 MINUTE"
+    )
+    return named.select(
+        F.col("pid").alias("p_id"),
+        F.expr(f"CASE WHEN {fresh} THEN cid END").alias("c_id"),
+        F.expr(
+            f"CASE WHEN {fresh} THEN CAST(unix_micros(CAST(pts AS TIMESTAMP))"
+            " - unix_micros(CAST(asof_ts AS TIMESTAMP)) AS BIGINT) END"
+        ).alias("gap_us"),
+        F.expr(f"CASE WHEN {fresh} THEN 1 ELSE 0 END").alias("fresh"),
+    ).orderBy("p_id")
+
+
+@_staged(
+    "q_sample_bias_audit",
+    oracle="""
+    WITH pop AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN CAST('0x' || substr(md5(CAST(o.o_orderkey
+                        AS VARCHAR)), 1, 10) AS BIGINT) % 100 = 0
+                    THEN 1 ELSE 0 END AS in_sample
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    agg AS (
+        SELECT seg,
+               count(*) AS n_pop, sum(cents) AS s_pop,
+               sum(in_sample) AS n_smp,
+               sum(CASE WHEN in_sample = 1 THEN cents ELSE 0 END) AS s_smp
+        FROM pop GROUP BY seg
+    )
+    SELECT seg,
+           CAST(n_pop AS BIGINT) AS n_pop,
+           CAST(n_smp AS BIGINT) AS n_smp,
+           CAST(floor(CAST(s_pop AS DOUBLE) / n_pop * 100) AS BIGINT)
+               AS pop_mean_e2,
+           CASE WHEN n_smp > 0 THEN
+               CAST(floor(CAST(s_smp AS DOUBLE) / n_smp * 100) AS BIGINT)
+           END AS smp_mean_e2,
+           CASE WHEN n_smp > 0 THEN
+               CAST(floor(abs(CAST(s_smp AS DOUBLE) / n_smp
+                              - CAST(s_pop AS DOUBLE) / n_pop)
+                          / (CAST(s_pop AS DOUBLE) / n_pop)
+                          * 10000) AS BIGINT)
+           END AS bias_bp
+    FROM agg
+    ORDER BY seg
+    """,
+)
+def q_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-bias audit for the deterministic 1% md5 sample: per
+    segment, the population mean order value vs the sample mean and
+    the relative bias in basis points — the representativeness check
+    every 100 TB pipeline owes its downstream consumers before
+    shipping sampled dashboards (the q_shuffle_shards/q_sample
+    reproducibility contract, audited rather than assumed). One keyed
+    aggregate computes population AND sample moments in the same pass
+    (the sample is a flag, not a second scan); exact integer sums,
+    token-identical double chains, e2/bp floors, NULL-guarded empty
+    sample cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pop = orders.join(cust, cust["c_custkey"] == orders["o_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.when(
+            _md5_40(F.col("o_orderkey").cast("string")) % 100 == 0, 1
+        )
+        .otherwise(0)
+        .alias("in_sample"),
+    )
+    agg = pop.groupBy("seg").agg(
+        F.count("*").alias("n_pop"),
+        F.sum("cents").alias("s_pop"),
+        F.sum("in_sample").alias("n_smp"),
+        F.sum(F.when(F.col("in_sample") == 1, F.col("cents")).otherwise(0))
+        .alias("s_smp"),
+    )
+    return agg.select(
+        "seg",
+        F.col("n_pop").cast("long").alias("n_pop"),
+        F.col("n_smp").cast("long").alias("n_smp"),
+        F.expr(
+            "CAST(floor(CAST(s_pop AS DOUBLE) / n_pop * 100) AS BIGINT)"
+        ).alias("pop_mean_e2"),
+        F.expr(
+            "CASE WHEN n_smp > 0 THEN"
+            " CAST(floor(CAST(s_smp AS DOUBLE) / n_smp * 100) AS BIGINT)"
+            " END"
+        ).alias("smp_mean_e2"),
+        F.expr(
+            "CASE WHEN n_smp > 0 THEN"
+            " CAST(floor(abs(CAST(s_smp AS DOUBLE) / n_smp"
+            "                - CAST(s_pop AS DOUBLE) / n_pop)"
+            "            / (CAST(s_pop AS DOUBLE) / n_pop)"
+            "            * 10000) AS BIGINT) END"
+        ).alias("bias_bp"),
+    ).orderBy("seg")
+
+
+@_staged(
+    "q_dedup_savings",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id, source, n_chars,
+               CAST('0x' || substr(md5(array_to_string(
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               w -> w <> ''), ' ')), 1, 10) AS BIGINT) AS fp
+        FROM documents
+    ),
+    grp AS (
+        SELECT source, fp,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               min(doc_id) AS keep_id
+        FROM fp GROUP BY source, fp
+    ),
+    kept AS (
+        SELECT g.source, g.fp, g.n_docs, g.total_chars,
+               f.n_chars AS kept_chars
+        FROM grp g JOIN fp f ON f.doc_id = g.keep_id
+    )
+    SELECT source,
+           CAST(sum(n_docs) AS BIGINT)                 AS n_docs,
+           CAST(count(*) AS BIGINT)                    AS n_unique,
+           CAST(sum(n_docs) - count(*) AS BIGINT)      AS n_redundant,
+           CAST(sum(total_chars - kept_chars) AS BIGINT) AS chars_saved,
+           CAST((sum(total_chars - kept_chars)) * 10000 //
+                sum(total_chars) AS BIGINT)            AS saved_bp
+    FROM kept
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup SAVINGS report — what q_dedup_exact's pair detection
+    becomes when finance asks 'how much storage does dedup buy': per
+    source, document counts before/after canonical selection (keep the
+    lowest doc_id per normalized-text fingerprint — deterministic, the
+    min-id rule of q_dedup_clusters), redundant rows, characters
+    saved, and the basis-point storage reduction. Exact integer
+    accounting end to end. Scale: one fingerprint scan, one keyed
+    aggregate per (source, fp), one min-id self-equi-join to price the
+    kept copy; no pair expansion anywhere."""
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        _md5_40(
+            F.array_join(
+                F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')"),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    grp = fp.groupBy("source", "fp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("keep_id"),
+    )
+    kept = grp.join(
+        fp.select(F.col("doc_id").alias("keep_id"),
+                  F.col("n_chars").alias("kept_chars")),
+        "keep_id",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique"),
+            (F.sum("n_docs") - F.count("*")).cast("long").alias("n_redundant"),
+            F.sum(F.expr("total_chars - kept_chars"))
+            .cast("long")
+            .alias("chars_saved"),
+            F.expr(
+                "CAST(sum(total_chars - kept_chars) * 10000"
+                " div sum(total_chars) AS BIGINT)"
+            ).alias("saved_bp"),
+        )
+        .orderBy("source")
+    )

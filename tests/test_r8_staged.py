@@ -38,7 +38,7 @@ def test_staged_module_has_no_registry_side_effects():
 
 
 def test_staged_names_are_new():
-    assert len(STAGED) == 44
+    assert len(STAGED) == 47
     for name in STAGED:
         assert name.startswith("q_")
 

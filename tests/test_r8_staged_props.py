@@ -458,3 +458,52 @@ def test_histogram_equidepth_beats_equiwidth_on_balance(spark):
     assert rows["equi_depth"]["n_buckets"] == 16
     for r in rows.values():
         assert r["sse_e_minus6"] >= 0
+
+
+# --- tranche 7 ------------------------------------------------------------
+
+
+def test_asof_tolerance_never_serves_stale_features(spark):
+    rows = _run(spark, "q_asof_tolerance")
+    assert rows
+    n_purchases = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    # one output row per purchase, no duplication, no loss
+    assert len(rows) == n_purchases
+    assert len({r["p_id"] for r in rows}) == n_purchases
+    for r in rows:
+        if r["fresh"] == 1:
+            assert r["c_id"] is not None
+            assert 0 <= r["gap_us"] <= 30 * 60 * 1_000_000
+        else:
+            # a stale feature is NULLed, never served
+            assert r["c_id"] is None and r["gap_us"] is None
+
+
+def test_sample_bias_audit_accounting(spark):
+    rows = _run(spark, "q_sample_bias_audit")
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_pop"] for r in rows) == n_orders
+    for r in rows:
+        assert 0 <= r["n_smp"] <= r["n_pop"]
+        if r["bias_bp"] is not None:
+            assert r["bias_bp"] >= 0
+
+
+def test_dedup_savings_conservation(spark):
+    rows = _run(spark, "q_dedup_savings")
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["chars_saved"] for r in rows) <= total_chars
+    for r in rows:
+        assert r["n_redundant"] == r["n_docs"] - r["n_unique"]
+        assert 0 <= r["saved_bp"] <= 10000
+        # no redundancy -> no savings; redundancy -> some savings unless
+        # every duplicate is a zero-length doc
+        if r["n_redundant"] == 0:
+            assert r["chars_saved"] == 0

@@ -4473,7 +4473,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n_smp > 0 THEN
                CAST(floor(CAST(s_smp AS DOUBLE) / n_smp * 100) AS BIGINT)
            END AS smp_mean_e2,
-           CASE WHEN n_smp > 0 THEN
+           CASE WHEN n_smp > 0 AND s_pop > 0 THEN
                CAST(floor(abs(CAST(s_smp AS DOUBLE) / n_smp
                               - CAST(s_pop AS DOUBLE) / n_pop)
                           / (CAST(s_pop AS DOUBLE) / n_pop)
@@ -4527,7 +4527,7 @@ def q_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("smp_mean_e2"),
         F.expr(
-            "CASE WHEN n_smp > 0 THEN"
+            "CASE WHEN n_smp > 0 AND s_pop > 0 THEN"
             " CAST(floor(abs(CAST(s_smp AS DOUBLE) / n_smp"
             "                - CAST(s_pop AS DOUBLE) / n_pop)"
             "            / (CAST(s_pop AS DOUBLE) / n_pop)"
@@ -4564,7 +4564,7 @@ def q_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_docs) - count(*) AS BIGINT)      AS n_redundant,
            CAST(sum(total_chars - kept_chars) AS BIGINT) AS chars_saved,
            CAST((sum(total_chars - kept_chars)) * 10000 //
-                sum(total_chars) AS BIGINT)            AS saved_bp
+                nullif(sum(total_chars), 0) AS BIGINT) AS saved_bp
     FROM kept
     GROUP BY source
     ORDER BY source
@@ -4612,7 +4612,7 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_saved"),
             F.expr(
                 "CAST(sum(total_chars - kept_chars) * 10000"
-                " div sum(total_chars) AS BIGINT)"
+                " div nullif(sum(total_chars), 0) AS BIGINT)"
             ).alias("saved_bp"),
         )
         .orderBy("source")

@@ -116,7 +116,8 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang,
            CAST(n_chars AS BIGINT) AS n_chars,
-           CAST((rk - 1) * 10000 // (n - 1) AS BIGINT) AS qrank_e4,
+           CAST(CASE WHEN n > 1 THEN (rk - 1) * 10000 // (n - 1)
+                     ELSE 0 END AS BIGINT) AS qrank_e4,
            CAST(least((rk - 1) * 10 // n, 9) AS INT) AS decile
     FROM r
     WHERE doc_id % 10 = 0
@@ -151,9 +152,10 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.col("n_chars").cast("long").alias("n_chars"),
-            F.expr("CAST((rk - 1) * 10000 div (n - 1) AS BIGINT)").alias(
-                "qrank_e4"
-            ),
+            F.expr(
+                "CAST(CASE WHEN n > 1 THEN (rk - 1) * 10000 div (n - 1)"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("qrank_e4"),
             F.expr("CAST(least((rk - 1) * 10 div n, 9) AS INT)").alias(
                 "decile"
             ),
@@ -978,8 +980,9 @@ def q_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ls AS l_linestatus,
            CAST(np AS BIGINT) AS n_pos,
            CAST(nt - np AS BIGINT) AS n_neg,
-           CAST((ranksum2 - np * (np + 1)) * 1000000
-                // (2 * np * (nt - np)) AS BIGINT) AS auc_e6
+           CAST(CASE WHEN np > 0 AND np < nt THEN
+                (ranksum2 - np * (np + 1)) * 1000000
+                // (2 * np * (nt - np)) END AS BIGINT) AS auc_e6
     FROM s
     ORDER BY l_linestatus
     """,
@@ -1029,8 +1032,9 @@ def q_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("np").alias("n_pos"),
             (F.col("nt") - F.col("np")).alias("n_neg"),
             F.expr(
-                "CAST((ranksum2 - np * (np + 1)) * 1000000"
-                " div (2 * np * (nt - np)) AS BIGINT)"
+                "CAST(CASE WHEN np > 0 AND np < nt THEN"
+                " (ranksum2 - np * (np + 1)) * 1000000"
+                " div (2 * np * (nt - np)) END AS BIGINT)"
             ).alias("auc_e6"),
         )
         .orderBy("l_linestatus")

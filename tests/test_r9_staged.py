@@ -1,0 +1,53 @@
+"""Round-9 staged-surface invariants (queries/analytics_r9_staged.py).
+
+Same contract as tests/test_r8_staged.py, one window further out: the
+round-8 window is fully allocated by the r8 staging + FUTURE_ORACLES
+flips, so surface built beyond that point stages in the r9 module and
+is proven NOW with the driver-gate harness at sf0.01 (and the sf0.1
+sweep env), carrying zero flip risk into round 9. Also pins that the
+module is registry-side-effect free and collision-free against BOTH
+the live registry and the round-8 staging.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_llm_spark import registry
+from mapreduce_llm_spark.queries.analytics_r8_staged import STAGED
+from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+from tests.conftest import SF_DIR
+from tests.oracle_harness import compare, duckdb_conn
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_staged_module_has_no_registry_side_effects():
+    for name in STAGED_R9:
+        assert name not in registry.QUERIES, (
+            f"{name} leaked into the registry — staged queries must not "
+            "register until their round-9 window slot exists"
+        )
+
+
+def test_staged_names_are_new():
+    assert len(STAGED_R9) == 3
+    for name in STAGED_R9:
+        assert name.startswith("q_")
+        assert name not in STAGED, (
+            f"{name} collides with the round-8 staging"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R9))
+def test_staged_query_hash_matches_oracle(spark, con, name):
+    fn, sql = STAGED_R9[name]
+    ok, msg = compare(fn(spark, SF_DIR), con, sql, name)
+    assert ok, msg

@@ -178,6 +178,18 @@ def main() -> None:
         "- Staged oracle flips: "
         + ", ".join(f"`{n}`" for n in sorted(FUTURE_ORACLES)),
     ]
+    from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+
+    lines += [
+        "",
+        "## Staged for the round-9 window (derived)",
+        "",
+        f"{len(STAGED_R9)} complete (query, oracle) pairs in "
+        "queries/analytics_r9_staged.py — hash-proven by "
+        "tests/test_r9_staged.py; surface built after the round-8 "
+        "window filled stages one window further out: "
+        + ", ".join(f"`{n}`" for n in sorted(STAGED_R9)),
+    ]
     lines += [
         "",
         "## Library surface without a query form",

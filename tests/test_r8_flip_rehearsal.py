@@ -22,7 +22,7 @@ import os
 import re
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r8_staged import STAGED
+from mapreduce_llm_spark.queries.analytics_r8_staged import ROUND8_WINDOW, STAGED
 from mapreduce_llm_spark.queries.future_oracles import FUTURE_ORACLES
 
 registry.load_all()
@@ -34,6 +34,16 @@ WINDOW = 50
 
 def test_flip_fills_the_round8_window_exactly():
     assert len(STAGED) + len(FUTURE_ORACLES) == WINDOW
+
+
+def test_predrafted_window_is_exactly_the_flip_set():
+    assert len(ROUND8_WINDOW) == WINDOW
+    assert len(set(ROUND8_WINDOW)) == WINDOW, "duplicate window entry"
+    assert set(ROUND8_WINDOW) == set(STAGED) | set(FUTURE_ORACLES)
+    # graduations front the window: their upgrade is the round's point
+    assert ROUND8_WINDOW[: len(FUTURE_ORACLES)] == sorted(FUTURE_ORACLES) or set(
+        ROUND8_WINDOW[: len(FUTURE_ORACLES)]
+    ) == set(FUTURE_ORACLES)
 
 
 def test_staged_names_do_not_collide_and_flips_target_rows_only():

@@ -202,6 +202,24 @@ HEADLINE = [
     "q_graph_kcore",
     "q_cdc_apply",
     "q_negative_sample",
+    # round 8 batch representatives: the md5-replay MinHash eval (the
+    # batch's heaviest candidate-generation path), BM25 retrieval,
+    # pairwise JSD drift, two-hop graph reach, one exact Lloyd step +
+    # PQ codebook audit (vector quantization), inverted-index
+    # containment, equi-depth-vs-equi-width histogram scoring
+    # (range-partitioned global ranks), per-lang quantile ranks, and
+    # the point-in-time as-of tolerance join (the q_stream_* entries
+    # stay out per the stream-replay rule above)
+    "q_minhash_eval",
+    "q_bm25_search",
+    "q_jsd_sources",
+    "q_graph_twohop",
+    "q_kmeans_step",
+    "q_embed_pq",
+    "q_shingle_containment",
+    "q_histogram_error",
+    "q_quantile_normalize",
+    "q_asof_tolerance",
 ]
 
 
@@ -289,6 +307,14 @@ def main() -> None:
             }
         )
     )
+    # Pad the gap between the big full-map line and the compact gate
+    # line with blank lines, sized past the driver's last-N-chars
+    # stdout capture: without it the capture starts mid-way through
+    # the full line and the archived tail leads with a confusing
+    # truncated fragment (VERDICT r7 finding #3). With the padding,
+    # any last-2-4 KB capture contains only whole lines (blank lines
+    # + the standalone-parseable gate record).
+    sys.stdout.write("\n" * 4096)
     # Compact gate record LAST: the driver keeps only the last ~2 KB
     # of stdout, and both BENCH_r05 and BENCH_r06 lost the head of the
     # single big line to that capture ("parsed": null — VERDICT r6

@@ -87,7 +87,14 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint()
+            # localCheckpoint returns a NEW DataFrame backed by the
+            # checkpoint files; drop the superseded generation's cache
+            # (eager by default, so the data is safe before unpersist) —
+            # otherwise every checkpoint leaves one dead cached
+            # generation pinned in executor storage until LRU eviction
+            checkpointed = labels.localCheckpoint()
+            labels.unpersist()
+            labels = checkpointed
         if changed == 0:
             break
 

@@ -1,33 +1,29 @@
-"""Round-8 STAGED surface — full (query fn, DuckDB oracle) pairs,
-hash-proven NOW but NOT registered: the round-7 window is exactly full
-(registry.DRIVER_PRIORITY, 50/50), and the external-book invariant
-(tests/test_plans.py::test_external_book_stays_closed) by design
-forbids landing surface the driver cannot verify this round. This
-module is the window-sized-tranche staging area that rule creates:
-tests/test_r8_staged.py runs every entry through the SAME harness as
-the driver gate at sf0.01 (and the sf0.1 sweep env), so the round-8
-flip into ``@query(oracle=...)`` declarations + DRIVER_PRIORITY slots
-carries no new risk — the generalization of queries/future_oracles.py
-(which stages oracle SQL for already-registered rows-only queries)
-to whole new queries.
-
-NOT imported by registry.load_all — importing it must stay
-side-effect-free for the registry (pinned by the staging test).
+"""Round-8 registered surface — 47 oracle-backed analytics queries,
+staged (as queries/analytics_r8_staged.py) and hash-proven through the
+driver-gate harness at sf0.01 AND sf0.1 in round 7, flipped into live
+``@query(oracle=...)`` declarations in round 8 the moment the round-7
+window verified (the external-book invariant,
+tests/test_plans.py::test_external_book_stays_closed, allows new
+oracle-backed surface only when it fits the current DRIVER_PRIORITY
+window). The flip was rehearsed in round 7
+(tests/test_r8_flip_rehearsal.py at the time): no collisions, exactly
+50 slots with the 3 FUTURE_ORACLES graduations fronting, backlog
+closure by construction.
 
 Determinism discipline: identical to analytics_r7/r7b/r7c — exact
 integer/cents/e4-floor arithmetic everywhere, round(,4) only on
 ln/sqrt-class outputs, md5-40 arithmetic for every cross-engine hash.
 
-Round-8 flip checklist (pre-flighted in round 7): plan lint over all
-staged entries at sf0.001 shows NO cartesian products and NO Python
-crossings; six queries carry BroadcastNestedLoopJoin from broadcast
-scalar legs and need NLJ_OK entries on registration —
-q_bigram_perplexity / q_bm25_search / q_retrieval_eval (1-row
-N/avgdl corpus scalars), q_cuped_adjust (1-row pooled-theta leg),
-q_erasure_cascade (1-row totals leg), q_topk_overlap (3-row k-grid
-cross), q_kanonymity (3-row k-grid cross), q_histogram_error (1-row
-min/max/n bounds leg). The three q_stream_* entries execute eagerly
-(memory/parquet sink) like the registered streaming queries.
+Plan-lint status (pre-flighted at sf0.001 before the flip): no
+cartesian products, no Python crossings; the BroadcastNestedLoopJoin
+hits are all allowlisted broadcast scalar/grid legs (NLJ_OK in
+tests/test_plan_lint.py) — q_bigram_perplexity / q_bm25_search /
+q_retrieval_eval (1-row N/avgdl corpus scalars), q_cuped_adjust
+(1-row pooled-theta leg), q_erasure_cascade (1-row totals leg),
+q_topk_overlap / q_kanonymity (3-row k-grid crosses),
+q_histogram_error (1-row min/max/n bounds leg). The three q_stream_*
+entries execute eagerly (memory/parquet sink) like the other
+registered streaming queries.
 """
 
 from __future__ import annotations
@@ -38,55 +34,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-#: name -> (query fn, DuckDB oracle SQL); round 8 flips these into
-#: @query(oracle=...) declarations verbatim.
-STAGED: dict[str, tuple[QueryFn, str]] = {}
-
-#: The exact round-8 DRIVER_PRIORITY window, pre-drafted so the flip
-#: is mechanical: the 3 FUTURE_ORACLES graduations front the window
-#: (the only entries whose external record is weaker than achievable),
-#: then the staged queries in definition (= tranche) order.
-#: tests/test_r8_flip_rehearsal.py pins that this list is exactly
-#: FUTURE_ORACLES + STAGED with no gaps, dupes, or strays.
-ROUND8_WINDOW: list[str] = [
-    # FUTURE_ORACLES graduations (rows-only -> hash strength)
-    "q_graph_pagerank", "q_sim_recall", "q_text_fingerprint",
-    # tranches 1-3: transforms, stats, retrieval, graph, streaming
-    "q_stratified_kfold", "q_quantile_normalize", "q_source_overlap",
-    "q_ks_test", "q_jsd_sources", "q_bigram_perplexity", "q_bm25_search",
-    "q_graph_linkpred", "q_rolling_ols", "q_silhouette_lite",
-    "q_auc_mannwhitney", "q_calibration_ece", "q_histogram_equidepth",
-    "q_feature_matrix", "q_graph_labelprop", "q_graph_twohop",
-    "q_retrieval_eval", "q_stream_ohlc", "q_stream_upsert",
-    "q_langid_confusion", "q_stl_outliers", "q_pca_project",
-    "q_erasure_cascade",
-    # tranche 4: md5-replay sketch QA + experimentation + outer join
-    "q_minhash_eval", "q_simhash_pairs", "q_countmin_err",
-    "q_bloom_prefilter", "q_skew_audit", "q_cuped_adjust",
-    "q_did_estimator", "q_lag_features", "q_stream_left_join",
-    # tranche 5: planner/layout/storage audits + vector quantization
-    "q_join_card_audit", "q_compress_advisory", "q_topk_overlap",
-    "q_inverted_positions", "q_delta_encode", "q_hourly_profile",
-    "q_kmeans_step", "q_embed_pq",
-    # tranche 6: containment / precision / privacy / histogram audits
-    "q_shingle_containment", "q_float_downcast_audit", "q_kanonymity",
-    "q_histogram_error",
-    # tranche 7: feature-store PIT, sampling bias, dedup savings
-    "q_asof_tolerance", "q_sample_bias_audit", "q_dedup_savings",
-]
-
-
-def _staged(name: str, oracle: str):
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED:
-            raise ValueError(f"duplicate staged query {name!r}")
-        STAGED[name] = (fn, oracle)
-        return fn
-
-    return deco
 
 
 def _md5_40(col: Column) -> Column:
@@ -94,7 +44,7 @@ def _md5_40(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
 
 
-@_staged(
+@query(
     "q_stratified_kfold",
     oracle="""
     WITH f AS (
@@ -137,7 +87,7 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fold", "lang")
 
 
-@_staged(
+@query(
     "q_quantile_normalize",
     oracle="""
     WITH r AS (
@@ -197,7 +147,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_source_overlap",
     oracle="""
     WITH fp AS (
@@ -278,7 +228,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_ks_test",
     oracle="""
     WITH v AS (
@@ -368,7 +318,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_jsd_sources",
     oracle="""
     WITH toks AS (
@@ -456,7 +406,7 @@ def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_bigram_perplexity",
     oracle="""
     WITH ws AS (
@@ -561,7 +511,7 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_bm25_search",
     oracle="""
     WITH ws AS (
@@ -650,7 +600,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_graph_linkpred",
     oracle="""
     WITH cp AS (
@@ -768,7 +718,7 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_rolling_ols",
     oracle="""
     WITH m AS (
@@ -853,7 +803,7 @@ def q_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_silhouette_lite",
     oracle="""
     WITH q AS (
@@ -986,7 +936,7 @@ def q_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_auc_mannwhitney",
     oracle="""
     WITH cell AS (
@@ -1074,7 +1024,7 @@ def q_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_calibration_ece",
     oracle="""
     WITH cell AS (
@@ -1144,7 +1094,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin_cents")
 
 
-@_staged(
+@query(
     "q_histogram_equidepth",
     oracle="""
     WITH r AS (
@@ -1209,7 +1159,7 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_feature_matrix",
     oracle="""
     WITH o AS (
@@ -1377,7 +1327,7 @@ def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_graph_labelprop",
     oracle=f"""
     WITH {_LINKPRED_EDGES_SQL},
@@ -1452,7 +1402,7 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_graph_twohop",
     oracle=f"""
     WITH {_LINKPRED_EDGES_SQL},
@@ -1506,7 +1456,7 @@ def q_graph_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_retrieval_eval",
     oracle="""
     WITH ws AS (
@@ -1631,7 +1581,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_stream_ohlc",
     oracle="""
     WITH ranked AS (
@@ -1693,7 +1643,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_start")
 
 
-@_staged(
+@query(
     "q_stream_upsert",
     oracle="""
     SELECT
@@ -1766,7 +1716,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(scratch, ignore_errors=True)
 
 
-@_staged(
+@query(
     "q_langid_confusion",
     oracle=r"""
     WITH ws AS (
@@ -1840,7 +1790,7 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "lang_detected")
 
 
-@_staged(
+@query(
     "q_stl_outliers",
     oracle="""
     WITH daily AS (
@@ -1944,7 +1894,7 @@ def q_stl_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_pca_project",
     oracle="""
     WITH q AS (
@@ -2019,7 +1969,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_erasure_cascade",
     oracle="""
     WITH del_c AS (
@@ -2141,7 +2091,7 @@ def q_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_minhash_eval",
     oracle=r"""
     WITH ws AS (
@@ -2309,7 +2259,7 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_simhash_pairs",
     oracle=r"""
     WITH ws AS (
@@ -2445,7 +2395,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_countmin_err",
     oracle=r"""
     WITH ws AS (
@@ -2532,7 +2482,7 @@ def q_countmin_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_bloom_prefilter",
     oracle="""
     WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
@@ -2648,7 +2598,7 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_skew_audit",
     oracle="""
     WITH fams AS (
@@ -2760,7 +2710,7 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_cuped_adjust",
     oracle="""
     WITH per_user AS (
@@ -2881,7 +2831,7 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_did_estimator",
     oracle="""
     WITH panel AS (
@@ -2986,7 +2936,7 @@ def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
-@_staged(
+@query(
     "q_lag_features",
     oracle="""
     WITH sampled AS (
@@ -3067,7 +3017,7 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
-@_staged(
+@query(
     "q_stream_left_join",
     oracle="""
     WITH p AS (
@@ -3195,7 +3145,7 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_join_card_audit",
     oracle="""
     WITH legs AS (
@@ -3301,7 +3251,7 @@ def q_join_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("join_id")
 
 
-@_staged(
+@query(
     "q_compress_advisory",
     oracle="""
     WITH src AS (
@@ -3417,7 +3367,7 @@ def q_compress_advisory(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col")
 
 
-@_staged(
+@query(
     "q_topk_overlap",
     oracle="""
     WITH rev AS (
@@ -3542,7 +3492,7 @@ def q_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_inverted_positions",
     oracle=r"""
     WITH ws AS (
@@ -3622,7 +3572,7 @@ def q_inverted_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_delta_encode",
     oracle="""
     WITH deltas AS (
@@ -3677,7 +3627,7 @@ def q_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_hourly_profile",
     oracle="""
     WITH h AS (
@@ -3739,7 +3689,7 @@ def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hr")
 
 
-@_staged(
+@query(
     "q_kmeans_step",
     oracle="""
     WITH q AS (
@@ -3894,7 +3844,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_embed_pq",
     oracle="""
     WITH q AS (
@@ -4014,7 +3964,7 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_shingle_containment",
     oracle="""
     WITH ws AS (
@@ -4129,7 +4079,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_float_downcast_audit",
     oracle="""
     WITH cols AS (
@@ -4205,7 +4155,7 @@ def q_float_downcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_kanonymity",
     oracle="""
     WITH g AS (
@@ -4266,7 +4216,7 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_histogram_error",
     oracle="""
     WITH v AS (
@@ -4382,7 +4332,7 @@ def q_histogram_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_asof_tolerance",
     oracle="""
     WITH tagged AS (
@@ -4484,7 +4434,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_id")
 
 
-@_staged(
+@query(
     "q_sample_bias_audit",
     oracle="""
     WITH pop AS (
@@ -4573,7 +4523,7 @@ def q_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
-@_staged(
+@query(
     "q_dedup_savings",
     oracle=r"""
     WITH fp AS (

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.queries.future_oracles import GRADUATED_ORACLES
 from mapreduce_llm_spark.registry import query
 
 # BM25 free parameters (Robertson et al. defaults).
@@ -221,14 +222,15 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_recall")
+@query("q_sim_recall", oracle=GRADUATED_ORACLES["q_sim_recall"])
 def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the sign-LSH multiprobe ANN path against the exact
     brute-force top-10 — the evaluation loop an ANN index ships with
-    (rows-only: the LSH bucketing is seeded-approximate by design; the
-    recall ORDERING vs probe width is pinned in
-    test_lsh_multiprobe_recall_dominates_single_probe, and this query
-    makes the measured recall itself part of the public surface).
+    (oracle-backed since round 8: the seeded hyperplanes round-trip as
+    repr() double literals into the DuckDB twin, GRADUATED_ORACLES,
+    which recomputes the sign-LSH bucket + 1-bit multiprobe in SQL;
+    the recall ORDERING vs probe width is pinned in
+    test_lsh_multiprobe_recall_dominates_single_probe).
 
     Shape: both legs are TakeOrdered top-10 scans (the ANN leg scans
     only the probed buckets); the intersection is a broadcast semi-join

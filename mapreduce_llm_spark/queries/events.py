@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.queries.future_oracles import GRADUATED_ORACLES
 from mapreduce_llm_spark.registry import query
 
 
@@ -373,15 +374,17 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.unionByName(isolated).orderBy("node")
 
 
-@query("q_graph_pagerank")
+@query("q_graph_pagerank", oracle=GRADUATED_ORACLES["q_graph_pagerank"])
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite supplier→part supply graph (edges =
     distinct (l_suppkey, l_partkey) pairs): 10 damped power iterations,
     one shuffle join + one aggregation each, dangling mass
     redistributed so ranks sum to exactly 1 (operators/graph.py:
-    pagerank). Rows-only by design — an iterative float fixpoint has
-    no closed-form SQL twin; correctness is pinned to a numpy dense
-    power-iteration reference at 1e-9 per node
+    pagerank). Oracle-backed since round 8: the fixed-iteration
+    recursion is unrolled into 10 MATERIALIZED CTE triples in the
+    DuckDB twin (GRADUATED_ORACLES — a recursive CTE cannot aggregate
+    over its own previous level); correctness is ALSO pinned to a
+    numpy dense power-iteration reference at 1e-9 per node
     (tests/test_graph.py::test_pagerank_matches_numpy_power_iteration).
     Top-20 by rank, node id as tie-break."""
     from mapreduce_llm_spark.operators.graph import pagerank

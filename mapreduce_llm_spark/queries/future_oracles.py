@@ -194,26 +194,28 @@ _TEXT_FINGERPRINT_SQL = r"""
     ORDER BY v.doc_id
     """
 
-# Round-8 staging area: drafted-and-proven twins awaiting a window
-# slot (the round-7 batch below graduated; VERDICT r6 item 5 names
-# this tranche — semantics deterministic enough for an exact DuckDB
-# replay). q_graph_pagerank: the fixed-iteration recursion unrolled
-# (10 CTE triples). q_sim_recall: seeded hyperplanes inlined as
-# double literals + SQL sign-LSH multiprobe. q_text_fingerprint: the
-# rolling hash replayed as a modpow powers table over md5-arithmetic
-# word hashes (the hash switched from xxhash64 — no DuckDB twin
-# exists for it, CLAUDE.md — to the house md5 idiom in round 7
-# precisely to make this twin possible), plus a CASE-ladder replay of
-# the first-wins stopword vote. The stopword-vote language ladder
-# mirrors dict-iteration order en→es→fr→de with strict-> updates:
-# earliest language wins ties, 'und' only when every list misses.
-FUTURE_ORACLES: dict[str, str] = {
+# Round-9+ staging area: drafted-and-proven twins awaiting a window
+# slot. Empty since the round-8 flip graduated the last batch; whole
+# new (query, oracle) pairs stage in queries/analytics_r9_staged.py
+# instead — this dict is only for oracle flips of ALREADY-REGISTERED
+# rows-only queries.
+FUTURE_ORACLES: dict[str, str] = {}
+
+GRADUATED_ORACLES: dict[str, str] = {
+    # ---- round-8 graduation batch (staged + hash-proven in round 7;
+    # VERDICT r6 item 5 named this tranche — semantics deterministic
+    # enough for an exact DuckDB replay). q_graph_pagerank: the
+    # fixed-iteration recursion unrolled (10 CTE triples).
+    # q_sim_recall: seeded hyperplanes inlined as double literals +
+    # SQL sign-LSH multiprobe. q_text_fingerprint: the rolling hash
+    # replayed as a modpow powers table over md5-arithmetic word
+    # hashes (the hash switched from xxhash64 — no DuckDB twin exists
+    # for it, CLAUDE.md — to the house md5 idiom in round 7 precisely
+    # to make this twin possible), plus a CASE-ladder replay of the
+    # first-wins stopword vote mirroring dict order en→es→fr→de ----
     "q_graph_pagerank": _pagerank_sql(),
     "q_sim_recall": _sim_recall_sql(),
     "q_text_fingerprint": _TEXT_FINGERPRINT_SQL,
-}
-
-GRADUATED_ORACLES: dict[str, str] = {
     # ---- round-7 graduation batch (staged + hash-proven in round 6:
     # the four deterministic streaming queries — the micro-batch
     # engine's answers equal a batch fold DuckDB can replay: dedup

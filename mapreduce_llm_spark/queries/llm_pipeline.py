@@ -40,6 +40,7 @@ from mapreduce_llm_spark.operators.textstats import (
     token_count_col,
     word_count_col,
 )
+from mapreduce_llm_spark.queries.future_oracles import GRADUATED_ORACLES
 from mapreduce_llm_spark.registry import query
 
 # DuckDB twin of the engine's deterministic tokenizer
@@ -408,17 +409,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_text_fingerprint")
+@query("q_text_fingerprint", oracle=GRADUATED_ORACLES["q_text_fingerprint"])
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (stopword-vote heuristic) + rolling-hash document
     fingerprint. Since round 7 the fingerprint is md5-arithmetic
     (operators/textstats.word_hash_col — independently recomputable,
     the point of a fingerprint) and the stopword ratio is an exact
     int64 e4 (hits·1e4 div n), so every output column is a pure
-    integer/string function of the text: the DuckDB twin is staged in
-    queries/future_oracles.py for the round-8 flip (a modpow powers
-    table replays the rolling hash; a CASE ladder replays the
-    first-wins stopword vote)."""
+    integer/string function of the text: the registered DuckDB twin
+    (GRADUATED_ORACLES, flipped in round 8) replays the rolling hash
+    with a modpow powers table and the first-wins stopword vote with
+    a CASE ladder."""
     from mapreduce_llm_spark.operators.textstats import words_col
 
     d = load_table(spark, sf_dir, "documents")

@@ -80,6 +80,21 @@ NLJ_OK = {
     "q_negative_sample",  # broadcast 1-row max-partkey leg
     "q_recency_topk",  # broadcast 1-row max-shipdate leg
     "q_graph_kcore",  # per-level trace = cross of two 1-row count legs
+    # round-8 flip batch (pre-flighted in round 7's staged plan lint;
+    # every entry is a broadcast scalar/grid leg, never a data×data NLJ)
+    "q_bigram_perplexity",  # broadcast 1-row vocab-size/total legs
+    "q_bm25_search",  # broadcast 1-row N/avgdl corpus-scalar leg
+    "q_retrieval_eval",  # broadcast 1-row N/avgdl corpus-scalar leg
+    "q_cuped_adjust",  # broadcast 1-row pooled-theta leg
+    "q_erasure_cascade",  # broadcast 1-row totals leg
+    "q_topk_overlap",  # broadcast 3-row k-grid cross
+    "q_kanonymity",  # broadcast 3-row k-grid cross
+    "q_histogram_error",  # broadcast 1-row min/max/n bounds leg
+    "q_source_overlap",  # theta-join zero-fill grid over the tiny
+    #                      per-source totals (|sources|² rows) — the
+    #                      q_dist_drift grid class; missed by the
+    #                      round-7 pre-flight checklist, caught by this
+    #                      lint on registration
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -1,20 +1,23 @@
-"""Semantic invariants for the round-8 staged tranches 4 and 5 — algebraic
-laws of the claimed algorithms that the DuckDB hash gate cannot
-express (it proves Spark ≡ oracle, not that both implement the
-CLAIMED semantics). Evaluated on real testdata at SF_DIR.
+"""Semantic invariants for the round-8 query batch (registered in
+queries/analytics_r8.py since the round-8 flip) — algebraic laws of
+the claimed algorithms that the DuckDB hash gate cannot express (it
+proves Spark ≡ oracle, not that both implement the CLAIMED
+semantics). Evaluated on real testdata at SF_DIR.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mapreduce_llm_spark import registry
 from mapreduce_llm_spark.io import load_table
-from mapreduce_llm_spark.queries.analytics_r8_staged import STAGED
 from tests.conftest import SF_DIR
+
+registry.load_all()
 
 
 def _run(spark, name):
-    return STAGED[name][0](spark, SF_DIR).collect()
+    return registry.QUERIES[name](spark, SF_DIR).collect()
 
 
 def test_countmin_never_undercounts(spark):

@@ -1,12 +1,12 @@
 """Round-9 staged-surface invariants (queries/analytics_r9_staged.py).
 
-Same contract as tests/test_r8_staged.py, one window further out: the
-round-8 window is fully allocated by the r8 staging + FUTURE_ORACLES
-flips, so surface built beyond that point stages in the r9 module and
-is proven NOW with the driver-gate harness at sf0.01 (and the sf0.1
-sweep env), carrying zero flip risk into round 9. Also pins that the
-module is registry-side-effect free and collision-free against BOTH
-the live registry and the round-8 staging.
+Same contract as the (retired) round-8 staging test, one window
+further out: the round-8 window is fully allocated by the r8 flip, so
+surface built beyond that point stages in the r9 module and is proven
+NOW with the driver-gate harness at sf0.01 (and the sf0.1 sweep env),
+carrying zero flip risk into round 9. Also pins that the module is
+registry-side-effect free and collision-free against the live
+registry (which includes the flipped round-8 batch).
 """
 
 from __future__ import annotations
@@ -14,7 +14,6 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r8_staged import STAGED
 from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
 from tests.conftest import SF_DIR
 from tests.oracle_harness import compare, duckdb_conn
@@ -38,12 +37,8 @@ def test_staged_module_has_no_registry_side_effects():
 
 
 def test_staged_names_are_new():
-    assert len(STAGED_R9) == 3
     for name in STAGED_R9:
         assert name.startswith("q_")
-        assert name not in STAGED, (
-            f"{name} collides with the round-8 staging"
-        )
 
 
 @pytest.mark.parametrize("name", sorted(STAGED_R9))

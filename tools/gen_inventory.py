@@ -158,26 +158,18 @@ def main() -> None:
         f"- Rolling over to the next round ({len(rollover)}): "
         + (", ".join(f"`{n}`" for n in rollover) or "(none)"),
     ]
-    from mapreduce_llm_spark.queries.analytics_r8_staged import STAGED
     from mapreduce_llm_spark.queries.future_oracles import FUTURE_ORACLES
 
-    lines += [
-        "",
-        "## Staged for the round-8 window (derived)",
-        "",
-        f"{len(STAGED)} complete (query, oracle) pairs in "
-        "queries/analytics_r8_staged.py — hash-proven by "
-        "tests/test_r8_staged.py through the driver-gate harness but NOT "
-        "registered (the current window is full; the external-book "
-        "invariant defers them) — plus "
-        f"{len(FUTURE_ORACLES)} staged oracle flips for registered "
-        "rows-only queries (queries/future_oracles.py).",
-        "",
-        "- New staged queries: "
-        + ", ".join(f"`{n}`" for n in sorted(STAGED)),
-        "- Staged oracle flips: "
-        + ", ".join(f"`{n}`" for n in sorted(FUTURE_ORACLES)),
-    ]
+    if FUTURE_ORACLES:
+        lines += [
+            "",
+            "## Staged oracle flips (derived)",
+            "",
+            f"{len(FUTURE_ORACLES)} staged oracle flips for registered "
+            "rows-only queries (queries/future_oracles.py), hash-proven "
+            "by tests/test_future_oracles.py: "
+            + ", ".join(f"`{n}`" for n in sorted(FUTURE_ORACLES)),
+        ]
     from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
 
     lines += [

@@ -917,3 +917,1501 @@ def q_header_detail_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 tranche 2 of the round-9 staging: experimentation health,
+# model-eval curves, credit attribution, and interval coverage. Flip
+# checklist additions: q_ab_power / q_pr_curve (broadcast grid legs),
+# q_woe_iv / q_simpson_reversal (broadcast 1-row totals legs) need
+# NLJ_OK entries on registration.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_srm_check",
+    oracle="""
+    WITH a AS (
+        SELECT c_mktsegment AS segment,
+               CAST(('0x' || substr(md5('ab:' || CAST(c_custkey AS VARCHAR)),
+                     1, 10)) AS BIGINT) % 2 AS variant
+        FROM customer
+    ),
+    c AS (
+        SELECT segment,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM a GROUP BY segment
+    )
+    SELECT segment, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 10000 // (n_a + n_b) AS BIGINT)
+               AS chi2_e4,
+           (n_a - n_b) * (n_a - n_b) * 10000 // (n_a + n_b) > 38410
+               AS srm_flag
+    FROM c
+    ORDER BY segment
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first thing an experimentation
+    platform validates before reading ANY metric: does the md5 variant
+    assignment actually split 50/50 per segment? For two cells at
+    p=1/2 the chi-square statistic collapses to (n_a−n_b)²/(n_a+n_b),
+    an exact integer e4 — flagged against the 3.841 (df=1, α=0.05)
+    critical value as an integer comparison, no float anywhere. One
+    scan, one keyed aggregate."""
+    a = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab:"), F.col("c_custkey").cast("string"))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+    )
+    c = a.groupBy("segment").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return c.select(
+        "segment",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((n_a - n_b) * (n_a - n_b) * 10000 div (n_a + n_b)"
+            " AS BIGINT)"
+        ).alias("chi2_e4"),
+        F.expr(
+            "(n_a - n_b) * (n_a - n_b) * 10000 div (n_a + n_b) > 38410"
+        ).alias("srm_flag"),
+    ).orderBy("segment")
+
+
+@_staged(
+    "q_ab_power",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT segment,
+               count(*) AS n,
+               CAST(sum(cents) AS DOUBLE) AS sx,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS sx2,
+               CAST(sum(cents) AS BIGINT) AS sx_int
+        FROM o GROUP BY segment
+    ),
+    grid AS (SELECT unnest([100, 200, 500]) AS mde_bp)
+    SELECT segment, CAST(mde_bp AS INT) AS mde_bp,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(sx_int // n AS BIGINT) AS mean_cents,
+           CAST(floor(
+               2.0 * ((CAST(n AS DOUBLE) * sx2 - sx * sx)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               * 7.848878
+               / nullif((sx / CAST(n AS DOUBLE)) * (mde_bp / 10000.0)
+                        * ((sx / CAST(n AS DOUBLE)) * (mde_bp / 10000.0)),
+                        0.0)) AS BIGINT) + 1 AS n_required
+    FROM m, grid
+    ORDER BY segment, mde_bp
+    """,
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power pre-flight: per market segment, how many orders
+    per variant a test needs to detect a 1% / 2% / 5% relative lift in
+    mean order value at α=0.05, power 0.8 — n = 2σ²(z_α/2+z_β)²/δ²
+    with (1.959964+0.841621)² = 7.848878 inlined as a literal. The
+    moments are exact (cents sums on HUGEINT/decimal — Σcents²
+    overflows int64 at sf1, the q_histogram_error lesson), the power
+    formula is ONE token-identical double chain off them, and the
+    ceiling is floor+1 (never CAST, which rounds in DuckDB and
+    truncates in Spark). The MDE grid is a broadcast 3-row leg."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(c), "o_custkey")
+    )
+    m = o.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(
+            (F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        )
+        .cast("double")
+        .alias("sx2"),
+        F.sum("cents").cast("long").alias("sx_int"),
+    )
+    grid = spark.createDataFrame([(100,), (200,), (500,)], "mde_bp INT")
+    return (
+        m.crossJoin(F.broadcast(grid))
+        .select(
+            "segment",
+            "mde_bp",
+            F.col("n").cast("long").alias("n_orders"),
+            F.expr("CAST(sx_int div n AS BIGINT)").alias("mean_cents"),
+            (
+                F.expr(
+                    "CAST(floor(2.0 * ((CAST(n AS DOUBLE) * sx2 - sx * sx)"
+                    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+                    " * 7.848878"
+                    " / nullif((sx / CAST(n AS DOUBLE)) * (mde_bp / 10000.0)"
+                    " * ((sx / CAST(n AS DOUBLE)) * (mde_bp / 10000.0)),"
+                    " 0.0)) AS BIGINT) + 1"
+                )
+            ).alias("n_required"),
+        )
+        .orderBy("segment", "mde_bp")
+    )
+
+
+@_staged(
+    "q_pr_curve",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS score_e4,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+        FROM lineitem
+    ),
+    grid AS (SELECT unnest([0, 200, 400, 600, 800, 1000]) AS thr),
+    c AS (
+        SELECT thr,
+               CAST(sum(CASE WHEN score_e4 >= thr AND label = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score_e4 >= thr AND label = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN score_e4 < thr AND label = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM s, grid GROUP BY thr
+    )
+    SELECT CAST(thr AS INT) AS thr, tp, fp, fn,
+           CAST(tp * 10000 // nullif(tp + fp, 0) AS BIGINT) AS precision_bp,
+           CAST(tp * 10000 // nullif(tp + fn, 0) AS BIGINT) AS recall_bp,
+           CAST(2 * tp * 10000 // nullif(2 * tp + fp + fn, 0) AS BIGINT)
+               AS f1_bp
+    FROM c
+    ORDER BY thr
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve over a threshold grid — the model-eval
+    companion to q_auc_mannwhitney (AUC summarizes ranking quality;
+    deploying needs a THRESHOLD, and this is the table that picks
+    it). Score = discount e4 (deterministic, no model weights), label
+    = returned line. Every metric is integer-exact in basis points —
+    F1 avoids the float harmonic mean entirely via
+    2·tp/(2·tp+fp+fn); empty-prediction cells NULL out through
+    nullif on both engines. One scan × 6-row broadcast grid, one
+    aggregate."""
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 10000 + 0.5)
+        .cast("long")
+        .alias("score_e4"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+    )
+    grid = spark.createDataFrame(
+        [(0,), (200,), (400,), (600,), (800,), (1000,)], "thr INT"
+    )
+    c = (
+        s.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("score_e4") >= F.col("thr")) & (F.col("label") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("score_e4") >= F.col("thr")) & (F.col("label") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when((F.col("score_e4") < F.col("thr")) & (F.col("label") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return c.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CAST(tp * 10000 div nullif(tp + fp, 0) AS BIGINT)").alias(
+            "precision_bp"
+        ),
+        F.expr("CAST(tp * 10000 div nullif(tp + fn, 0) AS BIGINT)").alias(
+            "recall_bp"
+        ),
+        F.expr(
+            "CAST(2 * tp * 10000 div nullif(2 * tp + fp + fn, 0) AS BIGINT)"
+        ).alias("f1_bp"),
+    ).orderBy("thr")
+
+
+@_staged(
+    "q_woe_iv",
+    oracle="""
+    WITH lab AS (
+        SELECT c.c_custkey,
+               CAST(floor(c.c_acctbal / 2000.0) AS BIGINT) AS bucket,
+               CASE WHEN b.bad IS NULL THEN 0 ELSE b.bad END AS bad
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey,
+                   max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                       AS bad
+            FROM orders GROUP BY o_custkey
+        ) b ON c.c_custkey = b.o_custkey
+    ),
+    cells AS (
+        SELECT bucket,
+               CAST(sum(1 - bad) AS BIGINT) AS n_good,
+               CAST(sum(bad) AS BIGINT) AS n_bad
+        FROM lab GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(n_good) AS BIGINT) AS g,
+               CAST(sum(n_bad) AS BIGINT) AS b
+        FROM cells
+    )
+    SELECT bucket, n_good, n_bad,
+           CASE WHEN n_good > 0 AND n_bad > 0
+                THEN round(ln(CAST(n_good * b AS DOUBLE)
+                              / CAST(n_bad * g AS DOUBLE)), 4) + 0.0
+                ELSE NULL END AS woe,
+           CASE WHEN n_good > 0 AND n_bad > 0
+                THEN round((CAST(n_good AS DOUBLE) / g
+                            - CAST(n_bad AS DOUBLE) / b)
+                           * ln(CAST(n_good * b AS DOUBLE)
+                                / CAST(n_bad * g AS DOUBLE)), 4) + 0.0
+                ELSE NULL END AS iv_term
+    FROM cells, tot
+    ORDER BY bucket
+    """,
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table — the
+    credit-scoring feature screen: per account-balance band, how
+    separable is the 'has a finalized order' outcome
+    (WoE = ln(good-share / bad-share), IV term = share-gap × WoE).
+    Bands via floor(acctbal/2000) (floor on a double is
+    cross-engine-safe; integer CAST is not). The ln ratio runs on
+    exact integer cross-products (n_good·B vs n_bad·G — one double
+    division, one ln, the round4-safe class, +0.0 for the −0.0
+    case); degenerate cells (no goods or no bads) emit NULL
+    identically on both engines. The totals are the allowlisted
+    broadcast 1-row leg."""
+    bad = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("bad")
+        )
+    )
+    lab = (
+        load_table(spark, sf_dir, "customer")
+        .join(bad, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bucket"),
+            F.coalesce(F.col("bad"), F.lit(0)).alias("bad"),
+        )
+    )
+    cells = lab.groupBy("bucket").agg(
+        F.sum(F.lit(1) - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_good").cast("long").alias("g"),
+        F.sum("n_bad").cast("long").alias("b"),
+    )
+    woe_expr = (
+        "round(ln(CAST(n_good * b AS DOUBLE) / CAST(n_bad * g AS DOUBLE)), 4)"
+        " + 0.0"
+    )
+    iv_expr = (
+        "round((CAST(n_good AS DOUBLE) / g - CAST(n_bad AS DOUBLE) / b)"
+        " * ln(CAST(n_good * b AS DOUBLE) / CAST(n_bad * g AS DOUBLE)), 4)"
+        " + 0.0"
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_good",
+            "n_bad",
+            F.expr(
+                f"CASE WHEN n_good > 0 AND n_bad > 0 THEN {woe_expr}"
+                " ELSE NULL END"
+            ).alias("woe"),
+            F.expr(
+                f"CASE WHEN n_good > 0 AND n_bad > 0 THEN {iv_expr}"
+                " ELSE NULL END"
+            ).alias("iv_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_staged(
+    "q_simpson_reversal",
+    oracle="""
+    WITH li AS (
+        SELECT n.n_name,
+               CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT) AS d_e2,
+               CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS q
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    per AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d_e2) AS BIGINT) AS sd,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(d_e2 * q) AS BIGINT) AS sdq
+        FROM li GROUP BY n_name
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS pn,
+               CAST(sum(d_e2) AS BIGINT) AS psd,
+               CAST(sum(q) AS BIGINT) AS psq,
+               CAST(sum(d_e2 * q) AS BIGINT) AS psdq
+        FROM li
+    )
+    SELECT n_name, n,
+           CASE WHEN n * sdq - sd * sq < 0 THEN -1
+                WHEN n * sdq - sd * sq = 0 THEN 0 ELSE 1 END AS cov_sign,
+           CASE WHEN pn * psdq - psd * psq < 0 THEN -1
+                WHEN pn * psdq - psd * psq = 0 THEN 0 ELSE 1 END
+               AS pooled_sign,
+           (CASE WHEN n * sdq - sd * sq < 0 THEN -1
+                 WHEN n * sdq - sd * sq = 0 THEN 0 ELSE 1 END) <> 0
+           AND (CASE WHEN n * sdq - sd * sq < 0 THEN -1
+                     WHEN n * sdq - sd * sq = 0 THEN 0 ELSE 1 END)
+               <> (CASE WHEN pn * psdq - psd * psq < 0 THEN -1
+                        WHEN pn * psdq - psd * psq = 0 THEN 0 ELSE 1 END)
+               AS reversed
+    FROM per, pooled
+    ORDER BY n_name
+    """,
+)
+def q_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: does the discount→quantity
+    association FLIP sign between the pooled corpus and any supplier
+    nation? The covariance sign is exact — sign(n·Σdq − Σd·Σq) on
+    integer moments (discount in e2 cents, quantity integral), so the
+    reversal flag is a pure integer comparison with no float
+    tolerance anywhere. Per-nation moments in one keyed aggregate;
+    the pooled moments are the allowlisted broadcast 1-row leg."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            F.floor(F.col("l_discount") * 100 + 0.5)
+            .cast("long")
+            .alias("d_e2"),
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("q"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "d_e2", "q")
+    )
+    per = li.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d_e2").cast("long").alias("sd"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("d_e2") * F.col("q")).cast("long").alias("sdq"),
+    )
+    pooled = li.agg(
+        F.count("*").cast("long").alias("pn"),
+        F.sum("d_e2").cast("long").alias("psd"),
+        F.sum("q").cast("long").alias("psq"),
+        F.sum(F.col("d_e2") * F.col("q")).cast("long").alias("psdq"),
+    )
+    sgn = "CASE WHEN n * sdq - sd * sq < 0 THEN -1 WHEN n * sdq - sd * sq = 0 THEN 0 ELSE 1 END"
+    psgn = "CASE WHEN pn * psdq - psd * psq < 0 THEN -1 WHEN pn * psdq - psd * psq = 0 THEN 0 ELSE 1 END"
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            "n_name",
+            "n",
+            F.expr(sgn).alias("cov_sign"),
+            F.expr(psgn).alias("pooled_sign"),
+            F.expr(f"({sgn}) <> 0 AND ({sgn}) <> ({psgn})").alias("reversed"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_staged(
+    "q_interval_union",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + 1800000000 AS en
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, s, en,
+               CASE WHEN s > coalesce(max(en) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS new_island
+        FROM e
+    ),
+    isl AS (
+        SELECT user_id, s, en,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM m
+    ),
+    per AS (
+        SELECT user_id, island,
+               max(en) - min(s) AS covered
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(covered) AS BIGINT) AS covered_us
+    FROM per
+    GROUP BY user_id
+    ORDER BY covered_us DESC, user_id
+    LIMIT 25
+    """,
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping intervals — total ACTIVE time per
+    user when every event opens a 30-minute activity window (the
+    dedup-aware 'time spent' metric; summing raw durations
+    double-counts overlaps, which q_interval_concurrency measures
+    from the other side). Classic sweep: an interval starts a new
+    island iff its start exceeds the running max end of all earlier
+    intervals (one keyed window), islands get ids by prefix-summing
+    the flags (same window), and each island contributes
+    max(end) − min(start). Exact integer µs; top-25 by covered time
+    is a TakeOrdered with user tie-break."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 1800000000).alias(
+            "en"
+        ),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcur = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = e.select(
+        "user_id",
+        "s",
+        "en",
+        F.when(
+            F.col("s") > F.coalesce(F.max("en").over(wprev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+        F.col("event_id"),
+    )
+    isl = m.select(
+        "user_id",
+        "s",
+        "en",
+        F.sum("new_island").over(wcur).alias("island"),
+    )
+    per = isl.groupBy("user_id", "island").agg(
+        (F.max("en") - F.min("s")).alias("covered")
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum("covered").cast("long").alias("covered_us"),
+        )
+        .orderBy(F.col("covered_us").desc(), "user_id")
+        .limit(25)
+    )
+
+
+@_staged(
+    "q_attribution_position",
+    oracle="""
+    WITH pr AS (
+        SELECT user_id, epoch_us(ts) AS ptus, event_id AS peid,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prk
+        FROM events WHERE event_type = 'purchase'
+    ),
+    p AS (SELECT user_id, ptus, peid FROM pr WHERE prk = 1),
+    tp AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (
+                   PARTITION BY e.user_id
+                   ORDER BY epoch_us(e.ts), e.event_id) AS rn,
+               count(*) OVER (PARTITION BY e.user_id) AS n
+        FROM events e JOIN p ON e.user_id = p.user_id
+        WHERE e.event_type <> 'purchase'
+          AND (epoch_us(e.ts) < p.ptus
+               OR (epoch_us(e.ts) = p.ptus AND e.event_id < p.peid))
+    ),
+    cr AS (
+        SELECT event_type,
+               CASE WHEN n = 1 THEN 10000
+                    WHEN n = 2 THEN 5000
+                    WHEN rn = 1 OR rn = n THEN 4000
+                    ELSE 2000 // (n - 2)
+                         + CASE WHEN rn = 2
+                                THEN 2000 - (2000 // (n - 2)) * (n - 2)
+                                ELSE 0 END
+               END AS credit_e4
+        FROM tp
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_e4) AS BIGINT) AS credit_e4
+    FROM cr
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) attribution — the third
+    classic credit model next to q_attribution's first/last-touch:
+    per converting user, the touchpoints strictly before the FIRST
+    purchase split conversion credit 40% first / 40% last / 20%
+    spread over the middle. Credit is exact integer e4 with the
+    integer-div remainder pinned to the SECOND touch, so every
+    journey sums to exactly 10000 (the conservation law the property
+    test asserts). The first purchase is the rank-1 row of a keyed
+    (ts, event_id) window over purchases only; strictly-before is an
+    explicit lexicographic tuple comparison (a packed-integer min
+    would overflow int64 at µs resolution). Keyed windows only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("prk", F.row_number().over(wp))
+        .where(F.col("prk") == 1)
+        .select(
+            "user_id",
+            F.col("tus").alias("ptus"),
+            F.col("event_id").alias("peid"),
+        )
+    )
+    tp = (
+        ev.join(p, "user_id")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (
+                (F.col("tus") < F.col("ptus"))
+                | (
+                    (F.col("tus") == F.col("ptus"))
+                    & (F.col("event_id") < F.col("peid"))
+                )
+            )
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    wn = Window.partitionBy("user_id")
+    cr = tp.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    ).select(
+        "event_type",
+        F.expr(
+            "CASE WHEN n = 1 THEN 10000"
+            " WHEN n = 2 THEN 5000"
+            " WHEN rn = 1 OR rn = n THEN 4000"
+            " ELSE 2000 div (n - 2)"
+            " + CASE WHEN rn = 2"
+            " THEN 2000 - (2000 div (n - 2)) * (n - 2)"
+            " ELSE 0 END END"
+        ).alias("credit_e4"),
+    )
+    return (
+        cr.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit_e4").cast("long").alias("credit_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 tranche 3 of the round-9 staging: vector QA, graph mixing,
+# privacy, retention/layout advisories, invariant audits. Flip
+# checklist additions (NLJ_OK on registration): q_cosine_threshold_curve
+# (5-row threshold grid), q_graph_assortativity / q_profile_drift
+# (1-row moment/half legs), q_retention_sweep (per-table 1-row
+# horizon legs × 3-row age grid), q_sortkey_advisor (1-row stats leg),
+# q_bloom_sizing (1-row NDV leg × 3-row grid).
+# ---------------------------------------------------------------------------
+
+
+def _r9_qdims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, dim, qv): embeddings quantized to e3 integers —
+    the exact-arithmetic idiom of q_kmeans_step/q_embed_pq (FLOAT →
+    DOUBLE cast first, floor, no rounding)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qv"),
+    )
+
+
+_R9_QDIMS_SQL = """
+        SELECT vec_id, label, dim, qv
+        FROM (
+            SELECT vec_id, label,
+                   unnest(generate_series(1, len(embedding))) AS dim,
+                   unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                       AS qv
+            FROM embeddings
+        )
+"""
+
+
+@_staged(
+    "q_embed_outlier",
+    oracle=f"""
+    WITH q AS ({_R9_QDIMS_SQL}),
+    cs AS (
+        SELECT label, dim,
+               CAST(sum(qv) AS BIGINT) AS s,
+               CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+        FROM q GROUP BY label, dim
+    ),
+    d AS (
+        SELECT q.vec_id, q.label,
+               CAST(sum((cs.n * q.qv - cs.s) * (cs.n * q.qv - cs.s))
+                    AS BIGINT) AS d2n2
+        FROM q JOIN cs ON q.label = cs.label AND q.dim = cs.dim
+        GROUP BY q.vec_id, q.label
+    ),
+    r AS (
+        SELECT label, vec_id, d2n2,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY d2n2 DESC, vec_id) AS rk
+        FROM d
+    )
+    SELECT CAST(label AS INT) AS label, CAST(rk AS BIGINT) AS rk,
+           vec_id, d2n2
+    FROM r WHERE rk <= 3
+    ORDER BY label, rk
+    """,
+)
+def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding outliers — the top-3 vectors farthest
+    from their own label's centroid, the screen that catches
+    mislabeled or corrupted vectors before they poison a
+    nearest-centroid model. Exactness without a float mean: with n
+    members and per-dim sums S, the n²-scaled distance
+    Σ(n·x_d − S_d)² is pure int64 (e3-quantized components), so the
+    argmax is hash-stable. Ranking is a keyed (per-label) window —
+    no global ordering; the centroid sums are one partial-aggregated
+    pass."""
+    q = _r9_qdims(spark, sf_dir)
+    cs = q.groupBy("label", "dim").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    d = (
+        q.join(cs, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("qv") - F.col("s"))
+                * (F.col("n") * F.col("qv") - F.col("s"))
+            )
+            .cast("long")
+            .alias("d2n2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2n2").desc(), "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            "d2n2",
+        )
+        .orderBy("label", "rk")
+    )
+
+
+@_staged(
+    "q_sign_agreement",
+    oracle=f"""
+    WITH q AS ({_R9_QDIMS_SQL}),
+    s AS (SELECT * FROM q WHERE vec_id % 25 = 0),
+    p AS (
+        SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+               CAST(sum(CASE WHEN (a.qv >= 0) = (b.qv >= 0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+               CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+        FROM s a JOIN s b
+          ON a.label = b.label AND a.dim = b.dim AND a.vec_id < b.vec_id
+        GROUP BY a.label, a.vec_id, b.vec_id
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(agree) * 10000 // (count(*) * 64) AS BIGINT)
+               AS agree_bp,
+           CAST(sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_cos
+    FROM p GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_sign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) quantization QA — if embeddings were stored as
+    sign bits (32× smaller than fp32), how much geometry survives?
+    Per label over a deterministic 1-in-25 sample, label-blocked
+    pairs report the mean per-dimension sign-agreement rate (the
+    Hamming complement SimHash relies on) beside the exact dot-product
+    sign. Pairs exist ONLY within (label, dim) join blocks — the
+    all-pairs quadratic is excluded by the sample × block structure,
+    and every statistic is integer-exact (agreement in bp via integer
+    div over n_pairs·64 dims)."""
+    q = _r9_qdims(spark, sf_dir).where(F.col("vec_id") % 25 == 0)
+    a = q.select("label", "dim", F.col("vec_id").alias("va"), F.col("qv").alias("qa"))
+    b = q.select("label", "dim", F.col("vec_id").alias("vb"), F.col("qv").alias("qb"))
+    p = (
+        a.join(b, ["label", "dim"])
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("label", "va", "vb")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("qa") >= 0) == (F.col("qb") >= 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("agree"),
+            F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot"),
+        )
+    )
+    return (
+        p.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(sum(agree) * 10000 div (count(*) * 64) AS BIGINT)"
+            ).alias("agree_bp"),
+            F.sum(F.when(F.col("dot") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos_cos"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_pairs",
+            "agree_bp",
+            "n_pos_cos",
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_cosine_threshold_curve",
+    oracle=f"""
+    WITH q AS ({_R9_QDIMS_SQL}),
+    s AS (SELECT * FROM q WHERE vec_id % 10 = 0),
+    n2 AS (
+        SELECT vec_id, label, CAST(sum(qv * qv) AS BIGINT) AS nn
+        FROM s GROUP BY vec_id, label
+    ),
+    p AS (
+        SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+               CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+        FROM s a JOIN s b
+          ON a.label = b.label AND a.dim = b.dim AND a.vec_id < b.vec_id
+        GROUP BY a.label, a.vec_id, b.vec_id
+    ),
+    pd AS (
+        SELECT p.dot, na.nn AS na, nb.nn AS nb
+        FROM p JOIN n2 na ON p.va = na.vec_id
+               JOIN n2 nb ON p.vb = nb.vec_id
+    ),
+    grid AS (SELECT unnest([5000, 7000, 8000, 9000, 9500]) AS thr_e4)
+    SELECT CAST(thr_e4 AS INT) AS thr_e4,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN dot > 0
+                     AND CAST(dot AS HUGEINT) * dot * 100000000
+                         >= CAST(thr_e4 AS HUGEINT) * thr_e4 * na * nb
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM pd, grid
+    GROUP BY thr_e4
+    ORDER BY thr_e4
+    """,
+)
+def q_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-threshold tradeoff curve for embedding near-dup: how
+    many candidate pairs a cosine cutoff of 0.50 / 0.70 / 0.80 /
+    0.90 / 0.95 would merge — the q_watermark_yield of semantic
+    dedup, measured on a deterministic 1-in-10 sample with
+    label-blocked pairs. The threshold test never touches sqrt or
+    float cosine: cos ≥ t  ⟺  dot > 0 ∧ dot²·1e8 ≥ t_e4²·‖a‖²·‖b‖²,
+    evaluated in 128-bit integers (HUGEINT / DECIMAL(38,0) — the
+    products reach ~1e25). The grid is a broadcast 5-row leg."""
+    q = _r9_qdims(spark, sf_dir).where(F.col("vec_id") % 10 == 0)
+    n2 = q.groupBy("vec_id", "label").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("nn")
+    )
+    a = q.select("label", "dim", F.col("vec_id").alias("va"), F.col("qv").alias("qa"))
+    b = q.select("label", "dim", F.col("vec_id").alias("vb"), F.col("qv").alias("qb"))
+    p = (
+        a.join(b, ["label", "dim"])
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("label", "va", "vb")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot"))
+    )
+    na = n2.select(F.col("vec_id").alias("va"), F.col("nn").alias("na"))
+    nb = n2.select(F.col("vec_id").alias("vb"), F.col("nn").alias("nb"))
+    pd = p.join(na, "va").join(nb, "vb").select("dot", "na", "nb")
+    grid = spark.createDataFrame(
+        [(5000,), (7000,), (8000,), (9000,), (9500,)], "thr_e4 INT"
+    )
+    return (
+        pd.crossJoin(F.broadcast(grid))
+        .groupBy("thr_e4")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("dot") > 0)
+                    & (
+                        F.col("dot").cast("decimal(38,0)")
+                        * F.col("dot")
+                        * F.lit(100000000)
+                        >= F.col("thr_e4").cast("decimal(38,0)")
+                        * F.col("thr_e4")
+                        * F.col("na")
+                        * F.col("nb")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .orderBy("thr_e4")
+    )
+
+
+@_staged(
+    "q_graph_assortativity",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY s),
+    dp AS (SELECT p, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY p),
+    j AS (
+        SELECT ds.x, dp.y
+        FROM e JOIN ds ON e.s = ds.s JOIN dp ON e.p = dp.p
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sx2,
+               CAST(sum(y * y) AS BIGINT) AS sy2
+        FROM j
+    )
+    SELECT n AS n_edges,
+           CASE WHEN n * sxy - sx * sy < 0 THEN -1
+                WHEN n * sxy - sx * sy = 0 THEN 0 ELSE 1 END AS cov_sign,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt(CAST(n AS DOUBLE) * sx2
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n AS DOUBLE) * sy2
+                                 - CAST(sy AS DOUBLE) * sy), 0.0), 4)
+               + 0.0 AS assortativity
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier–part supply graph: do
+    high-degree suppliers connect to high-degree parts (hub–hub,
+    r > 0) or to niche parts (hub–spoke, r < 0)? The Pearson
+    correlation of endpoint degrees over edges — THE summary statistic
+    for whether degree-based partitioning will skew. Integer moments
+    (two degree aggregates + one edge join), the covariance SIGN as an
+    exact integer, and the correlation itself in the round4-safe
+    sqrt class with a nullif guard on degenerate variance. One-row
+    output via the allowlisted 1-row moments leg."""
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ds = e.groupBy("s").agg(F.count("*").cast("long").alias("x"))
+    dp = e.groupBy("p").agg(F.count("*").cast("long").alias("y"))
+    j = e.join(ds, "s").join(dp, "p").select("x", "y")
+    m = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.expr(
+            "CASE WHEN n * sxy - sx * sy < 0 THEN -1"
+            " WHEN n * sxy - sx * sy = 0 THEN 0 ELSE 1 END"
+        ).alias("cov_sign"),
+        F.expr(
+            "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / nullif(sqrt(CAST(n AS DOUBLE) * sx2"
+            " - CAST(sx AS DOUBLE) * sx)"
+            " * sqrt(CAST(n AS DOUBLE) * sy2"
+            " - CAST(sy AS DOUBLE) * sy), 0.0), 4) + 0.0"
+        ).alias("assortativity"),
+    )
+
+
+@_staged(
+    "q_ldiversity",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS n_nationkey,
+           CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           count(DISTINCT c_mktsegment) < 3 AS below_l3
+    FROM customer
+    GROUP BY n_nationkey, band
+    ORDER BY n_nationkey, band
+    """,
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — q_kanonymity's necessary complement: a
+    k-anonymous equivalence class is still a privacy leak if everyone
+    in it shares the same SENSITIVE value (homogeneity attack). Per
+    (nation, balance-band) quasi-identifier class: row count, the
+    number of distinct sensitive values (market segment), and the
+    l < 3 exposure flag. One keyed aggregate with a distinct count —
+    no expansion anywhere."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("n_nationkey"),
+            F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("band"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_distinct"),
+            (F.countDistinct("c_mktsegment") < 3).alias("below_l3"),
+        )
+        .orderBy("n_nationkey", "band")
+    )
+
+
+@_staged(
+    "q_retention_sweep",
+    oracle="""
+    WITH ho AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    hl AS (SELECT max(CAST(l_shipdate AS DATE)) AS h FROM lineitem),
+    he AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    grid AS (SELECT unnest([365, 730, 1095]) AS age_days),
+    u AS (
+        SELECT 'orders' AS table_name, g.age_days,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                        < ho.h - to_days(CAST(g.age_days AS INT))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+        FROM orders, ho, grid g GROUP BY g.age_days, ho.h
+        UNION ALL
+        SELECT 'lineitem', g.age_days, CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN CAST(l_shipdate AS DATE)
+                        < hl.h - to_days(CAST(g.age_days AS INT))
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem, hl, grid g GROUP BY g.age_days, hl.h
+        UNION ALL
+        SELECT 'events', g.age_days, CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN CAST(ts AS DATE)
+                        < he.h - to_days(CAST(g.age_days AS INT))
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events, he, grid g GROUP BY g.age_days, he.h
+    )
+    SELECT table_name, CAST(age_days AS INT) AS age_days, n_rows,
+           n_expired,
+           CAST(n_expired * 10000 // n_rows AS BIGINT) AS expired_bp
+    FROM u
+    ORDER BY table_name, age_days
+    """,
+)
+def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy impact sweep — before a GDPR/TTL policy lands,
+    how many rows would a 1/2/3-year cutoff actually expire, per
+    table, measured against each table's OWN data horizon (so the
+    answer is stable however stale the snapshot). One scan per table
+    crossed with the broadcast age grid and that table's 1-row
+    horizon leg; shares in exact basis points."""
+    grid = spark.createDataFrame([(365,), (730,), (1095,)], "age_days INT")
+
+    def sweep(table: str, date_col, name: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table).select(
+            date_col.cast("date").alias("d")
+        )
+        h = t.agg(F.max("d").alias("h"))
+        return (
+            t.crossJoin(F.broadcast(h))
+            .crossJoin(F.broadcast(grid))
+            .groupBy("age_days")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col("d")
+                        < F.date_sub(F.col("h"), F.col("age_days")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_expired"),
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "age_days",
+                "n_rows",
+                "n_expired",
+            )
+        )
+
+    u = (
+        sweep("orders", F.col("o_orderdate"), "orders")
+        .unionByName(sweep("lineitem", F.col("l_shipdate"), "lineitem"))
+        .unionByName(sweep("events", F.col("ts"), "events"))
+    )
+    return u.select(
+        "table_name",
+        "age_days",
+        "n_rows",
+        "n_expired",
+        F.expr("CAST(n_expired * 10000 div n_rows AS BIGINT)").alias(
+            "expired_bp"
+        ),
+    ).orderBy("table_name", "age_days")
+
+
+@_staged(
+    "q_profile_drift",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id % 2 AS half,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) * 100 // count(*) AS BIGINT)
+                   AS mean_chars_e2,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS en_share_bp
+        FROM documents GROUP BY half
+    ),
+    a AS (SELECT * FROM h WHERE half = 0),
+    b AS (SELECT * FROM h WHERE half = 1),
+    m AS (
+        SELECT 'n_docs' AS metric, CAST(a.n_docs AS BIGINT) AS a_value,
+               CAST(b.n_docs AS BIGINT) AS b_value FROM a, b
+        UNION ALL
+        SELECT 'mean_chars_e2', a.mean_chars_e2, b.mean_chars_e2 FROM a, b
+        UNION ALL
+        SELECT 'n_langs', CAST(a.n_langs AS BIGINT),
+               CAST(b.n_langs AS BIGINT) FROM a, b
+        UNION ALL
+        SELECT 'n_sources', CAST(a.n_sources AS BIGINT),
+               CAST(b.n_sources AS BIGINT) FROM a, b
+        UNION ALL
+        SELECT 'en_share_bp', a.en_share_bp, b.en_share_bp FROM a, b
+    )
+    SELECT metric, a_value, b_value,
+           CAST(abs(a_value - b_value) * 10000
+                // greatest(a_value, 1) AS BIGINT) AS drift_bp
+    FROM m
+    ORDER BY metric
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-drift report between two dataset halves (doc_id
+    parity — the stand-in for yesterday's vs today's snapshot): the
+    side-by-side table a data-quality monitor renders, one row per
+    profile metric with relative drift in basis points. Two 1-row
+    profile legs stacked into metric rows; everything integer (mean
+    chars as an exact e2). A real drift alarm keys off drift_bp
+    thresholds per metric."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy((F.col("doc_id") % 2).alias("half")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(n_chars) * 100 div count(*) AS BIGINT)").alias(
+            "mean_chars_e2"
+        ),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.expr(
+            "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("en_share_bp"),
+    )
+    a = h.where(F.col("half") == 0)
+    b = h.where(F.col("half") == 1).select(
+        *[F.col(c).alias(f"b_{c}") for c in h.columns]
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    metrics = ["n_docs", "mean_chars_e2", "n_langs", "n_sources", "en_share_bp"]
+    stacked = ab.select(
+        F.expr(
+            "stack(5, "
+            + ", ".join(f"'{m}', {m}, b_{m}" for m in metrics)
+            + ") AS (metric, a_value, b_value)"
+        )
+    )
+    return stacked.select(
+        "metric",
+        "a_value",
+        "b_value",
+        F.expr(
+            "CAST(abs(a_value - b_value) * 10000"
+            " div greatest(a_value, 1) AS BIGINT)"
+        ).alias("drift_bp"),
+    ).orderBy("metric")
+
+
+@_staged(
+    "q_sortkey_advisor",
+    oracle="""
+    WITH s AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+                    || '|' || l_returnflag) AS BIGINT) AS sd_rf,
+               CAST(count(DISTINCT CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+                    || '|' || l_linestatus) AS BIGINT) AS sd_ls,
+               CAST(count(DISTINCT CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+                    || '|' || CAST(l_suppkey AS VARCHAR)) AS BIGINT)
+                   AS sd_sk,
+               CAST(count(DISTINCT CAST(l_partkey AS VARCHAR)
+                    || '|' || l_returnflag) AS BIGINT) AS pk_rf,
+               CAST(count(DISTINCT CAST(l_partkey AS VARCHAR)
+                    || '|' || l_linestatus) AS BIGINT) AS pk_ls,
+               CAST(count(DISTINCT CAST(l_partkey AS VARCHAR)
+                    || '|' || CAST(l_suppkey AS VARCHAR)) AS BIGINT)
+                   AS pk_sk,
+               CAST(count(DISTINCT CAST(l_suppkey AS VARCHAR)
+                    || '|' || l_returnflag) AS BIGINT) AS sk_rf,
+               CAST(count(DISTINCT CAST(l_suppkey AS VARCHAR)
+                    || '|' || l_linestatus) AS BIGINT) AS sk_ls,
+               CAST(count(DISTINCT CAST(l_suppkey AS VARCHAR)
+                    || '|' || CAST(l_partkey AS VARCHAR)) AS BIGINT)
+                   AS sk_pk
+        FROM lineitem
+    ),
+    m AS (
+        SELECT 'l_shipdate' AS sort_key, 'l_returnflag' AS col_name,
+               sd_rf AS runs_bound, n_rows FROM s
+        UNION ALL SELECT 'l_shipdate', 'l_linestatus', sd_ls, n_rows FROM s
+        UNION ALL SELECT 'l_shipdate', 'l_suppkey', sd_sk, n_rows FROM s
+        UNION ALL SELECT 'l_partkey', 'l_returnflag', pk_rf, n_rows FROM s
+        UNION ALL SELECT 'l_partkey', 'l_linestatus', pk_ls, n_rows FROM s
+        UNION ALL SELECT 'l_partkey', 'l_suppkey', pk_sk, n_rows FROM s
+        UNION ALL SELECT 'l_suppkey', 'l_returnflag', sk_rf, n_rows FROM s
+        UNION ALL SELECT 'l_suppkey', 'l_linestatus', sk_ls, n_rows FROM s
+        UNION ALL SELECT 'l_suppkey', 'l_partkey', sk_pk, n_rows FROM s
+    )
+    SELECT sort_key, col_name, runs_bound, n_rows,
+           CAST(runs_bound * 10000 // n_rows AS BIGINT) AS runs_bp
+    FROM m
+    ORDER BY sort_key, col_name
+    """,
+)
+def q_sortkey_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key advisory — which physical sort order makes OTHER
+    columns run-length-compressible? For each candidate sort key, the
+    tight upper bound on a column's post-sort run count is the
+    distinct (key, column) pair count (values can't resume a run
+    across a key change): runs_bp near 10000 means sorting by that
+    key leaves the column incompressible; near 0 means long runs.
+    Complements q_compress_advisory (which measures the layout you
+    HAVE; this ranks the layouts you COULD pick). All nine pair-NDVs
+    come from ONE scan via a single multi-count-distinct aggregate
+    stacked into rows (the DuckDB twin MATERIALIZEs the shared leg —
+    the pagerank CTE-inlining lesson)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = lambda k, c: F.countDistinct(
+        F.concat(F.col(k).cast("date").cast("string") if k == "l_shipdate"
+                 else F.col(k).cast("string"), F.lit("|"),
+                 F.col(c).cast("string"))
+    ).cast("long")
+    s = li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        pair("l_shipdate", "l_returnflag").alias("sd_rf"),
+        pair("l_shipdate", "l_linestatus").alias("sd_ls"),
+        pair("l_shipdate", "l_suppkey").alias("sd_sk"),
+        pair("l_partkey", "l_returnflag").alias("pk_rf"),
+        pair("l_partkey", "l_linestatus").alias("pk_ls"),
+        pair("l_partkey", "l_suppkey").alias("pk_sk"),
+        pair("l_suppkey", "l_returnflag").alias("sk_rf"),
+        pair("l_suppkey", "l_linestatus").alias("sk_ls"),
+        pair("l_suppkey", "l_partkey").alias("sk_pk"),
+    )
+    rows = [
+        ("l_shipdate", "l_returnflag", "sd_rf"),
+        ("l_shipdate", "l_linestatus", "sd_ls"),
+        ("l_shipdate", "l_suppkey", "sd_sk"),
+        ("l_partkey", "l_returnflag", "pk_rf"),
+        ("l_partkey", "l_linestatus", "pk_ls"),
+        ("l_partkey", "l_suppkey", "pk_sk"),
+        ("l_suppkey", "l_returnflag", "sk_rf"),
+        ("l_suppkey", "l_linestatus", "sk_ls"),
+        ("l_suppkey", "l_partkey", "sk_pk"),
+    ]
+    stacked = s.select(
+        F.expr(
+            "stack(9, "
+            + ", ".join(f"'{k}', '{c}', {v}" for k, c, v in rows)
+            + ") AS (sort_key, col_name, runs_bound)"
+        ),
+        "n_rows",
+    )
+    return stacked.select(
+        "sort_key",
+        "col_name",
+        "runs_bound",
+        "n_rows",
+        F.expr("CAST(runs_bound * 10000 div n_rows AS BIGINT)").alias(
+            "runs_bp"
+        ),
+    ).orderBy("sort_key", "col_name")
+
+
+@_staged(
+    "q_bloom_sizing",
+    oracle="""
+    WITH nd AS (
+        SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv FROM orders
+    ),
+    grid AS (SELECT unnest([8, 12, 16]) AS bits_per_key)
+    SELECT CAST(bits_per_key AS INT) AS bits_per_key,
+           CAST(floor(bits_per_key * 0.6931472 + 0.5) AS BIGINT) AS k_hashes,
+           ndv,
+           CAST(bits_per_key * ndv AS BIGINT) AS total_bits,
+           round(pow(1.0 - exp(-(CAST(floor(bits_per_key * 0.6931472 + 0.5)
+                                      AS DOUBLE))
+                               / bits_per_key),
+                     floor(bits_per_key * 0.6931472 + 0.5)), 4) + 0.0
+               AS fp_rate
+    FROM nd, grid
+    ORDER BY bits_per_key
+    """,
+)
+def q_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing advisory — the planner-facing companion to
+    q_bloom_prefilter (which MEASURES one filter's FP accounting;
+    this one sizes the next): for 8/12/16 bits per key over the
+    measured order-customer NDV, the optimal hash count
+    k = round(b·ln2) and the closed-form false-positive rate
+    (1 − e^(−k/b))^k. k comes from floor(x+0.5) (never CAST — the
+    rounds-vs-truncates divergence); the fp rate is exp/pow class,
+    round(,4)+0.0. The NDV is the allowlisted 1-row leg crossed with
+    the 3-row grid."""
+    nd = load_table(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").cast("long").alias("ndv")
+    )
+    grid = spark.createDataFrame([(8,), (12,), (16,)], "bits_per_key INT")
+    return (
+        nd.crossJoin(F.broadcast(grid))
+        .select(
+            "bits_per_key",
+            F.expr(
+                "CAST(floor(bits_per_key * 0.6931472 + 0.5) AS BIGINT)"
+            ).alias("k_hashes"),
+            "ndv",
+            F.expr("CAST(bits_per_key * ndv AS BIGINT)").alias("total_bits"),
+            F.expr(
+                "round(pow(1.0 - exp(-(CAST(floor(bits_per_key * 0.6931472"
+                " + 0.5) AS DOUBLE)) / bits_per_key),"
+                " floor(bits_per_key * 0.6931472 + 0.5)), 4) + 0.0"
+            ).alias("fp_rate"),
+        )
+        .orderBy("bits_per_key")
+    )
+
+
+@_staged(
+    "q_monotonicity_check",
+    oracle="""
+    WITH c1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN mn = 1 AND mx = n THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_violations
+        FROM (SELECT l_orderkey, min(l_linenumber) AS mn,
+                     max(l_linenumber) AS mx, count(*) AS n
+              FROM lineitem GROUP BY l_orderkey)
+    ),
+    c2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN prev_d IS NOT NULL AND d < prev_d
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM (SELECT CAST(o_orderdate AS DATE) AS d,
+                     lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey ORDER BY o_orderkey)
+                         AS prev_d
+              FROM orders)
+    ),
+    c3 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN CAST(l.l_shipdate AS DATE)
+                        < CAST(o.o_orderdate AS DATE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    u AS (
+        SELECT 'linenumber_dense' AS check_name, * FROM c1
+        UNION ALL SELECT 'orderdate_monotone_by_key', * FROM c2
+        UNION ALL SELECT 'ship_after_order', * FROM c3
+    )
+    SELECT check_name, n_checked, n_violations,
+           CAST(n_violations * 10000 // n_checked AS BIGINT)
+               AS violation_bp
+    FROM u
+    ORDER BY check_name
+    """,
+)
+def q_monotonicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonicity / contiguity invariant audit — the ordering
+    assumptions every incremental pipeline silently relies on,
+    MEASURED instead of assumed: (1) line numbers are dense 1..n per
+    order (a gap means lost lines), (2) order dates are non-decreasing
+    in key order per customer (violated ⇒ key order is NOT ingest
+    order and incremental watermarks on the key are wrong), (3) no
+    line ships before its order date. Keyed aggregates and one keyed
+    lag window; the three 1-row legs stack into the report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c1 = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_linenumber").alias("mn"),
+            F.max("l_linenumber").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(
+                F.when(
+                    (F.col("mn") == 1) & (F.col("mx") == F.col("n")), 0
+                ).otherwise(1)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .select(F.lit("linenumber_dense").alias("check_name"), "*")
+    )
+    wlag = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    c2 = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.lag(F.col("o_orderdate").cast("date")).over(wlag).alias("prev_d"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(
+                F.when(
+                    F.col("prev_d").isNotNull()
+                    & (F.col("d") < F.col("prev_d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .select(
+            F.lit("orderdate_monotone_by_key").alias("check_name"), "*"
+        )
+    )
+    c3 = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate").cast("date")
+                    < F.col("o_orderdate").cast("date"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .select(F.lit("ship_after_order").alias("check_name"), "*")
+    )
+    u = c1.unionByName(c2).unionByName(c3)
+    return u.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.expr("CAST(n_violations * 10000 div n_checked AS BIGINT)").alias(
+            "violation_bp"
+        ),
+    ).orderBy("check_name")

@@ -168,7 +168,19 @@ def main() -> None:
         )
         print(f"{name}: {t_small}s -> {t_big}s  exp={exp}", file=sys.stderr)
 
-    out = {"copies": COPIES, "passes": passes, "rows": rows}
+    # merge into the existing record (replace-by-name, append new) so
+    # incremental sweeps accumulate instead of clobbering the rows of
+    # earlier tranches — SCALE_STRESS.json is the cumulative book of
+    # every measured query
+    prior: list[dict] = []
+    if os.path.exists("SCALE_STRESS.json"):
+        with open("SCALE_STRESS.json") as fh:
+            prior = json.load(fh).get("rows", [])
+    by_name = {r["query"]: r for r in rows}
+    merged = [by_name.pop(r["query"], r) for r in prior] + list(
+        by_name.values()
+    )
+    out = {"copies": COPIES, "passes": passes, "rows": merged}
     with open("SCALE_STRESS.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print("| query | sf0.1 s | sf1 s | exponent |")

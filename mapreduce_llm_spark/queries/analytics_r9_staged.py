@@ -2415,3 +2415,1076 @@ def q_monotonicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_bp"
         ),
     ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 tranche 4 of the round-9 staging: revenue decomposition,
+# lifecycle, market-basket rules, RAKE keyphrases, ingest audits.
+# Flip checklist additions (NLJ_OK on registration):
+# q_price_volume_mix (1-row year-bounds leg), q_sla_attainment
+# (3-row SLA grid), q_assoc_rules (1-row basket-count leg),
+# q_backfill_detect (broadcast ~90-row day table is an equi-join,
+# no NLJ).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_price_volume_mix",
+    oracle="""
+    WITH yrs AS (
+        SELECT min(year(CAST(l_shipdate AS DATE))) AS y0,
+               max(year(CAST(l_shipdate AS DATE))) AS y1
+        FROM lineitem
+    ),
+    by_brand AS (
+        SELECT p.p_brand AS brand, year(CAST(l.l_shipdate AS DATE)) AS y,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r,
+               CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                    AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY brand, y
+    ),
+    j AS (
+        SELECT a.brand, a.r AS r0, a.q AS q0, b.r AS r1, b.q AS q1
+        FROM by_brand a
+        JOIN by_brand b ON a.brand = b.brand
+        CROSS JOIN yrs
+        WHERE a.y = yrs.y0 AND b.y = yrs.y1 AND a.q > 0 AND b.q > 0
+    )
+    SELECT brand, r0, q0, r1, q1,
+           r1 - (q1 * r0) // q0 AS price_effect_cents,
+           (r0 * (q1 - q0)) // q0 AS volume_effect_cents,
+           (r1 - r0) - (r1 - (q1 * r0) // q0)
+                     - ((r0 * (q1 - q0)) // q0) AS residual_cents
+    FROM j
+    ORDER BY brand
+    """,
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge — the FP&A decomposition of
+    per-brand revenue change between the corpus's first and last
+    shipping year: price effect (volume held at new level, price
+    delta), volume effect (price held at base), and the interaction
+    residual, which closes the bridge EXACTLY because it is defined
+    as the remainder (the conservation law the property test pins:
+    pe + ve + residual = ΔR, always). Unit prices never materialize
+    as floats — effects are integer expressions like
+    r1 − (q1·r0)//q0, exact cents at any scale. One brand-year
+    aggregate; the year bounds are the allowlisted 1-row leg."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.year(F.col("l_shipdate").cast("date")).alias("y"),
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + 0.5
+            )
+            .cast("long")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    yrs = li.agg(
+        F.min("y").alias("y0"), F.max("y").alias("y1")
+    )
+    by_brand = li.groupBy("brand", "y").agg(
+        F.sum("cents").cast("long").alias("r"),
+        F.sum("qty").cast("long").alias("q"),
+    )
+    a = by_brand.select(
+        "brand", F.col("y").alias("ya"),
+        F.col("r").alias("r0"), F.col("q").alias("q0"),
+    )
+    b = by_brand.select(
+        F.col("brand").alias("brand_b"), F.col("y").alias("yb"),
+        F.col("r").alias("r1"), F.col("q").alias("q1"),
+    )
+    j = (
+        a.join(b, F.col("brand") == F.col("brand_b"))
+        .crossJoin(F.broadcast(yrs))
+        .where(
+            (F.col("ya") == F.col("y0"))
+            & (F.col("yb") == F.col("y1"))
+            & (F.col("q0") > 0)
+            & (F.col("q1") > 0)
+        )
+    )
+    return j.select(
+        "brand",
+        "r0",
+        "q0",
+        "r1",
+        "q1",
+        F.expr("r1 - (q1 * r0) div q0").alias("price_effect_cents"),
+        F.expr("(r0 * (q1 - q0)) div q0").alias("volume_effect_cents"),
+        F.expr(
+            "(r1 - r0) - (r1 - (q1 * r0) div q0)"
+            " - ((r0 * (q1 - q0)) div q0)"
+        ).alias("residual_cents"),
+    ).orderBy("brand")
+
+
+@_staged(
+    "q_new_vs_returning",
+    oracle="""
+    WITH om AS (
+        SELECT DISTINCT o_custkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month_s
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_custkey, min(month_s) AS first_month FROM om
+        GROUP BY o_custkey
+    )
+    SELECT om.month_s,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN om.month_s = f.first_month THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN om.month_s = f.first_month THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_returning,
+           CAST(sum(CASE WHEN om.month_s = f.first_month THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS new_bp
+    FROM om JOIN firsts f ON om.o_custkey = f.o_custkey
+    GROUP BY om.month_s
+    ORDER BY om.month_s
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly active customers split new vs returning — the
+    growth-accounting curve every subscription/commerce dashboard
+    leads with (q_cohort_retention slices by cohort age; this is the
+    calendar view acquisition teams read). A customer is 'new' in
+    their first-ever active month. Distinct (customer, month) pairs,
+    one keyed min for the first month, one equi-join back — month
+    strings sort lexicographically so min() needs no date algebra."""
+    om = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+                "month_s"
+            ),
+        )
+        .distinct()
+    )
+    firsts = om.groupBy("o_custkey").agg(
+        F.min("month_s").alias("first_month")
+    )
+    return (
+        om.join(firsts, "o_custkey")
+        .groupBy("month_s")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("month_s") == F.col("first_month"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+            F.sum(
+                F.when(F.col("month_s") == F.col("first_month"), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias("n_returning"),
+            F.expr(
+                "CAST(sum(CASE WHEN month_s = first_month THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("new_bp"),
+        )
+        .orderBy("month_s")
+    )
+
+
+@_staged(
+    "q_sla_attainment",
+    oracle="""
+    WITH d AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    grid AS (SELECT unnest([7, 14, 30]) AS sla_days)
+    SELECT priority, CAST(sla_days AS INT) AS sla_days,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN delay_days <= sla_days THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within,
+           CAST(sum(CASE WHEN delay_days <= sla_days THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS attain_bp
+    FROM d, grid
+    GROUP BY priority, sla_days
+    ORDER BY priority, sla_days
+    """,
+)
+def q_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA attainment matrix: per order priority, the share
+    of lines shipped within 7 / 14 / 30 days of the order — the
+    operations scorecard that q_ship_delay's raw delay histogram
+    feeds (the histogram shows the distribution; this scores it
+    against commitments a contract would name). One join, one
+    aggregate over the broadcast 3-row SLA grid; attainment in exact
+    basis points."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "priority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("delay_days"),
+        )
+    )
+    grid = spark.createDataFrame([(7,), (14,), (30,)], "sla_days INT")
+    return (
+        d.crossJoin(F.broadcast(grid))
+        .groupBy("priority", "sla_days")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("delay_days") <= F.col("sla_days"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_within"),
+            F.expr(
+                "CAST(sum(CASE WHEN delay_days <= sla_days THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("attain_bp"),
+        )
+        .orderBy("priority", "sla_days")
+    )
+
+
+@_staged(
+    "q_assoc_rules",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY brand),
+    nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+    pairs AS (
+        SELECT a.brand AS antecedent, c.brand AS consequent,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM b a JOIN b c ON a.ok = c.ok AND a.brand <> c.brand
+        GROUP BY antecedent, consequent
+    )
+    SELECT antecedent, consequent, n_ab,
+           na.n AS n_a, nc.n AS n_c,
+           CAST(n_ab * 10000 // na.n AS BIGINT) AS conf_bp,
+           CAST(n_ab * nn.n_baskets * 10000 // (na.n * nc.n) AS BIGINT)
+               AS lift_e4
+    FROM pairs
+    JOIN nb na ON pairs.antecedent = na.brand
+    JOIN nb nc ON pairs.consequent = nc.brand
+    CROSS JOIN nn
+    ORDER BY conf_bp DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A→B over order baskets of part
+    brands — confidence and lift per rule, the market-basket output
+    q_pair_lift stops short of (lift is symmetric; replenishment and
+    recommendation need the DIRECTED confidence P(B|A)). The pair
+    join is keyed on the order (baskets are naturally capped by order
+    width, so the within-key expansion is bounded); confidence and
+    lift are integer-exact (lift as e4 via n_ab·N·10⁴ // (n_a·n_b)).
+    Top-20 by confidence with the rule itself as tie-break."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("ok", "brand")
+        .distinct()
+    )
+    nb = b.groupBy("brand").agg(F.count("*").cast("long").alias("n"))
+    nn = b.agg(F.countDistinct("ok").cast("long").alias("n_baskets"))
+    a = b.select("ok", F.col("brand").alias("antecedent"))
+    c = b.select("ok", F.col("brand").alias("consequent"))
+    pairs = (
+        a.join(c, "ok")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    na = nb.select(
+        F.col("brand").alias("antecedent"), F.col("n").alias("n_a")
+    )
+    nc = nb.select(
+        F.col("brand").alias("consequent"), F.col("n").alias("n_c")
+    )
+    return (
+        pairs.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nc), "consequent")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_c",
+            F.expr("CAST(n_ab * 10000 div n_a AS BIGINT)").alias("conf_bp"),
+            F.expr(
+                "CAST(n_ab * n_baskets * 10000 div (n_a * n_c) AS BIGINT)"
+            ).alias("lift_e4"),
+        )
+        .orderBy(F.col("conf_bp").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+@_staged(
+    "q_bot_score",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               (tus - lag(tus) OVER (
+                   PARTITION BY user_id ORDER BY tus, event_id))
+                   // 1000000 AS g_s
+        FROM e
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(count(g_s) AS BIGINT) AS n_gaps,
+               CAST(sum(g_s) AS BIGINT) AS sg,
+               CAST(sum(g_s * g_s) AS BIGINT) AS sg2
+        FROM g GROUP BY user_id
+        HAVING count(g_s) >= 19
+    )
+    SELECT user_id, n_gaps,
+           CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+           CAST(floor((CAST(n_gaps * sg2 - sg * sg AS DOUBLE) * 10000.0)
+                      / CAST(sg * sg AS DOUBLE)) AS BIGINT) AS cv2_e4,
+           floor((CAST(n_gaps * sg2 - sg * sg AS DOUBLE) * 10000.0)
+                 / CAST(sg * sg AS DOUBLE)) < 2500 AS bot_flag
+    FROM m
+    WHERE sg > 0
+    ORDER BY cv2_e4 ASC, user_id
+    LIMIT 25
+    """,
+)
+def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness screen: users whose inter-event gaps are TOO
+    regular — humans are bursty (squared coefficient of variation
+    cv² ≈ 1 for Poisson arrivals, >1 for bursts); cv² ≪ 1 at volume
+    is a scheduler, not a person. Gaps in integer seconds from one
+    keyed lag window; cv²_e4 = (n·Σg²−(Σg)²)·10⁴/(Σg)² computed as
+    one double floor (the numerator exceeds 2⁵³ scaled, but
+    int64→double conversion and the divide round identically on both
+    engines, and floor pins the result). Top-25 most-regular
+    high-volume users."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = e.select(
+        "user_id",
+        F.expr(
+            "(tus - lag(tus) OVER (PARTITION BY user_id"
+            " ORDER BY tus, event_id)) div 1000000"
+        ).alias("g_s"),
+    )
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("g_s").cast("long").alias("n_gaps"),
+            F.sum("g_s").cast("long").alias("sg"),
+            F.sum(F.col("g_s") * F.col("g_s")).cast("long").alias("sg2"),
+        )
+        .where((F.col("n_gaps") >= 19) & (F.col("sg") > 0))
+    )
+    cv2 = (
+        "floor((CAST(n_gaps * sg2 - sg * sg AS DOUBLE) * 10000.0)"
+        " / CAST(sg * sg AS DOUBLE))"
+    )
+    return (
+        m.select(
+            "user_id",
+            "n_gaps",
+            F.expr("CAST(sg div n_gaps AS BIGINT)").alias("mean_gap_s"),
+            F.expr(f"CAST({cv2} AS BIGINT)").alias("cv2_e4"),
+            F.expr(f"{cv2} < 2500").alias("bot_flag"),
+        )
+        .orderBy("cv2_e4", "user_id")
+        .limit(25)
+    )
+
+
+@_staged(
+    "q_keyphrase_rake",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, i, words[i] AS w,
+               CASE WHEN list_contains(['the','and','of','to','in',
+                    'is','that','for','with','as'], words[i])
+                    THEN 1 ELSE 0 END AS stop
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS words
+              FROM documents),
+             unnest(generate_series(1, len(words))) AS u(i)
+    ),
+    isl AS (
+        SELECT doc_id, i, w, stop,
+               sum(stop) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS pid
+        FROM t
+    ),
+    members AS (SELECT doc_id, pid, i, w FROM isl WHERE stop = 0),
+    wstat AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS deg
+        FROM (SELECT m.w,
+                     count(*) OVER (PARTITION BY m.doc_id, m.pid) AS plen
+              FROM members m)
+        GROUP BY w
+    ),
+    phr AS (
+        SELECT m.doc_id, m.pid,
+               string_agg(m.w, ' ' ORDER BY m.i) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ws.deg * 10000 // ws.freq) AS BIGINT) AS score_e4
+        FROM members m JOIN wstat ws ON m.w = ws.w
+        GROUP BY m.doc_id, m.pid
+        HAVING count(*) >= 2
+    )
+    SELECT phrase, CAST(min(n_words) AS BIGINT) AS n_words,
+           CAST(min(score_e4) AS BIGINT) AS score_e4,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM phr
+    GROUP BY phrase
+    ORDER BY score_e4 DESC, phrase
+    LIMIT 15
+    """,
+)
+def q_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction — maximal stopword-free word runs
+    scored by Σ degree/frequency of their member words (Rose et al.'s
+    rapid automatic keyword extraction, the zero-model baseline every
+    keyphrase pipeline starts from). Phrases come from the stopword
+    prefix-sum island idiom (one keyed window — no regex phrase
+    splitting, which can't see adjacent stopwords); word degree is a
+    keyed window count over phrase membership; scores are exact
+    integer e4 (each word contributes floor(deg·10⁴/freq), summed —
+    defined identically on both engines). Same-text phrases collapse
+    with occurrence counts; top-15 with the phrase as tie-break."""
+    stops = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"]
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _r9_words(F.col("text")).alias("words"))
+        .select("doc_id", F.posexplode("words").alias("pos", "w"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("i"),
+            "w",
+            F.when(F.col("w").isin(*stops), 1).otherwise(0).alias("stop"),
+        )
+    )
+    wisl = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = (
+        t.withColumn("pid", F.sum("stop").over(wisl))
+        .where(F.col("stop") == 0)
+        .select("doc_id", "pid", "i", "w")
+    )
+    wplen = Window.partitionBy("doc_id", "pid")
+    wstat = (
+        members.withColumn("plen", F.count("*").over(wplen))
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    phr = (
+        members.join(wstat, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.expr("deg * 10000 div freq")).cast("long").alias(
+                "score_e4"
+            ),
+        )
+        .where(F.col("n_words") >= 2)
+    )
+    return (
+        phr.groupBy("phrase")
+        .agg(
+            F.min("n_words").cast("long").alias("n_words"),
+            F.min("score_e4").cast("long").alias("score_e4"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.col("score_e4").desc(), "phrase")
+        .limit(15)
+    )
+
+
+@_staged(
+    "q_word_len_hist",
+    oracle="""
+    WITH w AS (
+        SELECT lang, length(w) AS wl
+        FROM (SELECT lang,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                         AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    b AS (
+        SELECT lang,
+               CASE WHEN wl <= 2 THEN '1-2' WHEN wl <= 4 THEN '3-4'
+                    WHEN wl <= 6 THEN '5-6' ELSE '7+' END AS band
+        FROM w
+    )
+    SELECT lang, band,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(*) * 10000 // sum(count(*)) OVER (PARTITION BY lang)
+                AS BIGINT) AS share_bp
+    FROM b
+    GROUP BY lang, band
+    ORDER BY lang, band
+    """,
+)
+def q_word_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length histogram per language — the cheap morphology
+    fingerprint (German compounds push 7+, analytic languages sit in
+    3-4) that corroborates q_text_langid's stopword vote with
+    zero vocabulary. One explode + keyed aggregate; shares are exact
+    basis points off a window over the |langs × 4| cells."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(_r9_words(F.col("text"))).alias("w")
+    )
+    b = w.select(
+        "lang",
+        F.when(F.length("w") <= 2, "1-2")
+        .when(F.length("w") <= 4, "3-4")
+        .when(F.length("w") <= 6, "5-6")
+        .otherwise("7+")
+        .alias("band"),
+    )
+    c = b.groupBy("lang", "band").agg(F.count("*").alias("n_words"))
+    return c.select(
+        "lang",
+        "band",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.expr(
+            "CAST(n_words * 10000 div sum(n_words)"
+            " OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("share_bp"),
+    ).orderBy("lang", "band")
+
+
+@_staged(
+    "q_backfill_detect",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(ts AS DATE) AS d,
+               max(event_id) AS max_eid,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY d
+    ),
+    pm AS (
+        SELECT d, n_events,
+               max(max_eid) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM days
+    ),
+    j AS (
+        SELECT pm.d, pm.n_events, pm.prev_max,
+               CAST(sum(CASE WHEN pm.prev_max IS NOT NULL
+                        AND e.event_id < pm.prev_max
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled
+        FROM events e JOIN pm ON CAST(e.ts AS DATE) = pm.d
+        GROUP BY pm.d, pm.n_events, pm.prev_max
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day_s, n_events, n_backfilled,
+           n_backfilled > 0 AS has_backfill
+    FROM j
+    ORDER BY day_s
+    """,
+)
+def q_backfill_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill detection at day grain — which calendar days contain
+    rows whose ingest id (the monotone event_id) is SMALLER than ids
+    already seen on earlier days, i.e. rows inserted out of calendar
+    order by a batch backfill. The complement of q_disorder_audit
+    (there: event time late vs ingest order, per user; here: ingest
+    id late vs calendar, per day — the signal that says 'reprocess
+    this partition'). The day-level prefix max runs over the ~tens-of
+    -rows day aggregate (post-aggregation global window, the
+    survival_km discipline), then broadcast-joins back to events."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_id"
+    )
+    days = e.groupBy("d").agg(
+        F.max("event_id").alias("max_eid"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wpm = (
+        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)) * 0)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pm = days.select(
+        "d", "n_events", F.max("max_eid").over(wpm).alias("prev_max")
+    )
+    j = (
+        e.join(F.broadcast(pm), "d")
+        .groupBy("d", "n_events", "prev_max")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNotNull()
+                    & (F.col("event_id") < F.col("prev_max")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_backfilled")
+        )
+    )
+    return (
+        j.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_s"),
+            "n_events",
+            "n_backfilled",
+            (F.col("n_backfilled") > 0).alias("has_backfill"),
+        )
+        .orderBy("day_s")
+    )
+
+
+@_staged(
+    "q_dormancy_revival",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS prev_d
+        FROM orders
+    ),
+    rev AS (
+        SELECT strftime(date_trunc('quarter', d), '%Y') || '-Q'
+               || CAST(quarter(d) AS VARCHAR) AS quarter_s,
+               cents
+        FROM o
+        WHERE prev_d IS NOT NULL
+          AND date_diff('day', prev_d, d) > 180
+    )
+    SELECT quarter_s,
+           CAST(count(*) AS BIGINT) AS n_revivals,
+           CAST(sum(cents) AS BIGINT) AS revived_cents
+    FROM rev
+    GROUP BY quarter_s
+    ORDER BY quarter_s
+    """,
+)
+def q_dormancy_revival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy revivals per quarter — customers who came back after
+    180+ days of silence, and the revenue that reactivation carried
+    (the win-back metric; q_churn_label predicts who will leave, this
+    measures who RETURNED). One keyed lag window over each customer's
+    order history; revival orders aggregate by calendar quarter in
+    exact cents."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_d"),
+    )
+    rev = o.where(
+        F.col("prev_d").isNotNull()
+        & (F.datediff(F.col("d"), F.col("prev_d")) > 180)
+    ).select(
+        F.concat(
+            F.year("d").cast("string"),
+            F.lit("-Q"),
+            F.quarter("d").cast("string"),
+        ).alias("quarter_s"),
+        "cents",
+    )
+    return (
+        rev.groupBy("quarter_s")
+        .agg(
+            F.count("*").cast("long").alias("n_revivals"),
+            F.sum("cents").cast("long").alias("revived_cents"),
+        )
+        .orderBy("quarter_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 tranche 5 of the round-9 staging: referential coverage,
+# absorbing-chain conversion, and the closing filler. Flip checklist:
+# q_absorption_prob's 8 unrolled fixed-point steps join a ≤|types|²
+# broadcast matrix (tiny); no new NLJ classes.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_fk_coverage",
+    oracle="""
+    WITH r1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r1p AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parents,
+               CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unused
+        FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey AS k
+                                 FROM lineitem) c ON o.o_orderkey = c.k
+    ),
+    r2 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    r2p AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parents,
+               CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unused
+        FROM part p LEFT JOIN (SELECT DISTINCT l_partkey AS k
+                               FROM lineitem) c ON p.p_partkey = c.k
+    ),
+    r3 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    r3p AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parents,
+               CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unused
+        FROM supplier s LEFT JOIN (SELECT DISTINCT l_suppkey AS k
+                                   FROM lineitem) c ON s.s_suppkey = c.k
+    ),
+    r4 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
+    ),
+    r4p AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parents,
+               CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unused
+        FROM customer cu LEFT JOIN (SELECT DISTINCT o_custkey AS k
+                                    FROM orders) c ON cu.c_custkey = c.k
+    ),
+    u AS (
+        SELECT 'lineitem->orders' AS relation, r1.n_child, r1.n_orphans,
+               r1p.n_parents, r1p.n_unused FROM r1, r1p
+        UNION ALL
+        SELECT 'lineitem->part', r2.n_child, r2.n_orphans,
+               r2p.n_parents, r2p.n_unused FROM r2, r2p
+        UNION ALL
+        SELECT 'lineitem->supplier', r3.n_child, r3.n_orphans,
+               r3p.n_parents, r3p.n_unused FROM r3, r3p
+        UNION ALL
+        SELECT 'orders->customer', r4.n_child, r4.n_orphans,
+               r4p.n_parents, r4p.n_unused FROM r4, r4p
+    )
+    SELECT relation, n_child, n_orphans, n_parents, n_unused,
+           CAST(n_unused * 10000 // n_parents AS BIGINT) AS unused_bp
+    FROM u
+    ORDER BY relation
+    """,
+)
+def q_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-coverage matrix over the schema's four foreign keys
+    — both directions at once: orphaned children (FK violations, the
+    q_orphan_check signal) AND unused parents (dimension rows no fact
+    references — the candidates for dimension pruning and the smell
+    of a broken ingest filter). Each relation is one left join + one
+    distinct-key left join, stacked into the four-row report with
+    unused share in basis points."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def cov(child: DataFrame, ck: str, parent: DataFrame, pk: str,
+            name: str) -> DataFrame:
+        c = child.select(F.col(ck).alias("ck"))
+        p = parent.select(F.col(pk).alias("pk"))
+        orphans = (
+            c.join(p, c.ck == p.pk, "left")
+            .agg(
+                F.count("*").cast("long").alias("n_child"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+        used = c.distinct().select(F.col("ck").alias("k"))
+        unused = (
+            p.join(used, p.pk == used.k, "left")
+            .agg(
+                F.count("*").cast("long").alias("n_parents"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unused"),
+            )
+        )
+        return (
+            orphans.crossJoin(F.broadcast(unused))
+            .select(F.lit(name).alias("relation"), "*")
+        )
+
+    u = (
+        cov(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(
+            cov(li, "l_partkey", load_table(spark, sf_dir, "part"),
+                "p_partkey", "lineitem->part")
+        )
+        .unionByName(
+            cov(li, "l_suppkey", load_table(spark, sf_dir, "supplier"),
+                "s_suppkey", "lineitem->supplier")
+        )
+        .unionByName(
+            cov(o, "o_custkey", load_table(spark, sf_dir, "customer"),
+                "c_custkey", "orders->customer")
+        )
+    )
+    return u.select(
+        "relation",
+        "n_child",
+        "n_orphans",
+        "n_parents",
+        "n_unused",
+        F.expr("CAST(n_unused * 10000 div n_parents AS BIGINT)").alias(
+            "unused_bp"
+        ),
+    ).orderBy("relation")
+
+
+def _absorption_sql(steps: int = 8) -> str:
+    """Unrolled DuckDB replay of the e9 fixed-point absorption
+    recursion — one MATERIALIZED CTE per step (the pagerank
+    CTE-inlining lesson: each v{k} is referenced by the next level's
+    join AND the dead-end coalesce; default inlining re-executes per
+    reference)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+        SELECT user_id, event_type AS s, ts, event_id,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t
+        FROM events)""",
+        """tr AS MATERIALIZED (
+        SELECT s, t, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE t IS NOT NULL AND s <> 'purchase'
+        GROUP BY s, t)""",
+        """cs AS MATERIALIZED (
+        SELECT s, CAST(sum(n) AS BIGINT) AS n_out FROM tr GROUP BY s)""",
+        """p AS MATERIALIZED (
+        SELECT tr.s, tr.t, tr.n * 1000000000 // cs.n_out AS p_e9
+        FROM tr JOIN cs ON tr.s = cs.s)""",
+        """pa AS MATERIALIZED (
+        SELECT cs.s, coalesce(ab.p_e9, 0) AS p_abs_e9
+        FROM cs LEFT JOIN (SELECT s, p_e9 FROM p WHERE t = 'purchase') ab
+          ON cs.s = ab.s)""",
+        "v0 AS MATERIALIZED (SELECT s, CAST(0 AS BIGINT) AS v FROM cs)",
+    ]
+    for k in range(steps):
+        ctes.append(
+            f"""v{k + 1} AS MATERIALIZED (
+        SELECT pa.s,
+               pa.p_abs_e9 + coalesce(t.acc, 0) AS v
+        FROM pa LEFT JOIN (
+            SELECT p.s, sum(p.p_e9 * v{k}.v) // 1000000000 AS acc
+            FROM p JOIN v{k} ON p.t = v{k}.s
+            WHERE p.t <> 'purchase'
+            GROUP BY p.s) t ON pa.s = t.s)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT v{steps}.s AS state, cs.n_out,
+           CAST(v{steps}.v AS BIGINT) AS p_convert_e9
+    FROM v{steps} JOIN cs ON v{steps}.s = cs.s
+    ORDER BY state
+    """
+    )
+
+
+@_staged("q_absorption_prob", oracle=_absorption_sql())
+def q_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-step absorption probability into 'purchase' for the
+    event-type Markov chain — 'from state s, what is the chance a
+    user converts within 8 transitions?', the absorbing-chain view
+    that q_markov_loglik's transition matrix implies but never
+    evaluates. The recursion v_k(s) = P(s→abs) + Σ P(s→t)·v_{k−1}(t)
+    runs in e9 FIXED-POINT integers (each step: int64 products
+    summed over ≤|types| terms, one integer division — bit-identical
+    on both engines, sidestepping float summation order entirely;
+    the DuckDB twin unrolls 8 MATERIALIZED CTE levels). The matrix
+    is |types|² rows — every join is a broadcast of a tiny model,
+    the q_markov_loglik discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    )
+    tr = (
+        pairs.where(F.col("t").isNotNull() & (F.col("s") != "purchase"))
+        .groupBy("s", "t")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cs = tr.groupBy("s").agg(F.sum("n").cast("long").alias("n_out"))
+    p = tr.join(cs, "s").select(
+        "s", "t", F.expr("n * 1000000000 div n_out").alias("p_e9")
+    )
+    pa = (
+        cs.join(
+            p.where(F.col("t") == "purchase").select(
+                "s", F.col("p_e9").alias("p_abs_e9")
+            ),
+            "s",
+            "left",
+        )
+        .select("s", F.coalesce("p_abs_e9", F.lit(0)).alias("p_abs_e9"))
+        .localCheckpoint(eager=True)
+    )
+    pn = (
+        p.where(F.col("t") != "purchase")
+        .select("s", "t", "p_e9")
+        .localCheckpoint(eager=True)
+    )
+    v = pa.select("s", F.lit(0).cast("long").alias("v"))
+    for _ in range(8):
+        acc = (
+            pn.join(
+                v.select(F.col("s").alias("t"), F.col("v").alias("vt")),
+                "t",
+            )
+            .groupBy("s")
+            .agg(
+                F.expr("sum(p_e9 * vt) div 1000000000").alias("acc")
+            )
+        )
+        v = (
+            pa.join(F.broadcast(acc), "s", "left")
+            .select(
+                "s",
+                (
+                    F.col("p_abs_e9") + F.coalesce(F.col("acc"), F.lit(0))
+                ).alias("v"),
+            )
+        )
+    return (
+        v.join(cs, "s")
+        .select(
+            F.col("s").alias("state"),
+            "n_out",
+            F.col("v").cast("long").alias("p_convert_e9"),
+        )
+        .orderBy("state")
+    )
+
+
+@_staged(
+    "q_cohort_quality",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey,
+               min(strftime(CAST(o_orderdate AS DATE), '%Y-%m'))
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT f.cohort_month, o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY f.cohort_month, o.o_custkey
+    )
+    SELECT cohort_month,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(spend_cents) // count(*) AS BIGINT)
+               AS spend_per_customer_cents,
+           CAST(sum(CASE WHEN n_orders >= 3 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS repeat3_bp
+    FROM s
+    GROUP BY cohort_month
+    ORDER BY cohort_month
+    """,
+)
+def q_cohort_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort quality scorecard: per first-order month,
+    lifetime orders and spend per customer and the share that ever
+    reached 3+ orders — the one-line answer to 'are newer cohorts
+    WORSE?' (q_cohort_retention tracks when cohorts return;
+    q_cohort_ltv tracks the revenue triangle; this ranks the cohorts
+    themselves). Two keyed aggregates (customer → cohort, then
+    cohort); exact cents with integer-div per-customer spend."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "month_s"
+        ),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("month_s").alias("cohort_month"))
+    s = (
+        o.join(f, "o_custkey")
+        .groupBy("cohort_month", "o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("spend_cents"),
+        )
+    )
+    return (
+        s.groupBy("cohort_month")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(spend_cents) div count(*) AS BIGINT)"
+            ).alias("spend_per_customer_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_orders >= 3 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("repeat3_bp"),
+        )
+        .orderBy("cohort_month")
+    )

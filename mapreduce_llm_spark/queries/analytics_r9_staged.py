@@ -53,6 +53,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: @query(oracle=...) declarations verbatim.
 STAGED_R9: dict[str, tuple[QueryFn, str]] = {}
 
+#: The exact round-9 DRIVER_PRIORITY window, pre-drafted so the flip
+#: is mechanical (the round-8 playbook, executed successfully this
+#: round): 50 staged queries in definition (= tranche) order — no
+#: FUTURE_ORACLES graduations remain, so the whole window is new
+#: surface. tests/test_r9_flip_rehearsal.py pins that this list is
+#: exactly STAGED_R9 with no gaps, dupes, or registry collisions, and
+#: that the post-flip external-verification backlog is exactly this
+#: window.
+ROUND9_WINDOW: list[str] = [
+    "q_disorder_audit", "q_watermark_yield", "q_churn_label",
+    "q_dedup_sortneighbor", "q_norm_dedup_lift", "q_rank_fusion",
+    "q_snippet_window", "q_text_burstiness", "q_charclass_profile",
+    "q_dup_invoice", "q_header_detail_recon", "q_srm_check",
+    "q_ab_power", "q_pr_curve", "q_woe_iv",
+    "q_simpson_reversal", "q_interval_union", "q_attribution_position",
+    "q_embed_outlier", "q_sign_agreement", "q_cosine_threshold_curve",
+    "q_graph_assortativity", "q_ldiversity", "q_retention_sweep",
+    "q_profile_drift", "q_sortkey_advisor", "q_bloom_sizing",
+    "q_monotonicity_check", "q_price_volume_mix", "q_new_vs_returning",
+    "q_sla_attainment", "q_assoc_rules", "q_bot_score",
+    "q_keyphrase_rake", "q_word_len_hist", "q_backfill_detect",
+    "q_dormancy_revival", "q_fk_coverage", "q_absorption_prob",
+    "q_cohort_quality", "q_gap_percentiles", "q_lang_vocab_overlap",
+    "q_quantile_treatment", "q_brand_cannibalization", "q_subscription_detect",
+    "q_single_source_risk", "q_weekend_effect", "q_hhi_trend",
+    "q_entry_exit_matrix", "q_growth_accounting",
+]
+
 
 def _staged(name: str, oracle: str):
     def deco(fn: QueryFn) -> QueryFn:
@@ -3487,4 +3515,988 @@ def q_cohort_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat3_bp"),
         )
         .orderBy("cohort_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 tranche 6 of the round-9 staging — fills the staging to a
+# FULL 50-query window (no FUTURE_ORACLES remain, so round 9's window
+# is entirely new surface). Flip checklist additions (NLJ_OK):
+# q_quantile_treatment (1-row per-variant count legs),
+# q_brand_cannibalization (none — month equi-join),
+# q_weekend_effect / q_hhi_trend / q_growth_accounting (1-row or
+# post-agg legs), q_entry_exit_matrix (share window over matrix
+# cells).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_gap_percentiles",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_mktsegment AS segment,
+               o.o_custkey, o.o_orderkey,
+               date_diff('day',
+                   lag(CAST(o.o_orderdate AS DATE)) OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey),
+                   CAST(o.o_orderdate AS DATE)) AS gap_days
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+        SELECT segment, gap_days,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY gap_days, o_custkey, o_orderkey)
+                   AS rk,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM g WHERE gap_days IS NOT NULL
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN gap_days END)
+                AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN gap_days END)
+                AS BIGINT) AS p90_days,
+           CAST(max(CASE WHEN rk = (n * 99 + 99) // 100 THEN gap_days END)
+                AS BIGINT) AS p99_days
+    FROM r
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of inter-order gaps per market segment —
+    the tail of the reorder-interval distribution is what inventory
+    and re-engagement timing actually key on (q_order_gap_dist bins
+    the distribution; this reads exact nearest-rank percentiles off
+    it). Ranks come from operators/ranking.partitioned_row_number
+    (range partition + per-key offsets — a plain per-segment window
+    would funnel each segment through one task); the nearest-rank
+    index ceil(n·p/100) is integer arithmetic on both engines."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), "o_custkey")
+        .select(
+            "segment",
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    r = partitioned_row_number(
+        g,
+        ["segment"],
+        [F.col("gap_days"), F.col("o_custkey"), F.col("o_orderkey")],
+        alias="rk",
+    )
+    n = r.groupBy("segment").agg(F.count("*").alias("n"))
+    return (
+        r.join(F.broadcast(n), "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rk = (n * 50 + 99) div 100 THEN gap_days END"
+                )
+            )
+            .cast("long")
+            .alias("p50_days"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rk = (n * 90 + 99) div 100 THEN gap_days END"
+                )
+            )
+            .cast("long")
+            .alias("p90_days"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rk = (n * 99 + 99) div 100 THEN gap_days END"
+                )
+            )
+            .cast("long")
+            .alias("p99_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_lang_vocab_overlap",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT lang, w
+        FROM (SELECT lang,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                         AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY lang),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+        GROUP BY lang_a, lang_b
+    )
+    SELECT i.lang_a, i.lang_b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+           CAST(i.n_shared * 10000 // (sa.n + sb.n - i.n_shared) AS BIGINT)
+               AS jaccard_e4
+    FROM inter i
+    JOIN sz sa ON i.lang_a = sa.lang
+    JOIN sz sb ON i.lang_b = sb.lang
+    ORDER BY lang_a, lang_b
+    """,
+)
+def q_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language slices — the
+    cross-contamination check on the language labels themselves
+    (two 'different' languages sharing 80% of their vocabulary means
+    the langid upstream is broken or the corpus is code-switched).
+    Vocabularies collapse to distinct (lang, word); pairs exist only
+    through the shared-word equi-join (the q_user_overlap shape on a
+    vocabulary axis); Jaccard in exact basis points."""
+    v = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(_r9_words(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    sz = v.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    a = v.select(F.col("lang").alias("lang_a"), "w")
+    b = v.select(F.col("lang").alias("lang_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sz.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared * 10000 div (n_a + n_b - n_shared) AS BIGINT)"
+            ).alias("jaccard_e4"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+@_staged(
+    "q_quantile_treatment",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(('0x' || substr(md5('ab:' || CAST(o_custkey AS VARCHAR)),
+                     1, 10)) AS BIGINT) % 2 AS variant,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    r AS (
+        SELECT variant, cents,
+               row_number() OVER (PARTITION BY variant
+                                  ORDER BY cents, o_orderkey) AS rk,
+               count(*) OVER (PARTITION BY variant) AS n
+        FROM o
+    ),
+    d AS (
+        SELECT variant, CAST((rk - 1) * 10 // n AS INT) AS decile,
+               cents
+        FROM r
+    ),
+    m AS (
+        SELECT decile,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)
+                    AS BIGINT) AS s_a,
+               CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)
+                    AS BIGINT) AS s_b
+        FROM d GROUP BY decile
+    )
+    SELECT decile, n_a, n_b,
+           CAST(s_a // n_a AS BIGINT) AS mean_a_cents,
+           CAST(s_b // n_b AS BIGINT) AS mean_b_cents,
+           CAST(s_b // n_b - s_a // n_a AS BIGINT) AS diff_cents
+    FROM m
+    ORDER BY decile
+    """,
+)
+def q_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect — does the variant move the WHOLE
+    order-value distribution or just the tail? (q_ab_welch compares
+    means; two distributions with equal means can differ wildly at
+    p90.) Each variant's orders rank into own-variant deciles
+    through operators/ranking.partitioned_row_number, then deciles
+    align across variants: per decile, exact integer mean cents per
+    side and the difference — the ten-point effect profile."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab:"), F.col("o_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    r = partitioned_row_number(
+        o, ["variant"], [F.col("cents"), F.col("o_orderkey")], alias="rk"
+    )
+    n = r.groupBy("variant").agg(F.count("*").alias("n"))
+    d = (
+        r.join(F.broadcast(n), "variant")
+        .select(
+            "variant",
+            F.expr("CAST((rk - 1) * 10 div n AS INT)").alias("decile"),
+            "cents",
+        )
+    )
+    m = d.groupBy("decile").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    )
+    return m.select(
+        "decile",
+        "n_a",
+        "n_b",
+        F.expr("CAST(s_a div n_a AS BIGINT)").alias("mean_a_cents"),
+        F.expr("CAST(s_b div n_b AS BIGINT)").alias("mean_b_cents"),
+        F.expr("CAST(s_b div n_b - s_a div n_a AS BIGINT)").alias(
+            "diff_cents"
+        ),
+    ).orderBy("decile")
+
+
+@_staged(
+    "q_brand_cannibalization",
+    oracle="""
+    WITH bm AS (
+        SELECT p.p_brand AS brand,
+               strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS m,
+               CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                    AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY brand, m
+    ),
+    pr AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(a.q) AS BIGINT) AS sx,
+               CAST(sum(b.q) AS BIGINT) AS sy,
+               CAST(sum(a.q * b.q) AS BIGINT) AS sxy,
+               CAST(sum(a.q * a.q) AS BIGINT) AS sx2,
+               CAST(sum(b.q * b.q) AS BIGINT) AS sy2
+        FROM bm a JOIN bm b ON a.m = b.m AND a.brand < b.brand
+        GROUP BY brand_a, brand_b
+    )
+    SELECT brand_a, brand_b, n_months,
+           round((CAST(n_months AS DOUBLE) * sxy
+                  - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n_months AS DOUBLE) * sx2
+                         - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n_months AS DOUBLE) * sy2
+                           - CAST(sy AS DOUBLE) * sy)), 4) + 0.0 AS corr_qty
+    FROM pr
+    WHERE n_months >= 12
+      AND n_months * sx2 - sx * sx > 0
+      AND n_months * sy2 - sy * sy > 0
+    ORDER BY corr_qty ASC, brand_a, brand_b
+    LIMIT 10
+    """,
+)
+def q_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cannibalization screen: the 10 brand pairs whose monthly
+    demand series are most NEGATIVELY correlated — when one sells,
+    the other doesn't, the signature of substitution inside the
+    portfolio (q_pair_lift finds complements bought TOGETHER; this
+    finds substitutes that trade off over TIME). Brand-month demand
+    is one aggregate; pairs exist only through the month equi-join
+    (|brands|² × months, tiny); Pearson off integer moments with
+    zero-variance pairs excluded by an exact integer predicate
+    BEFORE the float division."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    bm = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias(
+                "m"
+            ),
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("brand", "m")
+        .agg(F.sum("qty").cast("long").alias("q"))
+    )
+    a = bm.select(
+        F.col("brand").alias("brand_a"), "m", F.col("q").alias("qa")
+    )
+    b = bm.select(
+        F.col("brand").alias("brand_b"), "m", F.col("q").alias("qb")
+    )
+    pr = (
+        a.join(b, "m")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.count("*").cast("long").alias("n_months"),
+            F.sum("qa").cast("long").alias("sx"),
+            F.sum("qb").cast("long").alias("sy"),
+            F.sum(F.col("qa") * F.col("qb")).cast("long").alias("sxy"),
+            F.sum(F.col("qa") * F.col("qa")).cast("long").alias("sx2"),
+            F.sum(F.col("qb") * F.col("qb")).cast("long").alias("sy2"),
+        )
+    )
+    return (
+        pr.where(
+            (F.col("n_months") >= 12)
+            & (F.expr("n_months * sx2 - sx * sx > 0"))
+            & (F.expr("n_months * sy2 - sy * sy > 0"))
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_months",
+            F.expr(
+                "round((CAST(n_months AS DOUBLE) * sxy"
+                " - CAST(sx AS DOUBLE) * sy)"
+                " / (sqrt(CAST(n_months AS DOUBLE) * sx2"
+                " - CAST(sx AS DOUBLE) * sx)"
+                " * sqrt(CAST(n_months AS DOUBLE) * sy2"
+                " - CAST(sy AS DOUBLE) * sy)), 4) + 0.0"
+            ).alias("corr_qty"),
+        )
+        .orderBy("corr_qty", "brand_a", "brand_b")
+        .limit(10)
+    )
+
+
+@_staged(
+    "q_subscription_detect",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    ),
+    m AS (
+        SELECT o_custkey,
+               CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS sg,
+               CAST(sum(gap * gap) AS BIGINT) AS sg2
+        FROM g GROUP BY o_custkey
+        HAVING count(gap) >= 4 AND sum(gap) > 0
+    ),
+    cl AS (
+        SELECT c.c_mktsegment AS segment,
+               m.n_gaps, m.sg,
+               (m.n_gaps * m.sg2 - m.sg * m.sg) * 10000
+                   // (m.sg * m.sg) AS cv2_e4
+        FROM m JOIN customer c ON m.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN cv2_e4 < 2500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_subscribers,
+           CAST(sum(CASE WHEN cv2_e4 < 2500 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS sub_bp,
+           CAST(coalesce(sum(CASE WHEN cv2_e4 < 2500
+                         THEN sg // n_gaps END), 0) AS BIGINT)
+               AS sum_period_days
+    FROM cl
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_subscription_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription-behavior detection: customers whose inter-order
+    gaps are regular enough (cv² < 0.25 over 4+ gaps) to be on a
+    cadence — the replenishment segment a subscribe-and-save program
+    targets (q_bot_score applies the same statistic to event streams
+    for fraud; here regularity is GOOD). Day-grain gaps keep every
+    moment exact in int64 (cv²_e4 is pure integer arithmetic — no
+    double anywhere, unlike the seconds-grain bot variant); one
+    keyed lag window, one aggregate per segment."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap"),
+    )
+    m = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sg2"),
+        )
+        .where((F.col("n_gaps") >= 4) & (F.col("sg") > 0))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cl = m.join(F.broadcast(c), "o_custkey").select(
+        "segment",
+        "n_gaps",
+        "sg",
+        F.expr(
+            "(n_gaps * sg2 - sg * sg) * 10000 div (sg * sg)"
+        ).alias("cv2_e4"),
+    )
+    return (
+        cl.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.sum(F.when(F.col("cv2_e4") < 2500, 1).otherwise(0))
+            .cast("long")
+            .alias("n_subscribers"),
+            F.expr(
+                "CAST(sum(CASE WHEN cv2_e4 < 2500 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("sub_bp"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN cv2_e4 < 2500"
+                " THEN sg div n_gaps END), 0) AS BIGINT)"
+            ).alias("sum_period_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_single_source_risk",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN ps.n_suppliers = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single_source,
+           CAST(sum(CASE WHEN ps.n_suppliers = 1 THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS single_bp,
+           CAST(sum(CASE WHEN ps.n_suppliers = 1 THEN ps.rev_cents
+                    ELSE 0 END) AS BIGINT) AS revenue_at_risk_cents
+    FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk: per brand, how many parts ship from
+    exactly ONE supplier and how much revenue rides on them — the
+    supply-chain failover audit (one supplier outage takes that
+    revenue to zero; q_supplier_hhi measures concentration among
+    suppliers, this measures parts with NO alternative at all). One
+    distinct-count aggregate per part, one brand rollup, exact
+    cents."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("n_suppliers") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_single_source"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("single_bp"),
+            F.sum(
+                F.when(F.col("n_suppliers") == 1, F.col("rev_cents")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("revenue_at_risk_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_weekend_effect",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN isodow(CAST(o.o_orderdate AS DATE)) >= 6
+                    THEN 1 ELSE 0 END AS is_we,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT segment,
+               CAST(sum(1 - is_we) AS BIGINT) AS wd_orders,
+               CAST(sum(is_we) AS BIGINT) AS we_orders,
+               CAST(sum(CASE WHEN is_we = 0 THEN cents ELSE 0 END)
+                    AS BIGINT) AS wd_cents,
+               CAST(sum(CASE WHEN is_we = 1 THEN cents ELSE 0 END)
+                    AS BIGINT) AS we_cents
+        FROM o GROUP BY segment
+    )
+    SELECT segment, wd_orders, we_orders, wd_cents, we_cents,
+           CAST(we_cents * 5 * 10000 // nullif(wd_cents * 2, 0) AS BIGINT)
+               AS weekend_lift_e4
+    FROM m
+    ORDER BY segment
+    """,
+)
+def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday revenue effect per segment — the day-mix
+    normalization question staffing and promo calendars hang on: a
+    fair comparison must rate-adjust for 2 weekend vs 5 weekday
+    days, so the lift is (weekend cents × 5)/(weekday cents × 2) in
+    exact e4 (integer cross-multiply, nullif-guarded). Spark's
+    weekday()+1 equals DuckDB's isodow (the CLAUDE.md calendar
+    gotcha). One join, one aggregate."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), "o_custkey")
+        .select(
+            "segment",
+            F.when(
+                F.weekday(F.col("o_orderdate").cast("date")) + 1 >= 6, 1
+            )
+            .otherwise(0)
+            .alias("is_we"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    m = o.groupBy("segment").agg(
+        F.sum(F.lit(1) - F.col("is_we")).cast("long").alias("wd_orders"),
+        F.sum("is_we").cast("long").alias("we_orders"),
+        F.sum(F.when(F.col("is_we") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("wd_cents"),
+        F.sum(F.when(F.col("is_we") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("we_cents"),
+    )
+    return m.select(
+        "segment",
+        "wd_orders",
+        "we_orders",
+        "wd_cents",
+        "we_cents",
+        F.expr(
+            "CAST(we_cents * 5 * 10000 div nullif(wd_cents * 2, 0)"
+            " AS BIGINT)"
+        ).alias("weekend_lift_e4"),
+    ).orderBy("segment")
+
+
+@_staged(
+    "q_hhi_trend",
+    oracle="""
+    WITH sy AS (
+        SELECT year(CAST(l_shipdate AS DATE)) AS y, l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY y, l_suppkey
+    ),
+    h AS (
+        SELECT y,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(floor((CAST(sum(CAST(cents AS HUGEINT) * cents)
+                                AS DOUBLE) * 100000000.0)
+                          / (CAST(sum(cents) AS DOUBLE)
+                             * CAST(sum(cents) AS DOUBLE))) AS BIGINT)
+                   AS hhi_e8
+        FROM sy GROUP BY y
+    )
+    SELECT CAST(y AS INT) AS y, n_suppliers, total_cents, hhi_e8,
+           hhi_e8 - lag(hhi_e8) OVER (ORDER BY y) AS delta_hhi_e8
+    FROM h
+    ORDER BY y
+    """,
+)
+def q_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration trend: yearly Herfindahl index of
+    revenue shares with year-over-year delta — q_supplier_hhi frozen
+    in time answers 'how concentrated'; procurement's real question
+    is 'is it getting WORSE'. HHI_e8 = Σcᵢ²·1e8/(Σc)² with the
+    square sums on HUGEINT/decimal (cents² overflows int64) and ONE
+    double floor at the end (int→double conversion and IEEE divide
+    round identically cross-engine). The trend lag runs over the
+    ~7-row yearly aggregate — post-aggregation global window, the
+    survival_km discipline."""
+    sy = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.year(F.col("l_shipdate").cast("date")).alias("y"),
+            "l_suppkey",
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + 0.5
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("y", "l_suppkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    h = sy.groupBy("y").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(floor((CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)"
+            " AS DOUBLE) * 100000000.0)"
+            " / (CAST(sum(cents) AS DOUBLE)"
+            " * CAST(sum(cents) AS DOUBLE))) AS BIGINT)"
+        ).alias("hhi_e8"),
+    )
+    wlag = Window.partitionBy(F.pmod(F.lit(0), F.lit(1)) * 0).orderBy("y")
+    return (
+        h.select(
+            F.col("y").cast("int").alias("y"),
+            "n_suppliers",
+            "total_cents",
+            "hhi_e8",
+            (F.col("hhi_e8") - F.lag("hhi_e8").over(wlag)).alias(
+                "delta_hhi_e8"
+            ),
+        )
+        .orderBy("y")
+    )
+
+
+@_staged(
+    "q_entry_exit_matrix",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, event_type, tus,
+               CASE WHEN tus - lag(tus) OVER w > 1800000000
+                    OR lag(tus) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sid AS (
+        SELECT user_id, event_id, event_type, tus,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_no
+        FROM s
+    ),
+    rk AS (
+        SELECT user_id, session_no, event_type,
+               row_number() OVER wk AS rn,
+               count(*) OVER (PARTITION BY user_id, session_no) AS n
+        FROM sid
+        WINDOW wk AS (PARTITION BY user_id, session_no
+                      ORDER BY tus, event_id)
+    ),
+    sess AS (
+        SELECT user_id, session_no,
+               max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+               max(CASE WHEN rn = n THEN event_type END) AS exit_type
+        FROM rk GROUP BY user_id, session_no
+    )
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) * 10000 // sum(count(*)) OVER () AS BIGINT)
+               AS share_bp
+    FROM sess
+    GROUP BY entry_type, exit_type
+    ORDER BY entry_type, exit_type
+    """,
+)
+def q_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry→exit matrix: what users arrive doing vs what
+    they leave doing, over 30-minute-gap sessions — the product
+    surface q_evt_sessionize's session stats don't show (an 'error'
+    exit row IS the rage-quit metric). Sessionization is the
+    prefix-sum island idiom (keyed windows only); entry/exit come
+    from rank-1 / rank-n conditional aggregates per session; shares
+    are basis points over the |types|² matrix cells."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    s = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "tus",
+        F.when(
+            (F.col("tus") - F.lag("tus").over(w) > 1800000000)
+            | F.lag("tus").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("ns"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sid = s.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "tus",
+        F.sum("ns").over(wc).alias("session_no"),
+    )
+    wk = Window.partitionBy("user_id", "session_no").orderBy("tus", "event_id")
+    wn = Window.partitionBy("user_id", "session_no")
+    rk = sid.select(
+        "user_id",
+        "session_no",
+        "event_type",
+        F.row_number().over(wk).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    sess = rk.groupBy("user_id", "session_no").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("event_type"))).alias(
+            "exit_type"
+        ),
+    )
+    cells = sess.groupBy("entry_type", "exit_type").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    wtot = Window.partitionBy(F.pmod(F.lit(0), F.lit(1)) * 0)
+    return (
+        cells.select(
+            "entry_type",
+            "exit_type",
+            "n_sessions",
+            F.expr(
+                "CAST(n_sessions * 10000 div sum(n_sessions) OVER ()"
+                " AS BIGINT)"
+            ).alias("share_bp"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+@_staged(
+    "q_growth_accounting",
+    oracle="""
+    WITH cm AS (
+        SELECT o_custkey,
+               year(CAST(o_orderdate AS DATE)) * 12
+                   + month(CAST(o_orderdate AS DATE)) - 1 AS idx,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey, idx
+    ),
+    firsts AS (
+        SELECT o_custkey, min(idx) AS first_idx FROM cm GROUP BY o_custkey
+    ),
+    cur AS (
+        SELECT cm.o_custkey, cm.idx, cm.cents, f.first_idx,
+               p.cents AS prev_cents
+        FROM cm
+        JOIN firsts f ON cm.o_custkey = f.o_custkey
+        LEFT JOIN cm p ON cm.o_custkey = p.o_custkey
+                      AND p.idx = cm.idx - 1
+    ),
+    inflow AS (
+        SELECT idx,
+               CAST(sum(CASE WHEN idx = first_idx THEN cents ELSE 0 END)
+                    AS BIGINT) AS new_cents,
+               CAST(sum(CASE WHEN idx > first_idx
+                        AND prev_cents IS NOT NULL THEN cents ELSE 0 END)
+                    AS BIGINT) AS retained_cents,
+               CAST(sum(CASE WHEN idx > first_idx AND prev_cents IS NULL
+                        THEN cents ELSE 0 END) AS BIGINT)
+                   AS resurrected_cents
+        FROM cur GROUP BY idx
+    ),
+    nxt AS (
+        SELECT a.idx + 1 AS idx,
+               CAST(sum(CASE WHEN b.o_custkey IS NULL THEN a.cents
+                        ELSE 0 END) AS BIGINT) AS churned_cents
+        FROM cm a LEFT JOIN cm b ON a.o_custkey = b.o_custkey
+                               AND b.idx = a.idx + 1
+        GROUP BY a.idx + 1
+    )
+    SELECT printf('%04d-%02d', i.idx // 12, i.idx % 12 + 1) AS month_s,
+           i.new_cents, i.retained_cents, i.resurrected_cents,
+           coalesce(n.churned_cents, 0) AS churned_cents
+    FROM inflow i LEFT JOIN nxt n ON i.idx = n.idx
+    ORDER BY month_s
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue growth accounting — every month's spend decomposed
+    into new / retained / resurrected, with the churned spend that
+    left (the MRR-movements report, on order revenue): the identity
+    new+retained+resurrected = total month spend holds EXACTLY by
+    construction (the property test pins it). Months collapse to an
+    integer index (y·12+m−1) so 'previous month' is an equi-join,
+    never date algebra on strings; everything is exact cents."""
+    cm = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+                - 1
+            ).alias("idx"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey", "idx")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    firsts = cm.groupBy("o_custkey").agg(F.min("idx").alias("first_idx"))
+    prev = cm.select(
+        "o_custkey",
+        (F.col("idx") + 1).alias("idx"),
+        F.col("cents").alias("prev_cents"),
+    )
+    cur = cm.join(firsts, "o_custkey").join(prev, ["o_custkey", "idx"], "left")
+    inflow = cur.groupBy("idx").agg(
+        F.sum(
+            F.when(F.col("idx") == F.col("first_idx"), F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_cents"),
+        F.sum(
+            F.when(
+                (F.col("idx") > F.col("first_idx"))
+                & F.col("prev_cents").isNotNull(),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("retained_cents"),
+        F.sum(
+            F.when(
+                (F.col("idx") > F.col("first_idx"))
+                & F.col("prev_cents").isNull(),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected_cents"),
+    )
+    nxt = (
+        cm.alias("a")
+        .join(
+            cm.select("o_custkey", F.col("idx").alias("bidx")).alias("b"),
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.bidx") == F.col("a.idx") + 1),
+            "left",
+        )
+        .groupBy((F.col("a.idx") + 1).alias("idx"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.bidx").isNull(), F.col("a.cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("churned_cents")
+        )
+    )
+    return (
+        inflow.join(nxt, "idx", "left")
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("idx div 12").cast("int"),
+                (F.col("idx") % 12 + 1).cast("int"),
+            ).alias("month_s"),
+            "new_cents",
+            "retained_cents",
+            "resurrected_cents",
+            F.coalesce("churned_cents", F.lit(0)).alias("churned_cents"),
+        )
+        .orderBy("month_s")
     )

@@ -148,8 +148,16 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="mapreduce_llm_spark-scale-stress")
 
+    def resolve(name: str):
+        if name in registry.QUERIES:
+            return registry.QUERIES[name]
+        # staged-but-unregistered surface is stressed BEFORE its flip
+        from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+
+        return STAGED_R9[name][0]
+
     def bench(name: str, sf_dir: str) -> float:
-        qfn = registry.QUERIES[name]
+        qfn = resolve(name)
         qfn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         ts = []
         for _ in range(passes):

@@ -182,6 +182,18 @@ def main() -> None:
         "window filled stages one window further out: "
         + ", ".join(f"`{n}`" for n in sorted(STAGED_R9)),
     ]
+    from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
+
+    lines += [
+        "",
+        "## Staged for the round-10 window (derived)",
+        "",
+        f"{len(STAGED_R10)} complete (query, oracle) pairs in "
+        "queries/analytics_r10_staged.py — hash-proven by "
+        "tests/test_r10_staged.py; surface built after the round-9 "
+        "staging filled its window stages one window further out: "
+        + ", ".join(f"`{n}`" for n in sorted(STAGED_R10)),
+    ]
     lines += [
         "",
         "## Library surface without a query form",

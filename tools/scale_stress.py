@@ -153,8 +153,11 @@ def main() -> None:
             return registry.QUERIES[name]
         # staged-but-unregistered surface is stressed BEFORE its flip
         from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+        from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
 
-        return STAGED_R9[name][0]
+        if name in STAGED_R9:
+            return STAGED_R9[name][0]
+        return STAGED_R10[name][0]
 
     def bench(name: str, sf_dir: str) -> float:
         qfn = resolve(name)

@@ -521,3 +521,323 @@ def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "b", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Second r10 seed batch: SRE/ops observability + training-split
+# hygiene. Flip checklist additions (NLJ_OK): q_order_status_flow
+# (1-row horizon leg); q_error_budget_burn / q_open_orders_curve use
+# post-aggregation day-grain windows (the survival_km discipline —
+# bounded by the calendar, not the data volume).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_error_budget_burn",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY d
+    ),
+    c AS (
+        SELECT d, n_events, n_errors,
+               CAST(n_errors * 10000 // n_events AS BIGINT) AS day_burn_bp,
+               sum(n_errors) OVER w AS cum_err,
+               sum(n_events) OVER w AS cum_n
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day_s, n_events, n_errors,
+           day_burn_bp,
+           CAST(cum_err * 10000 // greatest(cum_n * 2 // 100, 1)
+                AS BIGINT) AS cum_used_bp,
+           cum_err * 10000 // greatest(cum_n * 2 // 100, 1) > 10000
+               AS exhausted
+    FROM c
+    ORDER BY day_s
+    """,
+)
+def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down against a 2% SLO: per day, the
+    error share and the share of the CUMULATIVE budget consumed —
+    the page-the-team trigger is the exhausted flag, and the curve's
+    slope is the burn rate an alerting policy keys on. One day-grain
+    aggregate; the running sums are post-aggregation windows over
+    calendar-bounded rows (the survival_km discipline); every number
+    is exact integer basis points."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)) * 0)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = daily.select(
+        "d",
+        "n_events",
+        "n_errors",
+        F.expr("CAST(n_errors * 10000 div n_events AS BIGINT)").alias(
+            "day_burn_bp"
+        ),
+        F.sum("n_errors").over(w).alias("cum_err"),
+        F.sum("n_events").over(w).alias("cum_n"),
+    )
+    return c.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day_s"),
+        "n_events",
+        "n_errors",
+        "day_burn_bp",
+        F.expr(
+            "CAST(cum_err * 10000 div greatest(cum_n * 2 div 100, 1)"
+            " AS BIGINT)"
+        ).alias("cum_used_bp"),
+        F.expr(
+            "cum_err * 10000 div greatest(cum_n * 2 div 100, 1) > 10000"
+        ).alias("exhausted"),
+    ).orderBy("day_s")
+
+
+@_staged(
+    "q_open_orders_curve",
+    oracle="""
+    WITH close_d AS (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS cd
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS od,
+               coalesce(c.cd, CAST(o.o_orderdate AS DATE)) AS cd
+        FROM orders o LEFT JOIN close_d c ON o.o_orderkey = c.l_orderkey
+    ),
+    deltas AS (
+        SELECT od AS d, CAST(count(*) AS BIGINT) AS delta
+        FROM spans GROUP BY od
+        UNION ALL
+        SELECT cd + to_days(1) AS d, CAST(-count(*) AS BIGINT)
+        FROM spans GROUP BY cd
+    ),
+    byday AS (
+        SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day_s, delta,
+           CAST(sum(delta) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+    FROM byday
+    ORDER BY day_s
+    """,
+)
+def q_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work-in-progress curve: how many orders are OPEN (placed,
+    not yet fully shipped) on each calendar day — the operational
+    backlog q_backlog_aging snapshots once, unrolled into its full
+    history via the classic +1/−1 boundary sweep: orders contribute
+    +1 on the order date, −1 the day after their last line ships,
+    and the running sum IS the open count. Boundary events aggregate
+    to day grain first, so the prefix sum runs over calendar-bounded
+    rows (post-aggregation window), never over orders."""
+    close_d = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("cd"))
+    )
+    spans = (
+        load_table(spark, sf_dir, "orders")
+        .join(close_d, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.coalesce(
+                F.col("cd"), F.col("o_orderdate").cast("date")
+            ).alias("cd"),
+        )
+    )
+    opens = spans.groupBy(F.col("od").alias("d")).agg(
+        F.count("*").cast("long").alias("delta")
+    )
+    closes = spans.groupBy(F.date_add(F.col("cd"), 1).alias("d")).agg(
+        (-F.count("*")).cast("long").alias("delta")
+    )
+    byday = (
+        opens.unionByName(closes)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.lit(0), F.lit(1)) * 0)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return byday.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day_s"),
+        "delta",
+        F.sum("delta").over(w).cast("long").alias("n_open"),
+    ).orderBy("day_s")
+
+
+@_staged(
+    "q_order_status_flow",
+    oracle="""
+    WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+    b AS (
+        SELECT date_diff('day', CAST(o.o_orderdate AS DATE), h.hz) // 90
+                   AS age_bucket,
+               o.o_orderstatus AS status
+        FROM orders o, h
+    )
+    SELECT CAST(age_bucket AS BIGINT) AS age_bucket, status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * 10000 //
+                sum(count(*)) OVER (PARTITION BY age_bucket) AS BIGINT)
+               AS share_bp
+    FROM b
+    GROUP BY age_bucket, status
+    ORDER BY age_bucket, status
+    """,
+)
+def q_order_status_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status mix by order age — the aging-to-completion profile: in
+    each 90-day age bucket (measured back from the data's horizon),
+    what share of orders is still Open vs Partial vs Finished. A
+    monotone F-share by age is the healthy pattern; old buckets with
+    stuck 'O' shares are the fulfillment pathology this surfaces.
+    One aggregate, a share window over the |buckets × 3| cells, and
+    the allowlisted 1-row horizon leg."""
+    h = load_table(spark, sf_dir, "orders").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("hz")
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.expr(
+                "CAST(datediff(hz, CAST(o_orderdate AS DATE)) div 90"
+                " AS BIGINT)"
+            ).alias("age_bucket"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    c = b.groupBy("age_bucket", "status").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    return c.select(
+        "age_bucket",
+        "status",
+        "n_orders",
+        F.expr(
+            "CAST(n_orders * 10000 div sum(n_orders)"
+            " OVER (PARTITION BY age_bucket) AS BIGINT)"
+        ).alias("share_bp"),
+    ).orderBy("age_bucket", "status")
+
+
+@_staged(
+    "q_split_leakage",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN CAST(('0x' || substr(md5('tt:'
+                    || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split,
+               substr(regexp_replace(lower(text), '[^a-z]', '', 'g'),
+                      1, 40) AS key
+        FROM documents
+    ),
+    p AS (
+        SELECT a.lang,
+               CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS crossed,
+               CASE WHEN a.split = 'test' THEN a.doc_id
+                    WHEN b.split = 'test' THEN b.doc_id END AS test_doc
+        FROM d a JOIN d b
+          ON a.key = b.key AND a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(crossed) AS BIGINT) AS n_cross,
+           CAST(sum(crossed) * 10000 // count(*) AS BIGINT) AS leak_bp,
+           CAST(count(DISTINCT CASE WHEN crossed = 1 THEN test_doc END)
+                AS BIGINT) AS n_leaky_test_docs
+    FROM p
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split contamination audit: near-identical document
+    pairs (same 40-char normalized prefix, the sortneighbor key)
+    that STRADDLE an md5 80/20 split — each one is a test document
+    whose twin sits in training, silently inflating eval scores
+    (q_decontaminate removes known test strings; this measures how
+    leaky a HASH split is against near-duplication). Pairs exist only
+    through the (lang, key) equi-join — blocked, never all-pairs;
+    the leak rate and distinct leaky test docs are exact integers."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("tt:"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8,
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, 40
+        ).alias("key"),
+    )
+    a = d.select(
+        "lang", "key", F.col("doc_id").alias("da"), F.col("split").alias("sa")
+    )
+    b = d.select(
+        "lang", "key", F.col("doc_id").alias("db"), F.col("split").alias("sb")
+    )
+    p = (
+        a.join(b, ["lang", "key"])
+        .where(F.col("da") < F.col("db"))
+        .select(
+            "lang",
+            F.when(F.col("sa") != F.col("sb"), 1).otherwise(0).alias(
+                "crossed"
+            ),
+            F.when(F.col("sa") == "test", F.col("da"))
+            .when(F.col("sb") == "test", F.col("db"))
+            .alias("test_doc"),
+        )
+    )
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("crossed").cast("long").alias("n_cross"),
+            F.expr(
+                "CAST(sum(crossed) * 10000 div count(*) AS BIGINT)"
+            ).alias("leak_bp"),
+            F.countDistinct(
+                F.when(F.col("crossed") == 1, F.col("test_doc"))
+            )
+            .cast("long")
+            .alias("n_leaky_test_docs"),
+        )
+        .orderBy("lang")
+    )

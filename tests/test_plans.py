@@ -1141,3 +1141,50 @@ def test_kcore_trace_on_known_graph(spark):
     rows = kcore_peel_trace(e, k=3, iters=4).collect()
     got = [(r["iter"], r["n_nodes"], r["n_edges"]) for r in rows]
     assert got == [(0, 8, 13), (1, 5, 10), (2, 5, 10), (3, 5, 10)], got
+
+
+def test_r8_asof_tolerance_is_single_join_union_tag(spark):
+    """q_asof_tolerance's point-in-time join must execute as the
+    union-tag running max (ONE keyed window over the unioned stream)
+    plus ONE equi-join carrying asof_ts to recover the click id —
+    never a range-candidate join (which would fan out per purchase)
+    and never more than that one join."""
+    plan = plan_of(spark, "q_asof_tolerance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [
+        l for l in plan.splitlines()
+        if "Join" in l and "BroadcastExchange" not in l
+    ]
+    assert len(join_lines) == 1, join_lines
+    assert "asof_ts" in join_lines[0], join_lines[0]
+
+
+def test_r8_kmeans_step_broadcasts_the_seed_leg(spark):
+    """q_kmeans_step's md5-seeded centroids are a 4-row leg — the
+    distance join must broadcast it (assignment stays one pass over
+    the corpus), and nothing in the plan may cartesian."""
+    plan = plan_of(spark, "q_kmeans_step")
+    assert "CartesianProduct" not in plan
+    seed_join = [
+        l for l in plan.splitlines()
+        if "Join" in l and "seed_vec" in l
+    ]
+    assert seed_join and all("BroadcastHashJoin" in l for l in seed_join), (
+        seed_join or plan
+    )
+
+
+def test_r8_minhash_eval_candidates_are_banded(spark):
+    """q_minhash_eval's candidate generation must join on the
+    (band, bkey) signature key — banded LSH, never an all-pairs
+    product; the exact-Jaccard verification legs then key on the
+    candidate doc pair."""
+    plan = plan_of(spark, "q_minhash_eval")
+    assert "CartesianProduct" not in plan
+    band_join = [
+        l for l in plan.splitlines()
+        if ("HashJoin" in l or "SortMergeJoin" in l)
+        and "band" in l and "bkey" in l
+    ]
+    assert band_join, plan

@@ -14,7 +14,9 @@ from tests.conftest import SF_DIR, SMOKE_SF_DIR
 
 # Broadcast grid/scalar legs by design — copy into NLJ_OK on the
 # round-10 flip.
-STAGED_NLJ_OK: set[str] = set()
+STAGED_NLJ_OK: set[str] = {
+    "q_order_status_flow",  # broadcast 1-row horizon leg
+}
 
 PY_MARKERS = (
     "BatchEvalPython",
@@ -97,3 +99,54 @@ def test_band_tuning_curve_laws(spark):
     h0 = [by[(2, 8, k)]["n_pairs"] for k in range(10)]
     for cfg in [(4, 4), (8, 2)]:
         assert [by[(cfg[0], cfg[1], k)]["n_pairs"] for k in range(10)] == h0
+
+
+def test_error_budget_burn_is_cumulative(spark):
+    rows = sorted(_run(spark, "q_error_budget_burn"), key=lambda r: r["day_s"])
+    assert rows
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["n_errors"] <= r["n_events"]
+        assert r["exhausted"] == (r["cum_used_bp"] > 10000)
+
+
+def test_open_orders_curve_conserves(spark):
+    """The curve must never go negative, and the total of all deltas
+    is zero except for orders still open past the horizon (every +1
+    eventually gets its −1, possibly beyond the last emitted day)."""
+    rows = sorted(_run(spark, "q_open_orders_curve"), key=lambda r: r["day_s"])
+    assert rows
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    running = 0
+    peak = 0
+    for r in rows:
+        running += r["delta"]
+        assert running == r["n_open"]
+        assert 0 <= r["n_open"] <= n_orders
+        peak = max(peak, r["n_open"])
+    assert peak > 0
+    # the final open count equals orders whose close day+1 exceeds the
+    # last delta day — bounded by total orders
+    assert 0 <= rows[-1]["n_open"] <= n_orders
+
+
+def test_order_status_flow_shares_account(spark):
+    rows = _run(spark, "q_order_status_flow")
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    by_bucket: dict[int, int] = {}
+    for r in rows:
+        by_bucket[r["age_bucket"]] = by_bucket.get(r["age_bucket"], 0) + r["share_bp"]
+    for bucket, total in by_bucket.items():
+        assert total <= 10000  # integer floors never overshoot
+
+
+def test_split_leakage_bounds(spark):
+    rows = _run(spark, "q_split_leakage")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_cross"] <= r["n_pairs"]
+        assert 0 <= r["leak_bp"] <= 10000
+        # each crossed pair names at most one distinct test doc
+        assert r["n_leaky_test_docs"] <= max(r["n_cross"], 0) or r["n_cross"] == 0

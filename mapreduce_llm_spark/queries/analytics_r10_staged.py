@@ -841,3 +841,835 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Third r10 seed batch: finance bridges, fulfilment, marketing
+# science, dedup-quality and concentration audits. Flip checklist
+# additions (NLJ_OK): q_price_band_migration (1-row year-bounds leg),
+# q_power_user_share (1-row totals leg x 3-row pct grid),
+# q_markov_attribution (broadcast tiny model legs are equi-joins).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_margin_waterfall",
+    oracle="""
+    WITH l AS (
+        SELECT p.p_brand AS brand,
+               CAST(floor(l.l_quantity + 0.5) AS BIGINT)
+                   * CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                   AS list_cents,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS invoice_cents,
+               CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS net_cents,
+               CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                          * (1.0 + l.l_tax) * 100 + 0.5) AS BIGINT)
+                   AS gross_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT brand,
+           CAST(sum(list_cents) AS BIGINT) AS list_cents,
+           CAST(sum(invoice_cents) AS BIGINT) AS invoice_cents,
+           CAST(sum(invoice_cents) - sum(net_cents) AS BIGINT)
+               AS discount_cents,
+           CAST(sum(net_cents) AS BIGINT) AS net_cents,
+           CAST(sum(gross_cents) - sum(net_cents) AS BIGINT) AS tax_cents,
+           CAST(sum(invoice_cents) * 10000 // sum(list_cents) AS BIGINT)
+               AS realization_bp
+    FROM l
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per brand — list price → invoiced → after
+    discount → tax on top: the gross-to-net bridge every CFO deck
+    opens with, with the price-realization rate (invoiced/list) that
+    flags systematic under-pricing. Discounts and tax are DERIVED as
+    exact differences of independently-floored money legs (never
+    floor(ext·disc·…) separately — the identity invoice − net =
+    discount then holds to the cent by construction). One join, one
+    aggregate."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("long")
+        .alias("retail_cents"),
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "brand",
+            (
+                F.floor(F.col("l_quantity") + 0.5).cast("long")
+                * F.col("retail_cents")
+            ).alias("list_cents"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("invoice_cents"),
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + 0.5
+            )
+            .cast("long")
+            .alias("net_cents"),
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+                * 100
+                + 0.5
+            )
+            .cast("long")
+            .alias("gross_cents"),
+        )
+    )
+    return (
+        l.groupBy("brand")
+        .agg(
+            F.sum("list_cents").cast("long").alias("list_cents"),
+            F.sum("invoice_cents").cast("long").alias("invoice_cents"),
+            (F.sum("invoice_cents") - F.sum("net_cents"))
+            .cast("long")
+            .alias("discount_cents"),
+            F.sum("net_cents").cast("long").alias("net_cents"),
+            (F.sum("gross_cents") - F.sum("net_cents"))
+            .cast("long")
+            .alias("tax_cents"),
+            F.expr(
+                "CAST(sum(invoice_cents) * 10000 div sum(list_cents)"
+                " AS BIGINT)"
+            ).alias("realization_bp"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_order_consolidation",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(o.o_orderdate AS DATE) AS d, o.o_orderkey,
+               lag(CAST(o.o_orderdate AS DATE)) OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey) AS prev_d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT segment,
+               CASE WHEN prev_d IS NULL
+                    OR date_diff('day', prev_d, d) > 7
+                    THEN 1 ELSE 0 END AS new_shipment
+        FROM o
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(new_shipment) AS BIGINT) AS n_shipments,
+           CAST(count(*) - sum(new_shipment) AS BIGINT) AS n_saved,
+           CAST((count(*) - sum(new_shipment)) * 10000 // count(*)
+                AS BIGINT) AS saved_bp
+    FROM m
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_order_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-consolidation opportunity: orders within 7 days of a
+    customer's previous order could ride the same shipment — chained
+    islands per customer (a new shipment starts when the gap from the
+    PREVIOUS order exceeds 7 days), so saved = orders − shipments is
+    the consolidation headroom logistics quotes against. One keyed
+    lag window, one aggregate per segment, exact counts."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), "o_custkey")
+        .select(
+            "segment",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_d"),
+        )
+    )
+    m = o.select(
+        "segment",
+        F.when(
+            F.col("prev_d").isNull()
+            | (F.datediff(F.col("d"), F.col("prev_d")) > 7),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_shipment"),
+    )
+    return (
+        m.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("new_shipment").cast("long").alias("n_shipments"),
+            (F.count("*") - F.sum("new_shipment"))
+            .cast("long")
+            .alias("n_saved"),
+            F.expr(
+                "CAST((count(*) - sum(new_shipment)) * 10000 div count(*)"
+                " AS BIGINT)"
+            ).alias("saved_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_otif",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority AS priority,
+               max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS worst_delay
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, priority
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN worst_delay <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_otif,
+           CAST(sum(CASE WHEN worst_delay <= 30 THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS otif_bp
+    FROM per_order
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def q_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-in-full: the share of ORDERS whose every line shipped
+    within 30 days — the order-level promise (q_sla_attainment scores
+    lines; a customer with 9 of 10 lines on time still calls the
+    ORDER late, which is why OTIF is the metric supply contracts
+    actually write down). The all-lines condition is a per-order max
+    delay, one keyed aggregate, then a per-priority rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "priority")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            ).alias("worst_delay")
+        )
+    )
+    return (
+        per_order.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("worst_delay") <= 30, 1).otherwise(0))
+            .cast("long")
+            .alias("n_otif"),
+            F.expr(
+                "CAST(sum(CASE WHEN worst_delay <= 30 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("otif_bp"),
+        )
+        .orderBy("priority")
+    )
+
+
+@_staged(
+    "q_price_band_migration",
+    oracle="""
+    WITH yrs AS (
+        SELECT min(year(CAST(l_shipdate AS DATE))) AS y0,
+               max(year(CAST(l_shipdate AS DATE))) AS y1
+        FROM lineitem
+    ),
+    py AS (
+        SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS y,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem GROUP BY l_partkey, y
+    ),
+    b AS (
+        SELECT l_partkey, y,
+               least(cents // qty // 50000, 9) AS band
+        FROM py WHERE qty > 0
+    ),
+    j AS (
+        SELECT a.band AS band_from, c.band AS band_to
+        FROM b a JOIN b c ON a.l_partkey = c.l_partkey
+        CROSS JOIN yrs
+        WHERE a.y = yrs.y0 AND c.y = yrs.y1
+    )
+    SELECT CAST(band_from AS BIGINT) AS band_from,
+           CAST(band_to AS BIGINT) AS band_to,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM j
+    GROUP BY band_from, band_to
+    ORDER BY band_from, band_to
+    """,
+)
+def q_price_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-unit-price band migration matrix: for each part sold
+    in both the first and last shipping year, which $500 price band
+    it moved between — the q_customer_migration shape applied to
+    PRICING (off-diagonal mass = repricing; downward drift = margin
+    erosion). Unit price never exists as a float: band =
+    (Σcents // Σqty) // 50000, all integer division. One part-year
+    aggregate, a self equi-join on the part key, and the allowlisted
+    1-row year-bounds leg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year(F.col("l_shipdate").cast("date")).alias("y"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    yrs = li.agg(F.min("y").alias("y0"), F.max("y").alias("y1"))
+    py = li.groupBy("l_partkey", "y").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum("qty").cast("long").alias("qty"),
+    )
+    b = py.where(F.col("qty") > 0).select(
+        "l_partkey",
+        "y",
+        F.expr("least(cents div qty div 50000, 9)").alias("band"),
+    )
+    a = b.select(
+        "l_partkey", F.col("y").alias("ya"), F.col("band").alias("band_from")
+    )
+    c = b.select(
+        F.col("l_partkey").alias("pk_b"),
+        F.col("y").alias("yb"),
+        F.col("band").alias("band_to"),
+    )
+    j = (
+        a.join(c, F.col("l_partkey") == F.col("pk_b"))
+        .crossJoin(F.broadcast(yrs))
+        .where((F.col("ya") == F.col("y0")) & (F.col("yb") == F.col("y1")))
+    )
+    return (
+        j.groupBy("band_from", "band_to")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .select(
+            F.col("band_from").cast("long").alias("band_from"),
+            F.col("band_to").cast("long").alias("band_to"),
+            "n_parts",
+        )
+        .orderBy("band_from", "band_to")
+    )
+
+
+@_staged(
+    "q_dup_transitivity",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // 100 AS bucket,
+               substr(regexp_replace(lower(text), '[^a-z]', '', 'g'),
+                      1, 40) AS key
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, lang, bucket, key,
+               lead(doc_id, 1) OVER w AS d1, lead(key, 1) OVER w AS k1,
+               lead(doc_id, 2) OVER w AS d2, lead(key, 2) OVER w AS k2
+        FROM d
+        WINDOW w AS (PARTITION BY lang, bucket ORDER BY key, doc_id)
+    ),
+    e AS (
+        SELECT lang, least(doc_id, d1) AS u, greatest(doc_id, d1) AS v
+        FROM n WHERE d1 IS NOT NULL AND levenshtein(key, k1) <= 5
+        UNION
+        SELECT lang, least(doc_id, d2), greatest(doc_id, d2)
+        FROM n WHERE d2 IS NOT NULL AND levenshtein(key, k2) <= 5
+    ),
+    sym AS (
+        SELECT lang, u AS a, v AS m FROM e
+        UNION ALL
+        SELECT lang, v, u FROM e
+    ),
+    w AS (
+        SELECT x.lang, x.a AS u, x.m, y.a AS w
+        FROM sym x JOIN sym y
+          ON x.lang = y.lang AND x.m = y.m AND x.a < y.a
+    )
+    SELECT w.lang,
+           CAST((SELECT count(*) FROM e WHERE e.lang = w.lang) AS BIGINT)
+               AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_wedges,
+           CAST(sum(CASE WHEN c.u IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_closed,
+           CAST(sum(CASE WHEN c.u IS NULL THEN 0 ELSE 1 END) * 10000
+                // count(*) AS BIGINT) AS closure_bp
+    FROM w
+    LEFT JOIN e c ON c.lang = w.lang AND c.u = w.u AND c.v = w.w
+    GROUP BY w.lang
+    ORDER BY w.lang
+    """,
+)
+def q_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the sorted-neighborhood match graph: if
+    a~b and b~c, how often does a~c also match? Low closure means the
+    blocking threshold chains UNLIKE documents through intermediates
+    — exactly the failure mode that makes a dedup cluster swallow
+    half the corpus (q_dedup_clusters computes the clusters; this
+    measures whether transitive closure was JUSTIFIED). Edges are the
+    SNM w=2 matches; wedges come from one self equi-join on the
+    shared middle node; closure is one more equi-join against the
+    edge set. All joins keyed; everything integer."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(n_chars div 100 AS BIGINT)").alias("bucket"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, 40
+        ).alias("key"),
+    )
+    w = Window.partitionBy("lang", "bucket").orderBy("key", "doc_id")
+    n = d.select(
+        "doc_id",
+        "lang",
+        "key",
+        F.lead("doc_id", 1).over(w).alias("d1"),
+        F.lead("key", 1).over(w).alias("k1"),
+        F.lead("doc_id", 2).over(w).alias("d2"),
+        F.lead("key", 2).over(w).alias("k2"),
+    )
+    e1 = n.where(
+        F.col("d1").isNotNull() & (F.levenshtein("key", "k1") <= 5)
+    ).select(
+        "lang",
+        F.least("doc_id", "d1").alias("u"),
+        F.greatest("doc_id", "d1").alias("v"),
+    )
+    e2 = n.where(
+        F.col("d2").isNotNull() & (F.levenshtein("key", "k2") <= 5)
+    ).select(
+        "lang",
+        F.least("doc_id", "d2").alias("u"),
+        F.greatest("doc_id", "d2").alias("v"),
+    )
+    e = e1.unionByName(e2).distinct()
+    sym = e.select("lang", F.col("u").alias("a"), F.col("v").alias("m")).unionByName(
+        e.select("lang", F.col("v").alias("a"), F.col("u").alias("m"))
+    )
+    x = sym.select("lang", "m", F.col("a").alias("wu"))
+    y = sym.select("lang", "m", F.col("a").alias("ww"))
+    wedges = (
+        x.join(y, ["lang", "m"])
+        .where(F.col("wu") < F.col("ww"))
+        .select("lang", "wu", "ww")
+    )
+    ne = e.groupBy("lang").agg(F.count("*").cast("long").alias("n_edges"))
+    closed = e.select(
+        "lang", F.col("u").alias("wu"), F.col("v").alias("ww"),
+        F.lit(1).alias("is_edge"),
+    )
+    jw = wedges.join(closed, ["lang", "wu", "ww"], "left")
+    stats = jw.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.sum(F.coalesce("is_edge", F.lit(0))).cast("long").alias("n_closed"),
+        F.expr(
+            "CAST(sum(coalesce(is_edge, 0)) * 10000 div count(*) AS BIGINT)"
+        ).alias("closure_bp"),
+    )
+    return (
+        stats.join(F.broadcast(ne), "lang")
+        .select("lang", "n_edges", "n_wedges", "n_closed", "closure_bp")
+        .orderBy("lang")
+    )
+
+
+@_staged(
+    "q_power_user_share",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM u
+    ),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+        FROM u
+    ),
+    grid AS (SELECT unnest([1, 5, 10]) AS pct)
+    SELECT CAST(g.pct AS INT) AS pct,
+           t.n_users,
+           CAST((t.n_users * g.pct + 99) // 100 AS BIGINT) AS top_users,
+           CAST(sum(CASE WHEN r.rk <= (t.n_users * g.pct + 99) // 100
+                    THEN r.n ELSE 0 END) AS BIGINT) AS top_events,
+           t.n_events,
+           CAST(sum(CASE WHEN r.rk <= (t.n_users * g.pct + 99) // 100
+                    THEN r.n ELSE 0 END) * 10000 // t.n_events AS BIGINT)
+               AS share_bp
+    FROM r, t, grid g
+    GROUP BY g.pct, t.n_users, t.n_events
+    ORDER BY pct
+    """,
+)
+def q_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: what share of all events the top
+    1% / 5% / 10% most-active users generate — the power-user curve
+    that decides whether per-user rate limits, skew salting, and
+    cohort sampling are worth building (q_skew_audit finds the single
+    hottest key; this measures the whole head). Users rank through
+    operators/ranking.global_row_number (range partition + offsets);
+    the cut ranks are exact integer ceilings; shares exact bp. The
+    totals are the allowlisted 1-row leg crossed with the pct grid."""
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    r = global_row_number(
+        u, [(-F.col("n")).asc(), F.col("user_id").asc()], alias="rk"
+    )
+    grid = spark.createDataFrame([(1,), (5,), (10,)], "pct INT")
+    return (
+        r.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("pct", "n_users", "n_events")
+        .agg(
+            F.expr("CAST((n_users * pct + 99) div 100 AS BIGINT)").alias(
+                "top_users"
+            ),
+            F.sum(
+                F.when(
+                    F.expr("rk <= (n_users * pct + 99) div 100"), F.col("n")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("top_events"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= (n_users * pct + 99) div 100"
+                " THEN n ELSE 0 END) * 10000 div n_events AS BIGINT)"
+            ).alias("share_bp"),
+        )
+        .select(
+            "pct", "n_users", "top_users", "top_events", "n_events",
+            "share_bp",
+        )
+        .orderBy("pct")
+    )
+
+
+@_staged(
+    "q_session_conversion",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_type, tus, event_id,
+               CASE WHEN tus - lag(tus) OVER w > 1800000000
+                    OR lag(tus) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sid AS (
+        SELECT user_id, event_type,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_no
+        FROM s
+    ),
+    sess AS (
+        SELECT user_id, session_no,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM sid GROUP BY user_id, session_no
+    ),
+    b AS (
+        SELECT CASE WHEN n_events = 1 THEN '1'
+                    WHEN n_events <= 3 THEN '2-3'
+                    WHEN n_events <= 7 THEN '4-7'
+                    ELSE '8+' END AS band,
+               converted
+        FROM sess
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) * 10000 // count(*) AS BIGINT) AS conv_bp
+    FROM b
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session depth — do longer sessions convert
+    better, or is depth just lostness? The banded curve (1 / 2-3 /
+    4-7 / 8+ events) is the product-analytics answer
+    (q_entry_exit_matrix shows WHERE sessions end; this shows what
+    depth BUYS). Same prefix-sum sessionization, one keyed aggregate
+    per session, one 4-cell rollup — exact integers."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = e.select(
+        "user_id",
+        "event_type",
+        "tus",
+        "event_id",
+        F.when(
+            (F.col("tus") - F.lag("tus").over(w) > 1800000000)
+            | F.lag("tus").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("ns"),
+    )
+    sid = s.select(
+        "user_id",
+        "event_type",
+        F.sum("ns").over(wc).alias("session_no"),
+    )
+    sess = sid.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    b = sess.select(
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 7, "4-7")
+        .otherwise("8+")
+        .alias("band"),
+        "converted",
+    )
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.expr(
+                "CAST(sum(converted) * 10000 div count(*) AS BIGINT)"
+            ).alias("conv_bp"),
+        )
+        .orderBy("band")
+    )
+
+
+_MATTR_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _mattr_sql(steps: int = 8) -> str:
+    """Unrolled DuckDB replay of the Markov removal-effect recursion:
+    one MATERIALIZED CTE chain per scenario (base + each removed
+    channel) — every v{k} is referenced twice per level, so default
+    CTE inlining would re-execute exponentially (the pagerank
+    lesson). All arithmetic is the e9 fixed-point of
+    q_absorption_prob; removal = the state vanishes from the chain
+    (no outflow, inflow mass dies)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+        SELECT user_id, event_type AS s, ts, event_id,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t
+        FROM events)""",
+        """tr AS MATERIALIZED (
+        SELECT s, t, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE t IS NOT NULL AND s <> 'purchase'
+        GROUP BY s, t)""",
+        """cs AS MATERIALIZED (
+        SELECT s, CAST(sum(n) AS BIGINT) AS n_out FROM tr GROUP BY s)""",
+        """p AS MATERIALIZED (
+        SELECT tr.s, tr.t, tr.n * 1000000000 // cs.n_out AS p_e9
+        FROM tr JOIN cs ON tr.s = cs.s)""",
+        """fr AS MATERIALIZED (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)""",
+        """wts AS MATERIALIZED (
+        SELECT event_type AS s, CAST(count(*) AS BIGINT) AS w
+        FROM fr WHERE rn = 1 AND event_type <> 'purchase'
+        GROUP BY s)""",
+    ]
+    scenarios = [("base", None)] + [(c, c) for c in _MATTR_CHANNELS]
+    for tag, removed in scenarios:
+        excl = f"AND s <> '{removed}' AND t <> '{removed}'" if removed else ""
+        excl_s = f"WHERE cs.s <> '{removed}'" if removed else ""
+        ctes.append(
+            f"""p_{tag} AS MATERIALIZED (
+        SELECT s, t, p_e9 FROM p WHERE TRUE {excl})"""
+        )
+        ctes.append(
+            f"""pa_{tag} AS MATERIALIZED (
+        SELECT cs.s, coalesce(ab.p_e9, 0) AS p_abs_e9
+        FROM cs LEFT JOIN (SELECT s, p_e9 FROM p_{tag}
+                           WHERE t = 'purchase') ab ON cs.s = ab.s
+        {excl_s})"""
+        )
+        ctes.append(
+            f"v_{tag}_0 AS MATERIALIZED (SELECT s, CAST(0 AS BIGINT) AS v"
+            f" FROM pa_{tag})"
+        )
+        for k in range(steps):
+            ctes.append(
+                f"""v_{tag}_{k + 1} AS MATERIALIZED (
+        SELECT pa.s, pa.p_abs_e9 + coalesce(t.acc, 0) AS v
+        FROM pa_{tag} pa LEFT JOIN (
+            SELECT p.s, sum(p.p_e9 * vv.v) // 1000000000 AS acc
+            FROM p_{tag} p JOIN v_{tag}_{k} vv ON p.t = vv.s
+            WHERE p.t <> 'purchase'
+            GROUP BY p.s) t ON pa.s = t.s)"""
+            )
+        ctes.append(
+            f"""ov_{tag} AS MATERIALIZED (
+        SELECT CAST(sum(wts.w * coalesce(vv.v, 0)) // sum(wts.w)
+                    AS BIGINT) AS pov
+        FROM wts LEFT JOIN v_{tag}_{steps} vv ON wts.s = vv.s)"""
+        )
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS removed_state, ob.pov AS p_base_e9,"
+        f" oc.pov AS p_removed_e9, ob.pov - oc.pov AS effect_e9"
+        f" FROM ov_base ob, ov_{c} oc"
+        for c in _MATTR_CHANNELS
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    {arms}
+    ORDER BY removed_state
+    """
+    )
+
+
+@_staged("q_markov_attribution", oracle=_mattr_sql())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven
+    alternative to positional credit (q_attribution_position): a
+    channel's worth is how much overall 8-step conversion DROPS when
+    every journey touching it dies there (remove the state; inflow
+    mass converts to nothing). Overall conversion is the
+    start-state-weighted absorption probability (weights = each
+    user's first event type). Every scenario reuses
+    q_absorption_prob's e9 fixed-point recursion — bit-identical
+    integer arithmetic on both engines, 5 tiny chains (base + 4
+    removals) of broadcast-scale joins; the DuckDB twin unrolls all
+    5 × 8 MATERIALIZED CTE levels. Law pinned cross-query: the base
+    chain's per-state vector equals q_absorption_prob exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    )
+    tr = (
+        pairs.where(F.col("t").isNotNull() & (F.col("s") != "purchase"))
+        .groupBy("s", "t")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cs = tr.groupBy("s").agg(F.sum("n").cast("long").alias("n_out"))
+    p_all = (
+        tr.join(cs, "s")
+        .select("s", "t", F.expr("n * 1000000000 div n_out").alias("p_e9"))
+        .localCheckpoint(eager=True)
+    )
+    cs = cs.localCheckpoint(eager=True)
+    wts = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where((F.col("rn") == 1) & (F.col("event_type") != "purchase"))
+        .groupBy(F.col("event_type").alias("s"))
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+    def overall(removed: str | None) -> DataFrame:
+        p = p_all
+        states = cs.select("s")
+        if removed is not None:
+            p = p.where((F.col("s") != removed) & (F.col("t") != removed))
+            states = states.where(F.col("s") != removed)
+        pa = (
+            states.join(
+                p.where(F.col("t") == "purchase").select(
+                    "s", F.col("p_e9").alias("p_abs_e9")
+                ),
+                "s",
+                "left",
+            )
+            .select("s", F.coalesce("p_abs_e9", F.lit(0)).alias("p_abs_e9"))
+            .localCheckpoint(eager=True)
+        )
+        pn = p.where(F.col("t") != "purchase").localCheckpoint(eager=True)
+        v = pa.select("s", F.lit(0).cast("long").alias("v"))
+        for _ in range(8):
+            acc = (
+                pn.join(
+                    v.select(F.col("s").alias("t"), F.col("v").alias("vt")),
+                    "t",
+                )
+                .groupBy("s")
+                .agg(F.expr("sum(p_e9 * vt) div 1000000000").alias("acc"))
+            )
+            v = pa.join(F.broadcast(acc), "s", "left").select(
+                "s",
+                (F.col("p_abs_e9") + F.coalesce("acc", F.lit(0))).alias("v"),
+            )
+        return (
+            wts.join(v, "s", "left")
+            .agg(
+                F.expr(
+                    "CAST(sum(w * coalesce(v, 0)) div sum(w) AS BIGINT)"
+                ).alias("pov")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    base = overall(None)
+    arms = None
+    for c in _MATTR_CHANNELS:
+        arm = (
+            base.crossJoin(overall(c).select(F.col("pov").alias("pov_r")))
+            .select(
+                F.lit(c).alias("removed_state"),
+                F.col("pov").alias("p_base_e9"),
+                F.col("pov_r").alias("p_removed_e9"),
+                (F.col("pov") - F.col("pov_r")).alias("effect_e9"),
+            )
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms.orderBy("removed_state")

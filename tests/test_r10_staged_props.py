@@ -16,6 +16,8 @@ from tests.conftest import SF_DIR, SMOKE_SF_DIR
 # round-10 flip.
 STAGED_NLJ_OK: set[str] = {
     "q_order_status_flow",  # broadcast 1-row horizon leg
+    "q_power_user_share",  # broadcast 1-row totals leg × 3-row pct grid
+    "q_markov_attribution",  # crosses of 1-row overall-conversion legs
 }
 
 PY_MARKERS = (
@@ -150,3 +152,118 @@ def test_split_leakage_bounds(spark):
         assert 0 <= r["leak_bp"] <= 10000
         # each crossed pair names at most one distinct test doc
         assert r["n_leaky_test_docs"] <= max(r["n_cross"], 0) or r["n_cross"] == 0
+
+
+def test_margin_waterfall_identities(spark):
+    rows = _run(spark, "q_margin_waterfall")
+    assert rows
+    for r in rows:
+        assert r["invoice_cents"] - r["net_cents"] == r["discount_cents"]
+        assert r["discount_cents"] >= 0 and r["tax_cents"] >= 0
+        assert r["realization_bp"] > 0
+
+
+def test_order_consolidation_bounds(spark):
+    rows = _run(spark, "q_order_consolidation")
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    for r in rows:
+        assert 1 <= r["n_shipments"] <= r["n_orders"]
+        assert r["n_saved"] == r["n_orders"] - r["n_shipments"]
+
+
+def test_otif_accounts_for_orders_with_lines(spark):
+    rows = _run(spark, "q_otif")
+    n_with_lines = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_with_lines
+    for r in rows:
+        assert 0 <= r["n_otif"] <= r["n_orders"]
+
+
+def test_price_band_migration_accounts_for_both_year_parts(spark):
+    rows = _run(spark, "q_price_band_migration")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", F.year(F.col("l_shipdate").cast("date")).alias("y")
+    )
+    y0, y1 = li.agg(F.min("y"), F.max("y")).collect()[0]
+    both = (
+        li.where(F.col("y") == y0)
+        .select("l_partkey")
+        .distinct()
+        .join(
+            li.where(F.col("y") == y1).select("l_partkey").distinct(),
+            "l_partkey",
+        )
+        .count()
+    )
+    assert sum(r["n_parts"] for r in rows) == both
+
+
+def test_dup_transitivity_bounds(spark):
+    rows = _run(spark, "q_dup_transitivity")
+    for r in rows:
+        assert 0 <= r["n_closed"] <= r["n_wedges"]
+        assert 0 <= r["closure_bp"] <= 10000
+
+
+def test_power_user_share_is_monotone(spark):
+    rows = sorted(_run(spark, "q_power_user_share"), key=lambda r: r["pct"])
+    assert [r["pct"] for r in rows] == [1, 5, 10]
+    shares = [r["share_bp"] for r in rows]
+    assert shares == sorted(shares)  # a wider head owns at least as much
+    for r in rows:
+        assert r["top_events"] <= r["n_events"]
+        assert r["share_bp"] >= r["pct"] * 100  # head outperforms uniform
+
+
+def test_session_conversion_accounts_for_every_session(spark):
+    rows = _run(spark, "q_session_conversion")
+    total = sum(r["n_sessions"] for r in rows)
+    # recount sessions independently via the entry/exit matrix total
+    from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+
+    ee = STAGED_R9["q_entry_exit_matrix"][0](spark, SF_DIR).collect()
+    assert total == sum(r["n_sessions"] for r in ee)
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_sessions"]
+
+
+def test_markov_attribution_matches_absorption_and_is_nonnegative(spark):
+    """Cross-query law: the base chain IS q_absorption_prob — its
+    weighted per-state vector must reproduce p_base_e9 exactly; and
+    removing a channel can never INCREASE conversion."""
+    rows = _run(spark, "q_markov_attribution")
+    assert len(rows) == 4
+    base = {r["p_base_e9"] for r in rows}
+    assert len(base) == 1
+    for r in rows:
+        assert r["effect_e9"] == r["p_base_e9"] - r["p_removed_e9"]
+        assert r["effect_e9"] >= 0
+    # recompute the weighted base from the staged absorption query
+    from pyspark.sql import Window
+    from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+
+    absorb = {
+        r["state"]: r["p_convert_e9"]
+        for r in STAGED_R9["q_absorption_prob"][0](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wts = {
+        r["s"]: r["w"]
+        for r in ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .where((F.col("rn") == 1) & (F.col("event_type") != "purchase"))
+        .groupBy(F.col("event_type").alias("s"))
+        .agg(F.count("*").alias("w"))
+        .collect()
+    }
+    expected = sum(wts[s] * absorb.get(s, 0) for s in wts) // sum(wts.values())
+    assert base.pop() == expected

@@ -1673,3 +1673,551 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         arms = arm if arms is None else arms.unionByName(arm)
     return arms.orderBy("removed_state")
+
+
+# ---------------------------------------------------------------------------
+# Fourth r10 seed batch: LM-eval generalization, tokenizer-prep
+# coverage, vector-geometry QA, forensic digit audits, returns abuse,
+# duplicate lines, quarter-end linearity. Flip checklist additions
+# (NLJ_OK): q_vocab_coverage_curve (1-row totals leg x 3-row k grid),
+# q_lm_generalization_gap (1-row train-vocab leg),
+# q_last_digit_uniformity (1-row chi-square totals leg),
+# q_embed_isotropy (1-row corpus-moments leg).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_lm_generalization_gap",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, doc_id % 2 AS half,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    bg AS (
+        SELECT half, words[i] AS a, words[i + 1] AS b
+        FROM ws, unnest(generate_series(1, greatest(len(words) - 1, 0)))
+             AS u(i)
+    ),
+    c2 AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n2
+        FROM bg WHERE half = 0 GROUP BY a, b
+    ),
+    c1 AS (
+        SELECT a, CAST(count(*) AS BIGINT) AS n1
+        FROM bg WHERE half = 0 GROUP BY a
+    ),
+    vv AS (
+        SELECT CAST(count(DISTINCT a) AS BIGINT) AS v
+        FROM bg WHERE half = 0
+    ),
+    scored AS (
+        SELECT bg.half,
+               ln((coalesce(c2.n2, 0) + 1.0)
+                  / (coalesce(c1.n1, 0) + vv.v + 1.0)) AS logp
+        FROM bg
+        LEFT JOIN c2 ON bg.a = c2.a AND bg.b = c2.b
+        LEFT JOIN c1 ON bg.a = c1.a
+        CROSS JOIN vv
+    )
+    SELECT CASE WHEN half = 0 THEN 'train' ELSE 'heldout' END AS split,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(logp) / count(*), 4) + 0.0 AS mean_nll
+    FROM scored
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q_lm_generalization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model generalization gap: an add-1 bigram LM trained
+    on the doc-parity 'train' half, scored on BOTH halves — heldout
+    mean NLL minus train mean NLL is the memorization-vs-
+    generalization number every data-mixture decision watches
+    (q_bigram_perplexity scores the corpus on itself; without a
+    held-out split that number only measures memorization). The
+    model is two count aggregates + a 1-row vocab leg; scoring is
+    two broadcast-able equi-joins; the mean NLL is the round4-safe
+    ln class."""
+    ws = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        _r10_words(F.col("text")).alias("words"),
+    )
+    bg = ws.select(
+        "half",
+        F.posexplode(
+            F.when(
+                F.size("words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("a"),
+                        F.element_at("words", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("pos", "p"),
+    ).select("half", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    train = bg.where(F.col("half") == 0)
+    c2 = train.groupBy("a", "b").agg(F.count("*").cast("long").alias("n2"))
+    c1 = train.groupBy("a").agg(F.count("*").cast("long").alias("n1"))
+    vv = train.agg(F.countDistinct("a").cast("long").alias("v"))
+    scored = (
+        bg.join(c2, ["a", "b"], "left")
+        .join(c1, "a", "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "half",
+            F.expr(
+                "ln((coalesce(n2, 0) + 1.0)"
+                " / (coalesce(n1, 0) + v + 1.0))"
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.when(F.col("half") == 0, "train")
+            .otherwise("heldout")
+            .alias("split")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("round(-sum(logp) / count(*), 4) + 0.0").alias(
+                "mean_nll"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+@_staged(
+    "q_vocab_coverage_curve",
+    oracle="""
+    WITH toks AS (
+        SELECT w
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                  AS w FROM documents)
+        WHERE w <> ''
+    ),
+    vc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(n) AS BIGINT) AS total_tokens
+        FROM vc
+    ),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM vc
+    ),
+    grid AS (SELECT unnest([100, 1000, 10000]) AS k)
+    SELECT CAST(g.k AS INT) AS k, t.vocab_size, t.total_tokens,
+           CAST(sum(CASE WHEN r.rk <= g.k THEN r.n ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(sum(CASE WHEN r.rk <= g.k THEN r.n ELSE 0 END) * 10000
+                // t.total_tokens AS BIGINT) AS coverage_bp
+    FROM r, t, grid g
+    GROUP BY g.k, t.vocab_size, t.total_tokens
+    ORDER BY k
+    """,
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — what share of all tokens a
+    top-100 / top-1000 / top-10000 word vocabulary covers: THE
+    sizing input for tokenizer vocab budgets and OOV-rate estimates
+    (q_vocab_coverage checks one fixed vocabulary; this sweeps the
+    budget). Word ranks go through
+    operators/ranking.global_row_number over the vocab aggregate
+    (vocabulary-sized, but at web scale still too wide for one
+    task); the totals are the allowlisted 1-row leg crossed with the
+    3-row budget grid."""
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(_r10_words(F.col("text"))).alias("w")
+    )
+    vc = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    t = vc.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
+    r = global_row_number(
+        vc, [(-F.col("n")).asc(), F.col("w").asc()], alias="rk"
+    )
+    grid = spark.createDataFrame([(100,), (1000,), (10000,)], "k INT")
+    return (
+        r.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("k", "vocab_size", "total_tokens")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= k THEN n ELSE 0 END) * 10000"
+                " div total_tokens AS BIGINT)"
+            ).alias("coverage_bp"),
+        )
+        .select(
+            "k", "vocab_size", "total_tokens", "covered_tokens",
+            "coverage_bp",
+        )
+        .orderBy("k")
+    )
+
+
+@_staged(
+    "q_embed_isotropy",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, dim, qv
+        FROM (
+            SELECT vec_id, label,
+                   unnest(generate_series(1, len(embedding))) AS dim,
+                   unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                       AS qv
+            FROM embeddings
+        )
+    ),
+    per_label AS (
+        SELECT label, dim,
+               CAST(sum(qv) AS BIGINT) AS s,
+               CAST(sum(qv * qv) AS BIGINT) AS s2,
+               CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+        FROM q GROUP BY label, dim
+    ),
+    m AS (
+        SELECT label, max(n) AS n,
+               sum(CAST(s AS HUGEINT) * s) AS mean2_num,
+               CAST(sum(s2) AS BIGINT) AS sum_norm2
+        FROM per_label GROUP BY label
+    )
+    SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n_vecs,
+           CAST(mean2_num * 1000000 // (n * sum_norm2) AS BIGINT)
+               AS anisotropy_e6
+    FROM m
+    ORDER BY label
+    """,
+)
+def q_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy per label — ‖Σx‖²/(n·Σ‖x‖²) in exact e6:
+    0 means the cloud is centered (cosine similarity is
+    discriminative), → 1e6 means every vector points the same way
+    (the 'anisotropy problem' that makes cosine search return
+    everything; the standard fix is mean-centering, and THIS is the
+    number that says whether you need it). Integer-exact end to end:
+    per-dim sums in int64, the squared-sum accumulation on
+    HUGEINT/DECIMAL(38,0), one 128-bit integer division."""
+    q = _r9_qdims_local(spark, sf_dir)
+    per_label = q.groupBy("label", "dim").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("s2"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    m = per_label.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("mean2_num"),
+        F.sum("s2").cast("long").alias("sum_norm2"),
+    )
+    return m.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.expr(
+            "CAST(mean2_num * 1000000 div (n * sum_norm2) AS BIGINT)"
+        ).alias("anisotropy_e6"),
+    ).orderBy("label")
+
+
+def _r9_qdims_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e3-quantized (vec_id, label, dim, qv) — the q_kmeans_step idiom."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qv"),
+    )
+
+
+@_staged(
+    "q_last_digit_uniformity",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 10
+                   AS digit
+        FROM orders
+    ),
+    c AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+        FROM d GROUP BY digit
+    ),
+    t AS (
+        SELECT CAST(sum(n_orders) AS BIGINT) AS total,
+               CAST((10 * sum(n_orders * n_orders)
+                     - sum(n_orders) * sum(n_orders)) * 10000
+                    // sum(n_orders) AS BIGINT) AS chi2_e4
+        FROM c
+    )
+    SELECT CAST(c.digit AS INT) AS digit, c.n_orders,
+           CAST(c.n_orders * 10000 // t.total AS BIGINT) AS share_bp,
+           t.chi2_e4,
+           t.chi2_e4 > 169190 AS biased
+    FROM c, t
+    ORDER BY digit
+    """,
+)
+def q_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity — the forensic companion to q_benford:
+    first digits follow Benford, but LAST digits of genuine amounts
+    are uniform, and humans inventing numbers can't fake that
+    (Nigrini's digit tests). χ² against uniform collapses to the
+    integer identity (k·Σn² − N²)/N, emitted e4 and compared to the
+    df=9, α=0.05 critical value 16.919 as a pure integer — no float
+    anywhere. One aggregate + the allowlisted 1-row totals leg."""
+    d = load_table(spark, sf_dir, "orders").select(
+        (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 10).alias(
+            "digit"
+        )
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("long").alias("n_orders"))
+    t = c.agg(
+        F.sum("n_orders").cast("long").alias("total"),
+        F.expr(
+            "CAST((10 * sum(n_orders * n_orders)"
+            " - sum(n_orders) * sum(n_orders)) * 10000"
+            " div sum(n_orders) AS BIGINT)"
+        ).alias("chi2_e4"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n_orders",
+            F.expr("CAST(n_orders * 10000 div total AS BIGINT)").alias(
+                "share_bp"
+            ),
+            "chi2_e4",
+            (F.col("chi2_e4") > 169190).alias("biased"),
+        )
+        .orderBy("digit")
+    )
+
+
+@_staged(
+    "q_returner_screen",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                        THEN CAST(floor(l.l_extendedprice
+                             * (1.0 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS returned_cents
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey
+    )
+    SELECT o_custkey, n_lines, n_returned,
+           CAST(n_returned * 10000 // n_lines AS BIGINT) AS return_bp,
+           returned_cents
+    FROM per_cust
+    WHERE n_lines >= 8 AND n_returned * 10000 // n_lines >= 5000
+    ORDER BY return_bp DESC, returned_cents DESC, o_custkey
+    LIMIT 25
+    """,
+)
+def q_returner_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial-returner screen: customers at volume (8+ lines) whose
+    return share exceeds 50%, ranked by rate then refunded value —
+    the refund-abuse triage queue (q_return_affinity measures the
+    corpus rate; abuse is a PER-ACTOR tail phenomenon). One join,
+    one keyed aggregate, an integer filter, TakeOrdered top-25 with
+    full tie-break."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                        * 100
+                        + 0.5
+                    ).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("returned_cents"),
+        )
+    )
+    return (
+        per_cust.where(
+            (F.col("n_lines") >= 8)
+            & (F.expr("n_returned * 10000 div n_lines >= 5000"))
+        )
+        .select(
+            "o_custkey",
+            "n_lines",
+            "n_returned",
+            F.expr("CAST(n_returned * 10000 div n_lines AS BIGINT)").alias(
+                "return_bp"
+            ),
+            "returned_cents",
+        )
+        .orderBy(
+            F.col("return_bp").desc(),
+            F.col("returned_cents").desc(),
+            "o_custkey",
+        )
+        .limit(25)
+    )
+
+
+@_staged(
+    "q_dup_lines",
+    oracle="""
+    WITH g AS (
+        SELECT l_orderkey, l_partkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_qty,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem
+        GROUP BY l_orderkey, l_partkey
+        HAVING count(*) > 1
+    )
+    SELECT l_orderkey, l_partkey, n_lines, total_qty, n_suppliers,
+           n_suppliers < n_lines AS same_supplier_dup
+    FROM g
+    ORDER BY l_orderkey, l_partkey
+    """,
+)
+def q_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-line audit: orders carrying the SAME part on
+    multiple lines — legitimate when split across suppliers,
+    suspicious when the same supplier appears twice (double-keyed
+    entry, the AP-side twin of q_dup_invoice's double payment). One
+    keyed aggregate with HAVING; the same-supplier flag is a
+    distinct-count comparison, all integer."""
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_qty"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        )
+        .where(F.col("n_lines") > 1)
+    )
+    return g.select(
+        "l_orderkey",
+        "l_partkey",
+        "n_lines",
+        "total_qty",
+        "n_suppliers",
+        (F.col("n_suppliers") < F.col("n_lines")).alias("same_supplier_dup"),
+    ).orderBy("l_orderkey", "l_partkey")
+
+
+@_staged(
+    "q_quarter_linearity",
+    oracle="""
+    WITH m AS (
+        SELECT year(CAST(o_orderdate AS DATE)) AS y,
+               quarter(CAST(o_orderdate AS DATE)) AS q,
+               (month(CAST(o_orderdate AS DATE)) - 1) % 3 + 1 AS moq,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY y, q, moq
+    ),
+    p AS (
+        SELECT y, q,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN moq = 1 THEN cents ELSE 0 END) * 10000
+                    // sum(cents) AS BIGINT) AS m1_bp,
+               CAST(sum(CASE WHEN moq = 2 THEN cents ELSE 0 END) * 10000
+                    // sum(cents) AS BIGINT) AS m2_bp,
+               CAST(sum(CASE WHEN moq = 3 THEN cents ELSE 0 END) * 10000
+                    // sum(cents) AS BIGINT) AS m3_bp
+        FROM m GROUP BY y, q
+    )
+    SELECT CAST(y AS INT) || '-Q' || CAST(q AS VARCHAR) AS yq,
+           total_cents, m1_bp, m2_bp, m3_bp,
+           m3_bp > 4000 AS hockeystick
+    FROM p
+    ORDER BY yq
+    """,
+)
+def q_quarter_linearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end linearity audit: each quarter's revenue split
+    across its three months — a persistent month-3 spike past 40% is
+    the 'hockeystick' pattern auditors read as pull-forward /
+    channel stuffing (the revenue-recognition risk flag). One
+    month-grain aggregate rolled to quarters; shares in exact basis
+    points."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("y"),
+            F.quarter(F.col("o_orderdate").cast("date")).alias("q"),
+            (
+                (F.month(F.col("o_orderdate").cast("date")) - 1) % 3 + 1
+            ).alias("moq"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    p = m.groupBy("y", "q").agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN moq = 1 THEN cents ELSE 0 END) * 10000"
+            " div sum(cents) AS BIGINT)"
+        ).alias("m1_bp"),
+        F.expr(
+            "CAST(sum(CASE WHEN moq = 2 THEN cents ELSE 0 END) * 10000"
+            " div sum(cents) AS BIGINT)"
+        ).alias("m2_bp"),
+        F.expr(
+            "CAST(sum(CASE WHEN moq = 3 THEN cents ELSE 0 END) * 10000"
+            " div sum(cents) AS BIGINT)"
+        ).alias("m3_bp"),
+    )
+    return p.select(
+        F.concat(
+            F.col("y").cast("string"), F.lit("-Q"), F.col("q").cast("string")
+        ).alias("yq"),
+        "total_cents",
+        "m1_bp",
+        "m2_bp",
+        "m3_bp",
+        (F.col("m3_bp") > 4000).alias("hockeystick"),
+    ).orderBy("yq")
+
+
+def _r10_words(col):
+    """Lowercased alpha word array — the shared tokenization of the
+    text queries (resolved at call time, used by the batch above)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit("")
+    )

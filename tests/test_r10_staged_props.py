@@ -18,6 +18,9 @@ STAGED_NLJ_OK: set[str] = {
     "q_order_status_flow",  # broadcast 1-row horizon leg
     "q_power_user_share",  # broadcast 1-row totals leg × 3-row pct grid
     "q_markov_attribution",  # crosses of 1-row overall-conversion legs
+    "q_lm_generalization_gap",  # broadcast 1-row train-vocab leg
+    "q_vocab_coverage_curve",  # broadcast 1-row totals leg × 3-row k grid
+    "q_last_digit_uniformity",  # broadcast 1-row chi-square totals leg
 }
 
 PY_MARKERS = (
@@ -267,3 +270,69 @@ def test_markov_attribution_matches_absorption_and_is_nonnegative(spark):
     }
     expected = sum(wts[s] * absorb.get(s, 0) for s in wts) // sum(wts.values())
     assert base.pop() == expected
+
+
+def test_lm_generalization_gap_direction(spark):
+    rows = {r["split"]: r for r in _run(spark, "q_lm_generalization_gap")}
+    assert set(rows) == {"train", "heldout"}
+    for r in rows.values():
+        assert r["mean_nll"] > 0
+    # the model memorizes its own half: held-out NLL is never better
+    assert rows["heldout"]["mean_nll"] >= rows["train"]["mean_nll"]
+
+
+def test_vocab_coverage_curve_is_monotone(spark):
+    rows = sorted(_run(spark, "q_vocab_coverage_curve"), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [100, 1000, 10000]
+    covs = [r["coverage_bp"] for r in rows]
+    assert covs == sorted(covs)
+    for r in rows:
+        assert r["covered_tokens"] <= r["total_tokens"]
+        if r["k"] >= r["vocab_size"]:
+            assert r["coverage_bp"] == 10000
+
+
+def test_embed_isotropy_bounds(spark):
+    rows = _run(spark, "q_embed_isotropy")
+    assert rows
+    for r in rows:
+        # Cauchy-Schwarz: ||sum x||^2 <= n * sum ||x||^2
+        assert 0 <= r["anisotropy_e6"] <= 1_000_000
+
+
+def test_last_digit_uniformity_identity(spark):
+    rows = _run(spark, "q_last_digit_uniformity")
+    assert len(rows) == 10
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    counts = [r["n_orders"] for r in rows]
+    assert sum(counts) == n_orders
+    # recompute the integer chi-square identity
+    chi2 = (10 * sum(c * c for c in counts) - n_orders * n_orders) * 10000 // n_orders
+    assert all(r["chi2_e4"] == chi2 for r in rows)
+    assert all(r["biased"] == (chi2 > 169190) for r in rows)
+
+
+def test_returner_screen_thresholds(spark):
+    rows = _run(spark, "q_returner_screen")
+    for r in rows:
+        assert r["n_lines"] >= 8
+        assert r["return_bp"] >= 5000
+        assert r["n_returned"] <= r["n_lines"]
+
+
+def test_dup_lines_bounds(spark):
+    rows = _run(spark, "q_dup_lines")
+    assert rows
+    for r in rows:
+        assert r["n_lines"] >= 2
+        assert 1 <= r["n_suppliers"] <= r["n_lines"]
+        assert r["same_supplier_dup"] == (r["n_suppliers"] < r["n_lines"])
+
+
+def test_quarter_linearity_shares_account(spark):
+    rows = _run(spark, "q_quarter_linearity")
+    assert rows
+    for r in rows:
+        s = r["m1_bp"] + r["m2_bp"] + r["m3_bp"]
+        assert 10000 - 3 <= s <= 10000  # three integer floors
+        assert r["hockeystick"] == (r["m3_bp"] > 4000)

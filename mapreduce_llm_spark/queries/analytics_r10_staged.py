@@ -2221,3 +2221,658 @@ def _r10_words(col):
     return F.filter(
         F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit("")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fifth r10 seed batch: feature screening, embedding-quality purity,
+# behavioral diversity, pricing fairness, supplier variability, and
+# user-level growth accounting. Flip checklist additions (NLJ_OK):
+# q_leakage_scan (1-row cutoff + totals legs), q_user_diversity
+# (none), q_knn_label_purity (pairs are dim-blocked over a 1-in-50
+# sample — the documented capped brute-force class).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_nzv_screen",
+    oracle="""
+    WITH vals AS (
+        SELECT 'l_quantity' AS col_name, CAST(l_quantity AS VARCHAR) AS v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(l_discount AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', CAST(l_tax AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', l_returnflag FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', l_linestatus FROM lineitem
+    ),
+    c AS (
+        SELECT col_name, v, CAST(count(*) AS BIGINT) AS n
+        FROM vals GROUP BY col_name, v
+    ),
+    s AS (
+        SELECT col_name,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS ndv,
+               CAST(max(n) AS BIGINT) AS mode_n
+        FROM c GROUP BY col_name
+    )
+    SELECT col_name, n_rows, ndv,
+           CAST(mode_n * 10000 // n_rows AS BIGINT) AS mode_bp,
+           ndv = 1 OR mode_n * 10000 // n_rows >= 9500 AS near_zero_var
+    FROM s
+    ORDER BY col_name
+    """,
+)
+def q_nzv_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-zero-variance feature screen (caret's nearZeroVar): per
+    candidate feature column, cardinality and the modal value's share
+    — a column that is one value 95% of the time carries almost no
+    signal and breaks CV folds, and this is the screen that drops it
+    before any model sees it. Columns stack into a value-level
+    unpivot; one (col, value) aggregate and one per-column rollup,
+    all integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.expr(
+            "stack(5,"
+            " 'l_quantity', CAST(l_quantity AS STRING),"
+            " 'l_discount', CAST(l_discount AS STRING),"
+            " 'l_tax', CAST(l_tax AS STRING),"
+            " 'l_returnflag', l_returnflag,"
+            " 'l_linestatus', l_linestatus) AS (col_name, v)"
+        )
+    )
+    c = vals.groupBy("col_name", "v").agg(F.count("*").cast("long").alias("n"))
+    s = c.groupBy("col_name").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("ndv"),
+        F.max("n").cast("long").alias("mode_n"),
+    )
+    return s.select(
+        "col_name",
+        "n_rows",
+        "ndv",
+        F.expr("CAST(mode_n * 10000 div n_rows AS BIGINT)").alias("mode_bp"),
+        F.expr(
+            "ndv = 1 OR mode_n * 10000 div n_rows >= 9500"
+        ).alias("near_zero_var"),
+    ).orderBy("col_name")
+
+
+@_staged(
+    "q_leakage_scan",
+    oracle="""
+    WITH horizon AS (
+        SELECT max(o_orderdate) - INTERVAL 90 DAY AS cutoff FROM orders
+    ),
+    obs AS (
+        SELECT o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders_obs,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS spend_cents,
+               CAST(date_diff('day', max(CAST(o.o_orderdate AS DATE)),
+                              CAST(h.cutoff AS DATE)) AS BIGINT)
+                   AS days_inactive
+        FROM orders o, horizon h
+        WHERE o.o_custkey % 10 = 0 AND o.o_orderdate <= h.cutoff
+        GROUP BY o.o_custkey, h.cutoff
+    ),
+    lab AS (
+        SELECT obs.*,
+               CASE WHEN f.o_custkey IS NULL THEN 1 ELSE 0 END AS churned
+        FROM obs LEFT JOIN (
+            SELECT DISTINCT o.o_custkey FROM orders o, horizon h
+            WHERE o.o_custkey % 10 = 0 AND o.o_orderdate > h.cutoff) f
+          ON obs.o_custkey = f.o_custkey
+    ),
+    feats AS (
+        SELECT 'n_orders_obs' AS feature, n_orders_obs AS x, churned AS y
+        FROM lab
+        UNION ALL SELECT 'spend_cents', spend_cents, churned FROM lab
+        UNION ALL SELECT 'days_inactive', days_inactive, churned FROM lab
+    ),
+    m AS (
+        SELECT feature,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sx2,
+               CAST(sum(y * y) AS BIGINT) AS sy2
+        FROM feats GROUP BY feature
+    )
+    SELECT feature, n AS n_customers,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n AS DOUBLE) * sy2
+                                 - CAST(sy AS DOUBLE) * sy), 0.0), 4)
+               + 0.0 AS corr_label,
+           abs(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n AS DOUBLE) * sy2
+                                 - CAST(sy AS DOUBLE) * sy), 0.0), 4))
+               >= 0.8 AS suspicious
+    FROM m
+    ORDER BY feature
+    """,
+)
+def q_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-leakage scan over the churn-label feature set: the
+    point-biserial correlation of each observation-window feature
+    with the outcome label — a feature correlating ≥ 0.8 with a
+    label it is supposed to PREDICT almost always means outcome
+    information leaked into the feature window (q_churn_label builds
+    the wall; this checks nothing climbed over it). Integer moments
+    (Σx² on HUGEINT — spend cents square), one round4 corr chain per
+    feature, suspicious flagged on the ROUNDED value so the flag is
+    hash-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAY")).alias("cutoff")
+    )
+    oc = (
+        o.where(F.col("o_custkey") % 10 == 0)
+        .crossJoin(F.broadcast(horizon))
+    )
+    obs = (
+        oc.where(F.col("o_orderdate") <= F.col("cutoff"))
+        .groupBy("o_custkey", "cutoff")
+        .agg(
+            F.count("*").cast("long").alias("n_orders_obs"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("spend_cents"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders_obs",
+            "spend_cents",
+            F.datediff(F.col("cutoff").cast("date"), F.col("last_d"))
+            .cast("long")
+            .alias("days_inactive"),
+        )
+    )
+    fut = (
+        oc.where(F.col("o_orderdate") > F.col("cutoff"))
+        .select("o_custkey")
+        .distinct()
+        .withColumn("hf", F.lit(1))
+    )
+    lab = obs.join(fut, "o_custkey", "left").withColumn(
+        "churned", F.when(F.col("hf").isNull(), 1).otherwise(0)
+    )
+    feats = lab.select(
+        F.expr(
+            "stack(3,"
+            " 'n_orders_obs', n_orders_obs,"
+            " 'spend_cents', spend_cents,"
+            " 'days_inactive', days_inactive) AS (feature, x)"
+        ),
+        F.col("churned").alias("y"),
+    )
+    m = feats.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    corr = (
+        "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * sx)"
+        " * sqrt(CAST(n AS DOUBLE) * sy2"
+        " - CAST(sy AS DOUBLE) * sy), 0.0), 4) + 0.0"
+    )
+    return m.select(
+        "feature",
+        F.col("n").alias("n_customers"),
+        F.expr(corr).alias("corr_label"),
+        F.expr(f"abs({corr}) >= 0.8").alias("suspicious"),
+    ).orderBy("feature")
+
+
+@_staged(
+    "q_user_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    d AS (
+        SELECT user_id,
+               CAST(sum(n) AS BIGINT) AS total,
+               CAST(sum(n * (n - 1)) * 10000
+                    // (sum(n) * (sum(n) - 1)) AS BIGINT) AS simpson_e4
+        FROM c GROUP BY user_id
+        HAVING sum(n) >= 5
+    ),
+    b AS (
+        SELECT CASE WHEN simpson_e4 >= 7500 THEN 'concentrated'
+                    WHEN simpson_e4 >= 2500 THEN 'mixed'
+                    ELSE 'diverse' END AS band,
+               simpson_e4
+        FROM d
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(simpson_e4) // count(*) AS BIGINT) AS mean_simpson_e4
+    FROM b
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user — Simpson concentration of each
+    user's event-type mix (Σnᵢ(nᵢ−1)/(n(n−1)), integer-exact e4),
+    banded into diverse / mixed / concentrated: single-action users
+    (concentrated) are automation candidates and personalization
+    dead-ends, the user-level twin of q_doc_simpson's corpus view.
+    Two keyed aggregates; the n ≥ 5 volume floor keeps the statistic
+    defined."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    d = (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("total"),
+            F.expr(
+                "CAST(sum(n * (n - 1)) * 10000"
+                " div (sum(n) * (sum(n) - 1)) AS BIGINT)"
+            ).alias("simpson_e4"),
+        )
+        .where(F.col("total") >= 5)
+    )
+    b = d.select(
+        F.when(F.col("simpson_e4") >= 7500, "concentrated")
+        .when(F.col("simpson_e4") >= 2500, "mixed")
+        .otherwise("diverse")
+        .alias("band"),
+        "simpson_e4",
+    )
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("CAST(sum(simpson_e4) div count(*) AS BIGINT)").alias(
+                "mean_simpson_e4"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+@_staged(
+    "q_price_fairness",
+    oracle="""
+    WITH g AS (
+        SELECT l.l_partkey,
+               CAST(l.l_shipdate AS DATE) AS d,
+               CAST(count(DISTINCT CAST(floor(l.l_discount * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n_discounts,
+               CAST(max(CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                    - min(CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS spread_e2
+        FROM lineitem l
+        GROUP BY l.l_partkey, d
+    )
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_part_days,
+           CAST(sum(CASE WHEN g.n_discounts > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_multi,
+           CAST(sum(CASE WHEN g.n_discounts > 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS multi_bp,
+           CAST(max(g.spread_e2) AS BIGINT) AS max_spread_e2
+    FROM g JOIN part p ON g.l_partkey = p.p_partkey
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_price_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-fairness audit: the same part, the same shipping day,
+    DIFFERENT discounts — the inconsistent-pricing pattern that
+    triggers most-favored-customer clause violations and churn when
+    customers compare notes. Per brand: the share of part-days with
+    more than one distinct discount and the worst same-day spread in
+    exact e2 points. One (part, day) aggregate, one brand rollup."""
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("d"),
+            F.floor(F.col("l_discount") * 100 + 0.5)
+            .cast("long")
+            .alias("disc_e2"),
+        )
+        .groupBy("l_partkey", "d")
+        .agg(
+            F.countDistinct("disc_e2").cast("long").alias("n_discounts"),
+            (F.max("disc_e2") - F.min("disc_e2"))
+            .cast("long")
+            .alias("spread_e2"),
+        )
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    return (
+        g.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_part_days"),
+            F.sum(F.when(F.col("n_discounts") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_discounts > 1 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("multi_bp"),
+            F.max("spread_e2").cast("long").alias("max_spread_e2"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_supplier_variability",
+    oracle="""
+    WITH d AS (
+        SELECT l.l_suppkey,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(delay) AS BIGINT) AS sd,
+               CAST(sum(delay * delay) AS BIGINT) AS sd2
+        FROM d GROUP BY l_suppkey
+        HAVING count(*) >= 20 AND sum(delay) > 0
+    )
+    SELECT l_suppkey, n_lines,
+           CAST(sd // n_lines AS BIGINT) AS mean_delay_days,
+           CAST((n_lines * sd2 - sd * sd) * 10000 // (sd * sd) AS BIGINT)
+               AS cv2_e4
+    FROM m
+    ORDER BY cv2_e4 DESC, l_suppkey
+    LIMIT 10
+    """,
+)
+def q_supplier_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time VARIABILITY ranking — procurement's risk
+    metric is not the mean delay (q_otif scores that) but its
+    squared coefficient of variation: an erratic supplier forces
+    safety stock even when fast on average. Day-grain integer
+    moments keep cv²_e4 pure int64 (the q_subscription_detect
+    arithmetic); top-10 most erratic at volume, TakeOrdered with key
+    tie-break."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("delay"),
+        )
+    )
+    m = (
+        d.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("delay").cast("long").alias("sd"),
+            F.sum(F.col("delay") * F.col("delay")).cast("long").alias("sd2"),
+        )
+        .where((F.col("n_lines") >= 20) & (F.col("sd") > 0))
+    )
+    return (
+        m.select(
+            "l_suppkey",
+            "n_lines",
+            F.expr("CAST(sd div n_lines AS BIGINT)").alias("mean_delay_days"),
+            F.expr(
+                "CAST((n_lines * sd2 - sd * sd) * 10000 div (sd * sd)"
+                " AS BIGINT)"
+            ).alias("cv2_e4"),
+        )
+        .orderBy(F.col("cv2_e4").desc(), "l_suppkey")
+        .limit(10)
+    )
+
+
+@_staged(
+    "q_knn_label_purity",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, dim, qv
+        FROM (
+            SELECT vec_id, label,
+                   unnest(generate_series(1, len(embedding))) AS dim,
+                   unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                       AS qv
+            FROM embeddings
+        )
+        WHERE vec_id % 50 = 0
+    ),
+    p AS (
+        SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb,
+               b.label AS lb,
+               CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS dist
+        FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        GROUP BY va, la, vb, lb
+    ),
+    nn AS (
+        SELECT va, la,
+               min(dist * 10000000 + vb * 10 + lb) AS pack
+        FROM p GROUP BY va, la
+    )
+    SELECT CAST(la AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN pack % 10 = la THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pure,
+           CAST(sum(CASE WHEN pack % 10 = la THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS purity_bp
+    FROM nn
+    GROUP BY la
+    ORDER BY label
+    """,
+)
+def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label purity — the classifier-free embedding quality
+    score: for each sampled vector, does its exact nearest neighbor
+    share its label? (High purity ⇒ the space separates the classes
+    ⇒ cosine retrieval and clustering will work; q_silhouette_lite
+    measures cluster geometry, this measures LABEL geometry.) The
+    1-in-50 sample bounds the brute-force pair set (the documented
+    capped-brute-force class of operators/similarity); distances are
+    exact integer L2 on e3 components, and the argmin packs
+    (dist, neighbor, LABEL) into one int64 (dist ≤ 2.4e9 · 1e7
+    headroom) so the neighbor's label decodes as pack % 10 — no
+    struct argmin, no second join."""
+    q = _r9_qdims_local(spark, sf_dir).where(F.col("vec_id") % 50 == 0)
+    a = q.select(
+        "dim", F.col("vec_id").alias("va"), F.col("label").alias("la"),
+        F.col("qv").alias("qa"),
+    )
+    b = q.select(
+        "dim", F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+        F.col("qv").alias("qb"),
+    )
+    p = (
+        a.join(b, "dim")
+        .where(F.col("va") != F.col("vb"))
+        .groupBy("va", "la", "vb", "lb")
+        .agg(
+            F.sum(
+                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+            )
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    nn = p.groupBy("va", "la").agg(
+        F.min(
+            F.col("dist") * 10000000 + F.col("vb") * 10 + F.col("lb")
+        ).alias("pack")
+    )
+    return (
+        nn.groupBy("la")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum(
+                F.when(F.col("pack") % 10 == F.col("la"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pure"),
+            F.expr(
+                "CAST(sum(CASE WHEN pack % 10 = la THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("purity_bp"),
+        )
+        .select(
+            F.col("la").cast("int").alias("label"),
+            "n_sampled",
+            "n_pure",
+            "purity_bp",
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_user_growth_accounting",
+    oracle="""
+    WITH aw AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 604800000000 AS wk
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(wk) AS first_wk FROM aw GROUP BY user_id
+    ),
+    cur AS (
+        SELECT aw.user_id, aw.wk, f.first_wk,
+               p.user_id AS prev_active
+        FROM aw
+        JOIN firsts f ON aw.user_id = f.user_id
+        LEFT JOIN aw p ON aw.user_id = p.user_id AND p.wk = aw.wk - 1
+    ),
+    inflow AS (
+        SELECT wk,
+               CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN wk > first_wk
+                        AND prev_active IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN wk > first_wk AND prev_active IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM cur GROUP BY wk
+    ),
+    churn AS (
+        SELECT a.wk + 1 AS wk,
+               CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_churned
+        FROM aw a LEFT JOIN aw b
+          ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        GROUP BY a.wk + 1
+    )
+    SELECT CAST(i.wk AS BIGINT) AS wk,
+           i.n_new, i.n_retained, i.n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned,
+           CAST((i.n_new + i.n_resurrected) * 10000
+                // nullif(coalesce(c.n_churned, 0), 0) AS BIGINT)
+               AS quick_ratio_e4
+    FROM inflow i LEFT JOIN churn c ON i.wk = c.wk
+    ORDER BY wk
+    """,
+)
+def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly USER growth accounting — new / retained / resurrected /
+    churned actives plus the quick ratio ((new+resurrected)/churned,
+    the one-number growth-health gauge): q_growth_accounting
+    decomposes REVENUE; investor dashboards decompose USERS, and the
+    two disagree exactly when whales churn. Weeks are absolute epoch
+    bins (µs // 604800e6 — pure integer, no calendar algebra);
+    'previous week' is an equi-join; the identity
+    new+retained+resurrected = weekly actives holds by construction
+    (the property test pins it)."""
+    aw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+                " AS BIGINT)"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    firsts = aw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = aw.select(
+        "user_id", (F.col("wk") + 1).alias("wk"), F.lit(1).alias("pa")
+    )
+    cur = aw.join(firsts, "user_id").join(prev, ["user_id", "wk"], "left")
+    inflow = cur.groupBy("wk").agg(
+        F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                (F.col("wk") > F.col("first_wk")) & F.col("pa").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("wk") > F.col("first_wk")) & F.col("pa").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    nxt = aw.select(
+        "user_id", (F.col("wk") - 1).alias("wk"), F.lit(1).alias("nx")
+    )
+    churn = (
+        aw.join(nxt, ["user_id", "wk"], "left")
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(
+            F.sum(F.when(F.col("nx").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_churned")
+        )
+    )
+    return (
+        inflow.join(churn, "wk", "left")
+        .select(
+            F.col("wk").cast("long").alias("wk"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+            F.expr(
+                "CAST((n_new + n_resurrected) * 10000"
+                " div nullif(coalesce(n_churned, 0), 0) AS BIGINT)"
+            ).alias("quick_ratio_e4"),
+        )
+        .orderBy("wk")
+    )

@@ -21,6 +21,7 @@ STAGED_NLJ_OK: set[str] = {
     "q_lm_generalization_gap",  # broadcast 1-row train-vocab leg
     "q_vocab_coverage_curve",  # broadcast 1-row totals leg × 3-row k grid
     "q_last_digit_uniformity",  # broadcast 1-row chi-square totals leg
+    "q_leakage_scan",  # broadcast 1-row horizon-cutoff leg
 }
 
 PY_MARKERS = (
@@ -336,3 +337,95 @@ def test_quarter_linearity_shares_account(spark):
         s = r["m1_bp"] + r["m2_bp"] + r["m3_bp"]
         assert 10000 - 3 <= s <= 10000  # three integer floors
         assert r["hockeystick"] == (r["m3_bp"] > 4000)
+
+
+def test_nzv_screen_row_accounting(spark):
+    rows = _run(spark, "q_nzv_screen")
+    assert len(rows) == 5
+    n = load_table(spark, SF_DIR, "lineitem").count()
+    for r in rows:
+        assert r["n_rows"] == n
+        assert 1 <= r["ndv"]
+        assert r["near_zero_var"] == (
+            r["ndv"] == 1 or r["mode_bp"] >= 9500
+        )
+
+
+def test_leakage_scan_directions(spark):
+    rows = {r["feature"]: r for r in _run(spark, "q_leakage_scan")}
+    assert set(rows) == {"n_orders_obs", "spend_cents", "days_inactive"}
+    for r in rows.values():
+        assert -1.0 <= r["corr_label"] <= 1.0
+        assert r["suspicious"] == (abs(r["corr_label"]) >= 0.8)
+    # the synthetic order stream is memoryless, so no feature may
+    # show leakage-grade correlation — the scan coming back clean IS
+    # the expected answer here (a directional sign assertion would be
+    # a data property, not a law: measured corr ~ -0.02)
+    assert not any(r["suspicious"] for r in rows.values())
+
+
+def test_user_diversity_accounts(spark):
+    rows = _run(spark, "q_user_diversity")
+    eligible = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 5)
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == eligible
+    for r in rows:
+        assert 0 <= r["mean_simpson_e4"] <= 10000
+
+
+def test_price_fairness_bounds(spark):
+    rows = _run(spark, "q_price_fairness")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_multi"] <= r["n_part_days"]
+        assert r["max_spread_e2"] >= 0
+
+
+def test_supplier_variability_thresholds(spark):
+    rows = _run(spark, "q_supplier_variability")
+    assert len(rows) <= 10
+    for r in rows:
+        assert r["n_lines"] >= 20
+        assert r["cv2_e4"] >= 0
+
+
+def test_knn_label_purity_accounts(spark):
+    rows = _run(spark, "q_knn_label_purity")
+    sampled = (
+        load_table(spark, SF_DIR, "embeddings")
+        .where(F.col("vec_id") % 50 == 0)
+        .count()
+    )
+    assert sum(r["n_sampled"] for r in rows) == sampled
+    for r in rows:
+        assert 0 <= r["n_pure"] <= r["n_sampled"]
+
+
+def test_user_growth_accounting_identity(spark):
+    rows = {r["wk"]: r for r in _run(spark, "q_user_growth_accounting")}
+    assert rows
+    weekly = {
+        r["wk"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+                " AS BIGINT)"
+            ).alias("wk"),
+        )
+        .distinct()
+        .groupBy("wk")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(weekly)
+    for wk, r in rows.items():
+        assert (
+            r["n_new"] + r["n_retained"] + r["n_resurrected"] == weekly[wk]
+        ), (wk, r)

@@ -1,6 +1,8 @@
 """Round-10 STAGED surface — seed tranche.
 
-Same staged-tranche contract as queries/analytics_r9_staged.py, one
+Same staged-tranche contract the round-9 batch followed before its
+flip (staged in round 8 as analytics_r9_staged.py, registered in
+round 9 as queries/analytics_r9.py), one
 window further out: the round-9 window is fully allocated (50 staged
 pairs, ROUND9_WINDOW), so surface built beyond that point stages HERE
 and flips in round 10. Every entry is a complete (query fn, DuckDB

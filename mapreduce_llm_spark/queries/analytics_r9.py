@@ -1,41 +1,40 @@
-"""Round-9 STAGED surface — seed tranche.
+"""Round-9 registered surface — 50 oracle-backed analytics queries,
+staged (as queries/analytics_r9_staged.py) and hash-proven through the
+driver-gate harness at sf0.001, sf0.01 AND sf0.1 in round 8, flipped
+into live ``@query(oracle=...)`` declarations in round 9 the moment
+the round-8 window verified 50/50 hash-green (the external-book
+invariant, tests/test_plans.py::test_external_book_stays_closed,
+allows new oracle-backed surface only when it fits the current
+DRIVER_PRIORITY window). The flip was rehearsed in round 8
+(tests/test_r9_flip_rehearsal.py at the time): no collisions, exactly
+50 slots, no FUTURE_ORACLES graduations remaining (the whole window is
+new surface), backlog closure by construction.
 
-Same staged-tranche contract the round-8 batch followed before its
-flip (staged in round 7 as analytics_r8_staged.py, registered in
-round 8 as queries/analytics_r8.py): the round-8 window is fully
-allocated, so surface built after that point stages HERE and flips
-in round 9. Every entry is a complete (query fn,
-DuckDB oracle) pair hash-proven NOW at sf0.01 and the sf0.1 sweep env
-by tests/test_r9_staged.py through the same harness the driver gate
-uses. NOT imported by registry.load_all — importing this module must
-stay registry-side-effect free (pinned by the staging test).
+Tranche themes (ROUND8_NOTES item 3): watermark tuning + leakage-safe
+labels, curation/finance audits (sorted-neighborhood dedup, RRF rank
+fusion, burstiness), experimentation + eval (SRM, A/B power, PR
+curves, WoE/IV, Simpson reversal, U-shaped attribution), vector QA
+(embedding outliers, sign quantization, cosine threshold curves,
+assortativity, l-diversity, Bloom sizing), lifecycle + rules
+(price-volume-mix, SLA, association rules, bot score, RAKE, backfill),
+coverage + chains (FK coverage, 8-step absorbing-Markov conversion),
+and the window fill (gap percentiles, treatment deciles, HHI trend,
+growth accounting).
 
-The seed theme is the two pipeline seams the first 385 queries never
-covered:
+Determinism discipline: identical to analytics_r8 — exact integer
+microsecond/cents arithmetic, bp/e4 floors via integer div, round(,4)
+only on ln/sqrt-class outputs, md5-40 arithmetic for every
+cross-engine hash, nullif/CASE guards on every data-dependent
+denominator.
 
-- **Watermark tuning** (q_disorder_audit, q_watermark_yield): the
-  out-of-orderness of event time relative to arrival order is THE
-  input to every `withWatermark` delay choice, and the engine that
-  ships streaming operators owes its users the audit that measures
-  it. Arrival order is the monotone ingest id (event_id); lateness
-  is measured against the per-user running max event time over
-  strictly earlier arrivals — exact integer microseconds, keyed
-  windows only.
-- **Leakage-safe label generation** (q_churn_label): the supervised
-  twin of q_feature_matrix's feature rows — features strictly before
-  a cutoff, the label strictly after it, the cutoff derived from the
-  data's own horizon. The train/serve leakage this op exists to
-  prevent is the label analogue of q_asof_tolerance's staleness
-  bound.
-
-Round-9 flip checklist so far: q_watermark_yield and q_churn_label
-carry a BroadcastNestedLoopJoin from broadcast scalar/grid legs
-(5-row delay grid; 1-row cutoff leg) and need NLJ_OK entries on
-registration; q_disorder_audit is plain keyed-window + aggregate.
-
-Determinism discipline: identical to the r8 staging — exact integer
-microsecond/cents arithmetic, bp/e4 floors via integer div, no float
-anywhere, nullif/CASE guards on every data-dependent denominator.
+Plan-lint status (pre-flighted at sf0.001 in round 8 by the staged
+plan lint): no cartesian products, no Python crossings; the
+BroadcastNestedLoopJoin hits are all allowlisted broadcast scalar/grid
+legs carried verbatim into tests/test_plan_lint.py::NLJ_OK —
+q_ab_power, q_assoc_rules, q_bloom_sizing, q_churn_label,
+q_cosine_threshold_curve, q_fk_coverage, q_pr_curve, q_profile_drift,
+q_retention_sweep, q_simpson_reversal, q_sla_attainment,
+q_text_burstiness, q_watermark_yield, q_woe_iv.
 """
 
 from __future__ import annotations
@@ -46,53 +45,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: name -> (query fn, DuckDB oracle SQL); round 9 flips these into
-#: @query(oracle=...) declarations verbatim.
-STAGED_R9: dict[str, tuple[QueryFn, str]] = {}
 
-#: The exact round-9 DRIVER_PRIORITY window, pre-drafted so the flip
-#: is mechanical (the round-8 playbook, executed successfully this
-#: round): 50 staged queries in definition (= tranche) order — no
-#: FUTURE_ORACLES graduations remain, so the whole window is new
-#: surface. tests/test_r9_flip_rehearsal.py pins that this list is
-#: exactly STAGED_R9 with no gaps, dupes, or registry collisions, and
-#: that the post-flip external-verification backlog is exactly this
-#: window.
-ROUND9_WINDOW: list[str] = [
-    "q_disorder_audit", "q_watermark_yield", "q_churn_label",
-    "q_dedup_sortneighbor", "q_norm_dedup_lift", "q_rank_fusion",
-    "q_snippet_window", "q_text_burstiness", "q_charclass_profile",
-    "q_dup_invoice", "q_header_detail_recon", "q_srm_check",
-    "q_ab_power", "q_pr_curve", "q_woe_iv",
-    "q_simpson_reversal", "q_interval_union", "q_attribution_position",
-    "q_embed_outlier", "q_sign_agreement", "q_cosine_threshold_curve",
-    "q_graph_assortativity", "q_ldiversity", "q_retention_sweep",
-    "q_profile_drift", "q_sortkey_advisor", "q_bloom_sizing",
-    "q_monotonicity_check", "q_price_volume_mix", "q_new_vs_returning",
-    "q_sla_attainment", "q_assoc_rules", "q_bot_score",
-    "q_keyphrase_rake", "q_word_len_hist", "q_backfill_detect",
-    "q_dormancy_revival", "q_fk_coverage", "q_absorption_prob",
-    "q_cohort_quality", "q_gap_percentiles", "q_lang_vocab_overlap",
-    "q_quantile_treatment", "q_brand_cannibalization", "q_subscription_detect",
-    "q_single_source_risk", "q_weekend_effect", "q_hhi_trend",
-    "q_entry_exit_matrix", "q_growth_accounting",
-]
-
-
-def _staged(name: str, oracle: str):
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_R9:
-            raise ValueError(f"duplicate staged query {name!r}")
-        STAGED_R9[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-@_staged(
+@query(
     "q_disorder_audit",
     oracle="""
     WITH e AS (
@@ -169,7 +127,7 @@ def q_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_watermark_yield",
     oracle="""
     WITH e AS (
@@ -247,7 +205,7 @@ def q_watermark_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_churn_label",
     oracle="""
     WITH horizon AS (
@@ -354,7 +312,7 @@ def _r9_words(col):
     )
 
 
-@_staged(
+@query(
     "q_dedup_sortneighbor",
     oracle="""
     WITH d AS (
@@ -420,7 +378,7 @@ def q_dedup_sortneighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_norm_dedup_lift",
     oracle="""
     SELECT source,
@@ -470,7 +428,7 @@ def q_norm_dedup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_rank_fusion",
     oracle="""
     WITH d AS (
@@ -555,7 +513,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_snippet_window",
     oracle="""
     WITH ws AS (
@@ -644,7 +602,7 @@ def q_snippet_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_text_burstiness",
     oracle="""
     WITH toks AS (
@@ -716,7 +674,7 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_charclass_profile",
     oracle="""
     WITH d AS (
@@ -799,7 +757,7 @@ def q_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-@_staged(
+@query(
     "q_dup_invoice",
     oracle="""
     WITH g AS (
@@ -855,7 +813,7 @@ def q_dup_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("exposure_cents").desc(), "o_custkey", "day_s")
 
 
-@_staged(
+@query(
     "q_header_detail_recon",
     oracle="""
     WITH l AS (
@@ -956,7 +914,7 @@ def q_header_detail_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_srm_check",
     oracle="""
     WITH a AS (
@@ -1027,7 +985,7 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment")
 
 
-@_staged(
+@query(
     "q_ab_power",
     oracle="""
     WITH o AS (
@@ -1117,7 +1075,7 @@ def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_pr_curve",
     oracle="""
     WITH s AS (
@@ -1202,7 +1160,7 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("thr")
 
 
-@_staged(
+@query(
     "q_woe_iv",
     oracle="""
     WITH lab AS (
@@ -1308,7 +1266,7 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_simpson_reversal",
     oracle="""
     WITH li AS (
@@ -1405,7 +1363,7 @@ def q_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_interval_union",
     oracle="""
     WITH e AS (
@@ -1503,7 +1461,7 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_attribution_position",
     oracle="""
     WITH pr AS (
@@ -1655,7 +1613,7 @@ _R9_QDIMS_SQL = """
 """
 
 
-@_staged(
+@query(
     "q_embed_outlier",
     oracle=f"""
     WITH q AS ({_R9_QDIMS_SQL}),
@@ -1725,7 +1683,7 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_sign_agreement",
     oracle=f"""
     WITH q AS ({_R9_QDIMS_SQL}),
@@ -1798,7 +1756,7 @@ def q_sign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_cosine_threshold_curve",
     oracle=f"""
     WITH q AS ({_R9_QDIMS_SQL}),
@@ -1885,7 +1843,7 @@ def q_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_graph_assortativity",
     oracle="""
     WITH e AS (
@@ -1960,7 +1918,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_ldiversity",
     oracle="""
     SELECT CAST(c_nationkey AS INT) AS n_nationkey,
@@ -1996,7 +1954,7 @@ def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_retention_sweep",
     oracle="""
     WITH ho AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
@@ -2084,7 +2042,7 @@ def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name", "age_days")
 
 
-@_staged(
+@query(
     "q_profile_drift",
     oracle="""
     WITH h AS (
@@ -2166,7 +2124,7 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric")
 
 
-@_staged(
+@query(
     "q_sortkey_advisor",
     oracle="""
     WITH s AS MATERIALIZED (
@@ -2272,7 +2230,7 @@ def q_sortkey_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sort_key", "col_name")
 
 
-@_staged(
+@query(
     "q_bloom_sizing",
     oracle="""
     WITH nd AS (
@@ -2325,7 +2283,7 @@ def q_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_monotonicity_check",
     oracle="""
     WITH c1 AS (
@@ -2456,7 +2414,7 @@ def q_monotonicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_price_volume_mix",
     oracle="""
     WITH yrs AS (
@@ -2560,7 +2518,7 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("brand")
 
 
-@_staged(
+@query(
     "q_new_vs_returning",
     oracle="""
     WITH om AS (
@@ -2630,7 +2588,7 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_sla_attainment",
     oracle="""
     WITH d AS (
@@ -2694,7 +2652,7 @@ def q_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_assoc_rules",
     oracle="""
     WITH b AS (
@@ -2777,7 +2735,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_bot_score",
     oracle="""
     WITH e AS (
@@ -2859,7 +2817,7 @@ def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_keyphrase_rake",
     oracle="""
     WITH t AS (
@@ -2979,7 +2937,7 @@ def q_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_word_len_hist",
     oracle="""
     WITH w AS (
@@ -3034,7 +2992,7 @@ def q_word_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "band")
 
 
-@_staged(
+@query(
     "q_backfill_detect",
     oracle="""
     WITH days AS (
@@ -3115,7 +3073,7 @@ def q_backfill_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_dormancy_revival",
     oracle="""
     WITH o AS (
@@ -3184,7 +3142,7 @@ def q_dormancy_revival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_fk_coverage",
     oracle="""
     WITH r1 AS (
@@ -3372,7 +3330,7 @@ def _absorption_sql(steps: int = 8) -> str:
     )
 
 
-@_staged("q_absorption_prob", oracle=_absorption_sql())
+@query("q_absorption_prob", oracle=_absorption_sql())
 def q_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-step absorption probability into 'purchase' for the
     event-type Markov chain — 'from state s, what is the chance a
@@ -3448,7 +3406,7 @@ def q_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_cohort_quality",
     oracle="""
     WITH f AS (
@@ -3530,7 +3488,7 @@ def q_cohort_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_gap_percentiles",
     oracle="""
     WITH g AS (
@@ -3632,7 +3590,7 @@ def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_lang_vocab_overlap",
     oracle="""
     WITH v AS (
@@ -3700,7 +3658,7 @@ def q_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_quantile_treatment",
     oracle="""
     WITH o AS (
@@ -3810,7 +3768,7 @@ def q_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
-@_staged(
+@query(
     "q_brand_cannibalization",
     oracle="""
     WITH bm AS (
@@ -3916,7 +3874,7 @@ def q_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_subscription_detect",
     oracle="""
     WITH g AS (
@@ -4015,7 +3973,7 @@ def q_subscription_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_single_source_risk",
     oracle="""
     WITH ps AS (
@@ -4090,7 +4048,7 @@ def q_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_weekend_effect",
     oracle="""
     WITH o AS (
@@ -4167,7 +4125,7 @@ def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment")
 
 
-@_staged(
+@query(
     "q_hhi_trend",
     oracle="""
     WITH sy AS (
@@ -4245,7 +4203,7 @@ def q_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_entry_exit_matrix",
     oracle="""
     WITH e AS (
@@ -4363,7 +4321,7 @@ def q_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_growth_accounting",
     oracle="""
     WITH cm AS (

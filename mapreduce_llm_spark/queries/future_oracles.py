@@ -196,7 +196,7 @@ _TEXT_FINGERPRINT_SQL = r"""
 
 # Round-9+ staging area: drafted-and-proven twins awaiting a window
 # slot. Empty since the round-8 flip graduated the last batch; whole
-# new (query, oracle) pairs stage in queries/analytics_r9_staged.py
+# new (query, oracle) pairs stage in queries/analytics_r10_staged.py
 # instead — this dict is only for oracle flips of ALREADY-REGISTERED
 # rows-only queries.
 FUTURE_ORACLES: dict[str, str] = {}

@@ -95,6 +95,23 @@ NLJ_OK = {
     #                      q_dist_drift grid class; missed by the
     #                      round-7 pre-flight checklist, caught by this
     #                      lint on registration
+    # round-9 flip batch (pre-flighted in round 8's staged plan lint,
+    # tests/test_r9_staged_plans.py at the time; every entry is a
+    # broadcast scalar/grid leg, never a data×data NLJ)
+    "q_ab_power",  # broadcast 3-row MDE grid × 1-row moments leg
+    "q_assoc_rules",  # broadcast 1-row basket-count leg
+    "q_bloom_sizing",  # broadcast 1-row NDV leg × 3-row bits grid
+    "q_churn_label",  # broadcast 1-row horizon-cutoff leg
+    "q_cosine_threshold_curve",  # broadcast 5-row threshold grid
+    "q_fk_coverage",  # broadcast 1-row parent-coverage legs per relation
+    "q_pr_curve",  # broadcast 6-row threshold grid
+    "q_profile_drift",  # broadcast 1-row half-profile leg
+    "q_retention_sweep",  # per-table 1-row horizon leg × 3-row age grid
+    "q_simpson_reversal",  # broadcast 1-row pooled-moments leg
+    "q_sla_attainment",  # broadcast 3-row SLA grid
+    "q_text_burstiness",  # broadcast 1-row corpus-doc-count leg
+    "q_watermark_yield",  # broadcast 5-row delay grid
+    "q_woe_iv",  # broadcast 1-row good/bad totals leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -230,9 +230,9 @@ def test_session_conversion_accounts_for_every_session(spark):
     rows = _run(spark, "q_session_conversion")
     total = sum(r["n_sessions"] for r in rows)
     # recount sessions independently via the entry/exit matrix total
-    from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+    from mapreduce_llm_spark import registry
 
-    ee = STAGED_R9["q_entry_exit_matrix"][0](spark, SF_DIR).collect()
+    ee = registry.QUERIES["q_entry_exit_matrix"](spark, SF_DIR).collect()
     assert total == sum(r["n_sessions"] for r in ee)
     for r in rows:
         assert 0 <= r["n_converted"] <= r["n_sessions"]
@@ -251,11 +251,11 @@ def test_markov_attribution_matches_absorption_and_is_nonnegative(spark):
         assert r["effect_e9"] >= 0
     # recompute the weighted base from the staged absorption query
     from pyspark.sql import Window
-    from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+    from mapreduce_llm_spark import registry
 
     absorb = {
         r["state"]: r["p_convert_e9"]
-        for r in STAGED_R9["q_absorption_prob"][0](spark, SF_DIR).collect()
+        for r in registry.QUERIES["q_absorption_prob"](spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -1,7 +1,8 @@
-"""Semantic laws for the round-9 seed tranche — the properties the
-hash gate can't express: the watermark tradeoff curve is monotone and
-its zero-delay point IS the disorder audit's late count; the churn
-label never leaks outcome information into the observation window.
+"""Semantic invariants for the round-9 query batch (registered in
+queries/analytics_r9.py since the round-9 flip) — algebraic laws of
+the claimed algorithms that the DuckDB hash gate cannot express (it
+proves Spark ≡ oracle, not that both implement the CLAIMED
+semantics). Evaluated on real testdata at SF_DIR.
 """
 
 from __future__ import annotations
@@ -9,13 +10,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
-from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
+from mapreduce_llm_spark import registry
 from tests.conftest import SF_DIR
+
+registry.load_all()
 
 
 def _run(spark, name):
-    fn, _sql = STAGED_R9[name]
-    return [r.asDict() for r in fn(spark, SF_DIR).collect()]
+    return [r.asDict() for r in registry.QUERIES[name](spark, SF_DIR).collect()]
 
 
 def test_disorder_audit_accounting(spark):

@@ -170,18 +170,6 @@ def main() -> None:
             "by tests/test_future_oracles.py: "
             + ", ".join(f"`{n}`" for n in sorted(FUTURE_ORACLES)),
         ]
-    from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
-
-    lines += [
-        "",
-        "## Staged for the round-9 window (derived)",
-        "",
-        f"{len(STAGED_R9)} complete (query, oracle) pairs in "
-        "queries/analytics_r9_staged.py — hash-proven by "
-        "tests/test_r9_staged.py; surface built after the round-8 "
-        "window filled stages one window further out: "
-        + ", ".join(f"`{n}`" for n in sorted(STAGED_R9)),
-    ]
     from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
 
     lines += [
@@ -191,7 +179,7 @@ def main() -> None:
         f"{len(STAGED_R10)} complete (query, oracle) pairs in "
         "queries/analytics_r10_staged.py — hash-proven by "
         "tests/test_r10_staged.py; surface built after the round-9 "
-        "staging filled its window stages one window further out: "
+        "window filled stages one window further out: "
         + ", ".join(f"`{n}`" for n in sorted(STAGED_R10)),
     ]
     lines += [

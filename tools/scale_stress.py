@@ -152,11 +152,8 @@ def main() -> None:
         if name in registry.QUERIES:
             return registry.QUERIES[name]
         # staged-but-unregistered surface is stressed BEFORE its flip
-        from mapreduce_llm_spark.queries.analytics_r9_staged import STAGED_R9
         from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
 
-        if name in STAGED_R9:
-            return STAGED_R9[name][0]
         return STAGED_R10[name][0]
 
     def bench(name: str, sf_dir: str) -> float:

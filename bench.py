@@ -220,6 +220,25 @@ HEADLINE = [
     "q_histogram_error",
     "q_quantile_normalize",
     "q_asof_tolerance",
+    # round 9 batch representatives: the sorted-neighborhood dedup
+    # blocking (the batch's heaviest candidate-generation path), RRF
+    # rank fusion over two global-row-number legs, the term-burstiness
+    # and RAKE keyphrase text folds (the batch's content-bound cost),
+    # the 8-step absorbing-Markov chain, position-based attribution
+    # (rank-1 keyed windows), per-label embedding outliers (integer
+    # n²-scaled distances), exact gap percentiles and treatment-effect
+    # deciles (partitioned ranking), and the session entry/exit matrix
+    # (the q_stream_* rule keeps streaming replays out of wall-clock)
+    "q_dedup_sortneighbor",
+    "q_rank_fusion",
+    "q_text_burstiness",
+    "q_keyphrase_rake",
+    "q_absorption_prob",
+    "q_attribution_position",
+    "q_embed_outlier",
+    "q_gap_percentiles",
+    "q_quantile_treatment",
+    "q_entry_exit_matrix",
 ]
 
 
@@ -285,28 +304,42 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     pinned_total = round(sum(pinned_times.values()), 3)
+    full_record = {
+        "metric": "headline_suite_seconds_full",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "mean_query_seconds": round(total / len(times), 3),
+        "passes": passes,
+        "agg": "median",
+        "pinned_set": "v1",
+        "pinned_seconds": pinned_total,
+        "pinned_queries": pinned_times,
+    }
+    # Committed full-map artifact (VERDICT r8 finding #1): the stdout
+    # padding that keeps the driver's last-N-chars capture clean also
+    # pushes the full per-query map out of the captured tail, so the
+    # driver artifact holds only the pinned-30 gate. Writing the
+    # complete map to BENCH_FULL_r{N}.json (committed, N = the window
+    # round) keeps round-over-round per-query history recoverable from
+    # the tree alone; tools/bench_compare.load_bench reads it directly.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_FULL_r{registry.DRIVER_PRIORITY_ROUND:02d}.json",
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full_record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     # Full record FIRST: the complete per-query map, for humans and
     # for cross-round full-subset comparison when the whole stdout is
     # kept (tools/bench_compare.load_bench also reconstructs pairs
     # from a truncated copy of this line).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds_full",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                # the suite GROWS each round (r1: 30 queries, r3: 37) —
-                # compare mean_query_seconds across rounds, not value,
-                # and compare on the common subset (tools/bench_compare.py)
-                "n_queries": len(times),
-                "mean_query_seconds": round(total / len(times), 3),
-                "passes": passes,
-                "agg": "median",
-            }
-        )
-    )
+    # (the suite GROWS each round — compare mean_query_seconds across
+    # rounds, not value, and compare on the common subset via
+    # tools/bench_compare.py)
+    print(json.dumps(full_record))
     # Pad the gap between the big full-map line and the compact gate
     # line with blank lines, sized past the driver's last-N-chars
     # stdout capture: without it the capture starts mid-way through

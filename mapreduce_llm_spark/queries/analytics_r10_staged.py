@@ -55,6 +55,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: @query(oracle=...) declarations verbatim.
 STAGED_R10: dict[str, tuple[QueryFn, str]] = {}
 
+#: The exact round-10 DRIVER_PRIORITY window, pre-drafted so the flip
+#: is mechanical (the round-8/round-9 playbook): 50 staged queries in
+#: definition (= tranche) order — no FUTURE_ORACLES graduations remain,
+#: so the whole window is new surface. tests/test_r10_flip_rehearsal.py
+#: pins that this list is exactly STAGED_R10 with no gaps, dupes, or
+#: registry collisions, and that the post-flip external-verification
+#: backlog is exactly this window.
+ROUND10_WINDOW: list[str] = [
+    "q_percentile_ci", "q_forecast_backtest", "q_embed_drift",
+    "q_minhash_band_tuning", "q_error_budget_burn", "q_open_orders_curve",
+    "q_order_status_flow", "q_split_leakage", "q_margin_waterfall",
+    "q_order_consolidation", "q_otif", "q_price_band_migration",
+    "q_dup_transitivity", "q_power_user_share", "q_session_conversion",
+    "q_markov_attribution", "q_lm_generalization_gap", "q_vocab_coverage_curve",
+    "q_embed_isotropy", "q_last_digit_uniformity", "q_returner_screen",
+    "q_dup_lines", "q_quarter_linearity", "q_nzv_screen",
+    "q_leakage_scan", "q_user_diversity", "q_price_fairness",
+    "q_supplier_variability", "q_knn_label_purity", "q_user_growth_accounting",
+    "q_gopher_rules", "q_length_filter_yield", "q_vocab_drift",
+    "q_dedup_prefix", "q_trigram_novelty", "q_markov_entropy",
+    "q_seasonality_strength", "q_event_dup_burst", "q_stickiness",
+    "q_partition_advisor", "q_reorder_cadence", "q_price_index",
+    "q_return_by_delay", "q_supplier_price_dispersion", "q_slow_movers",
+    "q_nation_trade_balance", "q_tail_index", "q_lsh_bucket_skew",
+    "q_embed_centroid_sim", "q_embed_quantile_clip",
+]
+
 
 def _staged(name: str, oracle: str):
     def deco(fn: QueryFn) -> QueryFn:
@@ -2877,4 +2904,1641 @@ def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quick_ratio_e4"),
         )
         .orderBy("wk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sixth r10 seed batch (authored in round 9): corpus curation pass-rate
+# audits (Gopher-rule matrix, length-filter yield, prefix-dup families,
+# trigram novelty, split-half vocabulary drift), event-stream health
+# (transition entropy, hour-of-day seasonality, telemetry double-fire,
+# weekly stickiness), and the ingest partition advisor. Flip checklist
+# additions (NLJ_OK): none — every query is keyed aggregation/window
+# over its own aggregates; the only tiny-window sums run over
+# post-aggregation rows (≤24 per group).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_gopher_rules",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+        GROUP BY doc_id, source, w
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               sum(n) AS n_words,
+               sum(n * length(w)) AS sum_len,
+               max(n) AS top_n,
+               count(*) AS n_distinct,
+               sum(CASE WHEN w IN ('the', 'a', 'and', 'of', 'in')
+                        THEN n ELSE 0 END) AS n_stop
+        FROM wc
+        GROUP BY doc_id, source
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN n_words >= 50 THEN 1 ELSE 0 END AS r_count,
+               CASE WHEN 3 * n_words <= sum_len
+                     AND sum_len <= 10 * n_words THEN 1 ELSE 0 END
+                   AS r_wordlen,
+               CASE WHEN top_n * 5 <= n_words THEN 1 ELSE 0 END
+                   AS r_topshare,
+               CASE WHEN 2 * n_distinct >= n_words THEN 1 ELSE 0 END
+                   AS r_distinct,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r_count) AS BIGINT) AS pass_count,
+           CAST(sum(r_wordlen) AS BIGINT) AS pass_wordlen,
+           CAST(sum(r_topshare) AS BIGINT) AS pass_topshare,
+           CAST(sum(r_distinct) AS BIGINT) AS pass_distinct,
+           CAST(sum(r_stop) AS BIGINT) AS pass_stop,
+           CAST(sum(r_count * r_wordlen * r_topshare * r_distinct * r_stop)
+                AS BIGINT) AS pass_all,
+           CAST(sum(r_count * r_wordlen * r_topshare * r_distinct * r_stop)
+                * 10000 // count(*) AS BIGINT) AS pass_all_bp
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule pass matrix per source (Rae et al.
+    2021 §A1.1 reformulated for this corpus): five independent rules —
+    minimum word count, mean word length in [3, 10] (decided as the
+    integer cross-product 3n ≤ Σlen ≤ 10n, no division), top-word
+    share ≤ 20% (top·5 ≤ n), distinct-word ratio ≥ 50% (2·distinct ≥
+    n), and ≥ 2 stopword hits — reported per rule, not as one blended
+    score (q_text_quality blends; a curation run needs to know WHICH
+    rule gates). One explode → per-doc aggregate → per-source
+    aggregate; the shuffle carries (doc, word) partial counts, and no
+    row ever holds more than one doc's words."""
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source",
+            F.explode(_r10_words(F.col("text"))).alias("w"),
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_doc = wc.groupBy("doc_id", "source").agg(
+        F.sum("n").alias("n_words"),
+        F.sum(F.col("n") * F.length("w")).alias("sum_len"),
+        F.max("n").alias("top_n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            F.when(
+                F.col("w").isin("the", "a", "and", "of", "in"), F.col("n")
+            ).otherwise(0)
+        ).alias("n_stop"),
+    )
+    flags = per_doc.select(
+        "source",
+        F.when(F.col("n_words") >= 50, 1).otherwise(0).alias("r_count"),
+        F.when(
+            (3 * F.col("n_words") <= F.col("sum_len"))
+            & (F.col("sum_len") <= 10 * F.col("n_words")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_wordlen"),
+        F.when(F.col("top_n") * 5 <= F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("r_topshare"),
+        F.when(2 * F.col("n_distinct") >= F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("r_distinct"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("r_stop"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("r_count").cast("long").alias("pass_count"),
+            F.sum("r_wordlen").cast("long").alias("pass_wordlen"),
+            F.sum("r_topshare").cast("long").alias("pass_topshare"),
+            F.sum("r_distinct").cast("long").alias("pass_distinct"),
+            F.sum("r_stop").cast("long").alias("pass_stop"),
+            F.sum(
+                F.col("r_count") * F.col("r_wordlen") * F.col("r_topshare")
+                * F.col("r_distinct") * F.col("r_stop")
+            )
+            .cast("long")
+            .alias("pass_all"),
+            F.expr(
+                "CAST(sum(r_count * r_wordlen * r_topshare * r_distinct"
+                " * r_stop) * 10000 div count(*) AS BIGINT)"
+            ).alias("pass_all_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_length_filter_yield",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450
+                         THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+               AS kept_bp,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450
+                         THEN n_chars ELSE 0 END) * 10000
+                // sum(n_chars) AS BIGINT) AS chars_kept_bp
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_length_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yield pre-flight for a [150, 450]-char length filter, per
+    language: how many documents AND how much character mass survive.
+    Every curation run starts with this number — a filter that drops
+    40% of one language and 5% of another silently reshapes the
+    training mix (the q_mix_weights input). Pure single-pass grouped
+    aggregation on the typed n_chars column; nothing leaves the
+    scan-side combine but 5 language rows."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = F.col("n_chars").between(150, 450)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1"
+                " ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+            ).alias("kept_bp"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450 THEN n_chars"
+                " ELSE 0 END) * 10000 div sum(n_chars) AS BIGINT)"
+            ).alias("chars_kept_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_staged(
+    "q_vocab_drift",
+    oracle="""
+    WITH wc AS (
+        SELECT lang, doc_id % 2 AS half, w, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT lang, doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+        GROUP BY lang, doc_id % 2, w
+    ),
+    rk AS (
+        SELECT lang, half, w,
+               row_number() OVER (PARTITION BY lang, half
+                                  ORDER BY n DESC, w) AS rk
+        FROM wc
+    ),
+    top0 AS (SELECT lang, w, rk FROM rk WHERE half = 0 AND rk <= 10),
+    top1 AS (SELECT lang, w, rk FROM rk WHERE half = 1 AND rk <= 10),
+    j AS (
+        SELECT coalesce(top0.lang, top1.lang) AS lang,
+               top0.rk AS rk0, top1.rk AS rk1
+        FROM top0
+        FULL OUTER JOIN top1
+          ON top0.lang = top1.lang AND top0.w = top1.w
+    )
+    SELECT lang,
+           CAST(10 AS BIGINT) AS top_k,
+           CAST(sum(CASE WHEN rk0 IS NOT NULL AND rk1 IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(sum(CASE WHEN rk0 IS NOT NULL AND rk1 IS NOT NULL
+                         THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS jaccard_bp,
+           CAST(sum(CASE WHEN rk0 IS NOT NULL AND rk1 IS NOT NULL
+                         THEN abs(rk0 - rk1) ELSE 0 END) * 100
+                // nullif(sum(CASE WHEN rk0 IS NOT NULL
+                                    AND rk1 IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS mean_rank_shift_e2
+    FROM j
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half vocabulary stability per language: rank the top-10
+    words in each doc-parity half and measure the overlap (Jaccard of
+    the two top sets, in bp of their union) and the mean absolute rank
+    shift among common words. A stable corpus scores near 10000 / 0;
+    drift between snapshot halves is the lexical analogue of
+    q_profile_drift's numeric alarm and the cheap pre-check before
+    retraining a tokenizer. Ranks are windows over per-(lang, half)
+    VOCABULARIES (31 words here, ≤ a few million at web scale — never
+    raw token rows); the halves join on (lang, word) top sets of 10
+    rows each."""
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(_r10_words(F.col("text"))).alias("w"),
+        )
+        .groupBy("lang", "half", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rk = wc.select(
+        "lang", "half", "w",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang", "half").orderBy(
+                F.col("n").desc(), F.col("w")
+            )
+        )
+        .alias("rk"),
+    ).filter(F.col("rk") <= 10)
+    top0 = rk.filter(F.col("half") == 0).select(
+        "lang", "w", F.col("rk").alias("rk0")
+    )
+    top1 = rk.filter(F.col("half") == 1).select(
+        F.col("lang").alias("lang1"), F.col("w").alias("w1"),
+        F.col("rk").alias("rk1"),
+    )
+    j = top0.join(
+        top1,
+        (top0.lang == top1.lang1) & (top0.w == top1.w1),
+        "full_outer",
+    ).select(
+        F.coalesce("lang", "lang1").alias("lang"), "rk0", "rk1"
+    )
+    both = F.col("rk0").isNotNull() & F.col("rk1").isNotNull()
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.lit(10).cast("long").alias("top_k"),
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_common"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk0 IS NOT NULL AND rk1 IS NOT NULL"
+                " THEN 1 ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+            ).alias("jaccard_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk0 IS NOT NULL AND rk1 IS NOT NULL"
+                " THEN abs(rk0 - rk1) ELSE 0 END) * 100"
+                " div nullif(sum(CASE WHEN rk0 IS NOT NULL AND rk1 IS NOT"
+                " NULL THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("mean_rank_shift_e2"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_staged(
+    "q_dedup_prefix",
+    oracle="""
+    WITH p AS (
+        SELECT source,
+               md5(array_to_string(
+                   (list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> x <> ''))[1:2], ' ')) AS pk
+        FROM documents
+    ),
+    fam AS (
+        SELECT source, pk, CAST(count(*) AS BIGINT) AS c
+        FROM p GROUP BY source, pk
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_families,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS docs_in_dup_families,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000
+                // sum(c) AS BIGINT) AS dup_bp,
+           CAST(max(c) AS BIGINT) AS max_family
+    FROM fam
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate families per source — the truncation-dup
+    detector exact dedup misses (crawl artifacts: the same page
+    captured at different cut-offs shares its head but not its sha2).
+    Keys on the md5 of the first 2 words; family sizes aggregate per
+    source. The digest group-by is the only shuffle and carries one
+    40-char key per doc — at 100 TB this is the cheapest of the dedup
+    family (cf. operators/dedup.py's content-hash exact pass, which
+    this complements at the head instead of the whole body)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(_r10_words(F.col("text")), 1, 2), " ")
+        ).alias("pk"),
+    )
+    fam = p.groupBy("source", "pk").agg(F.count("*").cast("long").alias("c"))
+    dup = F.col("c") >= 2
+    return (
+        fam.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(F.when(dup, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_families"),
+            F.sum(F.when(dup, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("docs_in_dup_families"),
+            F.expr(
+                "CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10000"
+                " div sum(c) AS BIGINT)"
+            ).alias("dup_bp"),
+            F.max("c").cast("long").alias("max_family"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_trigram_novelty",
+    oracle="""
+    WITH ws AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ),
+    tri AS (
+        SELECT source,
+               words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS t
+        FROM ws, unnest(generate_series(1, greatest(len(words) - 2, 0)))
+             AS u(i)
+    ),
+    tc AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS n
+        FROM tri GROUP BY source, t
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS total_trigrams,
+           CAST(count(*) AS BIGINT) AS distinct_trigrams,
+           CAST(count(*) * 10000 // sum(n) AS BIGINT) AS novelty_bp,
+           CAST(max(n) * 10000 // sum(n) AS BIGINT) AS top_share_bp
+    FROM tc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty per source — distinct-to-total 3-gram ratio
+    (compressibility proxy) plus the single most repeated trigram's
+    mass share. Low novelty or a fat top trigram flags templated /
+    machine-generated text that per-doc repetition checks
+    (q_text_repetition) miss because the repetition spans documents.
+    The guarded sequence (F.when(size >= 3, ...)) is the CLAUDE.md
+    short-array rule: Spark's sequence(1, 0) DESCENDS where DuckDB's
+    generate_series is empty."""
+    ws = load_table(spark, sf_dir, "documents").select(
+        "source", _r10_words(F.col("text")).alias("words")
+    )
+    tri = ws.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("words") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("words"), i),
+                        F.element_at(F.col("words"), i + 1),
+                        F.element_at(F.col("words"), i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("t"),
+    )
+    tc = tri.groupBy("source", "t").agg(F.count("*").cast("long").alias("n"))
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("total_trigrams"),
+            F.count("*").cast("long").alias("distinct_trigrams"),
+            F.expr(
+                "CAST(count(*) * 10000 div sum(n) AS BIGINT)"
+            ).alias("novelty_bp"),
+            F.expr(
+                "CAST(max(n) * 10000 div sum(n) AS BIGINT)"
+            ).alias("top_share_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_markov_entropy",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS nx
+        FROM events
+    ),
+    c2 AS (
+        SELECT event_type AS state, nx, CAST(count(*) AS BIGINT) AS n_ab
+        FROM e WHERE nx IS NOT NULL
+        GROUP BY event_type, nx
+    ),
+    scored AS (
+        SELECT state, n_ab,
+               CAST(n_ab AS DOUBLE) / sum(n_ab) OVER (PARTITION BY state)
+                   AS p
+        FROM c2
+    ),
+    per_state AS (
+        SELECT state,
+               CAST(sum(n_ab) AS BIGINT) AS n_out,
+               CAST(count(*) AS BIGINT) AS n_next_states,
+               CAST(max(n_ab) * 10000 // sum(n_ab) AS BIGINT)
+                   AS top_share_bp,
+               round(-sum(p * ln(p)), 4) + 0.0 AS entropy
+        FROM scored
+        GROUP BY state
+    )
+    SELECT state, n_out, n_next_states, top_share_bp, entropy,
+           CAST(n_out * 10000 // sum(n_out) OVER () AS BIGINT) AS weight_bp
+    FROM per_state
+    ORDER BY state
+    """,
+)
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition entropy of the event-type Markov chain: per state,
+    the Shannon entropy of its next-event distribution (how
+    predictable the next action is), the top transition's share, and
+    the state's weight in the chain. The predictability complement of
+    q_markov_transitions' raw matrix and q_markov_loglik's scoring —
+    entropy ≈ 0 states are funnel stages, entropy ≈ ln(5) states are
+    browsing. ln outputs are round(,4) (the CLAUDE.md-sanctioned
+    class); every ratio under the ln is a per-row double from int64
+    counts, and the 5-term entropy sums run over the 5×5 transition
+    AGGREGATE, never raw events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(w).alias("nx"),
+    ).filter(F.col("nx").isNotNull())
+    c2 = pairs.groupBy("state", "nx").agg(
+        F.count("*").cast("long").alias("n_ab")
+    )
+    ws = Window.partitionBy("state")
+    scored = c2.select(
+        "state", "n_ab",
+        (F.col("n_ab").cast("double") / F.sum("n_ab").over(ws)).alias("p"),
+    )
+    per_state = scored.groupBy("state").agg(
+        F.sum("n_ab").cast("long").alias("n_out"),
+        F.count("*").cast("long").alias("n_next_states"),
+        F.expr("CAST(max(n_ab) * 10000 div sum(n_ab) AS BIGINT)").alias(
+            "top_share_bp"
+        ),
+        (F.round(-F.sum(F.col("p") * F.log("p")), 4) + 0.0).alias("entropy"),
+    )
+    return per_state.select(
+        "state", "n_out", "n_next_states", "top_share_bp", "entropy",
+        F.expr(
+            "CAST(n_out * 10000 div sum(n_out) OVER () AS BIGINT)"
+        ).alias("weight_bp"),
+    ).orderBy("state")
+
+
+@_staged(
+    "q_seasonality_strength",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, hour(ts) AS hr, CAST(count(*) AS BIGINT) AS n_h
+        FROM events
+        GROUP BY event_type, hour(ts)
+    ),
+    r AS (
+        SELECT event_type, hr, n_h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n_h DESC, hr) AS rk,
+               sum(n_h) OVER (PARTITION BY event_type) AS n_t,
+               count(*) OVER (PARTITION BY event_type) AS present
+        FROM h
+    )
+    SELECT event_type,
+           CAST(sum(n_h) AS BIGINT) AS n_events,
+           CAST(23 - (max(n_h * 100 + (23 - hr)) % 100) AS BIGINT)
+               AS peak_hour,
+           CAST(max(n_h) * 10000 // sum(n_h) AS BIGINT) AS peak_share_bp,
+           CAST(sum(CASE WHEN rk <= 4 THEN n_h ELSE 0 END) * 10000
+                // sum(n_h) AS BIGINT) AS top4_share_bp,
+           CAST(floor(CAST(sum((24 * n_h - n_t) * (24 * n_h - n_t))
+                           + (24 - max(present)) * max(n_t) * max(n_t)
+                           AS DOUBLE)
+                      * 10000.0
+                      / CAST(24 * max(n_t) AS DOUBLE)) AS BIGINT)
+               AS chi2_uniform_e4
+    FROM r
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: peak hour (ties broken
+    to the earliest via the packed-integer argmax — no struct argmin,
+    the CLAUDE.md q_kmeans_step rule), peak and top-4-hour mass
+    shares, and a χ² statistic against the uniform 24-hour profile.
+    Missing hours enter the χ² algebraically — Σ over absent cells of
+    (0 − N/24)² collapses to (24 − present)·N²/24² — so no zero-fill
+    grid (and no NLJ) is needed. The χ² e4 value is ONE double
+    floor((ss·10⁴)/(24N)) from int64 sums — the q_bot_score
+    cross-engine class. Everything runs over the |types|×24 aggregate."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count("*").cast("long").alias("n_h"))
+    )
+    r = h.select(
+        "event_type", "hr", "n_h",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("n_h").desc(), F.col("hr")
+            )
+        )
+        .alias("rk"),
+    )
+    wt = Window.partitionBy("event_type")
+    r = r.withColumn("n_t", F.sum("n_h").over(wt)).withColumn(
+        "present", F.count("*").over(wt)
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.sum("n_h").cast("long").alias("n_events"),
+            (23 - (F.max(F.col("n_h") * 100 + (23 - F.col("hr"))) % 100))
+            .cast("long")
+            .alias("peak_hour"),
+            F.expr(
+                "CAST(max(n_h) * 10000 div sum(n_h) AS BIGINT)"
+            ).alias("peak_share_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= 4 THEN n_h ELSE 0 END) * 10000"
+                " div sum(n_h) AS BIGINT)"
+            ).alias("top4_share_bp"),
+            F.expr(
+                "CAST(floor(CAST(sum((24 * n_h - n_t) * (24 * n_h - n_t))"
+                " + (24 - max(present)) * max(n_t) * max(n_t) AS DOUBLE)"
+                " * 10000.0 / CAST(24 * max(n_t) AS DOUBLE)) AS BIGINT)"
+            ).alias("chi2_uniform_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_event_dup_burst",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+           CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+                         THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+               AS burst_bp,
+           CAST(count(DISTINCT CASE WHEN gap_us IS NOT NULL
+                                     AND gap_us <= 300000000
+                                    THEN user_id END) AS BIGINT)
+               AS n_affected_users
+    FROM e
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_event_dup_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-fire telemetry screen: events arriving within 300 s of
+    the same user's previous event (any type), attributed to the
+    follow-up event's type. High burst shares on one type flag
+    double-fire instrumentation or scripted traffic — the
+    event-stream analogue of q_dup_invoice, and an input to
+    q_bot_score triage. One keyed lag window (user-partitioned,
+    exact integer µs), then a grouped aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    g = e.select(
+        "event_type", "user_id",
+        (F.col("tus") - F.lag("tus").over(w)).alias("gap_us"),
+    )
+    burst = F.col("gap_us").isNotNull() & (F.col("gap_us") <= 300_000_000)
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(burst, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bursts"),
+            F.expr(
+                "CAST(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <="
+                " 300000000 THEN 1 ELSE 0 END) * 10000 div count(*)"
+                " AS BIGINT)"
+            ).alias("burst_bp"),
+            F.countDistinct(F.when(burst, F.col("user_id")))
+            .cast("long")
+            .alias("n_affected_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_stickiness",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               (epoch_us(ts) // 86400000000) // 7 AS wk,
+               user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT wk, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM d GROUP BY wk, day
+    ),
+    daily AS (
+        SELECT wk, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(dau) AS BIGINT) AS sum_dau
+        FROM dau GROUP BY wk
+    ),
+    weekly AS (
+        SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM d GROUP BY wk
+    )
+    SELECT daily.wk AS wk, n_days, wau, sum_dau,
+           CAST(sum_dau * 10000 // (n_days * wau) AS BIGINT)
+               AS stickiness_e4
+    FROM daily JOIN weekly ON daily.wk = weekly.wk
+    ORDER BY wk
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly DAU/WAU stickiness — mean daily active share of the
+    week's active users (the growth metric q_user_growth_accounting's
+    adds/churn decomposition doesn't give). Day and week indexes are
+    exact integer epoch-µs divisions; partial calendar weeks divide
+    by the days actually present, not 7. Two distinct-aggregates
+    keyed on (week[, day]) joined on week — both shuffles carry
+    (key, user) pairs only."""
+    d = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000) div 7"
+        ).alias("wk"),
+        "user_id",
+    )
+    dau = d.groupBy("wk", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    daily = dau.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    weekly = d.groupBy("wk").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        daily.join(weekly, "wk")
+        .select(
+            F.col("wk").cast("long").alias("wk"),
+            "n_days", "wau", "sum_dau",
+            F.expr(
+                "CAST(sum_dau * 10000 div (n_days * wau) AS BIGINT)"
+            ).alias("stickiness_e4"),
+        )
+        .orderBy("wk")
+    )
+
+
+@_staged(
+    "q_partition_advisor",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           CAST(max(n_chars) AS BIGINT) AS max_doc_bytes,
+           CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_doc_bytes,
+           CAST((sum(n_chars) + 134217727) // 134217728 AS BIGINT)
+               AS rec_partitions,
+           CAST(max(n_chars) * 10000 // sum(n_chars) AS BIGINT)
+               AS max_doc_share_bp
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest partition advisor per source: byte mass, recommended
+    partition count at the 128 MiB spark.sql.files.maxPartitionBytes
+    default (ceiling division as exact integers), and the largest
+    single document's mass share — the straggler predictor, since one
+    doc can't split across tasks in a text pipeline. Companion to
+    q_compress_advisory (storage) and q_sortkey_advisor (layout) on
+    the ingest side; one grouped aggregate over the typed n_chars
+    column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.max("n_chars").cast("long").alias("max_doc_bytes"),
+            F.expr(
+                "CAST(sum(n_chars) div count(*) AS BIGINT)"
+            ).alias("mean_doc_bytes"),
+            F.expr(
+                "CAST((sum(n_chars) + 134217727) div 134217728 AS BIGINT)"
+            ).alias("rec_partitions"),
+            F.expr(
+                "CAST(max(n_chars) * 10000 div sum(n_chars) AS BIGINT)"
+            ).alias("max_doc_share_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seventh r10 seed batch (authored in round 9): purchase-cadence and
+# pricing science (reorder gaps, fixed-base price index, cross-supplier
+# dispersion, return-rate by fulfilment delay, slow movers, nation trade
+# balance, Hill tail index) and embedding-infrastructure QA (sign-LSH
+# bucket skew, label-centroid confusability bands, int8 clip calibration).
+# Flip checklist additions (NLJ_OK): q_slow_movers (broadcast 1-row
+# corpus-horizon leg, the q_recency_topk class).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_reorder_cadence",
+    oracle="""
+    WITH o AS (
+        SELECT c_mktsegment AS seg, o_custkey, o_orderkey,
+               datediff('day',
+                        lag(CAST(o_orderdate AS DATE)) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (
+        SELECT seg, gap_days, o_custkey, o_orderkey
+        FROM o WHERE gap_days IS NOT NULL
+    ),
+    r AS (
+        SELECT seg, gap_days,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY gap_days, o_custkey, o_orderkey)
+                   AS rk,
+               count(*) OVER (PARTITION BY seg) AS n,
+               sum(gap_days) OVER (PARTITION BY seg) AS s
+        FROM g
+    )
+    SELECT seg,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(max(s) // max(n) AS BIGINT) AS mean_gap_days,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap_days END)
+                AS BIGINT) AS median_gap_days,
+           CAST(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN gap_days END)
+                AS BIGINT) AS p90_gap_days
+    FROM r
+    GROUP BY seg
+    ORDER BY seg
+    """,
+)
+def q_reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder cadence per market segment: exact median and p90 of
+    the days between a customer's consecutive orders — the
+    replenishment clock behind churn-horizon choices (q_churn_label's
+    cutoff) and campaign timing. Gaps are exact integer days from a
+    per-customer lag window; the percentile ranks use the
+    q_percentile_ci binomial-rank arithmetic over a per-segment
+    ranking (5 partitions; the rank window's tie-break
+    (gap, custkey, orderkey) is a total order)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"), "o_custkey", "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    ws = Window.partitionBy("seg")
+    r = g.select(
+        "seg", "gap_days",
+        F.row_number()
+        .over(ws.orderBy("gap_days", "o_custkey", "o_orderkey"))
+        .alias("rk"),
+        F.count("*").over(ws).alias("n"),
+        F.sum("gap_days").over(ws).alias("s"),
+    )
+    return (
+        r.groupBy("seg")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.expr("CAST(max(s) div max(n) AS BIGINT)").alias(
+                "mean_gap_days"
+            ),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n + 1) div 2"), F.col("gap_days")
+                )
+            )
+            .cast("long")
+            .alias("median_gap_days"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n * 90 + 99) div 100"),
+                    F.col("gap_days"),
+                )
+            )
+            .cast("long")
+            .alias("p90_gap_days"),
+        )
+        .orderBy("seg")
+    )
+
+
+@_staged(
+    "q_price_index",
+    oracle="""
+    WITH lm AS (
+        SELECT p_brand AS brand,
+               year(l_shipdate) * 100 + month(l_shipdate) AS m,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, year(l_shipdate) * 100 + month(l_shipdate)
+    ),
+    base AS (
+        SELECT brand, m AS m0, cents AS cents0, qty AS qty0
+        FROM (
+            SELECT brand, m, cents, qty,
+                   row_number() OVER (PARTITION BY brand ORDER BY m) AS rk
+            FROM lm
+        ) WHERE rk = 1
+    )
+    SELECT lm.brand AS brand, CAST(lm.m AS BIGINT) AS m,
+           lm.cents AS cents, lm.qty AS qty,
+           CAST(floor(CAST(lm.cents AS DOUBLE) * CAST(base.qty0 AS DOUBLE)
+                      * 10000.0
+                      / (CAST(lm.qty AS DOUBLE)
+                         * CAST(base.cents0 AS DOUBLE))) AS BIGINT)
+               AS index_e4
+    FROM lm JOIN base ON lm.brand = base.brand
+    ORDER BY brand, m
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-base unit-value price index per brand-month: realized
+    price per unit relative to the brand's first month (100× e4 ⇒
+    10000 = parity) — the inflation ledger behind
+    q_price_band_migration's distributional view. Money enters as
+    exact integer cents, quantities as integers; the index is ONE
+    fixed-shape double expression (two int64→double products divided)
+    — every IEEE multiply/divide is exactly rounded, so both engines
+    produce bit-identical doubles before the floor (the q_bot_score /
+    q_hhi_trend cross-engine class; only libm pow/exp are banned in a
+    floor). The base month joins back equi-keyed on brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    lm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
+            .cast("long")
+            .alias("cents"),
+            F.sum(F.floor(F.col("l_quantity") + 0.5))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    base = (
+        lm.select(
+            "brand",
+            F.col("cents").alias("cents0"),
+            F.col("qty").alias("qty0"),
+            F.row_number()
+            .over(Window.partitionBy("brand").orderBy("m"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        lm.join(base, "brand")
+        .select(
+            "brand",
+            F.col("m").cast("long").alias("m"),
+            "cents", "qty",
+            F.expr(
+                "CAST(floor(CAST(cents AS DOUBLE) * CAST(qty0 AS DOUBLE)"
+                " * 10000.0 / (CAST(qty AS DOUBLE)"
+                " * CAST(cents0 AS DOUBLE))) AS BIGINT)"
+            ).alias("index_e4"),
+        )
+        .orderBy("brand", "m")
+    )
+
+
+@_staged(
+    "q_return_by_delay",
+    oracle="""
+    WITH d AS (
+        SELECT datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) // 30 AS band,
+               l_returnflag
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(band * 30 AS BIGINT) AS band_lo_days,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS return_bp
+    FROM d
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_return_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate by fulfilment-delay band (order→ship days, 30-day
+    buckets): the does-slow-shipping-cause-returns curve — the causal
+    question behind q_otif's compliance number. Integer day bands via
+    integer division (both engines floor nonnegative delays
+    identically); one fact join on orderkey, then a grouped count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"
+            " div 30"
+        ).alias("band"),
+        "l_returnflag",
+    )
+    return (
+        d.groupBy("band")
+        .agg(
+            (F.col("band") * 30).cast("long").alias("band_lo_days"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("return_bp"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"), "band_lo_days",
+            "n_lines", "n_returned", "return_bp",
+        )
+        .orderBy("band")
+    )
+
+
+@_staged(
+    "q_supplier_price_dispersion",
+    oracle="""
+    WITH u AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(CAST(floor(l_extendedprice * 100.0 / l_quantity
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS unit_cents
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    s AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(min(unit_cents) AS BIGINT) AS min_unit_cents,
+               CAST(max(unit_cents) AS BIGINT) AS max_unit_cents,
+               CAST((max(unit_cents) - min(unit_cents)) * 10000
+                    // min(unit_cents) AS BIGINT) AS spread_bp
+        FROM u
+        GROUP BY l_partkey
+        HAVING count(*) >= 3
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey, n_suppliers,
+           min_unit_cents, max_unit_cents, spread_bp
+    FROM s
+    ORDER BY spread_bp DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def q_supplier_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-supplier price dispersion: for every part sold by ≥ 3
+    suppliers, the spread between the cheapest and dearest supplier's
+    unit price (each supplier's floor taken as their best realized
+    unit price), top-20 by relative spread — the procurement
+    arbitrage report. Unit cents are ONE double multiply/divide
+    floored to an integer (deterministic IEEE on both engines); the
+    top-20 sort has the unique partkey tie-break (the CLAUDE.md limit
+    rule) and runs as TakeOrdered over the part-level aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = (
+        li.select(
+            "l_partkey", "l_suppkey",
+            F.floor(
+                F.col("l_extendedprice") * 100.0 / F.col("l_quantity") + 0.5
+            ).alias("uc"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").cast("long").alias("unit_cents"))
+    )
+    s = (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.min("unit_cents").cast("long").alias("min_unit_cents"),
+            F.max("unit_cents").cast("long").alias("max_unit_cents"),
+            F.expr(
+                "CAST((max(unit_cents) - min(unit_cents)) * 10000"
+                " div min(unit_cents) AS BIGINT)"
+            ).alias("spread_bp"),
+        )
+        .filter(F.col("n_suppliers") >= 3)
+    )
+    return (
+        s.select(
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            "n_suppliers", "min_unit_cents", "max_unit_cents", "spread_bp",
+        )
+        .orderBy(F.col("spread_bp").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
+@_staged(
+    "q_slow_movers",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               max(CAST(l_shipdate AS DATE)) AS last_ship,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem
+        GROUP BY l_partkey
+    ),
+    hz AS (SELECT max(CAST(l_shipdate AS DATE)) AS horizon FROM lineitem)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN datediff('day', last_ship, horizon) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+           CAST(sum(CASE WHEN datediff('day', last_ship, horizon) > 90
+                         THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+               AS stale_bp,
+           CAST(sum(CASE WHEN datediff('day', last_ship, horizon) > 90
+                         THEN qty ELSE 0 END) * 10000
+                // sum(qty) AS BIGINT) AS stale_qty_share_bp
+    FROM pv
+    JOIN part ON l_partkey = p_partkey
+    CROSS JOIN hz
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_slow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-mover screen per brand: parts whose last shipment is
+    more than 90 days behind the corpus horizon, with their share of
+    the brand's unit volume — the inventory-rot report that drives
+    clearance and delisting. The horizon is the allowlisted broadcast
+    1-row max-shipdate leg (the q_recency_topk / q_backlog_aging
+    class); everything else is part-keyed aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pv = li.groupBy("l_partkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5)).cast("long").alias("qty"),
+    )
+    hz = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("horizon"))
+    stale = F.expr("datediff(horizon, last_ship) > 90")
+    return (
+        pv.join(p, pv.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(hz))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.when(stale, 1).otherwise(0)).cast("long").alias("n_stale"),
+            F.expr(
+                "CAST(sum(CASE WHEN datediff(horizon, last_ship) > 90"
+                " THEN 1 ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+            ).alias("stale_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN datediff(horizon, last_ship) > 90"
+                " THEN qty ELSE 0 END) * 10000 div sum(qty) AS BIGINT)"
+            ).alias("stale_qty_share_bp"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_staged(
+    "q_nation_trade_balance",
+    oracle="""
+    WITH sup AS (
+        SELECT s_nationkey AS nk,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS supply_cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    ),
+    dem AS (
+        SELECT c_nationkey AS nk,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS demand_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    )
+    SELECT n_name,
+           coalesce(supply_cents, 0) AS supply_cents,
+           coalesce(demand_cents, 0) AS demand_cents,
+           coalesce(supply_cents, 0) - coalesce(demand_cents, 0)
+               AS balance_cents,
+           CAST(coalesce(supply_cents, 0) * 10000
+                // sum(coalesce(supply_cents, 0)) OVER () AS BIGINT)
+               AS supply_share_bp
+    FROM nation
+    LEFT JOIN sup ON n_nationkey = sup.nk
+    LEFT JOIN dem ON n_nationkey = dem.nk
+    ORDER BY n_name
+    """,
+)
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: supplied line-item value (via the
+    nation's suppliers) against demanded order value (via its
+    customers), in exact integer cents, with each nation's supply
+    share. Two independent fact aggregations collapse to 25-row legs
+    BEFORE joining the nation dimension (broadcast hash joins); the
+    share is a window over the 25-row result, not a scalar cross."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sup = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
+            .cast("long")
+            .alias("supply_cents")
+        )
+    )
+    dem = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk2"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("long")
+            .alias("demand_cents")
+        )
+    )
+    j = (
+        n.join(F.broadcast(sup), n.n_nationkey == sup.nk, "left")
+        .join(F.broadcast(dem), n.n_nationkey == dem.nk2, "left")
+        .select(
+            "n_name",
+            F.coalesce("supply_cents", F.lit(0)).alias("supply_cents"),
+            F.coalesce("demand_cents", F.lit(0)).alias("demand_cents"),
+        )
+    )
+    return j.select(
+        "n_name", "supply_cents", "demand_cents",
+        (F.col("supply_cents") - F.col("demand_cents")).alias(
+            "balance_cents"
+        ),
+        F.expr(
+            "CAST(supply_cents * 10000 div sum(supply_cents) OVER ()"
+            " AS BIGINT)"
+        ).alias("supply_share_bp"),
+    ).orderBy("n_name")
+
+
+@_staged(
+    "q_tail_index",
+    oracle="""
+    WITH o AS (
+        SELECT c_mktsegment AS seg, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    r AS (
+        SELECT seg, cents,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY cents DESC, o_orderkey) AS rk
+        FROM o
+    ),
+    thr AS (SELECT seg, cents AS x_k1 FROM r WHERE rk = 101),
+    top AS (
+        SELECT r.seg, r.cents, thr.x_k1
+        FROM r JOIN thr ON r.seg = thr.seg
+        WHERE r.rk <= 100
+    )
+    SELECT seg,
+           CAST(100 AS BIGINT) AS k,
+           CAST(max(x_k1) AS BIGINT) AS threshold_cents,
+           round(avg(ln(CAST(cents AS DOUBLE) / CAST(x_k1 AS DOUBLE))), 4)
+               AS mean_log_excess,
+           round(100.0 / sum(ln(CAST(cents AS DOUBLE)
+                                / CAST(x_k1 AS DOUBLE))), 4) AS hill_alpha
+    FROM top
+    GROUP BY seg
+    ORDER BY seg
+    """,
+)
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate of the order-value distribution per
+    segment (k = 100 top order statistics): α ≈ 2–4 means a heavy
+    Pareto tail where mean-based SLAs and revenue forecasts mislead —
+    the statistical justification gate for q_pareto_front / q_gini
+    style concentration reporting. The rank filter rk ≤ 101 compiles
+    to Spark's WindowGroupLimit pushdown (top-101 per segment, no
+    full-partition materialization); ln outputs are the sanctioned
+    round(,4) class (ratios of exact integer cents under the ln)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"),
+    )
+    r = base.select(
+        "seg", "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("seg").orderBy(
+                F.col("cents").desc(), F.col("o_orderkey")
+            )
+        )
+        .alias("rk"),
+    ).filter(F.col("rk") <= 101)
+    thr = r.filter(F.col("rk") == 101).select(
+        F.col("seg").alias("seg_t"), F.col("cents").alias("x_k1")
+    )
+    top = r.filter(F.col("rk") <= 100).join(
+        F.broadcast(thr), F.col("seg") == F.col("seg_t")
+    )
+    return (
+        top.groupBy("seg")
+        .agg(
+            F.lit(100).cast("long").alias("k"),
+            F.max("x_k1").cast("long").alias("threshold_cents"),
+            F.round(
+                F.avg(
+                    F.log(F.col("cents").cast("double") / F.col("x_k1"))
+                ),
+                4,
+            ).alias("mean_log_excess"),
+            F.round(
+                100.0
+                / F.sum(
+                    F.log(F.col("cents").cast("double") / F.col("x_k1"))
+                ),
+                4,
+            ).alias("hill_alpha"),
+        )
+        .orderBy("seg")
+    )
+
+
+@_staged(
+    "q_lsh_bucket_skew",
+    oracle="""
+    WITH v AS (
+        SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+             + (CASE WHEN embedding[9] > 0 THEN 256 ELSE 0 END)
+             + (CASE WHEN embedding[10] > 0 THEN 512 ELSE 0 END)
+             + (CASE WHEN embedding[11] > 0 THEN 1024 ELSE 0 END)
+             + (CASE WHEN embedding[12] > 0 THEN 2048 ELSE 0 END)
+               AS bucket12
+        FROM embeddings
+    ),
+    g AS (
+        SELECT b, bucket12 % (1 << b) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v, unnest([4, 8, 12]) AS t(b)
+        GROUP BY b, bucket12 % (1 << b)
+    )
+    SELECT CAST(b AS BIGINT) AS n_bits,
+           CAST(sum(n) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(max(n) * (1 << b) * 10000 // sum(n) AS BIGINT)
+               AS max_over_uniform_e4,
+           CAST(((1 << b) - count(*)) * 10000 // (1 << b) AS BIGINT)
+               AS empty_bp
+    FROM g
+    GROUP BY b
+    ORDER BY n_bits
+    """,
+)
+def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket-occupancy audit at 4 / 8 / 12 hyperplane bits
+    (coordinate signs as the hash — the capacity-planning input for
+    q_sim_ann_topk's bucketed search): bucket skew relative to the
+    uniform ideal and the empty-bucket share. A max/uniform ratio ≫ 1
+    means LSH candidate lists concentrate — the 100 TB failure mode
+    where one bucket holds half the corpus. One pass computes the
+    12-bit key per vector; the 4/8-bit views are modular prefixes of
+    the SAME key (an explode over three literals, not three scans)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket12 = None
+    for i in range(12):
+        term = F.when(
+            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
+        ).otherwise(0)
+        bucket12 = term if bucket12 is None else bucket12 + term
+    v = emb.select(bucket12.alias("bucket12"))
+    g = (
+        v.select(
+            "bucket12",
+            F.explode(F.array(F.lit(4), F.lit(8), F.lit(12))).alias("b"),
+        )
+        .select("b", F.expr("bucket12 % shiftleft(1, b)").alias("bucket"))
+        .groupBy("b", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        g.groupBy("b")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.count("*").cast("long").alias("buckets_used"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.expr(
+                "CAST(max(n) * shiftleft(1, b) * 10000 div sum(n)"
+                " AS BIGINT)"
+            ).alias("max_over_uniform_e4"),
+            F.expr(
+                "CAST((shiftleft(1, b) - count(*)) * 10000"
+                " div shiftleft(1, b) AS BIGINT)"
+            ).alias("empty_bp"),
+        )
+        .select(
+            F.col("b").cast("long").alias("n_bits"), "n_vecs",
+            "buckets_used", "max_bucket", "max_over_uniform_e4", "empty_bp",
+        )
+        .orderBy("n_bits")
+    )
+
+
+@_staged(
+    "q_embed_centroid_sim",
+    oracle="""
+    WITH sd AS (
+        SELECT label, i AS dim,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY label, i
+    ),
+    q AS (
+        SELECT label, CAST(sum(s * s) AS BIGINT) AS qq
+        FROM sd GROUP BY label
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(a.s * b.s) AS BIGINT) AS dot
+        FROM sd a JOIN sd b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END
+                AS BIGINT) AS dot_sign,
+           CAST(CASE
+                WHEN dot <= 0 THEN -1
+                WHEN CAST(dot AS HUGEINT) * dot * 10000
+                     >= CAST(8100 AS HUGEINT) * qa.qq * qb.qq THEN 9
+                WHEN CAST(dot AS HUGEINT) * dot * 10000
+                     >= CAST(4900 AS HUGEINT) * qa.qq * qb.qq THEN 7
+                WHEN CAST(dot AS HUGEINT) * dot * 10000
+                     >= CAST(2500 AS HUGEINT) * qa.qq * qb.qq THEN 5
+                ELSE 0 END AS BIGINT) AS band_e1
+    FROM pairs
+    JOIN q qa ON pairs.label_a = qa.label
+    JOIN q qb ON pairs.label_b = qb.label
+    ORDER BY label_a, label_b
+    """,
+)
+def q_embed_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid confusability bands: the cosine similarity
+    between every pair of label centroids, reported as the highest
+    threshold band passed (0.5 / 0.7 / 0.9, encoded ×10) — the
+    which-classes-will-an-ANN-confuse matrix complementing
+    q_silhouette_lite's cluster-quality score. Counts cancel out of
+    the cosine (cos(Ā, B̄) = S_A·S_B / (‖S_A‖‖S_B‖)), so the whole
+    decision runs on e3-quantized integer coordinate SUMS: cos ≥ t is
+    decided as dot > 0 ∧ dot²·10⁴ ≥ t²e4·q_a·q_b in 128-bit integers
+    (the q_cosine_threshold_curve rule — no cross-engine sqrt in a
+    comparison). The pair join is equi-keyed on dim over the
+    |labels|×|dims| aggregate, never over raw vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sd = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .select(
+            "label", (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("x").cast("double") * 1000).alias("xq"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("xq").cast("long").alias("s"))
+    )
+    q = sd.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("qq")
+    )
+    a = sd.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sd.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("s").alias("sb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"))
+    )
+    qa = q.select(F.col("label").alias("la"), F.col("qq").alias("qa"))
+    qb = q.select(F.col("label").alias("lb"), F.col("qq").alias("qb"))
+    j = pairs.join(F.broadcast(qa), pairs.label_a == qa.la).join(
+        F.broadcast(qb), pairs.label_b == qb.lb
+    )
+    dec = (
+        "CAST(dot AS DECIMAL(19,0)) * CAST(dot AS DECIMAL(19,0)) * 10000"
+    )
+    rhs = "CAST({t} AS DECIMAL(19,0)) * CAST(qa AS DECIMAL(19,0)) * CAST(qb AS DECIMAL(19,0))"
+    return j.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        F.expr(
+            "CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("dot_sign"),
+        F.expr(
+            "CAST(CASE WHEN dot <= 0 THEN -1 "
+            f"WHEN {dec} >= {rhs.format(t=8100)} THEN 9 "
+            f"WHEN {dec} >= {rhs.format(t=4900)} THEN 7 "
+            f"WHEN {dec} >= {rhs.format(t=2500)} THEN 5 "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("band_e1"),
+    ).orderBy("label_a", "label_b")
+
+
+@_staged(
+    "q_embed_quantile_clip",
+    oracle="""
+    WITH f AS (
+        SELECT vec_id, i AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS qv
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    r AS (
+        SELECT dim, qv,
+               row_number() OVER (PARTITION BY dim ORDER BY qv, vec_id)
+                   AS rk,
+               count(*) OVER (PARTITION BY dim) AS n
+        FROM f
+    ),
+    b AS (
+        SELECT dim,
+               CAST(max(n) AS BIGINT) AS n_vals,
+               CAST(max(CASE WHEN rk = (n + 99) // 100 THEN qv END)
+                    AS BIGINT) AS p1_e6,
+               CAST(max(CASE WHEN rk = (n * 99 + 99) // 100 THEN qv END)
+                    AS BIGINT) AS p99_e6,
+               CAST(min(qv) AS BIGINT) AS min_e6,
+               CAST(max(qv) AS BIGINT) AS max_e6
+        FROM r
+        GROUP BY dim
+    )
+    SELECT CAST(b.dim AS BIGINT) AS dim, n_vals, p1_e6, p99_e6,
+           min_e6, max_e6,
+           CAST(sum(CASE WHEN abs(f.qv) > greatest(abs(p1_e6), abs(p99_e6))
+                         THEN 1 ELSE 0 END) * 10000 // max(n_vals)
+                AS BIGINT) AS sat_bp
+    FROM f JOIN b ON f.dim = b.dim
+    GROUP BY b.dim, n_vals, p1_e6, p99_e6, min_e6, max_e6
+    ORDER BY dim
+    """,
+)
+def q_embed_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 clip-calibration table per embedding dimension: exact p1
+    and p99 coordinate values (e6 integers, binomial ranks with the
+    vec_id tie-break) plus the saturation share if the symmetric clip
+    range is set to max(|p1|, |p99|) — the table a quantized ANN
+    index loads before casting float32 → int8. Ranks run per
+    dimension (64 partitions, each holding one coordinate per vector);
+    the bounds join back equi-keyed on dim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000).alias("qv"),
+    )
+    wd = Window.partitionBy("dim")
+    r = f.select(
+        "dim", "qv",
+        F.row_number().over(wd.orderBy("qv", "vec_id")).alias("rk"),
+        F.count("*").over(wd).alias("n"),
+    )
+    b = r.groupBy("dim").agg(
+        F.max("n").cast("long").alias("n_vals"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 99) div 100"), F.col("qv")))
+        .cast("long")
+        .alias("p1_e6"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n * 99 + 99) div 100"), F.col("qv"))
+        )
+        .cast("long")
+        .alias("p99_e6"),
+        F.min("qv").cast("long").alias("min_e6"),
+        F.max("qv").cast("long").alias("max_e6"),
+    )
+    return (
+        f.join(b.withColumnRenamed("dim", "dim_b"), F.col("dim") == F.col("dim_b"))
+        .groupBy("dim_b", "n_vals", "p1_e6", "p99_e6", "min_e6", "max_e6")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN abs(qv) > greatest(abs(p1_e6),"
+                " abs(p99_e6)) THEN 1 ELSE 0 END) * 10000 div max(n_vals)"
+                " AS BIGINT)"
+            ).alias("sat_bp")
+        )
+        .select(
+            F.col("dim_b").cast("long").alias("dim"), "n_vals", "p1_e6",
+            "p99_e6", "min_e6", "max_e6", "sat_bp",
+        )
+        .orderBy("dim")
     )

@@ -22,6 +22,7 @@ STAGED_NLJ_OK: set[str] = {
     "q_vocab_coverage_curve",  # broadcast 1-row totals leg × 3-row k grid
     "q_last_digit_uniformity",  # broadcast 1-row chi-square totals leg
     "q_leakage_scan",  # broadcast 1-row horizon-cutoff leg
+    "q_slow_movers",  # broadcast 1-row corpus-horizon (max shipdate) leg
 }
 
 PY_MARKERS = (
@@ -429,3 +430,250 @@ def test_user_growth_accounting_identity(spark):
         assert (
             r["n_new"] + r["n_retained"] + r["n_resurrected"] == weekly[wk]
         ), (wk, r)
+
+
+# ---------------------------------------------------------------------------
+# Laws for the sixth/seventh seed batches (authored in round 9).
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_counts_are_consistent(spark):
+    rows = _run(spark, "q_gopher_rules")
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        passes = [r["pass_count"], r["pass_wordlen"], r["pass_topshare"],
+                  r["pass_distinct"], r["pass_stop"]]
+        for p in passes:
+            assert 0 <= p <= r["n_docs"]
+        # the conjunction can never beat its weakest conjunct
+        assert r["pass_all"] <= min(passes)
+        assert 0 <= r["pass_all_bp"] <= 10000
+
+
+def test_length_filter_yield_accounts_every_doc_and_char(spark):
+    rows = _run(spark, "q_length_filter_yield")
+    d = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    kept = d.filter("n_chars BETWEEN 150 AND 450").count()
+    assert sum(r["kept_docs"] for r in rows) == kept
+    for r in rows:
+        assert r["kept_docs"] <= r["n_docs"]
+        assert r["kept_chars"] <= r["total_chars"]
+        assert 0 <= r["kept_bp"] <= 10000
+
+
+def test_vocab_drift_is_bounded_by_the_top_k(spark):
+    rows = _run(spark, "q_vocab_drift")
+    assert rows
+    for r in rows:
+        assert r["top_k"] == 10
+        assert 0 <= r["n_common"] <= 10
+        assert 0 <= r["jaccard_bp"] <= 10000
+        if r["n_common"]:
+            # ranks live in [1, 10] so a shift can't exceed 9.00
+            assert 0 <= r["mean_rank_shift_e2"] <= 900
+
+
+def test_dedup_prefix_family_arithmetic(spark):
+    rows = _run(spark, "q_dedup_prefix")
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        # every dup family holds >= 2 docs
+        assert r["docs_in_dup_families"] >= 2 * r["n_dup_families"]
+        assert r["max_family"] <= r["n_docs"]
+        assert 0 <= r["dup_bp"] <= 10000
+
+
+def test_trigram_novelty_recounts_the_trigrams(spark):
+    rows = _run(spark, "q_trigram_novelty")
+    d = load_table(spark, SF_DIR, "documents")
+    expected = (
+        d.select(
+            F.greatest(
+                F.size(F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                                lambda w: w != F.lit(""))) - 2,
+                F.lit(0),
+            ).alias("k")
+        )
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert sum(r["total_trigrams"] for r in rows) == expected
+    for r in rows:
+        assert 1 <= r["distinct_trigrams"] <= r["total_trigrams"]
+        assert 0 <= r["novelty_bp"] <= 10000
+        assert r["top_share_bp"] >= 10000 // r["distinct_trigrams"]
+
+
+def test_markov_entropy_bounds_and_weights(spark):
+    import math
+
+    rows = _run(spark, "q_markov_entropy")
+    assert rows
+    total = sum(r["n_out"] for r in rows)
+    for r in rows:
+        # 0 <= H <= ln(support); round(,4) tolerance
+        assert -1e-4 <= r["entropy"] <= math.log(r["n_next_states"]) + 1e-4
+        assert r["top_share_bp"] >= 10000 // r["n_next_states"]
+        assert r["weight_bp"] == r["n_out"] * 10000 // total
+
+
+def test_seasonality_strength_shares_nest(spark):
+    rows = _run(spark, "q_seasonality_strength")
+    n = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["peak_hour"] <= 23
+        assert r["peak_share_bp"] <= r["top4_share_bp"] <= 10000
+        assert r["top4_share_bp"] <= 4 * r["peak_share_bp"]
+        assert r["chi2_uniform_e4"] >= 0
+
+
+def test_event_dup_burst_accounting(spark):
+    rows = _run(spark, "q_event_dup_burst")
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert 0 <= r["n_bursts"] <= r["n_events"]
+        assert r["n_affected_users"] <= min(n_users, r["n_bursts"])
+
+
+def test_stickiness_is_a_share(spark):
+    rows = _run(spark, "q_stickiness")
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_days"] <= 7
+        # every daily active user is a weekly active user
+        assert r["sum_dau"] <= r["n_days"] * r["wau"]
+        assert r["stickiness_e4"] <= 10000
+        assert r["wau"] <= r["sum_dau"]  # each WAU is active >= 1 day
+
+
+def test_partition_advisor_recomputes_byte_mass(spark):
+    rows = _run(spark, "q_partition_advisor")
+    d = load_table(spark, SF_DIR, "documents")
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["total_bytes"] for r in rows) == total
+    for r in rows:
+        assert r["rec_partitions"] >= 1
+        assert r["mean_doc_bytes"] <= r["max_doc_bytes"]
+        assert 0 < r["max_doc_share_bp"] <= 10000
+
+
+def test_reorder_cadence_gap_count_and_order(spark):
+    rows = _run(spark, "q_reorder_cadence")
+    o = load_table(spark, SF_DIR, "orders")
+    n_orders = o.count()
+    n_customers = o.select("o_custkey").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_orders - n_customers
+    for r in rows:
+        assert 0 <= r["median_gap_days"] <= r["p90_gap_days"]
+
+
+def test_price_index_base_month_is_parity(spark):
+    rows = _run(spark, "q_price_index")
+    assert rows
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r["brand"], []).append(r)
+    for brand, rs in by_brand.items():
+        base = min(rs, key=lambda r: r["m"])
+        # the fixed-shape double can land one ulp under exact parity
+        assert base["index_e4"] in (9999, 10000), (brand, base)
+        for r in rs:
+            assert r["index_e4"] > 0
+
+
+def test_return_by_delay_partitions_the_fact(spark):
+    rows = _run(spark, "q_return_by_delay")
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    n_r = li.filter("l_returnflag = 'R'").count()
+    assert sum(r["n_returned"] for r in rows) == n_r
+    for r in rows:
+        assert r["band_lo_days"] == r["band"] * 30
+        assert 0 <= r["return_bp"] <= 10000
+
+
+def test_supplier_price_dispersion_is_a_sorted_top20(spark):
+    rows = _run(spark, "q_supplier_price_dispersion")
+    assert len(rows) == 20
+    spreads = [r["spread_bp"] for r in rows]
+    assert spreads == sorted(spreads, reverse=True)
+    for r in rows:
+        assert r["n_suppliers"] >= 3
+        assert 0 < r["min_unit_cents"] <= r["max_unit_cents"]
+
+
+def test_slow_movers_covers_every_sold_part(spark):
+    rows = _run(spark, "q_slow_movers")
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    for r in rows:
+        assert 0 <= r["n_stale"] <= r["n_parts"]
+        assert 0 <= r["stale_qty_share_bp"] <= 10000
+
+
+def test_nation_trade_balance_identity(spark):
+    rows = _run(spark, "q_nation_trade_balance")
+    assert len(rows) == 25
+    for r in rows:
+        assert r["balance_cents"] == r["supply_cents"] - r["demand_cents"]
+    li = load_table(spark, SF_DIR, "lineitem")
+    total = li.agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)).cast("long")
+    ).collect()[0][0]
+    assert sum(r["supply_cents"] for r in rows) == total
+    assert abs(sum(r["supply_share_bp"] for r in rows) - 10000) <= 25
+
+
+def test_tail_index_inverse_identity(spark):
+    rows = _run(spark, "q_tail_index")
+    assert rows
+    for r in rows:
+        assert r["k"] == 100
+        assert r["mean_log_excess"] > 0
+        assert r["hill_alpha"] > 0
+        # alpha = 1 / mean_log_excess up to the two round(,4)s
+        assert abs(r["hill_alpha"] * r["mean_log_excess"] - 1) < 0.01
+
+
+def test_lsh_bucket_skew_capacity_laws(spark):
+    rows = _run(spark, "q_lsh_bucket_skew")
+    assert [r["n_bits"] for r in rows] == [4, 8, 12]
+    n_vecs = {r["n_vecs"] for r in rows}
+    assert len(n_vecs) == 1  # every view covers every vector
+    for r in rows:
+        assert 1 <= r["buckets_used"] <= (1 << r["n_bits"])
+        # the max bucket can never undershoot the uniform ideal
+        assert r["max_over_uniform_e4"] >= 9999
+        assert 0 <= r["empty_bp"] < 10000
+
+
+def test_embed_centroid_sim_is_the_full_pair_set(spark):
+    rows = _run(spark, "q_embed_centroid_sim")
+    n_labels = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("label").distinct().count()
+    )
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        assert r["label_a"] < r["label_b"]
+        assert r["band_e1"] in (-1, 0, 5, 7, 9)
+        assert (r["band_e1"] == -1) == (r["dot_sign"] <= 0)
+
+
+def test_embed_quantile_clip_orders_its_bounds(spark):
+    rows = _run(spark, "q_embed_quantile_clip")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    width = emb.select(F.size("embedding")).first()[0]
+    assert len(rows) == width
+    n = emb.count()
+    for r in rows:
+        assert r["n_vals"] == n
+        assert r["min_e6"] <= r["p1_e6"] <= r["p99_e6"] <= r["max_e6"]
+        assert 0 <= r["sat_bp"] <= 10000

@@ -1188,3 +1188,19 @@ def test_r8_minhash_eval_candidates_are_banded(spark):
         and "band" in l and "bkey" in l
     ]
     assert band_join, plan
+
+
+def test_every_rows_only_query_has_an_audit_note():
+    """VERDICT r8 item 5: each rows-only query carries a one-line
+    'terminally oracle-less because X' audit note (tools/gen_inventory.
+    ROWS_ONLY_TERMINAL, rendered into INVENTORY.md). A new rows-only
+    query without a note — or a note left behind after a graduation —
+    fails here, not just at manual regeneration time."""
+    from mapreduce_llm_spark import registry
+    from tools.gen_inventory import ROWS_ONLY_TERMINAL
+
+    registry.load_all()
+    rows_only = {n for n in registry.QUERIES if n not in registry.ORACLE}
+    assert rows_only == set(ROWS_ONLY_TERMINAL)
+    for name, reason in ROWS_ONLY_TERMINAL.items():
+        assert len(reason.strip()) >= 20, name

@@ -35,6 +35,7 @@ import duckdb
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/mrs_scale_sf1")
+DST10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/mrs_scale_sf10")
 COPIES = 10
 
 DEFAULT_QUERIES = [
@@ -138,6 +139,15 @@ def main() -> None:
 
     args = sys.argv[1:]
     names = DEFAULT_QUERIES
+    # --decade 1-10 (VERDICT r8 item 6): measure sf1 -> sf10 instead of
+    # sf0.1 -> sf1, on a second-generation fixture built FROM the sf1
+    # fixture by the same key-shifted-copies construction. Rows land in
+    # SCALE_STRESS.json tagged {"decade": "1-10"} under their own merge
+    # key, so the one-decade book is untouched.
+    decade = "0.1-1"
+    if "--decade" in args:
+        decade = args[args.index("--decade") + 1]
+        assert decade in ("0.1-1", "1-10"), decade
     passes = 3
     if "--queries" in args:
         names = args[args.index("--queries") + 1].split(",")
@@ -145,6 +155,9 @@ def main() -> None:
         passes = int(args[args.index("--passes") + 1])
 
     build_sf1()
+    if decade == "1-10":
+        build_sf1(src=DST, dst=DST10)
+    small_dir, big_dir = (DST, DST10) if decade == "1-10" else (SRC, DST)
     registry.load_all()
     spark = get_spark(app_name="mapreduce_llm_spark-scale-stress")
 
@@ -168,35 +181,43 @@ def main() -> None:
 
     rows = []
     for name in names:
-        t_small = bench(name, SRC)
-        t_big = bench(name, DST)
+        t_small = bench(name, small_dir)
+        t_big = bench(name, big_dir)
         exp = round(math.log10(t_big / t_small), 3) if t_small > 0 else None
-        rows.append(
-            {"query": name, "sf01_s": t_small, "sf1_s": t_big, "exponent": exp}
+        row = {"query": name, "sf01_s": t_small, "sf1_s": t_big, "exponent": exp}
+        if decade != "0.1-1":
+            row = {
+                "query": name, "decade": decade, "small_s": t_small,
+                "big_s": t_big, "exponent": exp,
+            }
+        rows.append(row)
+        print(
+            f"{name} [{decade}]: {t_small}s -> {t_big}s  exp={exp}",
+            file=sys.stderr,
         )
-        print(f"{name}: {t_small}s -> {t_big}s  exp={exp}", file=sys.stderr)
 
-    # merge into the existing record (replace-by-name, append new) so
-    # incremental sweeps accumulate instead of clobbering the rows of
-    # earlier tranches — SCALE_STRESS.json is the cumulative book of
-    # every measured query
+    # merge into the existing record (replace by (name, decade), append
+    # new) so incremental sweeps accumulate instead of clobbering the
+    # rows of earlier tranches — SCALE_STRESS.json is the cumulative
+    # book of every measured query
+    def key(r: dict) -> tuple:
+        return (r["query"], r.get("decade", "0.1-1"))
+
     prior: list[dict] = []
     if os.path.exists("SCALE_STRESS.json"):
         with open("SCALE_STRESS.json") as fh:
             prior = json.load(fh).get("rows", [])
-    by_name = {r["query"]: r for r in rows}
-    merged = [by_name.pop(r["query"], r) for r in prior] + list(
-        by_name.values()
-    )
+    by_key = {key(r): r for r in rows}
+    merged = [by_key.pop(key(r), r) for r in prior] + list(by_key.values())
     out = {"copies": COPIES, "passes": passes, "rows": merged}
     with open("SCALE_STRESS.json", "w") as fh:
         json.dump(out, fh, indent=1)
-    print("| query | sf0.1 s | sf1 s | exponent |")
+    print(f"| query | decade {decade} small s | big s | exponent |")
     print("|---|---|---|---|")
     for r in rows:
-        print(
-            f"| {r['query']} | {r['sf01_s']} | {r['sf1_s']} | {r['exponent']} |"
-        )
+        small = r.get("sf01_s", r.get("small_s"))
+        big = r.get("sf1_s", r.get("big_s"))
+        print(f"| {r['query']} | {small} | {big} | {r['exponent']} |")
 
 
 if __name__ == "__main__":

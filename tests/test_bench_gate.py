@@ -9,6 +9,7 @@ calls exactly :func:`gate`, so these pin the CI behavior.
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -127,3 +128,22 @@ def test_gate_against_committed_round4_record():
     rec = load_bench(os.path.join(root, "BENCH_r04.json"))
     ok, msg = gate(rec, rec, max_ratio=1.15)
     assert ok, msg
+
+
+def test_load_bench_reads_the_committed_full_map_artifact():
+    """VERDICT r8 item 2: bench.py writes the complete per-query map
+    to BENCH_FULL_r{N}.json (the stdout tail only carries the pinned-30
+    gate record). The committed artifact must load directly and hold
+    the full headline suite, so round-over-round per-query comparison
+    outside PINNED_V1 works from the tree alone."""
+    import glob
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_FULL_r*.json")))
+    assert paths, "no committed BENCH_FULL artifact"
+    rec = load_bench(paths[-1])
+    assert len(rec["queries"]) >= 112
+    assert rec["pinned_queries"]  # the gate basis rides along
+    # the artifact is directly gateable against itself
+    ok, _msg = gate(rec, rec, max_ratio=1.15)
+    assert ok

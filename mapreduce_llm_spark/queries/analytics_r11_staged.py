@@ -1,0 +1,617 @@
+"""Round-11 STAGED surface — seed tranche.
+
+Same staged-tranche contract the round-9 and round-10 batches followed
+before their flips (analytics_r9_staged → queries/analytics_r9.py in
+round 9; analytics_r10_staged flips in round 10): the round-10 window
+is fully allocated (50 staged pairs, ROUND10_WINDOW), so surface built
+beyond that point stages HERE and flips in round 11. Every entry is a
+complete (query fn, DuckDB oracle) pair hash-proven NOW at sf0.01 and
+the sf0.1 sweep env by tests/test_r11_staged.py through the same
+harness the driver gate uses. NOT imported by registry.load_all —
+importing this module must stay registry-side-effect free (pinned by
+the staging test).
+
+Seed themes — the decision seams the first 485 queries leave open:
+
+- **Curation selection bias** (q_filter_length_bias): a quality
+  filter that silently selects on length reshapes the corpus; the
+  audit compares the passing and failing populations' length.
+- **Statistical planning** (q_sample_size_planner): the binomial
+  sample-size table behind every per-stratum eval set — z² enters as
+  the integer literal 38416 (1.96² · 10⁴), never libm.
+- **Data-constrained budgeting** (q_data_budget): the per-source
+  epoch-repetition factor at a 10×-token training budget — the
+  Muennighoff et al. 2023 question ("how many epochs before this
+  source repeats") as exact integer arithmetic.
+- **Tokenizer fertility** (q_token_fertility): chars-per-word and
+  words-per-KB per language — the sizing input for byte-level vs
+  word-level tokenizer budgets.
+- **Capacity planning** (q_peak_load): exact peak rolling-hour event
+  load per type via a RANGE window frame — no self-join, no grid.
+- **Trade locality / discount governance / class weights**: the
+  supply-chain-miles proxy, the same-part-same-month discount
+  consistency audit, and inverse-frequency class weights.
+
+Determinism discipline: identical to the r9/r10 staging — exact
+integer cents/e4 floors via integer div, no libm in any emitted value,
+nullif/CASE guards on data-dependent denominators, packed-integer
+argmax instead of struct argmin (the CLAUDE.md q_kmeans_step rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (query fn, DuckDB oracle SQL); round 11 flips these into
+#: @query(oracle=...) declarations verbatim.
+STAGED_R11: dict[str, tuple[QueryFn, str]] = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED_R11:
+            raise ValueError(f"duplicate staged query {name!r}")
+        STAGED_R11[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _r11_words(col):
+    """Lowercased alpha word array — the shared tokenization of the
+    text queries (the _r10_words twin, kept module-local so the staged
+    modules stay import-independent)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+
+
+@_staged(
+    "q_filter_length_bias",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, source, n_chars, w, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+        GROUP BY doc_id, source, n_chars, w
+    ),
+    per_doc AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN sum(n) >= 50
+                     AND 3 * sum(n) <= sum(n * length(w))
+                     AND sum(n * length(w)) <= 10 * sum(n)
+                     AND max(n) * 5 <= sum(n)
+                     AND 2 * count(*) >= sum(n)
+                     AND sum(CASE WHEN w IN ('the', 'a', 'and', 'of', 'in')
+                                  THEN n ELSE 0 END) >= 2
+                    THEN 1 ELSE 0 END AS passed
+        FROM wc
+        GROUP BY doc_id, source, n_chars
+    )
+    SELECT source,
+           CAST(sum(passed) AS BIGINT) AS n_pass,
+           CAST(count(*) - sum(passed) AS BIGINT) AS n_fail,
+           CAST(sum(CASE WHEN passed = 1 THEN n_chars ELSE 0 END)
+                // nullif(sum(passed), 0) AS BIGINT) AS mean_chars_pass,
+           CAST(sum(CASE WHEN passed = 0 THEN n_chars ELSE 0 END)
+                // nullif(count(*) - sum(passed), 0) AS BIGINT)
+               AS mean_chars_fail,
+           CAST(sum(CASE WHEN passed = 1 THEN n_chars ELSE 0 END) * 10000
+                // sum(n_chars) AS BIGINT) AS char_mass_pass_bp
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_filter_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit of the Gopher-rule conjunction
+    (q_gopher_rules' pass_all): mean document length among passing vs
+    failing docs per source, and the passing share of character mass.
+    A filter whose pass population is sharply longer than its fail
+    population is selecting on length, not quality — the bias this
+    audit exists to surface BEFORE a curation run bakes it in. Same
+    explode → per-doc → per-source shape as the rule matrix; integer
+    means via guarded integer division."""
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", "n_chars",
+            F.explode(_r11_words(F.col("text"))).alias("w"),
+        )
+        .groupBy("doc_id", "source", "n_chars", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_doc = wc.groupBy("doc_id", "source", "n_chars").agg(
+        F.when(
+            (F.sum("n") >= 50)
+            & (3 * F.sum("n") <= F.sum(F.col("n") * F.length("w")))
+            & (F.sum(F.col("n") * F.length("w")) <= 10 * F.sum("n"))
+            & (F.max("n") * 5 <= F.sum("n"))
+            & (2 * F.count("*") >= F.sum("n"))
+            & (
+                F.sum(
+                    F.when(
+                        F.col("w").isin("the", "a", "and", "of", "in"),
+                        F.col("n"),
+                    ).otherwise(0)
+                )
+                >= 2
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("passed")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("passed").cast("long").alias("n_pass"),
+            (F.count("*") - F.sum("passed")).cast("long").alias("n_fail"),
+            F.expr(
+                "CAST(sum(CASE WHEN passed = 1 THEN n_chars ELSE 0 END)"
+                " div nullif(sum(passed), 0) AS BIGINT)"
+            ).alias("mean_chars_pass"),
+            F.expr(
+                "CAST(sum(CASE WHEN passed = 0 THEN n_chars ELSE 0 END)"
+                " div nullif(count(*) - sum(passed), 0) AS BIGINT)"
+            ).alias("mean_chars_fail"),
+            F.expr(
+                "CAST(sum(CASE WHEN passed = 1 THEN n_chars ELSE 0 END)"
+                " * 10000 div sum(n_chars) AS BIGINT)"
+            ).alias("char_mass_pass_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_sample_size_planner",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_avail,
+               CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450
+                             THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS p_bp
+        FROM documents
+        GROUP BY lang
+    )
+    SELECT lang, n_avail, p_bp,
+           CAST((38416 * p_bp * (10000 - p_bp)) // 100000000 AS BIGINT)
+               AS n_req_pm100bp,
+           CAST(CASE WHEN (38416 * p_bp * (10000 - p_bp)) // 100000000
+                          <= n_avail
+                     THEN 1 ELSE 0 END AS BIGINT) AS sufficient
+    FROM s
+    ORDER BY lang
+    """,
+)
+def q_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binomial sample-size table per language: the documents needed
+    to estimate a share (here: the length-filter pass rate) to ±100 bp
+    at 95% confidence — n = z²·p(1−p)/w², evaluated as PURE integers
+    with z²·10⁴ = 38416 inlined as a literal (the
+    q_minhash_band_tuning rule: no cross-engine libm; the normal
+    quantile is driver-precomputed). The sufficiency flag is the
+    do-we-have-enough-eval-data answer per stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_avail"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1"
+            " ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+        ).alias("p_bp"),
+    )
+    return s.select(
+        "lang", "n_avail", "p_bp",
+        F.expr(
+            "CAST((38416 * p_bp * (10000 - p_bp)) div 100000000"
+            " AS BIGINT)"
+        ).alias("n_req_pm100bp"),
+        F.expr(
+            "CAST(CASE WHEN (38416 * p_bp * (10000 - p_bp))"
+            " div 100000000 <= n_avail THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("sufficient"),
+    ).orderBy("lang")
+
+
+@_staged(
+    "q_data_budget",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               CAST(sum(len(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM toks)
+    SELECT source, n_tokens,
+           CAST(n_tokens * 10000 // t.total AS BIGINT) AS mix_bp,
+           CAST(t.total * 10 // 20 AS BIGINT) AS budget_per_source,
+           CAST((t.total * 10 // 20) * 100 // n_tokens AS BIGINT)
+               AS repeats_e2,
+           CAST(CASE WHEN (t.total * 10 // 20) * 100 // n_tokens > 400
+                     THEN 1 ELSE 0 END AS BIGINT) AS over_4_epochs
+    FROM toks, t
+    ORDER BY source
+    """,
+)
+def q_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training budget per source: if a 10×-corpus
+    token budget were split uniformly across the 20 sources, how many
+    times would each source's data repeat (e2 = hundredths of an
+    epoch), and which sources cross the ~4-epoch mark past which
+    repetition stops helping (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"). Exact integers throughout;
+    the corpus-total leg is the allowlisted broadcast 1-row cross
+    (the q_mix_weights class)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(_r11_words(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    t = toks.agg(F.sum("n_tokens").cast("long").alias("total"))
+    return (
+        toks.crossJoin(F.broadcast(t))
+        .select(
+            "source", "n_tokens",
+            F.expr("CAST(n_tokens * 10000 div total AS BIGINT)").alias(
+                "mix_bp"
+            ),
+            F.expr("CAST(total * 10 div 20 AS BIGINT)").alias(
+                "budget_per_source"
+            ),
+            F.expr(
+                "CAST((total * 10 div 20) * 100 div n_tokens AS BIGINT)"
+            ).alias("repeats_e2"),
+            F.expr(
+                "CAST(CASE WHEN (total * 10 div 20) * 100 div n_tokens"
+                " > 400 THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("over_4_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_token_fertility",
+    oracle="""
+    WITH w AS (
+        SELECT lang,
+               CAST(sum(len(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> x <> ''))) AS BIGINT) AS n_words,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_chars,
+           CAST(n_chars * 100 // n_words AS BIGINT) AS chars_per_word_e2,
+           CAST(n_words * 1024 // n_chars AS BIGINT) AS words_per_kib,
+           CAST(n_words * 100 // n_docs AS BIGINT) AS words_per_doc_e2
+    FROM w
+    ORDER BY lang
+    """,
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility table per language: characters per word
+    (e2), words per KiB, and words per document — the byte-level vs
+    word-level tokenizer sizing input (a language at 2× the
+    chars-per-word needs ~2× the byte-tokenizer budget for the same
+    semantic content). One grouped aggregate; all ratios exact
+    integer floors."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(_r11_words(F.col("text"))))
+            .cast("long")
+            .alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_chars",
+            F.expr("CAST(n_chars * 100 div n_words AS BIGINT)").alias(
+                "chars_per_word_e2"
+            ),
+            F.expr("CAST(n_words * 1024 div n_chars AS BIGINT)").alias(
+                "words_per_kib"
+            ),
+            F.expr("CAST(n_words * 100 div n_docs AS BIGINT)").alias(
+                "words_per_doc_e2"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@_staged(
+    "q_peak_load",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, event_id, epoch_us(ts) AS tus FROM events
+    ),
+    c AS (
+        SELECT event_type, tus, event_id,
+               count(*) OVER (
+                   PARTITION BY event_type ORDER BY tus
+                   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW
+               ) AS n_hour
+        FROM e
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(n_hour) AS BIGINT) AS peak_hour_load,
+           CAST(max(n_hour) * 10000 // count(*) AS BIGINT)
+               AS peak_share_bp,
+           CAST(min(CASE WHEN n_hour = mx THEN tus END) AS BIGINT)
+               AS peak_at_us
+    FROM (SELECT *, max(n_hour) OVER (PARTITION BY event_type) AS mx
+          FROM c)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak rolling-hour load per event type: the maximum number of
+    events inside any trailing 60-minute window, when it happened
+    (earliest attaining µs), and its share of the type's total traffic
+    — the capacity-planning number behind autoscaling thresholds and
+    q_error_budget_burn's burst assumptions. Exact sweep via a RANGE
+    window frame over integer µs (every event is a window anchor — no
+    self-join, no minute-grid discretization); ties on the peak break
+    to the earliest timestamp via min-over-equals."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tus")
+        .rangeBetween(-3599999999, 0)
+    )
+    c = e.select(
+        "event_type", "tus", F.count("*").over(w).alias("n_hour")
+    ).withColumn(
+        "mx", F.max("n_hour").over(Window.partitionBy("event_type"))
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("n_hour").cast("long").alias("peak_hour_load"),
+            F.expr(
+                "CAST(max(n_hour) * 10000 div count(*) AS BIGINT)"
+            ).alias("peak_share_bp"),
+            F.min(F.when(F.col("n_hour") == F.col("mx"), F.col("tus")))
+            .cast("long")
+            .alias("peak_at_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_trade_locality",
+    oracle="""
+    WITH f AS (
+        SELECT s.s_nationkey AS sup_nk, c.c_nationkey AS cust_nk,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        JOIN orders o ON l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_nation AS (
+        SELECT cust_nk,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN sup_nk = cust_nk THEN cents ELSE 0 END)
+                    AS BIGINT) AS local_cents
+        FROM f
+        GROUP BY cust_nk
+    )
+    SELECT n_name,
+           n_lines, total_cents, local_cents,
+           CAST(local_cents * 10000 // total_cents AS BIGINT)
+               AS local_bp
+    FROM per_nation JOIN nation ON cust_nk = n_nationkey
+    ORDER BY n_name
+    """,
+)
+def q_trade_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade locality per customer nation: the share of purchased
+    value supplied from the SAME nation — the supply-chain-miles proxy
+    (TPC-H Q5 measures local volume for one region; this is the full
+    per-nation locality ledger). One star join collapses to a 25-row
+    aggregate before touching the nation dimension; money is exact
+    integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    f = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("s_nationkey").alias("sup_nk"),
+            F.col("c_nationkey").alias("cust_nk"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).alias("cents"),
+        )
+    )
+    per_nation = f.groupBy("cust_nk").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("sup_nk") == F.col("cust_nk"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("local_cents"),
+    )
+    return (
+        per_nation.join(F.broadcast(n), per_nation.cust_nk == n.n_nationkey)
+        .select(
+            "n_name", "n_lines", "total_cents", "local_cents",
+            F.expr(
+                "CAST(local_cents * 10000 div total_cents AS BIGINT)"
+            ).alias("local_bp"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_staged(
+    "q_discount_consistency",
+    oracle="""
+    WITH pm AS (
+        SELECT p_brand,
+               l_partkey,
+               year(l_shipdate) * 100 + month(l_shipdate) AS m,
+               CAST(min(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS min_disc_pct,
+               CAST(max(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS max_disc_pct,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, l_partkey, year(l_shipdate) * 100
+                 + month(l_shipdate)
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_part_months,
+           CAST(sum(CASE WHEN n_lines >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_comparable,
+           CAST(sum(CASE WHEN n_lines >= 2
+                          AND max_disc_pct - min_disc_pct >= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inconsistent,
+           CAST(sum(CASE WHEN n_lines >= 2
+                          AND max_disc_pct - min_disc_pct >= 5
+                         THEN 1 ELSE 0 END) * 10000
+                // nullif(sum(CASE WHEN n_lines >= 2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS inconsistent_bp,
+           CAST(max(max_disc_pct - min_disc_pct) AS BIGINT)
+               AS worst_spread_pct
+    FROM pm
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_discount_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-governance audit per brand: part-months where the same
+    part, in the same calendar month, sold at discounts ≥ 5 percentage
+    points apart — the inconsistent-discounting screen (the discount
+    analogue of q_price_fairness's same-day total-price check).
+    Discount percentages are exact integers (floor(d·100 + .5));
+    everything aggregates on (brand, part, month) then brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand", "l_partkey",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("m"),
+        )
+        .agg(
+            F.min(F.floor(F.col("l_discount") * 100 + 0.5))
+            .cast("long")
+            .alias("min_disc_pct"),
+            F.max(F.floor(F.col("l_discount") * 100 + 0.5))
+            .cast("long")
+            .alias("max_disc_pct"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    comparable = F.col("n_lines") >= 2
+    inconsistent = comparable & (
+        F.col("max_disc_pct") - F.col("min_disc_pct") >= 5
+    )
+    return (
+        pm.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_part_months"),
+            F.sum(F.when(comparable, 1).otherwise(0))
+            .cast("long")
+            .alias("n_comparable"),
+            F.sum(F.when(inconsistent, 1).otherwise(0))
+            .cast("long")
+            .alias("n_inconsistent"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_lines >= 2 AND max_disc_pct -"
+                " min_disc_pct >= 5 THEN 1 ELSE 0 END) * 10000"
+                " div nullif(sum(CASE WHEN n_lines >= 2 THEN 1 ELSE 0"
+                " END), 0) AS BIGINT)"
+            ).alias("inconsistent_bp"),
+            F.max(F.col("max_disc_pct") - F.col("min_disc_pct"))
+            .cast("long")
+            .alias("worst_spread_pct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_staged(
+    "q_class_weights",
+    oracle="""
+    WITH c AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings
+        GROUP BY label
+    ),
+    t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(max(n) AS BIGINT) AS max_n
+        FROM c
+    )
+    SELECT CAST(label AS BIGINT) AS label, n,
+           CAST(n * 10000 // t.total AS BIGINT) AS freq_bp,
+           CAST(t.total * 10000 // (t.k * n) AS BIGINT) AS inv_freq_e4,
+           CAST(t.max_n * 10000 // n AS BIGINT) AS max_ratio_e4
+    FROM c, t
+    ORDER BY label
+    """,
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-weight table for the embedding labels: inverse-frequency
+    weights (N / (k·n_i), e4 — the sklearn 'balanced' convention) and
+    each class's imbalance ratio against the largest class — the
+    table a trainer loads before weighting a loss or resampling. The
+    totals leg is the allowlisted broadcast 1-row cross over the
+    k-row class aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("k"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("label").cast("long").alias("label"), "n",
+            F.expr("CAST(n * 10000 div total AS BIGINT)").alias("freq_bp"),
+            F.expr(
+                "CAST(total * 10000 div (k * n) AS BIGINT)"
+            ).alias("inv_freq_e4"),
+            F.expr("CAST(max_n * 10000 div n AS BIGINT)").alias(
+                "max_ratio_e4"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,52 @@
+"""Round-11 staged-surface invariants (queries/analytics_r11_staged.py).
+
+Same contract as tests/test_r10_staged.py, one window further out: the
+round-10 window is fully allocated by the 50-pair r10 staging, so
+surface built beyond that point stages in the r11 module and is proven
+NOW with the driver-gate harness at sf0.01 (and the sf0.1 sweep env),
+carrying zero flip risk into round 11. Also pins that the module is
+registry-side-effect free and collision-free against BOTH the live
+registry and the round-10 staging.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_llm_spark import registry
+from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
+from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
+from tests.conftest import SF_DIR
+from tests.oracle_harness import compare, duckdb_conn
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_staged_module_has_no_registry_side_effects():
+    for name in STAGED_R11:
+        assert name not in registry.QUERIES, (
+            f"{name} leaked into the registry — staged queries must not "
+            "register until their round-11 window slot exists"
+        )
+
+
+def test_staged_names_are_new():
+    for name in STAGED_R11:
+        assert name.startswith("q_")
+        assert name not in STAGED_R10, (
+            f"{name} collides with the round-10 staging"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R11))
+def test_staged_query_hash_matches_oracle(spark, con, name):
+    fn, sql = STAGED_R11[name]
+    ok, msg = compare(fn(spark, SF_DIR), con, sql, name)
+    assert ok, msg

@@ -1,0 +1,153 @@
+"""Semantic laws for the round-11 seed tranche — properties the hash
+gate can't express, plus the plan lint the round-11 flip will inherit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
+from tests.conftest import SF_DIR, SMOKE_SF_DIR
+
+# Broadcast grid/scalar legs by design — copy into NLJ_OK on the
+# round-11 flip.
+STAGED_NLJ_OK: set[str] = {
+    "q_data_budget",  # broadcast 1-row corpus-token-total leg
+    "q_class_weights",  # broadcast 1-row (total, k, max_n) leg
+}
+
+PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _run(spark, name):
+    fn, _sql = STAGED_R11[name]
+    return [r.asDict() for r in fn(spark, SF_DIR).collect()]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R11))
+def test_staged_plan_lint(spark, name):
+    fn, _sql = STAGED_R11[name]
+    df = fn(spark, SMOKE_SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in STAGED_NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join — add to STAGED_NLJ_OK with reason"
+        )
+    for marker in PY_MARKERS:
+        assert marker not in plan, f"{name}: Python crossing ({marker})"
+
+
+def test_staged_nlj_allowlist_is_not_stale():
+    stale = STAGED_NLJ_OK - set(STAGED_R11)
+    assert not stale, f"allowlisted but not staged: {sorted(stale)}"
+
+
+def test_filter_length_bias_agrees_with_the_rule_matrix(spark):
+    """Cross-query law: n_pass per source must equal q_gopher_rules'
+    pass_all (the audit examines exactly that filter)."""
+    from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
+
+    rows = {r["source"]: r for r in _run(spark, "q_filter_length_bias")}
+    gopher = STAGED_R10["q_gopher_rules"][0](spark, SF_DIR).collect()
+    for g in gopher:
+        r = rows[g["source"]]
+        assert r["n_pass"] == g["pass_all"]
+        assert r["n_pass"] + r["n_fail"] == g["n_docs"]
+    for r in rows.values():
+        assert 0 <= r["char_mass_pass_bp"] <= 10000
+
+
+def test_sample_size_planner_peaks_at_half(spark):
+    rows = _run(spark, "q_sample_size_planner")
+    assert rows
+    for r in rows:
+        assert 0 <= r["p_bp"] <= 10000
+        # n = z^2 p(1-p)/w^2 maxes at p=1/2: 38416*5000*5000/1e8 = 9604
+        assert 0 <= r["n_req_pm100bp"] <= 9604
+        assert r["sufficient"] == (r["n_req_pm100bp"] <= r["n_avail"])
+        # recompute the integer formula independently
+        assert (
+            r["n_req_pm100bp"]
+            == 38416 * r["p_bp"] * (10000 - r["p_bp"]) // 100000000
+        )
+
+
+def test_data_budget_conserves_the_corpus(spark):
+    rows = _run(spark, "q_data_budget")
+    assert len(rows) == 20  # one per source
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["budget_per_source"] == total * 10 // 20
+        assert r["repeats_e2"] == r["budget_per_source"] * 100 // r["n_tokens"]
+        assert r["over_4_epochs"] == (r["repeats_e2"] > 400)
+    assert abs(sum(r["mix_bp"] for r in rows) - 10000) <= 20
+
+
+def test_token_fertility_identities(spark):
+    rows = _run(spark, "q_token_fertility")
+    d = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        # a word plus its separator is at least 2 chars of mass
+        assert r["chars_per_word_e2"] >= 100
+        assert r["words_per_kib"] >= 1
+        assert r["words_per_doc_e2"] == r["n_words"] * 100 // r["n_docs"]
+
+
+def test_peak_load_bounds(spark):
+    rows = _run(spark, "q_peak_load")
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    lo, hi = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).collect()[0]
+    for r in rows:
+        assert 1 <= r["peak_hour_load"] <= r["n_events"]
+        assert lo <= r["peak_at_us"] <= hi
+        assert 0 < r["peak_share_bp"] <= 10000
+
+
+def test_trade_locality_is_a_partition(spark):
+    rows = _run(spark, "q_trade_locality")
+    assert len(rows) == 25
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["local_cents"] <= r["total_cents"]
+        assert 0 <= r["local_bp"] <= 10000
+
+
+def test_discount_consistency_nests(spark):
+    rows = _run(spark, "q_discount_consistency")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_inconsistent"] <= r["n_comparable"] <= r["n_part_months"]
+        assert 0 <= r["worst_spread_pct"] <= 100
+        if r["n_inconsistent"]:
+            assert r["worst_spread_pct"] >= 5
+
+
+def test_class_weights_balance(spark):
+    rows = _run(spark, "q_class_weights")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r["n"] for r in rows) == emb.count()
+    k = len(rows)
+    for r in rows:
+        assert r["max_ratio_e4"] >= 10000  # max class vs itself = 1.0
+        # inverse-frequency weights average ~1 across classes
+        assert r["inv_freq_e4"] > 0
+    mean_w = sum(r["inv_freq_e4"] for r in rows) / k
+    assert mean_w >= 9800  # floors only shave, never inflate

@@ -316,6 +316,18 @@ def main() -> None:
         "window filled stages one window further out: "
         + ", ".join(f"`{n}`" for n in sorted(STAGED_R10)),
     ]
+    from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
+
+    lines += [
+        "",
+        "## Staged for the round-11 window (derived)",
+        "",
+        f"{len(STAGED_R11)} complete (query, oracle) pairs in "
+        "queries/analytics_r11_staged.py — hash-proven by "
+        "tests/test_r11_staged.py; surface built after the round-10 "
+        "staging filled its window stages one window further out: "
+        + ", ".join(f"`{n}`" for n in sorted(STAGED_R11)),
+    ]
     lines += [
         "",
         "## Library surface without a query form",

@@ -185,13 +185,24 @@ def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
     the fixpoint pick iters ≥ the graph's peel depth.
 
     Scale shape: each round is one map-side-combinable degree
-    aggregate plus two broadcast semi-joins of the (large) edge list
-    against the (small, shrinking) surviving-node set — edges never
-    self-join. ``localCheckpoint`` per round truncates lineage, the
-    same discipline as ``connected_components``/``pagerank`` (an
-    un-checkpointed loop re-evaluates every prior level once per
-    downstream reference — the exact 3^iters plan explosion the
-    pagerank oracle hit as DuckDB CTE inlining, ROUND7_NOTES)."""
+    aggregate plus two semi-joins of the edge list against the
+    surviving-node set — edges never self-join. The semi-joins are
+    deliberately NOT hinted broadcast: in the early peels the
+    surviving set is nearly the whole graph (a forced broadcast of it
+    OOM'd the sf10 decade-stress run, ROUND9_NOTES), so the plan lets
+    AQE pick shuffle joins while the set is large and flip to
+    broadcast as it shrinks below the threshold. ``localCheckpoint``
+    per round truncates lineage, the same discipline as
+    ``connected_components``/``pagerank`` (an un-checkpointed loop
+    re-evaluates every prior level once per downstream reference — the
+    exact 3^iters plan explosion the pagerank oracle hit as DuckDB CTE
+    inlining, ROUND7_NOTES). The per-level trace counts are
+    materialized EAGERLY (two bounded scalar counts per level — the
+    adjudicated bounded-collect class) so a superseded level's
+    checkpointed edge list is released as soon as the next level
+    exists, instead of all ``iters`` levels pinning block-manager
+    memory until the final union evaluates."""
+    spark = edges.sparkSession
     e = edges.select("u", "v").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("u").alias("n"))
@@ -199,15 +210,9 @@ def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    traces = []
+    trace_rows: list[tuple[int, int, int]] = []
     for it in range(iters):
-        traces.append(
-            nodes.agg(F.count("*").alias("n_nodes"))
-            .crossJoin(e.agg(F.count("*").alias("n_edges")))
-            .select(
-                F.lit(it).cast("int").alias("iter"), "n_nodes", "n_edges"
-            )
-        )
+        trace_rows.append((it, nodes.count(), e.count()))
         if it == iters - 1:
             break
         deg = (
@@ -220,18 +225,11 @@ def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
             deg.where(F.col("d") >= k).select("n").localCheckpoint(eager=True)
         )
         e = (
-            e.join(
-                F.broadcast(nodes.select(F.col("n").alias("u"))), "u",
-                "left_semi",
-            )
-            .join(
-                F.broadcast(nodes.select(F.col("n").alias("v"))), "v",
-                "left_semi",
-            )
+            e.join(nodes.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(nodes.select(F.col("n").alias("v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-    out = traces[0]
-    for t in traces[1:]:
-        out = out.unionAll(t)
-    return out.orderBy("iter")
+    return spark.createDataFrame(
+        trace_rows, "iter INT, n_nodes BIGINT, n_edges BIGINT"
+    ).orderBy("iter")

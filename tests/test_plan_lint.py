@@ -79,7 +79,6 @@ NLJ_OK = {
     "q_survival_km",  # broadcast 1-row max-date and total-duration legs
     "q_negative_sample",  # broadcast 1-row max-partkey leg
     "q_recency_topk",  # broadcast 1-row max-shipdate leg
-    "q_graph_kcore",  # per-level trace = cross of two 1-row count legs
     # round-8 flip batch (pre-flighted in round 7's staged plan lint;
     # every entry is a broadcast scalar/grid leg, never a data×data NLJ)
     "q_bigram_perplexity",  # broadcast 1-row vocab-size/total legs

@@ -615,3 +615,470 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Second r11 seed batch: sequential experimentation, attribution window
+# sensitivity, loyalty/switching, money-precision data quality, and
+# per-label embedding norm bias. Flip checklist additions (NLJ_OK):
+# q_attribution_window_sweep (3-row window grid explode is a generator,
+# not a join — no NLJ); q_cents_audit (none — per-table aggregates
+# union); none needed.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_sequential_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               epoch_us(ts) // 86400000000 AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    daily AS (
+        SELECT day, arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS c
+        FROM u GROUP BY day, arm
+    ),
+    cum AS (
+        SELECT day,
+               sum(CASE WHEN arm = 0 THEN n ELSE 0 END)
+                   OVER (ORDER BY day) AS n0,
+               sum(CASE WHEN arm = 0 THEN c ELSE 0 END)
+                   OVER (ORDER BY day) AS c0,
+               sum(CASE WHEN arm = 1 THEN n ELSE 0 END)
+                   OVER (ORDER BY day) AS n1,
+               sum(CASE WHEN arm = 1 THEN c ELSE 0 END)
+                   OVER (ORDER BY day) AS c1,
+               row_number() OVER (PARTITION BY day ORDER BY arm) AS rn
+        FROM daily
+    ),
+    z AS (
+        SELECT day,
+               CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+               CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+               CAST(floor(
+                   (CAST(n0 + n1 AS DOUBLE)
+                    * CAST(c0 * n1 - c1 * n0 AS DOUBLE)
+                    * CAST(c0 * n1 - c1 * n0 AS DOUBLE)) * 10000.0
+                   / (CAST(c0 + c1 AS DOUBLE)
+                      * CAST(n0 + n1 - c0 - c1 AS DOUBLE)
+                      * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+               ) AS BIGINT) AS z2_e4
+        FROM cum WHERE rn = 1 AND n0 > 0 AND n1 > 0
+    )
+    SELECT CAST(day AS BIGINT) AS day, n0, c0, n1, c1, z2_e4,
+           CAST(CASE WHEN z2_e4 >= 58226 THEN 1 ELSE 0 END AS BIGINT)
+               AS crossed
+    FROM z
+    ORDER BY day
+    """,
+)
+def q_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring: the cumulative two-proportion
+    χ² statistic per day (arms = user-id parity, conversion =
+    purchase events) against a Pocock-style constant boundary
+    z = 2.413 ⇒ z² = 5.8226, inlined as the integer literal 58226 e4
+    (the driver-precomputed-literal rule — peeking daily at a naive
+    1.96 boundary inflates false positives; this is the audit that
+    shows WHERE a sequential design would have stopped). The χ² is
+    ONE fixed-shape double expression over exact int64 cumulative
+    counts (the q_bot_score class: the squared term passes 2⁵³ only
+    AFTER the deterministic int64→double conversion and IEEE
+    multiply). Daily cumulative sums are windows over the ~30-row
+    day×arm aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    daily = u.groupBy("day", "arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .over(Window.orderBy("day"))
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+        .over(Window.orderBy("day"))
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .over(Window.orderBy("day"))
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+        .over(Window.orderBy("day"))
+        .alias("c1"),
+        F.row_number()
+        .over(Window.partitionBy("day").orderBy("arm"))
+        .alias("rn"),
+    ).filter((F.col("rn") == 1) & (F.col("n0") > 0) & (F.col("n1") > 0))
+    z = cum.select(
+        F.col("day").cast("long").alias("day"), "n0", "c0", "n1", "c1",
+        F.expr(
+            "CAST(floor((CAST(n0 + n1 AS DOUBLE)"
+            " * CAST(c0 * n1 - c1 * n0 AS DOUBLE)"
+            " * CAST(c0 * n1 - c1 * n0 AS DOUBLE)) * 10000.0"
+            " / (CAST(c0 + c1 AS DOUBLE)"
+            " * CAST(n0 + n1 - c0 - c1 AS DOUBLE)"
+            " * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))) AS BIGINT)"
+        ).alias("z2_e4"),
+    )
+    return z.select(
+        "day", "n0", "c0", "n1", "c1", "z2_e4",
+        F.expr(
+            "CAST(CASE WHEN z2_e4 >= 58226 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("crossed"),
+    ).orderBy("day")
+
+
+@_staged(
+    "q_attribution_window_sweep",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        FROM events
+    ),
+    p AS (
+        SELECT tus - max(CASE WHEN event_type = 'view' THEN tus END)
+                   OVER (PARTITION BY user_id ORDER BY tus, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS since_view_us,
+               event_type
+        FROM e
+    ),
+    pur AS (SELECT since_view_us FROM p WHERE event_type = 'purchase'),
+    grid AS (SELECT unnest([3600, 86400, 604800]) AS w_s)
+    SELECT CAST(w_s AS BIGINT) AS w_s,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN since_view_us IS NOT NULL
+                          AND since_view_us <= CAST(w_s AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(sum(CASE WHEN since_view_us IS NOT NULL
+                          AND since_view_us <= CAST(w_s AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+               AS attributed_bp
+    FROM pur, grid
+    GROUP BY w_s
+    ORDER BY w_s
+    """,
+)
+def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity: the share of purchases that a
+    view-attribution rule credits, swept over 1-hour / 1-day / 7-day
+    lookback windows — the tuning curve behind every last-touch
+    attribution choice (q_attribution fixes one window; this shows how
+    much the answer MOVES with the choice — the watermark-yield
+    pattern applied to credit). One keyed running-max window computes
+    each purchase's time-since-last-view exactly in integer µs; the
+    3-row grid is a generator explode against the tiny purchase-level
+    aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = e.select(
+        "event_type",
+        (
+            F.col("tus")
+            - F.max(
+                F.when(F.col("event_type") == "view", F.col("tus"))
+            ).over(w)
+        ).alias("since_view_us"),
+    ).filter(F.col("event_type") == "purchase")
+    g = p.select(
+        "since_view_us",
+        F.explode(
+            F.array(F.lit(3600), F.lit(86400), F.lit(604800))
+        ).alias("w_s"),
+    )
+    hit = F.col("since_view_us").isNotNull() & (
+        F.col("since_view_us") <= F.col("w_s").cast("long") * 1000000
+    )
+    return (
+        g.groupBy("w_s")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("long")
+            .alias("n_attributed"),
+            F.expr(
+                "CAST(sum(CASE WHEN since_view_us IS NOT NULL AND"
+                " since_view_us <= CAST(w_s AS BIGINT) * 1000000 THEN 1"
+                " ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+            ).alias("attributed_bp"),
+        )
+        .select(
+            F.col("w_s").cast("long").alias("w_s"), "n_purchases",
+            "n_attributed", "attributed_bp",
+        )
+        .orderBy("w_s")
+    )
+
+
+@_staged(
+    "q_brand_loyalty",
+    oracle="""
+    WITH cb AS (
+        SELECT o_custkey AS ck, p_brand AS brand,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY o_custkey, p_brand
+    ),
+    cu AS (
+        SELECT ck,
+               CAST(count(*) AS BIGINT) AS n_brands,
+               CAST(sum(n_orders) AS BIGINT) AS n_brand_orders
+        FROM cb GROUP BY ck
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN cb.n_orders >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat,
+           CAST(sum(CASE WHEN cb.n_orders >= 2 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS repeat_bp,
+           CAST(sum(CASE WHEN cu.n_brands = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exclusive,
+           CAST(sum(CASE WHEN cu.n_brands = 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS exclusive_bp
+    FROM cb JOIN cu ON cb.ck = cu.ck
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand loyalty/switching per brand: of the customers who bought
+    the brand, how many bought it in ≥ 2 distinct orders (repeat), and
+    how many bought NO other brand (exclusive) — the
+    loyalty-vs-promiscuity table behind q_brand_cannibalization's
+    substitution view. Two keyed aggregations (customer×brand, then
+    customer), joined back equi-keyed on customer."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand"))
+        .agg(F.countDistinct("o_orderkey").cast("long").alias("n_orders"))
+    )
+    cu = cb.groupBy("ck").agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum("n_orders").cast("long").alias("n_brand_orders"),
+    ).withColumnRenamed("ck", "ck2")
+    j = cb.join(cu, cb.ck == cu.ck2)
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeat"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("repeat_bp"),
+            F.sum(F.when(F.col("n_brands") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exclusive"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_brands = 1 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("exclusive_bp"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_cents_audit",
+    oracle="""
+    WITH probes AS (
+        SELECT 'lineitem.l_extendedprice' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_vals,
+               CAST(sum(CASE WHEN abs(l_extendedprice * 100
+                                      - floor(l_extendedprice * 100 + 0.5))
+                             > 0.000001 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_noncents,
+               CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_negative
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_totalprice',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN abs(o_totalprice * 100
+                                      - floor(o_totalprice * 100 + 0.5))
+                             > 0.000001 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'customer.c_acctbal',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN abs(c_acctbal * 100
+                                      - floor(c_acctbal * 100 + 0.5))
+                             > 0.000001 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'supplier.s_acctbal',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN abs(s_acctbal * 100
+                                      - floor(s_acctbal * 100 + 0.5))
+                             > 0.000001 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM supplier
+    )
+    SELECT col_name, n_vals, n_noncents, n_negative,
+           CAST(n_noncents * 10000 // n_vals AS BIGINT) AS noncents_bp
+    FROM probes
+    ORDER BY col_name
+    """,
+)
+def q_cents_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-precision data-quality audit: for every money column, the
+    count of values that are NOT exactly representable as integer
+    cents (|x·100 − round(x·100)| beyond a 1e-6 guard) plus negatives
+    — the pre-flight that justifies the engine-wide
+    floor(x·100 + 0.5) cents convention every finance query here
+    relies on (a nonzero noncents count would mean that convention
+    silently rewrites amounts). Four single-pass aggregates unioned;
+    the probe arithmetic is fixed-shape IEEE on both engines."""
+    def probe(df: DataFrame, col: str, label: str) -> DataFrame:
+        x = F.col(col)
+        return df.agg(
+            F.lit(label).alias("col_name"),
+            F.count("*").cast("long").alias("n_vals"),
+            F.sum(
+                F.when(
+                    F.abs(x * 100 - F.floor(x * 100 + 0.5)) > 0.000001, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_noncents"),
+            F.sum(F.when(x < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    u = (
+        probe(li, "l_extendedprice", "lineitem.l_extendedprice")
+        .unionAll(probe(o, "o_totalprice", "orders.o_totalprice"))
+        .unionAll(probe(c, "c_acctbal", "customer.c_acctbal"))
+        .unionAll(probe(s, "s_acctbal", "supplier.s_acctbal"))
+    )
+    return u.select(
+        "col_name", "n_vals", "n_noncents", "n_negative",
+        F.expr("CAST(n_noncents * 10000 div n_vals AS BIGINT)").alias(
+            "noncents_bp"
+        ),
+    ).orderBy("col_name")
+
+
+@_staged(
+    "q_embed_norm_bias",
+    oracle="""
+    WITH n2 AS (
+        SELECT vec_id, label,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                             AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000)
+                               AS BIGINT))) AS BIGINT) AS q2
+        FROM embeddings
+    ),
+    r AS (
+        SELECT label, q2,
+               row_number() OVER (PARTITION BY label ORDER BY q2, vec_id)
+                   AS rk,
+               count(*) OVER (PARTITION BY label) AS n
+        FROM n2
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(max(n) AS BIGINT) AS n_vecs,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN q2 END) AS BIGINT)
+               AS p50_q2_e6,
+           CAST(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN q2 END)
+                AS BIGINT) AS p90_q2_e6,
+           CAST(min(q2) AS BIGINT) AS min_q2_e6,
+           CAST(max(q2) AS BIGINT) AS max_q2_e6
+    FROM r
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_norm_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label norm-bias table: exact median and p90 of the squared
+    vector norm per label (e3-quantized coordinates ⇒ e6 integer
+    norms) — label-wise norm bias silently turns dot-product search
+    into a label prior (q_embed_norms reports the global norm
+    distribution; the BIAS question is per-label). Norms fold inside
+    the array per row (no explode); the percentile ranks run per
+    label over vector-count rows with the binomial-rank arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = emb.select(
+        "vec_id", "label",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000)
+                * F.floor(x.cast("double") * 1000),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ).alias("q2"),
+    )
+    wl = Window.partitionBy("label")
+    r = n2.select(
+        "label", "q2",
+        F.row_number().over(wl.orderBy("q2", "vec_id")).alias("rk"),
+        F.count("*").over(wl).alias("n"),
+    )
+    return (
+        r.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.max(
+                F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("q2"))
+            )
+            .cast("long")
+            .alias("p50_q2_e6"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n * 90 + 99) div 100"),
+                    F.col("q2"),
+                )
+            )
+            .cast("long")
+            .alias("p90_q2_e6"),
+            F.min("q2").cast("long").alias("min_q2_e6"),
+            F.max("q2").cast("long").alias("max_q2_e6"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"), "n_vecs",
+            "p50_q2_e6", "p90_q2_e6", "min_q2_e6", "max_q2_e6",
+        )
+        .orderBy("label")
+    )

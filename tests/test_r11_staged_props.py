@@ -151,3 +151,76 @@ def test_class_weights_balance(spark):
         assert r["inv_freq_e4"] > 0
     mean_w = sum(r["inv_freq_e4"] for r in rows) / k
     assert mean_w >= 9800  # floors only shave, never inflate
+
+
+# ---------------------------------------------------------------------------
+# Laws for the second r11 seed batch.
+# ---------------------------------------------------------------------------
+
+
+def test_sequential_test_cumulative_monotone(spark):
+    rows = sorted(_run(spark, "q_sequential_test"), key=lambda r: r["day"])
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    assert rows[-1]["n0"] + rows[-1]["n1"] == ev.count()
+    prev = None
+    for r in rows:
+        assert 0 <= r["c0"] <= r["n0"] and 0 <= r["c1"] <= r["n1"]
+        assert r["z2_e4"] >= 0
+        assert r["crossed"] == (r["z2_e4"] >= 58226)
+        if prev:
+            # cumulative counts never decrease
+            assert r["n0"] >= prev["n0"] and r["n1"] >= prev["n1"]
+            assert r["c0"] >= prev["c0"] and r["c1"] >= prev["c1"]
+        prev = r
+
+
+def test_attribution_window_sweep_is_monotone(spark):
+    rows = sorted(_run(spark, "q_attribution_window_sweep"),
+                  key=lambda r: r["w_s"])
+    assert [r["w_s"] for r in rows] == [3600, 86400, 604800]
+    n_purchases = {r["n_purchases"] for r in rows}
+    assert len(n_purchases) == 1  # the purchase set is window-invariant
+    att = [r["n_attributed"] for r in rows]
+    assert att == sorted(att)  # a longer window never credits fewer
+    for r in rows:
+        assert 0 <= r["n_attributed"] <= r["n_purchases"]
+
+
+def test_brand_loyalty_bounds(spark):
+    rows = _run(spark, "q_brand_loyalty")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_repeat"] <= r["n_customers"]
+        assert 0 <= r["n_exclusive"] <= r["n_customers"]
+        assert 0 <= r["repeat_bp"] <= 10000
+        assert 0 <= r["exclusive_bp"] <= 10000
+
+
+def test_cents_audit_covers_the_money_columns(spark):
+    rows = {r["col_name"]: r for r in _run(spark, "q_cents_audit")}
+    assert set(rows) == {
+        "lineitem.l_extendedprice", "orders.o_totalprice",
+        "customer.c_acctbal", "supplier.s_acctbal",
+    }
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    assert rows["lineitem.l_extendedprice"]["n_vals"] == li_n
+    for r in rows.values():
+        assert 0 <= r["n_noncents"] <= r["n_vals"]
+        assert 0 <= r["noncents_bp"] <= 10000
+    # the engine-wide cents convention REQUIRES these fixtures be
+    # cent-exact — a nonzero count here invalidates the convention
+    assert rows["lineitem.l_extendedprice"]["n_noncents"] == 0
+    assert rows["orders.o_totalprice"]["n_noncents"] == 0
+
+
+def test_embed_norm_bias_orders_quantiles(spark):
+    rows = _run(spark, "q_embed_norm_bias")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        assert (
+            r["min_q2_e6"] <= r["p50_q2_e6"] <= r["p90_q2_e6"]
+            <= r["max_q2_e6"]
+        )
+        assert r["min_q2_e6"] >= 0  # squared norms

@@ -1082,3 +1082,280 @@ def q_embed_norm_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Third r11 seed batch: fulfilment span percentiles, value-weighted
+# returns, language-mix entropy, embedding quantization error (exact
+# integer residuals), and weekday-mix stability. Flip checklist
+# additions (NLJ_OK): none.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_fulfillment_span",
+    oracle="""
+    WITH per_order AS (
+        SELECT o_orderkey, o_orderpriority,
+               datediff('day', min(CAST(l_shipdate AS DATE)),
+                        max(CAST(l_shipdate AS DATE))) AS span_days,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderpriority
+        HAVING count(*) >= 2
+    ),
+    r AS (
+        SELECT o_orderpriority, span_days,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY span_days, o_orderkey) AS rk,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM per_order
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN span_days END)
+                AS BIGINT) AS median_span_days,
+           CAST(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN span_days END)
+                AS BIGINT) AS p90_span_days,
+           CAST(max(span_days) AS BIGINT) AS max_span_days
+    FROM r
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_fulfillment_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfilment span per priority: exact median/p90/max of the
+    days between a multi-line order's FIRST and LAST shipment — the
+    split-shipment duration q_otif's on-time flag and
+    q_order_consolidation's shipment counts don't expose. Integer day
+    spans from one order-level aggregate; binomial-rank percentiles
+    per priority (5 partitions)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("l_shipdate").cast("date")),
+            ).alias("span_days"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    r = per_order.select(
+        "o_orderpriority", "span_days",
+        F.row_number()
+        .over(wp.orderBy("span_days", "o_orderkey"))
+        .alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n + 1) div 2"),
+                    F.col("span_days"),
+                )
+            )
+            .cast("long")
+            .alias("median_span_days"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n * 90 + 99) div 100"),
+                    F.col("span_days"),
+                )
+            )
+            .cast("long")
+            .alias("p90_span_days"),
+            F.max("span_days").cast("long").alias("max_span_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_staged(
+    "q_returns_value",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS returned_cents,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) ELSE 0 END) * 10000
+                // sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS returned_value_bp,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS returned_lines_bp
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_returns_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted return exposure per brand: the share of the
+    brand's REVENUE carried by returned lines, next to the line-count
+    share — when the two diverge, returns concentrate in expensive
+    items and the count-based rate understates the damage (the value
+    twin of q_return_by_delay's timing view). Exact integer cents,
+    one fact join + grouped aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5)
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(cents).cast("long").alias("total_cents"),
+            F.sum(F.when(ret, cents).otherwise(0))
+            .cast("long")
+            .alias("returned_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN"
+                " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " ELSE 0 END) * 10000 div sum(CAST(floor(l_extendedprice"
+                " * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            ).alias("returned_value_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("returned_lines_bp"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_staged(
+    "q_lang_mix_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY source, lang
+    ),
+    p AS (
+        SELECT source, n,
+               CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY source) AS pr
+        FROM c
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(-sum(pr * ln(pr)), 4) + 0.0 AS lang_entropy,
+           CAST(max(n) * 10000 // sum(n) AS BIGINT) AS top_lang_bp
+    FROM p
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source: how diverse each source's
+    language routing is (0 = monolingual, ln(5) = uniform) plus the
+    dominant language's share — the routing-diversity signal behind
+    per-language capacity planning (q_length_filter_yield sizes the
+    filter; this sizes the MIX). ln outputs are the sanctioned
+    round(,4) class; the entropy folds over the ≤|langs| rows of the
+    source×lang aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ws = Window.partitionBy("source")
+    p = c.select(
+        "source", "n",
+        (F.col("n").cast("double") / F.sum("n").over(ws)).alias("pr"),
+    )
+    return (
+        p.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
+            (F.round(-F.sum(F.col("pr") * F.log("pr")), 4) + 0.0).alias(
+                "lang_entropy"
+            ),
+            F.expr(
+                "CAST(max(n) * 10000 div sum(n) AS BIGINT)"
+            ).alias("top_lang_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_quantization_error",
+    oracle="""
+    WITH f AS (
+        SELECT label,
+               list_sum(list_transform(embedding, x ->
+                   (CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    % 1000)
+                   * (CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                      % 1000))) AS sq_err,
+               len(embedding) AS width
+        FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(sq_err) AS BIGINT) AS total_sq_err_e12,
+           CAST(sum(sq_err) // (count(*) * max(width)) AS BIGINT)
+               AS mean_sq_err_per_dim_e12,
+           CAST(max(sq_err) AS BIGINT) AS max_vec_sq_err_e12
+    FROM f
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact e3-quantization error per label: the squared residual of
+    snapping e6-integer coordinates to the e3 grid (the quantization
+    q_embed_centroid_sim and q_embed_norm_bias compute ON) — the
+    distortion budget that says whether 3-decimal quantization is
+    safe for this corpus's similarity decisions. The residual
+    r = x_e6 − 1000·(x_e6 div 1000) is PURE INTEGER arithmetic (the
+    only float op is the deterministic floor(x·10⁶)), so the error
+    sums are exact int64 on both engines — no float MSE
+    summation-order hazard. Residuals fold inside the array per row;
+    one grouped aggregate per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = emb.select(
+        "label",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: (F.floor(x.cast("double") * 1000000) % 1000)
+                * (F.floor(x.cast("double") * 1000000) % 1000),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y.cast("long"),
+        ).alias("sq_err"),
+        F.size("embedding").alias("width"),
+    )
+    return (
+        f.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("sq_err").cast("long").alias("total_sq_err_e12"),
+            F.expr(
+                "CAST(sum(sq_err) div (count(*) * max(width)) AS BIGINT)"
+            ).alias("mean_sq_err_per_dim_e12"),
+            F.max("sq_err").cast("long").alias("max_vec_sq_err_e12"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"), "n_vecs",
+            "total_sq_err_e12", "mean_sq_err_per_dim_e12",
+            "max_vec_sq_err_e12",
+        )
+        .orderBy("label")
+    )

@@ -224,3 +224,56 @@ def test_embed_norm_bias_orders_quantiles(spark):
             <= r["max_q2_e6"]
         )
         assert r["min_q2_e6"] >= 0  # squared norms
+
+
+# ---------------------------------------------------------------------------
+# Laws for the third r11 seed batch.
+# ---------------------------------------------------------------------------
+
+
+def test_fulfillment_span_percentiles_order(spark):
+    rows = _run(spark, "q_fulfillment_span")
+    assert rows
+    for r in rows:
+        assert (
+            0 <= r["median_span_days"] <= r["p90_span_days"]
+            <= r["max_span_days"]
+        )
+        assert r["n_orders"] >= 1
+
+
+def test_returns_value_nests_and_recounts(spark):
+    rows = _run(spark, "q_returns_value")
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    total = li.agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)).cast("long")
+    ).collect()[0][0]
+    assert sum(r["total_cents"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["returned_cents"] <= r["total_cents"]
+        assert 0 <= r["returned_value_bp"] <= 10000
+        assert 0 <= r["returned_lines_bp"] <= 10000
+
+
+def test_lang_mix_entropy_bounds(spark):
+    import math
+
+    rows = _run(spark, "q_lang_mix_entropy")
+    d = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert -1e-4 <= r["lang_entropy"] <= math.log(r["n_langs"]) + 1e-4
+        assert r["top_lang_bp"] >= 10000 // r["n_langs"]
+
+
+def test_quantization_error_is_bounded_by_the_grid(spark):
+    rows = _run(spark, "q_quantization_error")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    width = emb.select(F.size("embedding")).first()[0]
+    for r in rows:
+        # each residual is in (-1000, 1000) so r^2 < 1e6 per dim
+        assert 0 <= r["mean_sq_err_per_dim_e12"] < 1_000_000
+        assert r["max_vec_sq_err_e12"] < width * 1_000_000
+        assert r["total_sq_err_e12"] >= r["max_vec_sq_err_e12"]

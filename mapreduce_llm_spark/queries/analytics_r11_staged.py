@@ -1359,3 +1359,268 @@ def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth r11 seed batch: schedule stability, eval-split stratification,
+# and the shingle document-frequency profile (the df-cap tuning input
+# for the inverted-index dedup family). Flip checklist additions
+# (NLJ_OK): q_dow_stability (broadcast 7-row corpus dow-mix leg),
+# q_split_balance (broadcast 1-row totals leg).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_dow_stability",
+    oracle="""
+    WITH o AS (
+        SELECT year(o_orderdate) * 100 + month(o_orderdate) AS m,
+               isodow(CAST(o_orderdate AS DATE)) AS dow
+        FROM orders
+    ),
+    md AS (
+        SELECT m, dow, CAST(count(*) AS BIGINT) AS n
+        FROM o GROUP BY m, dow
+    ),
+    mt AS (
+        SELECT m, CAST(sum(n) AS BIGINT) AS n_m FROM md GROUP BY m
+    ),
+    corpus AS (
+        SELECT dow, CAST(sum(n) AS BIGINT) AS n_d FROM md GROUP BY dow
+    ),
+    t AS (SELECT CAST(sum(n_d) AS BIGINT) AS total FROM corpus),
+    dev AS (
+        SELECT md.m AS m, mt.n_m AS n_m,
+               abs(md.n * 10000 // mt.n_m
+                   - corpus.n_d * 10000 // t.total) AS dev_bp
+        FROM md
+        JOIN mt ON md.m = mt.m
+        JOIN corpus ON md.dow = corpus.dow
+        CROSS JOIN t
+    )
+    SELECT CAST(m AS BIGINT) AS m, CAST(max(n_m) AS BIGINT) AS n_orders,
+           CAST(max(dev_bp) AS BIGINT) AS max_dev_bp,
+           CAST(CASE WHEN max(dev_bp) > 200 THEN 1 ELSE 0 END AS BIGINT)
+               AS unstable
+    FROM dev
+    GROUP BY m
+    ORDER BY m
+    """,
+)
+def q_dow_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-mix stability per month: the largest deviation (bp)
+    between a month's day-of-week order shares and the corpus-wide
+    mix, with a 200 bp instability flag — the schedule-drift screen
+    behind q_weekend_effect's lift number (a drifting mix invalidates
+    weekday-based seasonality assumptions). Pure integer bp
+    differences (Spark weekday()+1 ≡ DuckDB isodow, the CLAUDE.md
+    calendar rule); the corpus mix is the allowlisted broadcast 7-row
+    leg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("m"),
+        (F.weekday(F.col("o_orderdate").cast("date")) + 1).alias("dow"),
+    )
+    md = o.groupBy("m", "dow").agg(F.count("*").cast("long").alias("n"))
+    mt = md.groupBy("m").agg(F.sum("n").cast("long").alias("n_m")).withColumnRenamed("m", "m2")
+    corpus = md.groupBy("dow").agg(
+        F.sum("n").cast("long").alias("n_d")
+    ).withColumnRenamed("dow", "dow2")
+    t = corpus.agg(F.sum("n_d").cast("long").alias("total"))
+    dev = (
+        md.join(mt, md.m == mt.m2)
+        .join(F.broadcast(corpus), md.dow == corpus.dow2)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "m", "n_m",
+            F.abs(
+                F.expr("n * 10000 div n_m - n_d * 10000 div total")
+            ).alias("dev_bp"),
+        )
+    )
+    return (
+        dev.groupBy("m")
+        .agg(
+            F.max("n_m").cast("long").alias("n_orders"),
+            F.max("dev_bp").cast("long").alias("max_dev_bp"),
+            F.expr(
+                "CAST(CASE WHEN max(dev_bp) > 200 THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("unstable"),
+        )
+        .select(
+            F.col("m").cast("long").alias("m"), "n_orders", "max_dev_bp",
+            "unstable",
+        )
+        .orderBy("m")
+    )
+
+
+@_staged(
+    "q_split_balance",
+    oracle="""
+    WITH s AS (
+        SELECT label,
+               CASE WHEN CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                             1, 10) AS BIGINT) % 5 = 0
+                    THEN 'test' ELSE 'train' END AS split
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
+        FROM s GROUP BY label
+    ),
+    t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(sum(n_test) AS BIGINT) AS total_test
+        FROM c
+    )
+    SELECT CAST(label AS BIGINT) AS label, n, n_test,
+           CAST(n_test * 10000 // n AS BIGINT) AS test_bp,
+           CAST(abs(n_test * 10000 // n
+                    - t.total_test * 10000 // t.total) AS BIGINT)
+               AS dev_bp
+    FROM c, t
+    ORDER BY label
+    """,
+)
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split stratification audit: under the md5 80/20 split
+    every hash-split query here uses (the q_stratified_kfold /
+    q_split_leakage convention), how far does each label's test share
+    drift from the corpus test share — the class-imbalance alarm for
+    a hashed (non-stratified) split. Integer md5-40 arithmetic (the
+    CLAUDE.md cross-engine hash rule); the corpus totals are the
+    allowlisted broadcast 1-row leg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "label",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10),
+                16, 10,
+            ).cast("long") % 5 == 0,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    c = s.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum("n_test").cast("long").alias("total_test"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("label").cast("long").alias("label"), "n", "n_test",
+            F.expr("CAST(n_test * 10000 div n AS BIGINT)").alias("test_bp"),
+            F.expr(
+                "CAST(abs(n_test * 10000 div n"
+                " - total_test * 10000 div total) AS BIGINT)"
+            ).alias("dev_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_shingle_df_profile",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z]+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ), unnest(generate_series(1, greatest(len(words) - 2, 0)))
+           AS u(i)
+    ),
+    df AS (
+        SELECT s, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM sh GROUP BY s
+    ),
+    banded AS (
+        SELECT CASE WHEN df = 1 THEN 1
+                    WHEN df <= 10 THEN 2
+                    WHEN df <= 100 THEN 3
+                    ELSE 4 END AS band,
+               df
+        FROM df
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS posting_mass,
+           CAST(sum(df) * 10000
+                // sum(sum(df)) OVER () AS BIGINT) AS mass_bp,
+           CAST(max(df) AS BIGINT) AS max_df
+    FROM banded
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile: how the 3-gram inverted
+    index's posting mass distributes across df bands (unique /
+    2–10 / 11–100 / 100+) — THE tuning input for
+    ngram_jaccard_pairs' max-df stop-shingle filter, since a hot
+    shingle contributes O(df²) candidate join rows (operators/
+    dedup.py:316). A fat top band means the dedup index needs the df
+    cap before it scales; posting mass = index size. Same guarded
+    3-gram expansion as q_trigram_novelty; the mass share is a window
+    over the 4-row band aggregate."""
+    ws = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _r11_words(F.col("text")).alias("words")
+    )
+    sh = ws.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("words") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("words"), i),
+                        F.element_at(F.col("words"), i + 1),
+                        F.element_at(F.col("words"), i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s"),
+    )
+    df = sh.groupBy("s").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    banded = df.select(
+        F.when(F.col("df") == 1, 1)
+        .when(F.col("df") <= 10, 2)
+        .when(F.col("df") <= 100, 3)
+        .otherwise(4)
+        .alias("band"),
+        "df",
+    )
+    g = banded.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("posting_mass"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    return g.select(
+        F.col("band").cast("long").alias("band"), "n_shingles",
+        "posting_mass",
+        F.expr(
+            "CAST(posting_mass * 10000 div sum(posting_mass) OVER ()"
+            " AS BIGINT)"
+        ).alias("mass_bp"),
+        "max_df",
+    ).orderBy("band")

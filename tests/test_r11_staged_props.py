@@ -17,6 +17,8 @@ from tests.conftest import SF_DIR, SMOKE_SF_DIR
 STAGED_NLJ_OK: set[str] = {
     "q_data_budget",  # broadcast 1-row corpus-token-total leg
     "q_class_weights",  # broadcast 1-row (total, k, max_n) leg
+    "q_dow_stability",  # broadcast 7-row corpus dow-mix + 1-row total legs
+    "q_split_balance",  # broadcast 1-row split-totals leg
 }
 
 PY_MARKERS = (
@@ -277,3 +279,62 @@ def test_quantization_error_is_bounded_by_the_grid(spark):
         assert 0 <= r["mean_sq_err_per_dim_e12"] < 1_000_000
         assert r["max_vec_sq_err_e12"] < width * 1_000_000
         assert r["total_sq_err_e12"] >= r["max_vec_sq_err_e12"]
+
+
+# ---------------------------------------------------------------------------
+# Laws for the fourth r11 seed batch.
+# ---------------------------------------------------------------------------
+
+
+def test_dow_stability_accounts_every_order(spark):
+    rows = _run(spark, "q_dow_stability")
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    for r in rows:
+        assert 0 <= r["max_dev_bp"] <= 10000
+        assert r["unstable"] == (r["max_dev_bp"] > 200)
+
+
+def test_split_balance_recounts_and_bounds(spark):
+    rows = _run(spark, "q_split_balance")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r["n"] for r in rows) == emb.count()
+    total_test = sum(r["n_test"] for r in rows)
+    corpus_bp = total_test * 10000 // emb.count()
+    # the md5 % 5 == 0 rule targets ~20%
+    assert 1000 <= corpus_bp <= 3000
+    for r in rows:
+        assert 0 <= r["n_test"] <= r["n"]
+        assert r["dev_bp"] == abs(r["test_bp"] - corpus_bp)
+
+
+def test_shingle_df_profile_conserves_postings(spark):
+    rows = _run(spark, "q_shingle_df_profile")
+    assert rows
+    # posting mass equals the distinct (doc, shingle) pair count
+    d = load_table(spark, SF_DIR, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(words) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(words, i),
+                        F.element_at(words, i + 1),
+                        F.element_at(words, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s"),
+    )
+    expected = sh.distinct().count()
+    assert sum(r["posting_mass"] for r in rows) == expected
+    bands = [r["band"] for r in rows]
+    assert bands == sorted(bands)
+    assert abs(sum(r["mass_bp"] for r in rows) - 10000) <= len(rows)

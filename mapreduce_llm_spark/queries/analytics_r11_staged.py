@@ -1624,3 +1624,335 @@ def q_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mass_bp"),
         "max_df",
     ).orderBy("band")
+
+
+# ---------------------------------------------------------------------------
+# Fifth r11 seed batch: monthly seasonality indexes, cross-source
+# trigram exclusivity, customer activity span, and value-band shipping
+# equity. Flip checklist additions (NLJ_OK): q_monthly_seasonality
+# (broadcast 1-row year-total leg per segment is equi-keyed — none
+# needed); q_trigram_exclusivity (none — anti-join on the trigram key).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_monthly_seasonality",
+    oracle="""
+    WITH m AS (
+        SELECT c_mktsegment AS seg, month(o_orderdate) AS mo,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, month(o_orderdate)
+    ),
+    t AS (
+        SELECT seg, CAST(sum(n) AS BIGINT) AS n_seg FROM m GROUP BY seg
+    )
+    SELECT m.seg AS seg, CAST(mo AS BIGINT) AS mo, n,
+           CAST(n * 120000 // t.n_seg AS BIGINT) AS seasonal_index_e4,
+           CAST(CASE WHEN n * 120000 // t.n_seg > 11000 THEN 1
+                     WHEN n * 120000 // t.n_seg < 9000 THEN -1
+                     ELSE 0 END AS BIGINT) AS season_flag
+    FROM m JOIN t ON m.seg = t.seg
+    ORDER BY seg, mo
+    """,
+)
+def q_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index per market segment: each calendar
+    month's order share relative to the uniform 1/12 (e4; 10000 =
+    no seasonality), flagged beyond ±10% — the month-level companion
+    to q_hourly_profile (events/hours) and q_weekend_effect
+    (weekday lift). The ×120000 (= 12 × 10⁴) integer form keeps the
+    index exact; the per-segment totals join back equi-keyed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = m.groupBy("seg").agg(
+        F.sum("n").cast("long").alias("n_seg")
+    ).withColumnRenamed("seg", "seg2")
+    return (
+        m.join(F.broadcast(t), m.seg == t.seg2)
+        .select(
+            "seg",
+            F.col("mo").cast("long").alias("mo"),
+            "n",
+            F.expr("CAST(n * 120000 div n_seg AS BIGINT)").alias(
+                "seasonal_index_e4"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n * 120000 div n_seg > 11000 THEN 1"
+                " WHEN n * 120000 div n_seg < 9000 THEN -1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("season_flag"),
+        )
+        .orderBy("seg", "mo")
+    )
+
+
+@_staged(
+    "q_trigram_exclusivity",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source,
+               words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS s
+        FROM (
+            SELECT source,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z]+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ), unnest(generate_series(1, greatest(len(words) - 2, 0)))
+           AS u(i)
+    ),
+    df AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n_sources
+        FROM sh GROUP BY s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exclusive,
+           CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS exclusive_bp
+    FROM sh JOIN df ON sh.s = df.s
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_trigram_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source trigram exclusivity: the share of each source's
+    distinct 3-grams that appear in NO other source — the uniqueness
+    score that says which sources add novel phrasing to the mix and
+    which are redundant with the rest of the corpus (the
+    deduplication-value complement of q_source_overlap's contamination
+    view). One distinct (source, trigram) set; source counts per
+    trigram join back equi-keyed on the trigram."""
+    ws = load_table(spark, sf_dir, "documents").select(
+        "source", _r11_words(F.col("text")).alias("words")
+    )
+    sh = ws.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("words") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("words"), i),
+                        F.element_at(F.col("words"), i + 1),
+                        F.element_at(F.col("words"), i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s"),
+    ).distinct()
+    df = sh.groupBy("s").agg(
+        F.count("*").cast("long").alias("n_sources")
+    ).withColumnRenamed("s", "s2")
+    return (
+        sh.join(df, sh.s == df.s2)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exclusive"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("exclusive_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_activity_span",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_mktsegment AS seg, o_custkey,
+               datediff('day', min(CAST(o_orderdate AS DATE)),
+                        max(CAST(o_orderdate AS DATE))) AS span_days,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+        HAVING count(*) >= 2
+    ),
+    r AS (
+        SELECT seg, span_days,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY span_days, o_custkey) AS rk,
+               count(*) OVER (PARTITION BY seg) AS n
+        FROM per_cust
+    )
+    SELECT seg,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN span_days END)
+                AS BIGINT) AS median_span_days,
+           CAST(max(CASE WHEN rk = (n * 10 + 99) // 100 THEN span_days END)
+                AS BIGINT) AS p10_span_days,
+           CAST(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN span_days END)
+                AS BIGINT) AS p90_span_days
+    FROM r
+    GROUP BY seg
+    ORDER BY seg
+    """,
+)
+def q_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer activity span per segment: exact p10/median/p90 of the
+    days between a repeat customer's first and last order — the
+    lifetime-LENGTH distribution that q_cohort_ltv's value curve and
+    q_reorder_cadence's gap clock both condition on. Binomial-rank
+    percentiles per segment over the customer-level aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("span_days"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+    wp = Window.partitionBy("seg")
+    r = per_cust.select(
+        "seg", "span_days",
+        F.row_number()
+        .over(wp.orderBy("span_days", "o_custkey"))
+        .alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        r.groupBy("seg")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n + 1) div 2"),
+                    F.col("span_days"),
+                )
+            )
+            .cast("long")
+            .alias("median_span_days"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n * 10 + 99) div 100"),
+                    F.col("span_days"),
+                )
+            )
+            .cast("long")
+            .alias("p10_span_days"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n * 90 + 99) div 100"),
+                    F.col("span_days"),
+                )
+            )
+            .cast("long")
+            .alias("p90_span_days"),
+        )
+        .orderBy("seg")
+    )
+
+
+@_staged(
+    "q_value_vs_delay",
+    oracle="""
+    WITH d AS (
+        SELECT CASE WHEN o_totalprice < 50000 THEN 0
+                    WHEN o_totalprice < 150000 THEN 1
+                    WHEN o_totalprice < 300000 THEN 2
+                    ELSE 3 END AS value_band,
+               datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS delay_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    cells AS (
+        SELECT value_band, delay_days, CAST(count(*) AS BIGINT) AS c
+        FROM d GROUP BY value_band, delay_days
+    ),
+    cum AS (
+        SELECT value_band, delay_days,
+               sum(c) OVER (PARTITION BY value_band
+                            ORDER BY delay_days) AS cum,
+               sum(c) OVER (PARTITION BY value_band) AS n
+        FROM cells
+    )
+    SELECT CAST(value_band AS BIGINT) AS value_band,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN delay_days END)
+                AS BIGINT) AS median_delay_days,
+           CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100
+                         THEN delay_days END) AS BIGINT)
+               AS p90_delay_days
+    FROM cum
+    GROUP BY value_band
+    ORDER BY value_band
+    """,
+)
+def q_value_vs_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping equity by order value: exact median and p90
+    fulfilment delay per order-value band — do big orders ship
+    faster (the service-equity question q_return_by_delay's
+    returns-vs-delay curve begs)? Integer day delays; binomial-rank
+    percentiles over 4 value-band partitions."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.when(F.col("o_totalprice") < 50000, 0)
+        .when(F.col("o_totalprice") < 150000, 1)
+        .when(F.col("o_totalprice") < 300000, 2)
+        .otherwise(3)
+        .alias("value_band"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("delay_days"),
+    )
+    cells = d.groupBy("value_band", "delay_days").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wb = Window.partitionBy("value_band")
+    cum = cells.select(
+        "value_band", "delay_days",
+        F.sum("c").over(wb.orderBy("delay_days")).alias("cum"),
+        F.sum("c").over(wb).alias("n"),
+    )
+    return (
+        cum.groupBy("value_band")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 1) div 2"),
+                    F.col("delay_days"),
+                )
+            )
+            .cast("long")
+            .alias("median_delay_days"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n * 90 + 99) div 100"),
+                    F.col("delay_days"),
+                )
+            )
+            .cast("long")
+            .alias("p90_delay_days"),
+        )
+        .select(
+            F.col("value_band").cast("long").alias("value_band"),
+            "n_lines", "median_delay_days", "p90_delay_days",
+        )
+        .orderBy("value_band")
+    )

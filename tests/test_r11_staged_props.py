@@ -338,3 +338,52 @@ def test_shingle_df_profile_conserves_postings(spark):
     bands = [r["band"] for r in rows]
     assert bands == sorted(bands)
     assert abs(sum(r["mass_bp"] for r in rows) - 10000) <= len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Laws for the fifth r11 seed batch.
+# ---------------------------------------------------------------------------
+
+
+def test_monthly_seasonality_index_averages_to_parity(spark):
+    rows = _run(spark, "q_monthly_seasonality")
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n"] for r in rows) == o.count()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r["seg"], []).append(r)
+        flag = 1 if r["seasonal_index_e4"] > 11000 else (
+            -1 if r["seasonal_index_e4"] < 9000 else 0
+        )
+        assert r["season_flag"] == flag
+    for seg, rs in by_seg.items():
+        assert len(rs) == 12
+        # indexes sum to ~12 * 10000 (floors shave at most 1 bp each)
+        assert 120000 - 12 <= sum(r["seasonal_index_e4"] for r in rs) <= 120000
+
+
+def test_trigram_exclusivity_bounds(spark):
+    rows = _run(spark, "q_trigram_exclusivity")
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["n_exclusive"] <= r["n_trigrams"]
+        assert 0 <= r["exclusive_bp"] <= 10000
+
+
+def test_activity_span_percentiles_order(spark):
+    rows = _run(spark, "q_activity_span")
+    assert rows
+    for r in rows:
+        assert (
+            0 <= r["p10_span_days"] <= r["median_span_days"]
+            <= r["p90_span_days"]
+        )
+        assert r["n_customers"] >= 1
+
+
+def test_value_vs_delay_partitions_the_fact(spark):
+    rows = _run(spark, "q_value_vs_delay")
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["median_delay_days"] <= r["p90_delay_days"]

@@ -1956,3 +1956,256 @@ def q_value_vs_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sixth r11 seed batch: the prefix-length dedup aggressiveness curve,
+# first-touch lifecycle profile, and line-position fulfilment lag.
+# Flip checklist additions (NLJ_OK): none — the k-grid rides the
+# explode generator, the first-touch join is keyed on user.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_prefix_length_curve",
+    oracle="""
+    WITH ws AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ),
+    keyed AS (
+        SELECT k, md5(array_to_string(words[1:k], ' ')) AS pk
+        FROM ws, unnest([1, 2, 4, 8]) AS t(k)
+    ),
+    fam AS (
+        SELECT k, pk, CAST(count(*) AS BIGINT) AS c
+        FROM keyed GROUP BY k, pk
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
+           CAST((sum(c) - count(*)) * 10000 // sum(c) AS BIGINT)
+               AS drop_bp,
+           CAST(max(c) AS BIGINT) AS max_family
+    FROM fam
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def q_prefix_length_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dedup aggressiveness curve: if documents were deduped by
+    the md5 of their first k words (k = 1/2/4/8), how many would a
+    keep-one-per-key pass DROP — the tuning table behind
+    q_dedup_prefix's fixed k = 2 choice (too short over-merges, too
+    long misses truncation dups; the watermark-yield pattern applied
+    to dedup keys). One scan; the k grid rides an explode generator
+    so each doc contributes 4 (k, key) rows, and the only shuffle
+    carries 40-char digests."""
+    ws = load_table(spark, sf_dir, "documents").select(
+        _r11_words(F.col("text")).alias("words")
+    )
+    keyed = ws.select(
+        F.explode(
+            F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
+        ).alias("k"),
+        "words",
+    ).select(
+        "k",
+        F.md5(
+            F.array_join(F.expr("slice(words, 1, k)"), " ")
+        ).alias("pk"),
+    )
+    fam = keyed.groupBy("k", "pk").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        fam.groupBy("k")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_keys"),
+            (F.sum("c") - F.count("*")).cast("long").alias("n_dropped"),
+            F.expr(
+                "CAST((sum(c) - count(*)) * 10000 div sum(c) AS BIGINT)"
+            ).alias("drop_bp"),
+            F.max("c").cast("long").alias("max_family"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"), "n_docs", "n_keys",
+            "n_dropped", "drop_bp", "max_family",
+        )
+        .orderBy("k")
+    )
+
+
+@_staged(
+    "q_first_touch_profile",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    ),
+    first_touch AS (
+        SELECT user_id, event_type AS first_type, tus AS t0
+        FROM e WHERE rn = 1
+    ),
+    conv AS (
+        SELECT f.first_type, f.user_id,
+               max(CASE WHEN e2.event_type = 'purchase'
+                         AND e2.tus <= f.t0 + 604800000000
+                        THEN 1 ELSE 0 END) AS converted_7d
+        FROM first_touch f
+        JOIN e e2 ON f.user_id = e2.user_id
+        GROUP BY f.first_type, f.user_id
+    )
+    SELECT first_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted_7d) AS BIGINT) AS n_converted_7d,
+           CAST(sum(converted_7d) * 10000 // count(*) AS BIGINT)
+               AS conv_7d_bp
+    FROM conv
+    GROUP BY first_type
+    ORDER BY first_type
+    """,
+)
+def q_first_touch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition first-touch profile: each user's FIRST-EVER event
+    type (rank-1 keyed window — the q_attribution_position rule: no
+    packed-timestamp argmin) and whether they purchased within 7 days
+    of it — the entry-point quality table that q_entry_exit_matrix's
+    per-session view can't give (lifecycle, not session). The
+    conversion join is keyed on user; exact integer µs throughout."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    first_touch = ranked.filter(F.col("rn") == 1).select(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("first_type"),
+        F.col("tus").alias("t0"),
+    )
+    conv = (
+        first_touch.join(e, first_touch.uid == e.user_id)
+        .groupBy("first_type", "uid")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("tus") <= F.col("t0") + 604800000000),
+                    1,
+                ).otherwise(0)
+            ).alias("converted_7d")
+        )
+    )
+    return (
+        conv.groupBy("first_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("converted_7d").cast("long").alias("n_converted_7d"),
+            F.expr(
+                "CAST(sum(converted_7d) * 10000 div count(*) AS BIGINT)"
+            ).alias("conv_7d_bp"),
+        )
+        .orderBy("first_type")
+    )
+
+
+@_staged(
+    "q_linenumber_lag",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_shipdate AS DATE) AS sd,
+               min(CAST(l_shipdate AS DATE))
+                   OVER (PARTITION BY l_orderkey) AS first_sd
+        FROM lineitem
+    ),
+    lagd AS (
+        SELECT l_linenumber,
+               datediff('day', first_sd, sd) AS lag_days
+        FROM base
+    ),
+    cells AS (
+        SELECT l_linenumber, lag_days, CAST(count(*) AS BIGINT) AS c
+        FROM lagd GROUP BY l_linenumber, lag_days
+    ),
+    cum AS (
+        SELECT l_linenumber, lag_days,
+               sum(c) OVER (PARTITION BY l_linenumber
+                            ORDER BY lag_days) AS cum,
+               sum(c) OVER (PARTITION BY l_linenumber) AS n
+        FROM cells
+    )
+    SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lag_days END)
+                AS BIGINT) AS median_lag_days,
+           CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100
+                         THEN lag_days END) AS BIGINT) AS p90_lag_days
+    FROM cum
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+)
+def q_linenumber_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-position fulfilment lag: how many days each line number
+    ships after its order's FIRST shipment, exact median/p90 per
+    position — the sequential-picking signature (line 7 consistently
+    lagging line 1 means warehouse flow, not carrier variance — the
+    per-position view q_fulfillment_span's order-level span hides).
+    The order-first-ship is a keyed min window; percentiles are
+    COUNT-BASED over |positions × distinct lag| cells (the
+    q_value_vs_delay lesson — never rank the raw fact through a
+    handful of partitions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_orderkey")
+    base = li.select(
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("sd"),
+        F.min(F.col("l_shipdate").cast("date")).over(wo).alias("first_sd"),
+    )
+    lagd = base.select(
+        "l_linenumber",
+        F.datediff("sd", "first_sd").alias("lag_days"),
+    )
+    cells = lagd.groupBy("l_linenumber", "lag_days").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wl = Window.partitionBy("l_linenumber")
+    cum = cells.select(
+        "l_linenumber", "lag_days",
+        F.sum("c").over(wl.orderBy("lag_days")).alias("cum"),
+        F.sum("c").over(wl).alias("n"),
+    )
+    return (
+        cum.groupBy("l_linenumber")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 1) div 2"),
+                    F.col("lag_days"),
+                )
+            )
+            .cast("long")
+            .alias("median_lag_days"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n * 90 + 99) div 100"),
+                    F.col("lag_days"),
+                )
+            )
+            .cast("long")
+            .alias("p90_lag_days"),
+        )
+        .select(
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "n_lines", "median_lag_days", "p90_lag_days",
+        )
+        .orderBy("l_linenumber")
+    )

@@ -387,3 +387,50 @@ def test_value_vs_delay_partitions_the_fact(spark):
     assert sum(r["n_lines"] for r in rows) == li.count()
     for r in rows:
         assert 0 <= r["median_delay_days"] <= r["p90_delay_days"]
+
+
+# ---------------------------------------------------------------------------
+# Laws for the sixth r11 seed batch.
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_length_curve_is_monotone(spark):
+    rows = sorted(_run(spark, "q_prefix_length_curve"),
+                  key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [1, 2, 4, 8]
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    drops = [r["n_dropped"] for r in rows]
+    keys = [r["n_keys"] for r in rows]
+    # a longer prefix is a refinement: it never merges MORE docs
+    assert drops == sorted(drops, reverse=True)
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["n_docs"] == n_docs
+        assert r["n_dropped"] == r["n_docs"] - r["n_keys"]
+        assert r["max_family"] <= r["n_docs"]
+
+
+def test_first_touch_profile_partitions_users(spark):
+    rows = _run(spark, "q_first_touch_profile")
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r["n_converted_7d"] <= r["n_users"]
+        assert 0 <= r["conv_7d_bp"] <= 10000
+
+
+def test_linenumber_lag_anchors_at_line_zero(spark):
+    rows = _run(spark, "q_linenumber_lag")
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["median_lag_days"] <= r["p90_lag_days"]
+    # the minimum line number of an order ships at lag >= 0 and some
+    # line in every order defines the first shipment, so the global
+    # minimum median must be >= 0 (already pinned) and the smallest
+    # position's median lag should not exceed the largest position's
+    # p90 (sequential flow sanity)
+    first = min(rows, key=lambda r: r["l_linenumber"])
+    last = max(rows, key=lambda r: r["l_linenumber"])
+    assert first["median_lag_days"] <= last["p90_lag_days"]

@@ -2209,3 +2209,273 @@ def q_linenumber_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seventh r11 seed batch: balance-vs-activity deciles (distributed
+# global ranking), ingest-order mix drift, and supplier credit-risk
+# exposure. Flip checklist additions (NLJ_OK): q_balance_activity
+# (broadcast 1-row customer-count leg), q_ingest_mix_drift (broadcast
+# 1-row id-midpoint leg).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_balance_activity",
+    oracle="""
+    WITH act AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(coalesce(CAST(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT), 0)) AS BIGINT) AS cents
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_acctbal
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (ORDER BY bal_cents, c_custkey) AS rk,
+               count(*) OVER () AS n
+        FROM act
+    ),
+    d AS (SELECT *, (rk - 1) * 10 // n AS decile FROM r)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(bal_cents) AS BIGINT) AS min_bal_cents,
+           CAST(sum(n_orders) * 100 // count(*) AS BIGINT)
+               AS orders_per_cust_e2,
+           CAST(sum(cents) // greatest(sum(n_orders), 1) AS BIGINT)
+               AS mean_order_cents
+    FROM d
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_balance_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles vs purchasing activity: are
+    high-balance customers the active ones (orders per customer and
+    mean order value per balance decile)? Deciles come from
+    operators/ranking.global_row_number — the range-partition +
+    offset-prefix-sum total order, NOT a single-partition window (the
+    q_supplier_hhi / q_histogram_equidepth distributed-ranking path);
+    the oracle replays the same total order as one ROW_NUMBER (DuckDB
+    is single-node — the plans differ, the VALUES cannot). Balance
+    enters as exact integer cents with the custkey tie-break."""
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    act = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(
+                F.coalesce(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("bal_cents"),
+            "n_orders", "cents",
+        )
+    )
+    r = global_row_number(
+        act, [F.col("bal_cents").asc(), F.col("c_custkey").asc()],
+        alias="rk",
+    )
+    n = act.agg(F.count("*").cast("long").alias("n"))
+    d = r.crossJoin(F.broadcast(n)).select(
+        F.expr("(rk - 1) * 10 div n").alias("decile"),
+        "bal_cents", "n_orders", "cents",
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.min("bal_cents").cast("long").alias("min_bal_cents"),
+            F.expr(
+                "CAST(sum(n_orders) * 100 div count(*) AS BIGINT)"
+            ).alias("orders_per_cust_e2"),
+            F.expr(
+                "CAST(sum(cents) div greatest(sum(n_orders), 1) AS BIGINT)"
+            ).alias("mean_order_cents"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"), "n_customers",
+            "min_bal_cents", "orders_per_cust_e2", "mean_order_cents",
+        )
+        .orderBy("decile")
+    )
+
+
+@_staged(
+    "q_ingest_mix_drift",
+    oracle="""
+    WITH mid AS (
+        SELECT (min(doc_id) + max(doc_id)) // 2 AS m FROM documents
+    ),
+    halves AS (
+        SELECT source,
+               CASE WHEN doc_id <= mid.m THEN 0 ELSE 1 END AS half
+        FROM documents, mid
+    ),
+    c AS (
+        SELECT source, half, CAST(count(*) AS BIGINT) AS n
+        FROM halves GROUP BY source, half
+    ),
+    t AS (
+        SELECT half, CAST(sum(n) AS BIGINT) AS n_h FROM c GROUP BY half
+    ),
+    shares AS (
+        SELECT c.source AS source, c.half AS half,
+               c.n * 10000 // t.n_h AS share_bp
+        FROM c JOIN t ON c.half = t.half
+    )
+    SELECT source,
+           CAST(max(CASE WHEN half = 0 THEN share_bp END) AS BIGINT)
+               AS early_bp,
+           CAST(max(CASE WHEN half = 1 THEN share_bp END) AS BIGINT)
+               AS late_bp,
+           CAST(abs(coalesce(max(CASE WHEN half = 1 THEN share_bp END), 0)
+                    - coalesce(max(CASE WHEN half = 0 THEN share_bp END),
+                               0)) AS BIGINT) AS drift_bp
+    FROM shares
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_ingest_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order source-mix drift: each source's share of the
+    early vs late half of the ingest-id range — the crawl-drift alarm
+    (a source whose share doubles late in the crawl reshapes every
+    mix-sensitive statistic computed over the whole corpus; the
+    document-side analogue of q_backfill_detect's calendar-vs-ingest
+    view). Integer bp shares; the id midpoint is the allowlisted
+    broadcast 1-row leg."""
+    d = load_table(spark, sf_dir, "documents")
+    mid = d.agg(
+        F.expr("(min(doc_id) + max(doc_id)) div 2").alias("m")
+    )
+    halves = d.crossJoin(F.broadcast(mid)).select(
+        "source",
+        F.when(F.col("doc_id") <= F.col("m"), 0).otherwise(1).alias("half"),
+    )
+    c = halves.groupBy("source", "half").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = c.groupBy("half").agg(
+        F.sum("n").cast("long").alias("n_h")
+    ).withColumnRenamed("half", "half2")
+    shares = c.join(F.broadcast(t), c.half == t.half2).select(
+        "source", "half",
+        F.expr("n * 10000 div n_h").alias("share_bp"),
+    )
+    return (
+        shares.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("share_bp")))
+            .cast("long")
+            .alias("early_bp"),
+            F.max(F.when(F.col("half") == 1, F.col("share_bp")))
+            .cast("long")
+            .alias("late_bp"),
+            F.abs(
+                F.coalesce(
+                    F.max(F.when(F.col("half") == 1, F.col("share_bp"))),
+                    F.lit(0),
+                )
+                - F.coalesce(
+                    F.max(F.when(F.col("half") == 0, F.col("share_bp"))),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("drift_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_supplier_balance_risk",
+    oracle="""
+    WITH sv AS (
+        SELECT s_nationkey,
+               s_suppkey,
+               CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+               CAST(coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT) AS cents
+        FROM supplier LEFT JOIN lineitem ON s_suppkey = l_suppkey
+        GROUP BY s_nationkey, s_suppkey, s_acctbal
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CASE WHEN bal_cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN bal_cents < 0 THEN cents ELSE 0 END)
+                AS BIGINT) AS at_risk_cents,
+           CAST(sum(CASE WHEN bal_cents < 0 THEN cents ELSE 0 END) * 10000
+                // greatest(sum(cents), 1) AS BIGINT) AS at_risk_bp
+    FROM sv JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_supplier_balance_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier credit-risk exposure per nation: the share of supplied
+    value flowing through suppliers with NEGATIVE account balances —
+    the single-number procurement-risk complement to
+    q_single_source_risk's concentration view (a distressed supplier
+    carrying 30% of a nation's volume is the outage you hedge first).
+    Exact integer cents; supplier-level aggregate joins the 25-row
+    nation dimension broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    sv = (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left")
+        .groupBy("s_nationkey", "s_suppkey", "s_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            "s_nationkey",
+            F.floor(F.col("s_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("bal_cents"),
+            "cents",
+        )
+    )
+    neg = F.col("bal_cents") < 0
+    return (
+        sv.join(F.broadcast(n), sv.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum(F.when(neg, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(F.when(neg, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("at_risk_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN bal_cents < 0 THEN cents ELSE 0 END)"
+                " * 10000 div greatest(sum(cents), 1) AS BIGINT)"
+            ).alias("at_risk_bp"),
+        )
+        .orderBy("n_name")
+    )

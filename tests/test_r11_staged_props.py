@@ -19,6 +19,9 @@ STAGED_NLJ_OK: set[str] = {
     "q_class_weights",  # broadcast 1-row (total, k, max_n) leg
     "q_dow_stability",  # broadcast 7-row corpus dow-mix + 1-row total legs
     "q_split_balance",  # broadcast 1-row split-totals leg
+    "q_balance_activity",  # broadcast 1-row customer-count leg (+ the
+    #                        ranking operator's internal offset leg)
+    "q_ingest_mix_drift",  # broadcast 1-row id-midpoint leg
 }
 
 PY_MARKERS = (
@@ -434,3 +437,42 @@ def test_linenumber_lag_anchors_at_line_zero(spark):
     first = min(rows, key=lambda r: r["l_linenumber"])
     last = max(rows, key=lambda r: r["l_linenumber"])
     assert first["median_lag_days"] <= last["p90_lag_days"]
+
+
+# ---------------------------------------------------------------------------
+# Laws for the seventh r11 seed batch.
+# ---------------------------------------------------------------------------
+
+
+def test_balance_activity_deciles_partition_customers(spark):
+    rows = sorted(_run(spark, "q_balance_activity"),
+                  key=lambda r: r["decile"])
+    c = load_table(spark, SF_DIR, "customer")
+    assert sum(r["n_customers"] for r in rows) == c.count()
+    assert [r["decile"] for r in rows] == list(range(10))
+    mins = [r["min_bal_cents"] for r in rows]
+    assert mins == sorted(mins)  # deciles ascend in balance
+    for r in rows:
+        assert r["orders_per_cust_e2"] >= 0
+
+
+def test_ingest_mix_drift_shares_account(spark):
+    rows = _run(spark, "q_ingest_mix_drift")
+    assert len(rows) == 20
+    early = sum(r["early_bp"] or 0 for r in rows)
+    late = sum(r["late_bp"] or 0 for r in rows)
+    assert 10000 - 20 <= early <= 10000
+    assert 10000 - 20 <= late <= 10000
+    for r in rows:
+        assert r["drift_bp"] == abs((r["late_bp"] or 0) - (r["early_bp"] or 0))
+
+
+def test_supplier_balance_risk_nests(spark):
+    rows = _run(spark, "q_supplier_balance_risk")
+    assert len(rows) == 25
+    s = load_table(spark, SF_DIR, "supplier")
+    assert sum(r["n_suppliers"] for r in rows) == s.count()
+    for r in rows:
+        assert 0 <= r["n_negative"] <= r["n_suppliers"]
+        assert 0 <= r["at_risk_cents"] <= r["total_cents"]
+        assert 0 <= r["at_risk_bp"] <= 10000

@@ -500,15 +500,17 @@ def q_sessionize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_part_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue histogram by part price band: dimension-derived banding
     (floor(price/10)) carried through a fact join. The band expression
-    is computed on the part side BEFORE the broadcast join, so the
-    fact table never shuffles for the grouping — the aggregate keys on
-    a broadcast-provided column."""
+    is computed on the part side BEFORE the join, so the fact table
+    never shuffles for the grouping. part scales with SF, so the join
+    strategy is AQE-decided — broadcast when the runtime size allows
+    (it does at bench SF), shuffle join at the 100-TB design point
+    (round-9 verdict finding #1)."""
     p = load_table(spark, sf_dir, "part").withColumn(
         "price_band", F.floor(F.col("p_retailprice") / 10.0).cast("long")
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("price_band")
         .agg(
             F.countDistinct("p_partkey").alias("n_parts"),
@@ -900,7 +902,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.countDistinct("o_orderkey")).alias("n_bad"),
             F.count("*").alias("n_rows"),
         ),
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").agg(
+        o.join(c, o.o_custkey == c.c_custkey, "left").agg(
             F.lit("orders_fk_customer").alias("check_name"),
             F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_bad"),
             F.count("*").alias("n_rows"),

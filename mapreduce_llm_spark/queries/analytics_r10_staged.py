@@ -930,7 +930,7 @@ def q_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "brand",
             (
@@ -1023,7 +1023,7 @@ def q_order_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     o = (
         load_table(spark, sf_dir, "orders")
-        .join(F.broadcast(c), "o_custkey")
+        .join(c, "o_custkey")
         .select(
             "segment",
             F.col("o_orderdate").cast("date").alias("d"),
@@ -2597,7 +2597,7 @@ def q_price_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.col("p_brand").alias("brand")
     )
     return (
-        g.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        g.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("brand")
         .agg(
             F.count("*").cast("long").alias("n_part_days"),

@@ -764,7 +764,7 @@ def q_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     m = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .select(
             "p_brand",
             (
@@ -2043,16 +2043,19 @@ def q_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_c = cust.where(F.col("c_custkey") % 97 != 0).select(
         F.col("c_custkey").alias("k")
     )
+    # del_c / del_o are ~1% slices of SF-scaling tables: joins left
+    # AQE-decided (broadcast at bench SF, shuffle at 100 TB) — the
+    # forced-broadcast class the round-9 verdict demoted.
     del_o = orders.join(
-        F.broadcast(del_c), orders["o_custkey"] == del_c["c_custkey"]
+        del_c, orders["o_custkey"] == del_c["c_custkey"]
     ).select("o_orderkey")
     keep_o = orders.join(
-        F.broadcast(del_c),
+        del_c,
         orders["o_custkey"] == del_c["c_custkey"],
         "left_anti",
     ).select(F.col("o_orderkey").alias("k"))
     keep_l = li.join(
-        F.broadcast(del_o),
+        del_o,
         li["l_orderkey"] == del_o["o_orderkey"],
         "left_anti",
     ).select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"))

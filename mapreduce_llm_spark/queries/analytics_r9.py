@@ -1038,7 +1038,7 @@ def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents"),
         )
-        .join(F.broadcast(c), "o_custkey")
+        .join(c, "o_custkey")
     )
     m = o.groupBy("segment").agg(
         F.count("*").alias("n"),
@@ -1332,7 +1332,7 @@ def q_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d_e2"),
             F.floor(F.col("l_quantity") + 0.5).cast("long").alias("q"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("n_name", "d_e2", "q")
     )
@@ -2476,7 +2476,7 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
             F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
     )
     yrs = li.agg(
         F.min("y").alias("y0"), F.max("y").alias("y1")
@@ -2695,7 +2695,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), "l_partkey")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("ok", "brand")
         .distinct()
     )
@@ -3540,7 +3540,7 @@ def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     g = (
         load_table(spark, sf_dir, "orders")
-        .join(F.broadcast(c), "o_custkey")
+        .join(c, "o_custkey")
         .select(
             "segment",
             "o_custkey",
@@ -3827,7 +3827,7 @@ def q_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("brand", "m")
         .agg(F.sum("qty").cast("long").alias("q"))
     )
@@ -3945,7 +3945,7 @@ def q_subscription_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("segment"),
     )
-    cl = m.join(F.broadcast(c), "o_custkey").select(
+    cl = m.join(c, "o_custkey").select(
         "segment",
         "n_gaps",
         "sg",
@@ -4025,7 +4025,7 @@ def q_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.col("p_brand").alias("brand")
     )
     return (
-        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("brand")
         .agg(
             F.count("*").cast("long").alias("n_parts"),
@@ -4089,7 +4089,7 @@ def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = (
         load_table(spark, sf_dir, "orders")
-        .join(F.broadcast(c), "o_custkey")
+        .join(c, "o_custkey")
         .select(
             "segment",
             F.when(

@@ -74,14 +74,20 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-table star join. The dim chain (customer→nation→region) is
-    broadcast-joined onto the fact; only the final agg shuffles."""
+    """4-table star join. nation/region (fixed 25/5 rows) carry an
+    explicit broadcast hint; customer SCALES with SF so its join is
+    left AQE-decided — at bench SF the runtime size is under the
+    broadcast threshold and AQE still picks BroadcastHashJoin, while at
+    the 100-TB design point the same plan degrades gracefully to a
+    shuffle join instead of forcing a multi-GB broadcast build
+    (round-9 verdict finding #1; the kcore sf10 OOM lesson,
+    operators/graph.py:190)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

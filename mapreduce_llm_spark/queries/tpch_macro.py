@@ -264,7 +264,7 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.date_trunc("month", "l_shipdate").alias("month")
         )
@@ -304,7 +304,7 @@ def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimization Q19 exists to test."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#11")

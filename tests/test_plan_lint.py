@@ -128,3 +128,29 @@ def test_plan_lint(spark, name):
     if name not in PYTHON_OK:
         for marker in PY_MARKERS:
             assert marker not in plan, f"{name}: unexpected Python crossing ({marker})"
+
+
+def test_no_broadcast_hint_on_sf_scaling_tables():
+    """Round-9 verdict finding #1: ``F.broadcast`` is not advisory —
+    Spark attempts the build regardless of runtime size, so a hint on a
+    part/customer/supplier projection that is harmless at sf0.1 becomes
+    a forced multi-GB broadcast at the 100-TB design point (the class
+    that OOM'd kcore_peel_trace at sf10, operators/graph.py:190).
+    Policy: hints only on fixed-cardinality legs (nation/region, 1-row
+    aggregates, literal grids); SF-scaling legs are AQE-decided. The
+    AST lint walks every module under mapreduce_llm_spark/ so the class
+    cannot re-enter; bounded-by-semantics exceptions are reviewed into
+    tools/broadcast_lint.ALLOWED_BOUNDED with the row-bound argument."""
+    import os
+
+    from tools.broadcast_lint import lint_tree
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "mapreduce_llm_spark",
+    )
+    violations = lint_tree(root)
+    assert violations == [], (
+        "F.broadcast hint on an SF-scaling table leg (demote to "
+        f"AQE-decided or justify in ALLOWED_BOUNDED): {violations}"
+    )

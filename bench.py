@@ -20,6 +20,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mapreduce_llm_spark import registry
 from mapreduce_llm_spark.session import get_spark
 
+
+def in_flight_round() -> int:
+    """The round currently being built = 1 + the newest
+    CORRECTNESS_r{N}.json committed at git HEAD. Driver correctness
+    records only enter history in the end-of-round commit, so every
+    bench run inside round N sees max(committed N') = N-1, whether or
+    not the round's flip has bumped DRIVER_PRIORITY_ROUND yet and
+    whether or not uncommitted artifacts sit in the worktree. Falls
+    back to a worktree scan (same rule) when git is unavailable."""
+    import re
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "ls-tree", "--name-only", "HEAD", "."],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        ).stdout
+        names = out.splitlines()
+    except Exception:
+        names = []
+    if not names:
+        names = os.listdir(root)
+    rounds = [
+        int(m.group(1))
+        for n in names
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", n.strip()))
+    ]
+    return (max(rounds) + 1) if rounds else registry.DRIVER_PRIORITY_ROUND
+
+
 # PINNED_V1: the round-1 headline suite, FROZEN. Measured FIRST in the
 # session (fresh JVM, fixed warm-up, fixed query count before it), so
 # its round-over-round numbers are invariant to headline growth — the
@@ -322,12 +353,21 @@ def main() -> None:
     # padding that keeps the driver's last-N-chars capture clean also
     # pushes the full per-query map out of the captured tail, so the
     # driver artifact holds only the pinned-30 gate. Writing the
-    # complete map to BENCH_FULL_r{N}.json (committed, N = the window
-    # round) keeps round-over-round per-query history recoverable from
-    # the tree alone; tools/bench_compare.load_bench reads it directly.
+    # complete map to BENCH_FULL_r{N}.json (committed, N = the
+    # IN-FLIGHT round) keeps round-over-round per-query history
+    # recoverable from the tree alone; tools/bench_compare.load_bench
+    # reads it directly. N is derived from git history, NOT from
+    # DRIVER_PRIORITY_ROUND: round 10 ran bench with the window
+    # constant unbumped and silently overwrote the committed
+    # BENCH_FULL_r09.json with round-10 numbers (VERDICT r10 hygiene
+    # finding #2). The in-flight round is 1 + the newest
+    # CORRECTNESS_r{N}.json committed at HEAD — driver correctness
+    # records land in the end-of-round commit, strictly after every
+    # bench run of their round, so the derivation is stable for the
+    # whole round regardless of flip timing or uncommitted files.
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_FULL_r{registry.DRIVER_PRIORITY_ROUND:02d}.json",
+        f"BENCH_FULL_r{in_flight_round():02d}.json",
     )
     with open(full_path, "w") as fh:
         json.dump(full_record, fh, indent=1, sort_keys=True)

@@ -1,17 +1,14 @@
-"""Round-10 STAGED surface — seed tranche.
+"""Round-10 registered surface — 50 oracle-backed analytics queries,
+staged (as queries/analytics_r10_staged.py) and hash-proven through
+the driver-gate harness at sf0.01 AND the sf0.1 sweep env in rounds
+8–9, flipped into live ``@query(oracle=...)`` declarations in round 11
+(the round-10 driver window re-verified the round-9 batch instead —
+VERDICT r10 finding #1 — so the rehearsed flip executes one round
+late, byte-identical to the rehearsal: no collisions, exactly 50
+slots, no FUTURE_ORACLES graduations remaining, backlog closure by
+construction, pinned at the time by tests/test_r10_flip_rehearsal.py).
 
-Same staged-tranche contract the round-9 batch followed before its
-flip (staged in round 8 as analytics_r9_staged.py, registered in
-round 9 as queries/analytics_r9.py), one
-window further out: the round-9 window is fully allocated (50 staged
-pairs, ROUND9_WINDOW), so surface built beyond that point stages HERE
-and flips in round 10. Every entry is a complete (query fn, DuckDB
-oracle) pair hash-proven NOW at sf0.01 and the sf0.1 sweep env by
-tests/test_r10_staged.py through the same harness the driver gate
-uses. NOT imported by registry.load_all — importing this module must
-stay registry-side-effect free (pinned by the staging test).
-
-Seed themes — the measurement seams the first 435 queries leave open:
+Tranche themes — the measurement seams the first 435 queries leave open:
 
 - **Uncertainty on order statistics** (q_percentile_ci): a p90 SLA
   number without a confidence interval invites overfitting to noise;
@@ -29,15 +26,19 @@ Seed themes — the measurement seams the first 435 queries leave open:
   with the curve values inlined as precomputed integer literals so
   no cross-engine pow() is ever trusted.
 
-Determinism discipline: identical to the r9 staging — exact integer
+Determinism discipline: identical to the r9 batch — exact integer
 cents/e4 floors via integer div, round(,4) only on sqrt/ln-class
 outputs, sign-safe division (never integer-div a negative numerator),
 HUGEINT/DECIMAL(38,0) wherever a square can pass int64.
 
-Flip checklist so far (NLJ_OK on registration): q_percentile_ci
-(1-row per-priority rank-bound legs are equi-joined — no NLJ);
-q_minhash_band_tuning carries the broadcast 30-row curve grid;
-q_embed_drift a 1-row-per-label moments leg (equi-join, no NLJ).
+Plan-lint status (pre-flighted at sf0.001 by the staged plan lint,
+tests/test_r10_staged_props.py at the time): no cartesian products,
+no Python crossings; the BroadcastNestedLoopJoin hits are all
+allowlisted broadcast scalar/grid legs carried verbatim into
+tests/test_plan_lint.py::NLJ_OK — q_order_status_flow,
+q_power_user_share, q_markov_attribution, q_lm_generalization_gap,
+q_vocab_coverage_curve, q_last_digit_uniformity, q_leakage_scan,
+q_slow_movers.
 """
 
 from __future__ import annotations
@@ -48,52 +49,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: name -> (query fn, DuckDB oracle SQL); round 10 flips these into
-#: @query(oracle=...) declarations verbatim.
-STAGED_R10: dict[str, tuple[QueryFn, str]] = {}
 
-#: The exact round-10 DRIVER_PRIORITY window, pre-drafted so the flip
-#: is mechanical (the round-8/round-9 playbook): 50 staged queries in
-#: definition (= tranche) order — no FUTURE_ORACLES graduations remain,
-#: so the whole window is new surface. tests/test_r10_flip_rehearsal.py
-#: pins that this list is exactly STAGED_R10 with no gaps, dupes, or
-#: registry collisions, and that the post-flip external-verification
-#: backlog is exactly this window.
-ROUND10_WINDOW: list[str] = [
-    "q_percentile_ci", "q_forecast_backtest", "q_embed_drift",
-    "q_minhash_band_tuning", "q_error_budget_burn", "q_open_orders_curve",
-    "q_order_status_flow", "q_split_leakage", "q_margin_waterfall",
-    "q_order_consolidation", "q_otif", "q_price_band_migration",
-    "q_dup_transitivity", "q_power_user_share", "q_session_conversion",
-    "q_markov_attribution", "q_lm_generalization_gap", "q_vocab_coverage_curve",
-    "q_embed_isotropy", "q_last_digit_uniformity", "q_returner_screen",
-    "q_dup_lines", "q_quarter_linearity", "q_nzv_screen",
-    "q_leakage_scan", "q_user_diversity", "q_price_fairness",
-    "q_supplier_variability", "q_knn_label_purity", "q_user_growth_accounting",
-    "q_gopher_rules", "q_length_filter_yield", "q_vocab_drift",
-    "q_dedup_prefix", "q_trigram_novelty", "q_markov_entropy",
-    "q_seasonality_strength", "q_event_dup_burst", "q_stickiness",
-    "q_partition_advisor", "q_reorder_cadence", "q_price_index",
-    "q_return_by_delay", "q_supplier_price_dispersion", "q_slow_movers",
-    "q_nation_trade_balance", "q_tail_index", "q_lsh_bucket_skew",
-    "q_embed_centroid_sim", "q_embed_quantile_clip",
-]
-
-
-def _staged(name: str, oracle: str):
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_R10:
-            raise ValueError(f"duplicate staged query {name!r}")
-        STAGED_R10[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-@_staged(
+@query(
     "q_percentile_ci",
     oracle="""
     WITH d AS (
@@ -203,7 +164,7 @@ def q_percentile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_forecast_backtest",
     oracle="""
     WITH daily AS (
@@ -283,7 +244,7 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_staged(
+@query(
     "q_embed_drift",
     oracle="""
     WITH q AS (
@@ -418,7 +379,7 @@ def _scurve_values_sql() -> str:
     )
 
 
-@_staged(
+@query(
     "q_minhash_band_tuning",
     oracle=f"""
     WITH ws AS (
@@ -561,7 +522,7 @@ def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_error_budget_burn",
     oracle="""
     WITH daily AS (
@@ -638,7 +599,7 @@ def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_s")
 
 
-@_staged(
+@query(
     "q_open_orders_curve",
     oracle="""
     WITH close_d AS (
@@ -714,7 +675,7 @@ def q_open_orders_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_s")
 
 
-@_staged(
+@query(
     "q_order_status_flow",
     oracle="""
     WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
@@ -770,7 +731,7 @@ def q_order_status_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("age_bucket", "status")
 
 
-@_staged(
+@query(
     "q_split_leakage",
     oracle="""
     WITH d AS (
@@ -881,7 +842,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_margin_waterfall",
     oracle="""
     WITH l AS (
@@ -980,7 +941,7 @@ def q_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_order_consolidation",
     oracle="""
     WITH o AS (
@@ -1057,7 +1018,7 @@ def q_order_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_otif",
     oracle="""
     WITH per_order AS (
@@ -1118,7 +1079,7 @@ def q_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_price_band_migration",
     oracle="""
     WITH yrs AS (
@@ -1205,7 +1166,7 @@ def q_price_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_dup_transitivity",
     oracle="""
     WITH d AS (
@@ -1325,7 +1286,7 @@ def q_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_power_user_share",
     oracle="""
     WITH u AS (
@@ -1408,7 +1369,7 @@ def q_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_session_conversion",
     oracle="""
     WITH e AS (
@@ -1601,7 +1562,7 @@ def _mattr_sql(steps: int = 8) -> str:
     )
 
 
-@_staged("q_markov_attribution", oracle=_mattr_sql())
+@query("q_markov_attribution", oracle=_mattr_sql())
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution — the data-driven
     alternative to positional credit (q_attribution_position): a
@@ -1715,7 +1676,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_lm_generalization_gap",
     oracle="""
     WITH ws AS (
@@ -1819,7 +1780,7 @@ def q_lm_generalization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_vocab_coverage_curve",
     oracle="""
     WITH toks AS (
@@ -1895,7 +1856,7 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_embed_isotropy",
     oracle="""
     WITH q AS (
@@ -1973,7 +1934,7 @@ def _r9_qdims_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_last_digit_uniformity",
     oracle="""
     WITH d AS (
@@ -2037,7 +1998,7 @@ def q_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_returner_screen",
     oracle="""
     WITH per_cust AS (
@@ -2116,7 +2077,7 @@ def q_returner_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_dup_lines",
     oracle="""
     WITH g AS (
@@ -2164,7 +2125,7 @@ def q_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_partkey")
 
 
-@_staged(
+@query(
     "q_quarter_linearity",
     oracle="""
     WITH m AS (
@@ -2262,7 +2223,7 @@ def _r10_words(col):
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_nzv_screen",
     oracle="""
     WITH vals AS (
@@ -2331,7 +2292,7 @@ def q_nzv_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
-@_staged(
+@query(
     "q_leakage_scan",
     oracle="""
     WITH horizon AS (
@@ -2470,7 +2431,7 @@ def q_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("feature")
 
 
-@_staged(
+@query(
     "q_user_diversity",
     oracle="""
     WITH c AS (
@@ -2543,7 +2504,7 @@ def q_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_price_fairness",
     oracle="""
     WITH g AS (
@@ -2614,7 +2575,7 @@ def q_price_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_supplier_variability",
     oracle="""
     WITH d AS (
@@ -2685,7 +2646,7 @@ def q_supplier_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_knn_label_purity",
     oracle="""
     WITH q AS (
@@ -2785,7 +2746,7 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_user_growth_accounting",
     oracle="""
     WITH aw AS (
@@ -2919,7 +2880,7 @@ def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_gopher_rules",
     oracle="""
     WITH wc AS (
@@ -3046,7 +3007,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_length_filter_yield",
     oracle="""
     SELECT lang,
@@ -3099,7 +3060,7 @@ def q_length_filter_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_vocab_drift",
     oracle="""
     WITH wc AS (
@@ -3212,7 +3173,7 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_dedup_prefix",
     oracle="""
     WITH p AS (
@@ -3278,7 +3239,7 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_trigram_novelty",
     oracle="""
     WITH ws AS (
@@ -3353,7 +3314,7 @@ def q_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_markov_entropy",
     oracle="""
     WITH e AS (
@@ -3434,7 +3395,7 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("state")
 
 
-@_staged(
+@query(
     "q_seasonality_strength",
     oracle="""
     WITH h AS (
@@ -3521,7 +3482,7 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_event_dup_burst",
     oracle="""
     WITH e AS (
@@ -3585,7 +3546,7 @@ def q_event_dup_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_stickiness",
     oracle="""
     WITH d AS (
@@ -3654,7 +3615,7 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_partition_advisor",
     oracle="""
     SELECT source,
@@ -3712,7 +3673,7 @@ def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_reorder_cadence",
     oracle="""
     WITH o AS (
@@ -3808,7 +3769,7 @@ def q_reorder_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_price_index",
     oracle="""
     WITH lm AS (
@@ -3896,7 +3857,7 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_return_by_delay",
     oracle="""
     WITH d AS (
@@ -3953,7 +3914,7 @@ def q_return_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_supplier_price_dispersion",
     oracle="""
     WITH u AS (
@@ -4024,7 +3985,7 @@ def q_supplier_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_slow_movers",
     oracle="""
     WITH pv AS (
@@ -4088,7 +4049,7 @@ def q_slow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_nation_trade_balance",
     oracle="""
     WITH sup AS (
@@ -4170,7 +4131,7 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_name")
 
 
-@_staged(
+@query(
     "q_tail_index",
     oracle="""
     WITH o AS (
@@ -4256,7 +4217,7 @@ def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_lsh_bucket_skew",
     oracle="""
     WITH v AS (
@@ -4343,7 +4304,7 @@ def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_embed_centroid_sim",
     oracle="""
     WITH sd AS (
@@ -4453,7 +4414,7 @@ def q_embed_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label_a", "label_b")
 
 
-@_staged(
+@query(
     "q_embed_quantile_clip",
     oracle="""
     WITH f AS (

@@ -2,9 +2,10 @@
 
 Same staged-tranche contract the round-9 and round-10 batches followed
 before their flips (analytics_r9_staged → queries/analytics_r9.py in
-round 9; analytics_r10_staged flips in round 10): the round-10 window
-is fully allocated (50 staged pairs, ROUND10_WINDOW), so surface built
-beyond that point stages HERE and flips in round 11. Every entry is a
+round 9; analytics_r10_staged → queries/analytics_r10.py in round 11):
+the round-10 window is fully allocated (50 registered pairs), so
+surface built beyond that point stages HERE and flips next. Every
+entry is a
 complete (query fn, DuckDB oracle) pair hash-proven NOW at sf0.01 and
 the sf0.1 sweep env by tests/test_r11_staged.py through the same
 harness the driver gate uses. NOT imported by registry.load_all —

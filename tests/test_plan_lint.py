@@ -111,6 +111,17 @@ NLJ_OK = {
     "q_text_burstiness",  # broadcast 1-row corpus-doc-count leg
     "q_watermark_yield",  # broadcast 5-row delay grid
     "q_woe_iv",  # broadcast 1-row good/bad totals leg
+    # round-10 flip batch (pre-flighted in the staged plan lint,
+    # tests/test_r10_staged_props.py::STAGED_NLJ_OK at the time; every
+    # entry is a broadcast scalar/grid leg, never a data×data NLJ)
+    "q_order_status_flow",  # broadcast 1-row horizon leg
+    "q_power_user_share",  # broadcast 1-row totals leg × 3-row pct grid
+    "q_markov_attribution",  # crosses of 1-row overall-conversion legs
+    "q_lm_generalization_gap",  # broadcast 1-row train-vocab leg
+    "q_vocab_coverage_curve",  # broadcast 1-row totals leg × 3-row k grid
+    "q_last_digit_uniformity",  # broadcast 1-row chi-square totals leg
+    "q_leakage_scan",  # broadcast 1-row horizon-cutoff leg
+    "q_slow_movers",  # broadcast 1-row corpus-horizon (max shipdate) leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -1,58 +1,25 @@
-"""Semantic laws for the round-10 seed tranche — properties the hash
-gate can't express, plus the plan lint the round-10 flip will inherit.
+"""Semantic invariants for the round-10 query batch (registered in
+queries/analytics_r10.py since the round-10 flip executed in round 11)
+— algebraic laws of the claimed algorithms that the DuckDB hash gate
+cannot express (it proves Spark ≡ oracle, not that both implement the
+CLAIMED semantics). Evaluated on real testdata at SF_DIR. The staged
+plan lint this file carried pre-flip is now the blanket sweep in
+tests/test_plan_lint.py (NLJ allowlist carried verbatim).
 """
 
 from __future__ import annotations
 
-import pytest
-
 from pyspark.sql import functions as F
 
+from mapreduce_llm_spark import registry
 from mapreduce_llm_spark.io import load_table
-from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
-from tests.conftest import SF_DIR, SMOKE_SF_DIR
+from tests.conftest import SF_DIR
 
-# Broadcast grid/scalar legs by design — copy into NLJ_OK on the
-# round-10 flip.
-STAGED_NLJ_OK: set[str] = {
-    "q_order_status_flow",  # broadcast 1-row horizon leg
-    "q_power_user_share",  # broadcast 1-row totals leg × 3-row pct grid
-    "q_markov_attribution",  # crosses of 1-row overall-conversion legs
-    "q_lm_generalization_gap",  # broadcast 1-row train-vocab leg
-    "q_vocab_coverage_curve",  # broadcast 1-row totals leg × 3-row k grid
-    "q_last_digit_uniformity",  # broadcast 1-row chi-square totals leg
-    "q_leakage_scan",  # broadcast 1-row horizon-cutoff leg
-    "q_slow_movers",  # broadcast 1-row corpus-horizon (max shipdate) leg
-}
-
-PY_MARKERS = (
-    "BatchEvalPython",
-    "ArrowEvalPython",
-    "MapInPandas",
-    "FlatMapGroupsInPandas",
-)
+registry.load_all()
 
 
 def _run(spark, name):
-    fn, _sql = STAGED_R10[name]
-    return [r.asDict() for r in fn(spark, SF_DIR).collect()]
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R10))
-def test_staged_plan_lint(spark, name):
-    fn, _sql = STAGED_R10[name]
-    df = fn(spark, SMOKE_SF_DIR)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    plan = df._jdf.queryExecution().explainString(jmode)
-    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    if name not in STAGED_NLJ_OK:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{name}: nested-loop join — add to STAGED_NLJ_OK with reason"
-        )
-    for marker in PY_MARKERS:
-        assert marker not in plan, f"{name}: Python crossing ({marker})"
+    return [r.asDict() for r in registry.QUERIES[name](spark, SF_DIR).collect()]
 
 
 def test_percentile_ci_brackets_the_point_estimate(spark):

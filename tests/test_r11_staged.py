@@ -1,12 +1,12 @@
 """Round-11 staged-surface invariants (queries/analytics_r11_staged.py).
 
-Same contract as tests/test_r10_staged.py, one window further out: the
-round-10 window is fully allocated by the 50-pair r10 staging, so
-surface built beyond that point stages in the r11 module and is proven
-NOW with the driver-gate harness at sf0.01 (and the sf0.1 sweep env),
-carrying zero flip risk into round 11. Also pins that the module is
-registry-side-effect free and collision-free against BOTH the live
-registry and the round-10 staging.
+Same contract as the (retired) round-10 staging test, one window
+further out: the round-10 window is fully allocated by the r10 flip,
+so surface built beyond that point stages in the r11 module and is
+proven NOW with the driver-gate harness at sf0.01 (and the sf0.1
+sweep env), carrying zero flip risk into round 12. Also pins that the
+module is registry-side-effect free and collision-free against the
+live registry (which includes the flipped round-10 batch).
 """
 
 from __future__ import annotations
@@ -14,7 +14,6 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
 from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
 from tests.conftest import SF_DIR
 from tests.oracle_harness import compare, duckdb_conn
@@ -40,9 +39,6 @@ def test_staged_module_has_no_registry_side_effects():
 def test_staged_names_are_new():
     for name in STAGED_R11:
         assert name.startswith("q_")
-        assert name not in STAGED_R10, (
-            f"{name} collides with the round-10 staging"
-        )
 
 
 @pytest.mark.parametrize("name", sorted(STAGED_R11))

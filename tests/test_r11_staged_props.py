@@ -62,10 +62,10 @@ def test_staged_nlj_allowlist_is_not_stale():
 def test_filter_length_bias_agrees_with_the_rule_matrix(spark):
     """Cross-query law: n_pass per source must equal q_gopher_rules'
     pass_all (the audit examines exactly that filter)."""
-    from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
+    from mapreduce_llm_spark import registry
 
     rows = {r["source"]: r for r in _run(spark, "q_filter_length_bias")}
-    gopher = STAGED_R10["q_gopher_rules"][0](spark, SF_DIR).collect()
+    gopher = registry.QUERIES["q_gopher_rules"](spark, SF_DIR).collect()
     for g in gopher:
         r = rows[g["source"]]
         assert r["n_pass"] == g["pass_all"]

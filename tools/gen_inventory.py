@@ -304,18 +304,6 @@ def main() -> None:
             "by tests/test_future_oracles.py: "
             + ", ".join(f"`{n}`" for n in sorted(FUTURE_ORACLES)),
         ]
-    from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
-
-    lines += [
-        "",
-        "## Staged for the round-10 window (derived)",
-        "",
-        f"{len(STAGED_R10)} complete (query, oracle) pairs in "
-        "queries/analytics_r10_staged.py — hash-proven by "
-        "tests/test_r10_staged.py; surface built after the round-9 "
-        "window filled stages one window further out: "
-        + ", ".join(f"`{n}`" for n in sorted(STAGED_R10)),
-    ]
     from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
 
     lines += [

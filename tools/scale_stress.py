@@ -165,11 +165,8 @@ def main() -> None:
         if name in registry.QUERIES:
             return registry.QUERIES[name]
         # staged-but-unregistered surface is stressed BEFORE its flip
-        from mapreduce_llm_spark.queries.analytics_r10_staged import STAGED_R10
         from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
 
-        if name in STAGED_R10:
-            return STAGED_R10[name][0]
         return STAGED_R11[name][0]
 
     def bench(name: str, sf_dir: str) -> float:

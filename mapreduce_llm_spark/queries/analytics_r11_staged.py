@@ -2480,3 +2480,422 @@ def q_supplier_balance_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eighth r11 batch (authored in round 11): event-stream science — traffic
+# burstiness (Fano factor at the user-day grain), early-engagement
+# predictiveness, value-mass tail concentration, transition lift vs
+# independence, and the dow×hour traffic calendar. Flip checklist
+# additions (NLJ_OK): none — every cross-row total here is a
+# post-aggregation window over a bounded matrix (≤168 rows), never a
+# broadcast scalar leg.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_fano_factor",
+    oracle="""
+    WITH u AS (
+        SELECT event_type, user_id,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, user_id, day_idx
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_units,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(n) * 10000 // count(*) AS BIGINT) AS mean_per_unit_e4,
+           CAST(floor((CAST(count(*) * sum(n * n) - sum(n) * sum(n)
+                            AS DOUBLE) * 10000.0)
+                      / (CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE)))
+                AS BIGINT) AS fano_e4
+    FROM u
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor (variance /
+    mean) of per-(user, day) event counts over OBSERVED user-days —
+    the dispersion test behind rate-limiter and capacity sizing
+    (Poisson arrivals give ≈1.0; machine retries and scrapers push it
+    far above). The corpus twin is q_text_burstiness (per-term Fano
+    over documents); this is the operational-telemetry reading of the
+    same statistic. Exact arithmetic: biased variance over mean as ONE
+    double divide of int64 sums — floor((N·Σn² − (Σn)²)·10⁴ /
+    (N·Σn)) — the q_bot_score pattern, nonneg by the variance
+    identity. Scale: one keyed aggregation, one reaggregation; the
+    user-day pre-aggregate is the same shuffle key the sessionizer
+    uses, and nothing ever leaves its group."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day_idx"),
+        )
+        .groupBy("event_type", "user_id", "day_idx")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(sum(n) * 10000 div count(*) AS BIGINT)"
+            ).alias("mean_per_unit_e4"),
+            F.expr(
+                "CAST(floor((CAST(count(*) * sum(n * n) - sum(n) * sum(n)"
+                " AS DOUBLE) * 10000.0)"
+                " / (CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("fano_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_early_signal",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS tus,
+               min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0us
+        FROM events
+    ),
+    xy AS (
+        SELECT user_id,
+               min(t0us) // 604800000000 AS cohort_wk,
+               CAST(sum(CASE WHEN tus - t0us < 604800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN tus - t0us >= 604800000000
+                              AND tus - t0us < CAST(2419200 AS BIGINT)
+                                               * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM t
+        GROUP BY user_id
+    )
+    SELECT cohort_wk,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) * 100 // count(*) AS BIGINT) AS mean_x_e2,
+           CAST(sum(y) * 100 // count(*) AS BIGINT) AS mean_y_e2,
+           round((CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE))
+                 / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                             AS DOUBLE)
+                        * CAST(count(*) * sum(y * y) - sum(y) * sum(y)
+                               AS DOUBLE)), 4) AS corr_xy
+    FROM xy
+    GROUP BY cohort_wk
+    HAVING count(*) >= 5
+       AND count(*) * sum(x * x) - sum(x) * sum(x) > 0
+       AND count(*) * sum(y * y) - sum(y) * sum(y) > 0
+    ORDER BY cohort_wk
+    """,
+)
+def q_early_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-engagement predictiveness: per signup cohort (week of a
+    user's first event), the Pearson correlation between week-1
+    activity (x = events in the user's first 7 days) and follow-on
+    activity (y = events in days 8–28). The one number that says
+    whether week-1 counts are a usable label for retention models —
+    the cross-user TWIN of q_cohort_quality's level curve (quality
+    reports HOW MUCH cohorts do; this reports whether the early slice
+    PREDICTS the rest). Pearson assembled from exact int64 power sums
+    with the guard in HAVING (zero-variance cohorts emit no row, so
+    neither engine's corr() NaN/NULL edge semantics are ever
+    consulted); round(,4) on the sqrt-class output. Late cohorts'
+    y-window is truncated by the stream's end — a property of the
+    data, identical on both sides. Scale: keyed window + two
+    aggregations, cohort count bounded by the calendar."""
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    t = t.withColumn(
+        "t0us", F.min("tus").over(Window.partitionBy("user_id"))
+    )
+    xy = t.groupBy("user_id").agg(
+        F.expr("min(t0us) div 604800000000").alias("cohort_wk"),
+        F.sum(
+            F.when(F.col("tus") - F.col("t0us") < 604800000000, 1)
+            .otherwise(0)
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                (F.col("tus") - F.col("t0us") >= 604800000000)
+                & (F.col("tus") - F.col("t0us") < F.lit(2419200000000)),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("y"),
+    )
+    g = xy.groupBy("cohort_wk").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("CAST(sum(x) * 100 div count(*) AS BIGINT)").alias(
+            "mean_x_e2"
+        ),
+        F.expr("CAST(sum(y) * 100 div count(*) AS BIGINT)").alias(
+            "mean_y_e2"
+        ),
+        F.expr(
+            "round((CAST(count(*) * sum(x * y) - sum(x) * sum(y)"
+            " AS DOUBLE))"
+            " / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)"
+            " AS DOUBLE)"
+            " * CAST(count(*) * sum(y * y) - sum(y) * sum(y)"
+            " AS DOUBLE)), 4)"
+        ).alias("corr_xy"),
+        F.expr(
+            "count(*) * sum(x * x) - sum(x) * sum(x)"
+        ).alias("_vx"),
+        F.expr(
+            "count(*) * sum(y * y) - sum(y) * sum(y)"
+        ).alias("_vy"),
+    )
+    return (
+        g.where(
+            (F.col("n_users") >= 5) & (F.col("_vx") > 0) & (F.col("_vy") > 0)
+        )
+        .drop("_vx", "_vy")
+        .orderBy("cohort_wk")
+    )
+
+
+@_staged(
+    "q_value_tail_share",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents DESC, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(greatest(1, max(n) // 100) AS BIGINT) AS k_top,
+           CAST(sum(CASE WHEN rn <= greatest(1, n // 100)
+                         THEN cents ELSE 0 END) AS BIGINT) AS tail_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(floor((CAST(sum(CASE WHEN rn <= greatest(1, n // 100)
+                                     THEN cents ELSE 0 END) AS DOUBLE)
+                       * 10000.0)
+                      / CAST(sum(cents) AS DOUBLE)) AS BIGINT)
+               AS tail_share_bp
+    FROM r
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_value_tail_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-mass tail concentration per event type: the share of
+    total `value` carried by the top 1% of events (k = max(1, N/100)
+    by value, event_id tie-break). The companion readout to
+    q_tail_index (Hill says HOW heavy the tail law is; this says what
+    fraction of the business the tail IS — the number that decides
+    whether p99 outlier handling is a rounding error or the whole
+    pipeline). q_power_user_share is the USER-level analogue; this is
+    per-EVENT value mass. Money as exact integer cents
+    (floor(v·100+0.5)); the share is one double divide + floor.
+    Scale: keyed window (rank within event_type) + one aggregation —
+    no global sort, no top-k collect."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), F.col("event_id")
+    )
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    tail = F.when(
+        F.col("rn") <= F.greatest(F.lit(1), F.expr("n div 100")),
+        F.col("cents"),
+    ).otherwise(0)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(greatest(1, max(n) div 100) AS BIGINT)"
+            ).alias("k_top"),
+            F.sum(tail).cast("long").alias("tail_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .withColumn(
+            "tail_share_bp",
+            F.expr(
+                "CAST(floor((CAST(tail_cents AS DOUBLE) * 10000.0)"
+                " / CAST(total_cents AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _transition_lift_sql() -> str:
+    return """
+    WITH s AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id) AS src,
+               event_type AS dst
+        FROM s
+    ),
+    m AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trans
+        FROM p WHERE src IS NOT NULL
+        GROUP BY src, dst
+    ),
+    w AS (
+        SELECT src, dst, n_trans,
+               sum(n_trans) OVER (PARTITION BY src) AS rs,
+               sum(n_trans) OVER (PARTITION BY dst) AS cs,
+               sum(n_trans) OVER () AS t
+        FROM m
+    )
+    SELECT src, dst, n_trans,
+           CAST(floor(((CAST(n_trans AS DOUBLE) * CAST(t AS DOUBLE))
+                       * 10000.0)
+                      / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE)))
+                AS BIGINT) AS lift_e4
+    FROM w
+    ORDER BY src, dst
+    """
+
+
+@_staged("q_transition_lift", oracle=_transition_lift_sql())
+def q_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition lift vs independence: for each consecutive
+    (src → dst) event-type pair within a user's stream, observed count
+    over the count independence would predict from the matrix's own
+    margins — lift = c·T / (rowsum·colsum), in e4. Above 10000 means
+    dst genuinely follows src (a funnel edge); below means repulsion.
+    q_markov_entropy scores how PREDICTABLE each row is; this scores
+    WHICH cells carry the structure — the edge-selection input for
+    funnel mining. All margins are post-aggregation windows over the
+    ≤|types|² matrix (25 rows here), so the heavy lag pass is the only
+    data-scale stage; one double expression, identically parenthesized
+    in both engines, floors the e4. Scale: keyed lag + keyed count;
+    the window stage touches a constant-size aggregate."""
+    s = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+    )
+    wlag = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    p = s.select(
+        F.lag("event_type").over(wlag).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull())
+    m = p.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    w = (
+        m.withColumn(
+            "rs", F.sum("n_trans").over(Window.partitionBy("src"))
+        )
+        .withColumn("cs", F.sum("n_trans").over(Window.partitionBy("dst")))
+        .withColumn(
+            "t",
+            F.sum("n_trans").over(
+                Window.partitionBy(F.lit(1))
+            ),
+        )
+    )
+    return w.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.expr(
+            "CAST(floor(((CAST(n_trans AS DOUBLE) * CAST(t AS DOUBLE))"
+            " * 10000.0)"
+            " / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE))) AS BIGINT)"
+        ).alias("lift_e4"),
+    ).orderBy("src", "dst")
+
+
+@_staged(
+    "q_traffic_calendar",
+    oracle="""
+    WITH e AS (
+        SELECT isodow(CAST(ts AS DATE)) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hr
+        FROM events
+    ),
+    m AS (
+        SELECT dow, hr, CAST(count(*) AS BIGINT) AS n_events
+        FROM e GROUP BY dow, hr
+    ),
+    w AS (
+        SELECT dow, hr, n_events,
+               sum(n_events) OVER (PARTITION BY dow) AS rs,
+               sum(n_events) OVER (PARTITION BY hr) AS cs,
+               sum(n_events) OVER () AS t
+        FROM m
+    )
+    SELECT dow, hr, n_events,
+           CAST((rs * cs * 100) // t AS BIGINT) AS exp_e2,
+           CAST(n_events * 100 - (rs * cs * 100) // t AS BIGINT)
+               AS resid_e2
+    FROM w
+    ORDER BY dow, hr
+    """,
+)
+def q_traffic_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day traffic calendar with independence
+    residuals: observed events per (dow, hour) cell against the count
+    the two marginal profiles alone would predict (rowsum·colsum/T).
+    q_seasonality_strength reads the hour margin and q_weekend_effect
+    the day margin; the INTERACTION residual is where the anomalies
+    live (a 3 a.m. Sunday spike is invisible to both margins). Exact
+    integers: expected count in e2 via integer division — rs·cs·100
+    peaks at ~(N/7)·(N/24)·100 ≈ N²·0.6, safely inside int64 through
+    sf10 (6e8² · 0.6 ≈ 2e17) — and the residual is a subtraction, no
+    second division. Margins are post-aggregation windows over the
+    ≤168-row matrix. Scale: one keyed aggregation; the window stage
+    is constant-size."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.weekday(F.col("ts").cast("timestamp").cast("date")) + 1).alias(
+            "dow"
+        ),
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+    )
+    m = e.groupBy("dow", "hr").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = (
+        m.withColumn("rs", F.sum("n_events").over(Window.partitionBy("dow")))
+        .withColumn("cs", F.sum("n_events").over(Window.partitionBy("hr")))
+        .withColumn(
+            "t", F.sum("n_events").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    return w.select(
+        "dow",
+        "hr",
+        "n_events",
+        F.expr("CAST((rs * cs * 100) div t AS BIGINT)").alias("exp_e2"),
+        F.expr(
+            "CAST(n_events * 100 - (rs * cs * 100) div t AS BIGINT)"
+        ).alias("resid_e2"),
+    ).orderBy("dow", "hr")

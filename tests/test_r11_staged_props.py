@@ -476,3 +476,72 @@ def test_supplier_balance_risk_nests(spark):
         assert 0 <= r["n_negative"] <= r["n_suppliers"]
         assert 0 <= r["at_risk_cents"] <= r["total_cents"]
         assert 0 <= r["at_risk_bp"] <= 10000
+
+
+# ---------------------------------------------------------------------------
+# Laws for the eighth batch (event-stream science, authored in round 11).
+# ---------------------------------------------------------------------------
+
+
+def test_fano_factor_accounts_and_is_nonnegative(spark):
+    rows = _run(spark, "q_fano_factor")
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 1 <= r["n_units"] <= r["n_events"]
+        # every observed unit holds >= 1 event
+        assert r["mean_per_unit_e4"] >= 10000
+        # variance identity keeps the Fano factor nonnegative
+        assert r["fano_e4"] >= 0
+
+
+def test_early_signal_bounds(spark):
+    rows = _run(spark, "q_early_signal")
+    assert rows
+    for r in rows:
+        assert r["n_users"] >= 5
+        # the first event IS inside the week-1 window, so x >= 1
+        assert r["mean_x_e2"] >= 100
+        assert r["mean_y_e2"] >= 0
+        assert -1.0001 <= r["corr_xy"] <= 1.0001
+
+
+def test_value_tail_share_dominates_uniform(spark):
+    rows = _run(spark, "q_value_tail_share")
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 1 <= r["k_top"] <= r["n_events"]
+        assert 0 <= r["tail_cents"] <= r["total_cents"]
+        # the top k BY VALUE can never carry less than a uniform slice
+        assert r["tail_share_bp"] >= r["k_top"] * 10000 // r["n_events"]
+        assert r["tail_share_bp"] <= 10000
+
+
+def test_transition_lift_margins(spark):
+    rows = _run(spark, "q_transition_lift")
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user contributes (events - 1) consecutive pairs
+    assert sum(r["n_trans"] for r in rows) == n_events - n_users
+    assert all(r["lift_e4"] >= 0 for r in rows)
+    # the count-weighted mean lift is 1 by construction (up to floors):
+    # sum over cells of n * (n T / rs cs) / T = sum_cells n^2 T/(rs cs T)
+    total = sum(r["n_trans"] for r in rows)
+    wmean = sum(r["n_trans"] * r["lift_e4"] for r in rows) / total
+    assert 9000 <= wmean <= 11000
+
+
+def test_traffic_calendar_residuals_account(spark):
+    rows = _run(spark, "q_traffic_calendar")
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 1 <= r["dow"] <= 7
+        assert 0 <= r["hr"] <= 23
+        assert r["resid_e2"] == r["n_events"] * 100 - r["exp_e2"]
+    # independence expectations can only undershoot via per-cell floors
+    # (every (dow, hr) cell is populated at this SF)
+    total_resid = sum(r["resid_e2"] for r in rows)
+    assert 0 <= total_resid <= len(rows)

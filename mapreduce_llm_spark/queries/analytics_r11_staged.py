@@ -2899,3 +2899,478 @@ def q_traffic_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_events * 100 - (rs * cs * 100) div t AS BIGINT)"
         ).alias("resid_e2"),
     ).orderBy("dow", "hr")
+
+
+# ---------------------------------------------------------------------------
+# Ninth r11 batch (authored in round 11): fulfilment/pricing time
+# series — monthly ship-latency trend with an OLS slope, unit-price
+# jump detection, return-rate seasonality, order-value quantile drift,
+# and the discount yield curve. Flip checklist additions (NLJ_OK):
+# none — every cross-group total is a post-aggregation window over a
+# calendar-bounded aggregate (≤ ~84 rows).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_latency_trend",
+    oracle="""
+    WITH d AS (
+        SELECT (year(o.o_orderdate) - 1995) * 12
+               + month(o.o_orderdate) - 1 AS m,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay_days,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+        SELECT m, delay_days,
+               row_number() OVER (PARTITION BY m
+                                  ORDER BY delay_days, l_orderkey,
+                                           l_linenumber) AS rk,
+               count(*) OVER (PARTITION BY m) AS n
+        FROM d
+    ),
+    mo AS (
+        SELECT m,
+               CAST(max(n) AS BIGINT) AS n_lines,
+               CAST(floor(CAST(sum(delay_days) AS DOUBLE) * 100.0
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                   AS mean_delay_e2,
+               CAST(max(CASE WHEN rk = (n * 90 + 99) // 100
+                             THEN delay_days END) AS BIGINT) AS p90_days
+        FROM r
+        GROUP BY m
+    ),
+    s AS (
+        SELECT m, n_lines, mean_delay_e2, p90_days,
+               count(*) OVER () AS k,
+               sum(m) OVER () AS sx,
+               sum(mean_delay_e2) OVER () AS sy,
+               sum(m * mean_delay_e2) OVER () AS sxy,
+               sum(m * m) OVER () AS sxx
+        FROM mo
+    )
+    SELECT m, n_lines, mean_delay_e2, p90_days,
+           CAST(floor((CAST(k * sxy - sx * sy AS DOUBLE) * 10000.0)
+                      / CAST(k * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+               AS slope_e4
+    FROM s
+    ORDER BY m
+    """,
+)
+def q_latency_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly fulfilment-latency trend: per order-month, the exact
+    mean (e2) and rank-based p90 of order→ship delay days, plus ONE
+    corpus-level OLS slope of mean delay on month index (e4 days per
+    month, repeated on every row — the q_last_digit_uniformity
+    single-statistic idiom). The slope is the number an ops review
+    actually argues about: is fulfilment drifting slower? q_otif
+    scores a month against a PROMISE; this measures the trend with no
+    promise needed. Slope numerator may legitimately be negative —
+    emitted via DOUBLE floor (identical in both engines), never
+    integer division (the CLAUDE.md sign rule). Regression sums are
+    post-aggregation windows over the ≤84-month aggregate. Scale: one
+    keyed window + two aggregations; the regression stage is
+    constant-size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("m"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("delay_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("m").orderBy(
+        "delay_days", "l_orderkey", "l_linenumber"
+    )
+    r = d.select(
+        "m",
+        "delay_days",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy("m")).alias("n"),
+    )
+    mo = r.groupBy("m").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST(floor(CAST(sum(delay_days) AS DOUBLE) * 100.0"
+            " / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+        ).alias("mean_delay_e2"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = (n * 90 + 99) div 100"
+            " THEN delay_days END) AS BIGINT)"
+        ).alias("p90_days"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    s = (
+        mo.withColumn("k", F.count("*").over(wall))
+        .withColumn("sx", F.sum("m").over(wall))
+        .withColumn("sy", F.sum("mean_delay_e2").over(wall))
+        .withColumn(
+            "sxy", F.sum(F.col("m") * F.col("mean_delay_e2")).over(wall)
+        )
+        .withColumn("sxx", F.sum(F.col("m") * F.col("m")).over(wall))
+    )
+    return s.select(
+        "m",
+        "n_lines",
+        "mean_delay_e2",
+        "p90_days",
+        F.expr(
+            "CAST(floor((CAST(k * sxy - sx * sy AS DOUBLE) * 10000.0)"
+            " / CAST(k * sxx - sx * sx AS DOUBLE)) AS BIGINT)"
+        ).alias("slope_e4"),
+    ).orderBy("m")
+
+
+@_staged(
+    "q_price_jumps",
+    oracle="""
+    WITH pm AS (
+        SELECT p.p_brand AS brand,
+               (year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1
+                   AS m,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY brand, m
+    ),
+    u AS (
+        SELECT brand, m, cents // qty AS unit_e2,
+               lag(cents // qty) OVER (PARTITION BY brand ORDER BY m)
+                   AS prev_e2
+        FROM pm
+    ),
+    j AS (
+        SELECT brand,
+               CASE WHEN prev_e2 IS NULL THEN NULL
+                    ELSE abs(unit_e2 - prev_e2) * 10000 // prev_e2
+               END AS jump_bp
+        FROM u
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(CASE WHEN jump_bp > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_jumps,
+           CAST(coalesce(max(jump_bp), 0) AS BIGINT) AS max_jump_bp
+    FROM j
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_price_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price jump detector per brand: month-over-month moves of
+    the quantity-weighted mean unit price (total cents // total qty,
+    exact), counting months whose |move| exceeds 10% and the worst
+    move in basis points. The changepoint screen behind pricing-error
+    and vendor-repricing alerts — q_price_index tracks the LEVEL
+    against a base month; this flags the DISCONTINUITIES. The lag runs
+    over observed months only (documented; a silent month yields one
+    longer comparison, not a null gap). abs() before the integer
+    division keeps the numerator nonneg (the CLAUDE.md sign rule).
+    Scale: keyed aggregation to (brand, month) — ≤ 25×84 rows — then
+    constant-size windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                (F.year("l_shipdate") - 1995) * 12
+                + F.month("l_shipdate")
+                - 1
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                )
+            ).cast("long").alias("cents"),
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    u = pm.select(
+        "brand",
+        "m",
+        F.expr("cents div qty").alias("unit_e2"),
+    ).withColumn(
+        "prev_e2",
+        F.lag("unit_e2").over(Window.partitionBy("brand").orderBy("m")),
+    )
+    j = u.select(
+        "brand",
+        F.expr(
+            "CASE WHEN prev_e2 IS NULL THEN NULL"
+            " ELSE abs(unit_e2 - prev_e2) * 10000 div prev_e2 END"
+        ).alias("jump_bp"),
+    )
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_months"),
+            F.sum(F.when(F.col("jump_bp") > 1000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_jumps"),
+            F.coalesce(F.max("jump_bp"), F.lit(0))
+            .cast("long")
+            .alias("max_jump_bp"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_return_seasonality",
+    oracle="""
+    WITH m AS (
+        SELECT month(l_shipdate) AS mon,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned
+        FROM lineitem
+        GROUP BY mon
+    ),
+    w AS (
+        SELECT mon, n_lines, n_returned,
+               sum(n_lines) OVER () AS t_lines,
+               sum(n_returned) OVER () AS t_ret
+        FROM m
+    )
+    SELECT mon, n_lines, n_returned,
+           CAST(n_returned * 10000 // n_lines AS BIGINT) AS return_bp,
+           CAST(floor(((CAST(n_returned AS DOUBLE)
+                        * CAST(t_lines AS DOUBLE)) * 10000.0)
+                      / (CAST(n_lines AS DOUBLE)
+                         * CAST(t_ret AS DOUBLE))) AS BIGINT) AS lift_e4
+    FROM w
+    ORDER BY mon
+    """,
+)
+def q_return_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate seasonality by calendar month (1–12, pooled across
+    years): the month's return share in basis points and its lift over
+    the corpus-wide rate (e4). The planning input for reverse-
+    logistics capacity — q_return_by_delay explains returns by
+    FULFILMENT BEHAVIOR; this isolates the CALENDAR component.
+    Corpus totals are a post-aggregation window over 12 rows; the lift
+    is one identically-parenthesized double expression floored to e4.
+    Scale: one keyed aggregation; constant-size window stage."""
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.month("l_shipdate").alias("mon"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+    )
+    wall = Window.partitionBy(F.lit(1))
+    w = m.withColumn("t_lines", F.sum("n_lines").over(wall)).withColumn(
+        "t_ret", F.sum("n_returned").over(wall)
+    )
+    return w.select(
+        "mon",
+        "n_lines",
+        "n_returned",
+        F.expr("CAST(n_returned * 10000 div n_lines AS BIGINT)").alias(
+            "return_bp"
+        ),
+        F.expr(
+            "CAST(floor(((CAST(n_returned AS DOUBLE)"
+            " * CAST(t_lines AS DOUBLE)) * 10000.0)"
+            " / (CAST(n_lines AS DOUBLE) * CAST(t_ret AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("lift_e4"),
+    ).orderBy("mon")
+
+
+@_staged(
+    "q_quantile_drift",
+    oracle="""
+    WITH c AS (
+        SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+                   AS m,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT m, cents,
+               row_number() OVER (PARTITION BY m
+                                  ORDER BY cents, o_orderkey) AS rk,
+               count(*) OVER (PARTITION BY m) AS n
+        FROM c
+    ),
+    mo AS (
+        SELECT m,
+               CAST(max(n) AS BIGINT) AS n_orders,
+               CAST(max(CASE WHEN rk = (n + 1) // 2 THEN cents END)
+                    AS BIGINT) AS p50_cents,
+               CAST(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN cents END)
+                    AS BIGINT) AS p90_cents
+        FROM r
+        GROUP BY m
+    )
+    SELECT m, n_orders, p50_cents, p90_cents,
+           CAST(floor((CAST(p50_cents
+                            - lag(p50_cents) OVER (ORDER BY m) AS DOUBLE)
+                       * 10000.0)
+                      / CAST(lag(p50_cents) OVER (ORDER BY m) AS DOUBLE))
+                AS BIGINT) AS p50_mom_bp
+    FROM mo
+    ORDER BY m
+    """,
+)
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value distribution drift at month grain: exact rank-based
+    monthly median and p90 (cents, orderkey tie-break) plus the
+    month-over-month median move in SIGNED basis points. The standard
+    drift monitor for any money-valued feature — q_profile_drift
+    compares two corpus halves once; this emits the month-resolution
+    series a monitoring system alerts on. The signed move uses DOUBLE
+    floor (floor(-x/y) agrees between engines; integer division would
+    not — the CLAUDE.md sign rule); the first month emits NULL in both
+    engines. Scale: keyed rank window + one aggregation; the MoM lag
+    runs over the ≤84-row monthly aggregate."""
+    c = load_table(spark, sf_dir, "orders").select(
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("m"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("m").orderBy("cents", "o_orderkey")
+    r = c.select(
+        "m",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy("m")).alias("n"),
+    )
+    mo = r.groupBy("m").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = (n + 1) div 2 THEN cents END)"
+            " AS BIGINT)"
+        ).alias("p50_cents"),
+        F.expr(
+            "CAST(max(CASE WHEN rk = (n * 90 + 99) div 100 THEN cents END)"
+            " AS BIGINT)"
+        ).alias("p90_cents"),
+    )
+    wlag = Window.partitionBy(F.lit(1)).orderBy("m")
+    return mo.select(
+        "m",
+        "n_orders",
+        "p50_cents",
+        "p90_cents",
+        F.expr(
+            "CAST(floor((CAST(p50_cents - lag(p50_cents)"
+            " OVER (ORDER BY m) AS DOUBLE) * 10000.0)"
+            " / CAST(lag(p50_cents) OVER (ORDER BY m) AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("p50_mom_bp"),
+    ).orderBy("m")
+
+
+@_staged(
+    "q_discount_yield",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS gross_cents,
+               CAST(floor((l_extendedprice * l_discount) * 100 + 0.5)
+                    AS BIGINT) AS disc_cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    g AS (
+        SELECT disc_pct,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(qty) AS BIGINT) AS qty,
+               CAST(sum(gross_cents) AS BIGINT) AS gross_cents,
+               CAST(sum(disc_cents) AS BIGINT) AS give_cents
+        FROM b
+        GROUP BY disc_pct
+    ),
+    w AS (
+        SELECT g.*, sum(qty) OVER () AS t_qty,
+               sum(gross_cents - give_cents) OVER () AS t_net
+        FROM g
+    )
+    SELECT disc_pct, n_lines, qty, gross_cents, give_cents,
+           CAST(gross_cents - give_cents AS BIGINT) AS net_cents,
+           CAST(floor((CAST(qty AS DOUBLE) * 10000.0)
+                      / CAST(t_qty AS DOUBLE)) AS BIGINT) AS qty_share_bp,
+           CAST(floor((CAST(gross_cents - give_cents AS DOUBLE) * 10000.0)
+                      / CAST(t_net AS DOUBLE)) AS BIGINT) AS net_share_bp
+    FROM w
+    ORDER BY disc_pct
+    """,
+)
+def q_discount_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount yield curve: per discount depth (integer percent band,
+    exact via floor(d·100+0.5) — the 2-decimal-input-safe rounding),
+    the volume carried and the margin given up, with each band's share
+    of total quantity and of total net revenue. The table a pricing
+    review reads to ask whether deep discounts BUY volume or just give
+    margin away — q_price_elasticity fits the log-log slope; this is
+    the exact, assumption-free ledger it summarizes. Money stays in
+    integer cents end-to-end (the give is floor((ext·disc)·100+0.5),
+    identical IEEE multiply in both engines); shares are one double
+    divide + floor because net·10⁴ can pass int64 at sf10. Scale: one
+    keyed aggregation to ≤11 bands; constant-size window stage."""
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "disc_pct"
+        ),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("gross_cents"),
+        F.expr(
+            "CAST(floor((l_extendedprice * l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("disc_cents"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    g = b.groupBy("disc_pct").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("qty"),
+        F.sum("gross_cents").cast("long").alias("gross_cents"),
+        F.sum("disc_cents").cast("long").alias("give_cents"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    w = g.withColumn("t_qty", F.sum("qty").over(wall)).withColumn(
+        "t_net",
+        F.sum(F.col("gross_cents") - F.col("give_cents")).over(wall),
+    )
+    return w.select(
+        "disc_pct",
+        "n_lines",
+        "qty",
+        "gross_cents",
+        "give_cents",
+        (F.col("gross_cents") - F.col("give_cents"))
+        .cast("long")
+        .alias("net_cents"),
+        F.expr(
+            "CAST(floor((CAST(qty AS DOUBLE) * 10000.0)"
+            " / CAST(t_qty AS DOUBLE)) AS BIGINT)"
+        ).alias("qty_share_bp"),
+        F.expr(
+            "CAST(floor((CAST(gross_cents - give_cents AS DOUBLE)"
+            " * 10000.0) / CAST(t_net AS DOUBLE)) AS BIGINT)"
+        ).alias("net_share_bp"),
+    ).orderBy("disc_pct")

@@ -545,3 +545,81 @@ def test_traffic_calendar_residuals_account(spark):
     # (every (dow, hr) cell is populated at this SF)
     total_resid = sum(r["resid_e2"] for r in rows)
     assert 0 <= total_resid <= len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Laws for the ninth batch (fulfilment/pricing time series, round 11).
+# ---------------------------------------------------------------------------
+
+
+def test_latency_trend_accounts_and_orders(spark):
+    rows = _run(spark, "q_latency_trend")
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    slopes = {r["slope_e4"] for r in rows}
+    assert len(slopes) == 1  # one corpus-level regression, repeated
+    for r in rows:
+        # delays are bounded by the corpus's ~7-year date span; the
+        # synthetic stream DOES contain ship-before-order lines, so the
+        # mean is signed (and emitted via double floor, never integer
+        # division of a negative sum — the CLAUDE.md sign rule)
+        assert -250000 <= r["mean_delay_e2"] <= 250000
+        assert r["p90_days"] * 100 >= r["mean_delay_e2"]
+
+
+def test_price_jumps_bounds(spark):
+    rows = _run(spark, "q_price_jumps")
+    p = load_table(spark, SF_DIR, "part")
+    assert len(rows) == p.select("p_brand").distinct().count()
+    for r in rows:
+        assert r["n_months"] >= 1
+        # n_jumps counts strictly-over-10% moves among n_months - 1 lags
+        assert 0 <= r["n_jumps"] <= r["n_months"] - 1 or r["n_months"] == 1
+        assert r["max_jump_bp"] >= 0
+        if r["n_jumps"]:
+            assert r["max_jump_bp"] > 1000
+
+
+def test_return_seasonality_partitions(spark):
+    rows = _run(spark, "q_return_seasonality")
+    assert len(rows) == 12
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    n_r = li.filter("l_returnflag = 'R'").count()
+    assert sum(r["n_returned"] for r in rows) == n_r
+    for r in rows:
+        assert 1 <= r["mon"] <= 12
+        assert 0 <= r["return_bp"] <= 10000
+        assert r["lift_e4"] >= 0
+
+
+def test_quantile_drift_orders_its_quantiles(spark):
+    rows = sorted(_run(spark, "q_quantile_drift"), key=lambda r: r["m"])
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    assert rows[0]["p50_mom_bp"] is None  # no predecessor month
+    for r in rows:
+        assert 0 < r["p50_cents"] <= r["p90_cents"]
+    for prev, cur in zip(rows, rows[1:]):
+        # recompute the signed MoM move
+        import math
+
+        expect = math.floor(
+            (cur["p50_cents"] - prev["p50_cents"]) * 10000.0
+            / prev["p50_cents"]
+        )
+        assert cur["p50_mom_bp"] == expect
+
+
+def test_discount_yield_ledger_balances(spark):
+    rows = _run(spark, "q_discount_yield")
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["disc_pct"] <= 10
+        assert r["net_cents"] == r["gross_cents"] - r["give_cents"]
+        assert 0 <= r["give_cents"] <= r["gross_cents"]
+        if r["disc_pct"] == 0:
+            assert r["give_cents"] == 0
+    assert 10000 - len(rows) <= sum(r["qty_share_bp"] for r in rows) <= 10000
+    assert 10000 - len(rows) <= sum(r["net_share_bp"] for r in rows) <= 10000

@@ -3374,3 +3374,453 @@ def q_discount_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000.0) / CAST(t_net AS DOUBLE)) AS BIGINT)"
         ).alias("net_share_bp"),
     ).orderBy("disc_pct")
+
+
+# ---------------------------------------------------------------------------
+# Tenth r11 batch (authored in round 11): embedding-geometry QA
+# (participation ratio, centroid-classifier accuracy, cluster
+# separation) on the e3-quantized dim explosion (the q_kmeans_step /
+# q_embed_isotropy idiom — exact integer moments, HUGEINT/DECIMAL(38,0)
+# where a square can pass int64), plus catalog name-dedup and monthly
+# segment-mix drift. Flip checklist additions (NLJ_OK): none — the
+# centroid legs join on the dim/label equi-keys and every corpus total
+# is a post-aggregation window.
+# ---------------------------------------------------------------------------
+
+
+def _r11_qdims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e3-quantized (vec_id, label, dim, qv) — module-local twin of the
+    r9/r10 helper so the staged module stays import-independent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qv"),
+    )
+
+
+_R11_QDIMS_SQL = """
+        SELECT vec_id, label, dim, qv
+        FROM (
+            SELECT vec_id, label,
+                   unnest(generate_series(1, len(embedding))) AS dim,
+                   unnest(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                       AS qv
+            FROM embeddings
+        )
+"""
+
+
+@_staged(
+    "q_embed_participation",
+    oracle=f"""
+    WITH q AS ({_R11_QDIMS_SQL}),
+    pd AS (
+        SELECT label, dim,
+               CAST(sum(qv) AS BIGINT) AS s,
+               CAST(sum(qv * qv) AS BIGINT) AS s2,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY label, dim
+    ),
+    v AS (
+        SELECT label, dim, n, n * s2 - s * s AS var_num
+        FROM pd
+    ),
+    m AS (
+        SELECT label, max(n) AS n,
+               CAST(sum(var_num) AS BIGINT) AS v1,
+               sum(CAST(var_num AS HUGEINT) * var_num) AS v2,
+               CAST(max(var_num * 100 + dim - 1) AS BIGINT) AS packed
+        FROM v GROUP BY label
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(n AS BIGINT) AS n_vecs,
+           CAST((CAST(v1 AS HUGEINT) * v1 * 100) // v2 AS BIGINT) AS pr_e2,
+           CAST(packed % 100 + 1 AS BIGINT) AS top_dim,
+           CAST((packed // 100) * 10000 // v1 AS BIGINT) AS top_share_e4
+    FROM m
+    ORDER BY label
+    """,
+)
+def q_embed_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality per label: the participation ratio
+    PR = (Σ_d var_d)² / Σ_d var_d² — D when variance spreads evenly
+    over all D axes, →1 when one axis carries everything (dimensional
+    collapse, the failure mode contrastive embeddings drift into).
+    Emitted in e2 alongside the dominant axis and its variance share
+    (argmax via the packed-integer idiom: var·100 + dim, ties to the
+    higher dim, identical in both engines — the q_kmeans_step rule).
+    Exact integers end-to-end on e3-quantized components; the var²
+    accumulation and the PR numerator ride HUGEINT/DECIMAL(38,0)
+    because both pass int64 at sf10. Complements q_embed_isotropy
+    (mean offset) — PR sees collapse even in a perfectly centered
+    cloud. Scale: one keyed aggregation to |labels|·D rows, then a
+    constant-size reaggregation."""
+    pd_ = _r11_qdims(spark, sf_dir).groupBy("label", "dim").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("n"),
+    )
+    v = pd_.select(
+        "label",
+        "dim",
+        "n",
+        (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).alias(
+            "var_num"
+        ),
+    )
+    m = v.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum("var_num").cast("long").alias("v1"),
+        F.sum(F.expr("CAST(var_num AS DECIMAL(38,0)) * var_num")).alias(
+            "v2"
+        ),
+        F.max(F.expr("var_num * 100 + dim - 1")).cast("long").alias(
+            "packed"
+        ),
+    )
+    return m.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.expr(
+            "CAST((CAST(v1 AS DECIMAL(38,0)) * v1 * 100) div v2 AS BIGINT)"
+        ).alias("pr_e2"),
+        F.expr("CAST(packed % 100 + 1 AS BIGINT)").alias("top_dim"),
+        F.expr(
+            "CAST((packed div 100) * 10000 div v1 AS BIGINT)"
+        ).alias("top_share_e4"),
+    ).orderBy("label")
+
+
+@_staged(
+    "q_embed_centroid_accuracy",
+    oracle=f"""
+    WITH q AS ({_R11_QDIMS_SQL}),
+    cd AS (
+        SELECT label AS c_label, dim,
+               CAST(floor(CAST(sum(qv) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+        FROM q GROUP BY label, dim
+    ),
+    d2 AS (
+        SELECT q.vec_id, q.label, cd.c_label,
+               CAST(sum((q.qv - cd.c) * (q.qv - cd.c)) AS BIGINT) AS dist2
+        FROM q JOIN cd ON q.dim = cd.dim
+        GROUP BY q.vec_id, q.label, cd.c_label
+    ),
+    pred AS (
+        SELECT vec_id, label,
+               CAST(min(dist2 * 16 + c_label) % 16 AS BIGINT) AS pred
+        FROM d2 GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS acc_bp
+    FROM pred
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label accuracy: assign every vector to the
+    closest label centroid (squared L2 on e3-quantized components,
+    integer-floored centroids via double floor — sign-safe) and score
+    per-label recall in bp. The 1-NN-to-prototype readout that says
+    whether labels are LINEARLY recoverable from geometry —
+    q_knn_label_purity samples point-to-point neighborhoods; this is
+    the compact prototype view of the same question, and the pair
+    diverging is itself diagnostic (pure neighborhoods + bad centroid
+    recall = multi-modal classes). Argmin over candidates rides the
+    packed-integer idiom (dist·16 + label, ties to the lower label).
+    Scale: the candidate stage is an equi-join on dim against a
+    |labels|·D centroid leg — fanout |labels| per row, no NLJ, no
+    driver collect."""
+    q = _r11_qdims(spark, sf_dir)
+    cd = q.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(qv) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+        ).alias("c")
+    )
+    d2 = (
+        q.join(cd, "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))
+            )
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+    pred = d2.groupBy("vec_id", "label").agg(
+        F.expr("CAST(min(dist2 * 16 + c_label) % 16 AS BIGINT)").alias(
+            "pred"
+        )
+    )
+    return (
+        pred.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("acc_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_embed_separation",
+    oracle=f"""
+    WITH q AS ({_R11_QDIMS_SQL}),
+    pd AS (
+        SELECT label, dim,
+               CAST(sum(qv) AS BIGINT) AS s,
+               CAST(sum(qv * qv) AS BIGINT) AS s2,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY label, dim
+    ),
+    cd AS (
+        SELECT label, dim, s, s2, n,
+               CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    AS BIGINT) AS c,
+               CAST(floor(CAST(sum(s) OVER (PARTITION BY dim) AS DOUBLE)
+                          / CAST(sum(n) OVER (PARTITION BY dim) AS DOUBLE))
+                    AS BIGINT) AS g
+        FROM pd
+    ),
+    m AS (
+        SELECT label, max(n) AS n,
+               CAST(sum(s2 - 2 * c * s + n * c * c) AS BIGINT)
+                   AS within_num,
+               CAST(sum((c - g) * (c - g)) AS BIGINT) AS between_sq
+        FROM cd GROUP BY label
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(n AS BIGINT) AS n_vecs,
+           CAST(floor(CAST(within_num AS DOUBLE) * 100.0
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS within_mean_e2,
+           between_sq,
+           CAST(floor((CAST(between_sq AS DOUBLE) * CAST(n AS DOUBLE)
+                       * 10000.0)
+                      / CAST(within_num AS DOUBLE)) AS BIGINT) AS sep_e4
+    FROM m
+    ORDER BY label
+    """,
+)
+def q_embed_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster separation per label: squared distance from the label
+    centroid to the GLOBAL centroid over the label's mean within-
+    cluster squared distance — the per-class Calinski–Harabasz-style
+    ratio (≫0 means the class sits apart from the corpus; ~0 means
+    its centroid is indistinguishable from the global mean and
+    centroid-based retrieval for it will fail). The third leg of the
+    geometry triptych: q_embed_isotropy (offset), q_embed_participation
+    (spread shape), THIS (class separation). Integer-floored centroids
+    (double floor, sign-safe), within-distance via the expanded
+    Σ(x−c)² = Σx² − 2cΣx + nc² identity — all int64 — and the ratio
+    as one double expression. The global centroid is a post-aggregation
+    window over the |labels|·D table. Scale: one keyed aggregation,
+    constant-size window + reaggregation."""
+    pd_ = _r11_qdims(spark, sf_dir).groupBy("label", "dim").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("n"),
+    )
+    wd = Window.partitionBy("dim")
+    cd = pd_.select(
+        "label",
+        "dim",
+        "s",
+        "s2",
+        "n",
+        F.expr(
+            "CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"
+        ).alias("c"),
+        F.expr(
+            "CAST(floor(CAST(sum(s) OVER (PARTITION BY dim) AS DOUBLE)"
+            " / CAST(sum(n) OVER (PARTITION BY dim) AS DOUBLE)) AS BIGINT)"
+        ).alias("g"),
+    )
+    m = cd.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("s2")
+            - 2 * F.col("c") * F.col("s")
+            + F.col("n") * F.col("c") * F.col("c")
+        )
+        .cast("long")
+        .alias("within_num"),
+        F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))
+        .cast("long")
+        .alias("between_sq"),
+    )
+    return m.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.expr(
+            "CAST(floor(CAST(within_num AS DOUBLE) * 100.0"
+            " / CAST(n AS DOUBLE)) AS BIGINT)"
+        ).alias("within_mean_e2"),
+        "between_sq",
+        F.expr(
+            "CAST(floor((CAST(between_sq AS DOUBLE) * CAST(n AS DOUBLE)"
+            " * 10000.0) / CAST(within_num AS DOUBLE)) AS BIGINT)"
+        ).alias("sep_e4"),
+    ).orderBy("label")
+
+
+@_staged(
+    "q_catalog_name_dup",
+    oracle="""
+    WITH nm AS (
+        SELECT p_name,
+               CAST(count(*) AS BIGINT) AS n_same_name,
+               CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+        FROM part GROUP BY p_name
+    )
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN nm.n_same_name >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_named,
+           CAST(sum(CASE WHEN nm.n_brands >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_brand,
+           CAST(sum(CASE WHEN nm.n_same_name >= 2 THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS dup_bp
+    FROM part p JOIN nm ON p.p_name = nm.p_name
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_catalog_name_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entity-resolution audit per brand: how many parts share
+    their display name with another catalog entry, and how many of
+    those collisions CROSS brand lines (the merge-candidate class a
+    product-matching pipeline must adjudicate before any name-keyed
+    join — q_dup_invoice is the orders-side twin of this audit). One
+    name-level aggregate joined back on the name equi-key; no
+    similarity machinery needed because the name is the blocking key
+    itself. Scale: two keyed aggregations over the part dimension —
+    at 100 TB the name aggregate is the small side and AQE broadcasts
+    it on its own."""
+    p = load_table(spark, sf_dir, "part")
+    nm = p.groupBy("p_name").agg(
+        F.count("*").cast("long").alias("n_same_name"),
+        F.countDistinct("p_brand").cast("long").alias("n_brands"),
+    )
+    return (
+        p.join(nm, "p_name")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("n_same_name") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_named"),
+            F.sum(F.when(F.col("n_brands") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_brand"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_same_name >= 2 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("dup_bp"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_segment_mix_shift",
+    oracle="""
+    WITH b AS (
+        SELECT (year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1
+                   AS m,
+               c.c_mktsegment AS seg,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS buyers
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY m, seg
+    ),
+    sh AS (
+        SELECT m, seg, buyers,
+               CAST(buyers * 10000 // sum(buyers) OVER (PARTITION BY m)
+                    AS BIGINT) AS share_bp
+        FROM b
+    ),
+    fx AS (
+        SELECT m, seg, buyers, share_bp,
+               first_value(share_bp) OVER (PARTITION BY seg ORDER BY m)
+                   AS base_bp
+        FROM sh
+    )
+    SELECT m,
+           CAST(sum(buyers) AS BIGINT) AS n_buyers,
+           CAST(sum(abs(share_bp - base_bp)) AS BIGINT) AS l1_drift_bp
+    FROM fx
+    GROUP BY m
+    ORDER BY m
+    """,
+)
+def q_segment_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-mix drift at month grain: each month's active-buyer
+    market-segment shares (bp) against the FIRST month's profile,
+    collapsed to an L1 distance — the one-number alarm that the
+    customer mix feeding every downstream model is shifting
+    (q_ingest_mix_drift is the document-source twin; this is the
+    commerce side, and q_new_vs_returning explains WHERE the drift
+    comes from). The baseline is a first_value window per segment —
+    no broadcast leg, no NLJ — and shares are positive integer
+    divisions. Scale: one distinct-aggregation keyed by (month,
+    segment), then constant-size windows over ≤ 84·5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    b = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            (
+                (F.year("o_orderdate") - 1995)
+                * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("m"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.countDistinct("o_custkey").cast("long").alias("buyers"))
+    )
+    sh = b.select(
+        "m",
+        "seg",
+        "buyers",
+        F.expr(
+            "CAST(buyers * 10000 div sum(buyers) OVER (PARTITION BY m)"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    )
+    fx = sh.withColumn(
+        "base_bp",
+        F.first("share_bp").over(
+            Window.partitionBy("seg").orderBy("m")
+        ),
+    )
+    return (
+        fx.groupBy("m")
+        .agg(
+            F.sum("buyers").cast("long").alias("n_buyers"),
+            F.sum(F.abs(F.col("share_bp") - F.col("base_bp")))
+            .cast("long")
+            .alias("l1_drift_bp"),
+        )
+        .orderBy("m")
+    )

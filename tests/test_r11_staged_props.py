@@ -623,3 +623,93 @@ def test_discount_yield_ledger_balances(spark):
             assert r["give_cents"] == 0
     assert 10000 - len(rows) <= sum(r["qty_share_bp"] for r in rows) <= 10000
     assert 10000 - len(rows) <= sum(r["net_share_bp"] for r in rows) <= 10000
+
+
+# ---------------------------------------------------------------------------
+# Laws for the tenth batch (embedding geometry + catalog/mix, round 11).
+# ---------------------------------------------------------------------------
+
+
+def test_embed_participation_bounds(spark):
+    rows = _run(spark, "q_embed_participation")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    width = emb.select(F.size("embedding")).first()[0]
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        # 1 <= PR <= D by Cauchy-Schwarz
+        assert 100 <= r["pr_e2"] <= width * 100
+        assert 1 <= r["top_dim"] <= width
+        # the dominant axis can never hold less than the uniform share
+        assert r["top_share_e4"] >= 10000 // width
+        assert r["top_share_e4"] <= 10000
+
+
+def test_embed_centroid_accuracy_accounts(spark):
+    rows = _run(spark, "q_embed_centroid_accuracy")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_vecs"]
+        assert 0 <= r["acc_bp"] <= 10000
+
+
+def test_embed_separation_nonnegative(spark):
+    rows = _run(spark, "q_embed_separation")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        # within-distance to the FLOORED centroid is still >= the true
+        # minimum-variance value, hence strictly positive here
+        assert r["within_mean_e2"] > 0
+        assert r["between_sq"] >= 0
+        assert r["sep_e4"] >= 0
+
+
+def test_catalog_name_dup_accounts(spark):
+    rows = _run(spark, "q_catalog_name_dup")
+    p = load_table(spark, SF_DIR, "part")
+    assert sum(r["n_parts"] for r in rows) == p.count()
+    # recount duplicate-named parts independently
+    dup_total = (
+        p.groupBy("p_name")
+        .count()
+        .where(F.col("count") >= 2)
+        .agg(F.sum("count"))
+        .collect()[0][0]
+        or 0
+    )
+    assert sum(r["n_dup_named"] for r in rows) == dup_total
+    for r in rows:
+        # a cross-brand collision is in particular a name collision
+        assert 0 <= r["n_cross_brand"] <= r["n_dup_named"]
+        assert 0 <= r["dup_bp"] <= 10000
+
+
+def test_segment_mix_shift_baseline_is_zeroish(spark):
+    rows = sorted(_run(spark, "q_segment_mix_shift"), key=lambda r: r["m"])
+    assert rows
+    # month 0 IS the baseline for every segment present in it; segments
+    # absent from month 0 baseline at their own first month, so the
+    # first row's drift is exactly 0
+    assert rows[0]["l1_drift_bp"] == 0
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    for r in rows:
+        assert 0 <= r["l1_drift_bp"] <= 20000
+        assert r["n_buyers"] >= 1
+    # monthly distinct-buyer totals recount
+    expected = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+            .alias("m"),
+            "o_custkey",
+        )
+        .distinct()
+        .groupBy("m")
+        .count()
+        .collect()
+    )
+    exp = {r["m"]: r["count"] for r in expected}
+    got = {r["m"]: r["n_buyers"] for r in rows}
+    assert got == exp

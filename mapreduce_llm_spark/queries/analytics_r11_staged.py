@@ -3824,3 +3824,508 @@ def q_segment_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eleventh r11 batch (authored in round 11) — closes the staging at 50:
+# supply-mix specialization, assortment drift, first-token position
+# bias, the tax×discount independence grid, and event-audience
+# overlap. Flip checklist additions (NLJ_OK): none — every cross-group
+# total is a window over a bounded post-aggregation matrix, and the
+# audience join anchors on the user_id equi-key.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_nation_specialization",
+    oracle="""
+    WITH nt AS (
+        SELECT n.n_name AS nation, p.p_type AS ptype,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY nation, ptype
+    ),
+    sh AS (
+        SELECT nation, ptype, n_lines,
+               CAST(floor((CAST(cents AS DOUBLE) * 10000.0)
+                          / CAST(sum(cents) OVER (PARTITION BY nation)
+                                 AS DOUBLE)) AS BIGINT) AS share_e4,
+               CAST(floor((CAST(sum(cents) OVER (PARTITION BY ptype)
+                                AS DOUBLE) * 10000.0)
+                          / CAST(sum(cents) OVER () AS DOUBLE)) AS BIGINT)
+                   AS gshare_e4
+        FROM nt
+    )
+    SELECT nation,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(share_e4 * share_e4) // 10000 AS BIGINT) AS hhi_e4,
+           CAST(sum(abs(share_e4 - gshare_e4)) AS BIGINT) AS l1_e4
+    FROM sh
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def q_nation_specialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-mix specialization per supplier nation: the revenue mix
+    over part types, collapsed to an HHI (is the nation a one-trick
+    supplier?) and an L1 distance from the GLOBAL type mix (does it
+    supply different things than the world does?). The sourcing-
+    strategy companion to q_nation_trade_balance (volume) and
+    q_single_source_risk (part-level): high HHI + high L1 marks the
+    nations whose outage would distort a specific category. Shares in
+    e4 via ONE double divide + floor each (cents·10⁴ passes int64 at
+    sf10); the HHI then stays exact integer arithmetic on those e4
+    shares. Type/global totals are post-aggregation windows over the
+    ≤25·|types| matrix. Scale: one star join (nation leg is
+    fixed-cardinality; part/supplier legs AQE-decided) + one keyed
+    aggregation; window stages are constant-size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    nt = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("p_type").alias("ptype")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                )
+            ).cast("long").alias("cents"),
+        )
+    )
+    sh = nt.select(
+        "nation",
+        "ptype",
+        "n_lines",
+        F.expr(
+            "CAST(floor((CAST(cents AS DOUBLE) * 10000.0)"
+            " / CAST(sum(cents) OVER (PARTITION BY nation) AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("share_e4"),
+        F.expr(
+            "CAST(floor((CAST(sum(cents) OVER (PARTITION BY ptype)"
+            " AS DOUBLE) * 10000.0)"
+            " / CAST(sum(cents) OVER () AS DOUBLE)) AS BIGINT)"
+        ).alias("gshare_e4"),
+    )
+    return (
+        sh.groupBy("nation")
+        .agg(
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.count("*").cast("long").alias("n_types"),
+            F.expr(
+                "CAST(sum(share_e4 * share_e4) div 10000 AS BIGINT)"
+            ).alias("hhi_e4"),
+            F.sum(F.abs(F.col("share_e4") - F.col("gshare_e4")))
+            .cast("long")
+            .alias("l1_e4"),
+        )
+        .orderBy("nation")
+    )
+
+
+@_staged(
+    "q_assortment_drift",
+    oracle="""
+    WITH q AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN year(l.l_shipdate) <= 1997 THEN 0 ELSE 1 END
+                   AS half,
+               l.l_partkey AS pk,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY brand, half, pk
+    ),
+    r AS (
+        SELECT brand, half, pk,
+               row_number() OVER (PARTITION BY brand, half
+                                  ORDER BY qty DESC, pk) AS rk
+        FROM q
+    ),
+    t1 AS (SELECT brand, pk, rk FROM r WHERE half = 0 AND rk <= 10),
+    t2 AS (SELECT brand, pk, rk FROM r WHERE half = 1 AND rk <= 10),
+    j AS (
+        SELECT coalesce(t1.brand, t2.brand) AS brand,
+               CASE WHEN t1.pk IS NOT NULL AND t2.pk IS NOT NULL
+                    THEN 1 ELSE 0 END AS common,
+               CASE WHEN t1.pk IS NOT NULL THEN 1 ELSE 0 END AS in1,
+               CASE WHEN t2.pk IS NOT NULL THEN 1 ELSE 0 END AS in2,
+               CASE WHEN t1.pk IS NOT NULL AND t2.pk IS NOT NULL
+                    THEN abs(t1.rk - t2.rk) ELSE 0 END AS shift
+        FROM t1 FULL OUTER JOIN t2
+          ON t1.brand = t2.brand AND t1.pk = t2.pk
+    )
+    SELECT brand,
+           CAST(sum(in1) AS BIGINT) AS n_h1,
+           CAST(sum(in2) AS BIGINT) AS n_h2,
+           CAST(sum(common) AS BIGINT) AS n_common,
+           CAST(sum(common) * 10000
+                // (sum(in1) + sum(in2) - sum(common)) AS BIGINT)
+               AS jaccard_bp,
+           CAST(CASE WHEN sum(common) = 0 THEN 0
+                     ELSE sum(shift) * 100 // sum(common) END AS BIGINT)
+               AS mean_rank_shift_e2
+    FROM j
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_assortment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment drift per brand: the top-10 parts by quantity in the
+    1995–97 half vs the 1998+ half — set Jaccard and the mean rank
+    shift of survivors. The merchandising twin of q_vocab_drift (which
+    tracks top WORDS between corpus halves): a brand whose best-seller
+    list churns completely between eras needs its demand models
+    retrained per era, not pooled. Ranks tie-break on partkey; the
+    halves meet in a FULL OUTER equi-join on (brand, partkey); the
+    Jaccard denominator |A∪B| = n1+n2−common is exact. Scale: keyed
+    aggregation + keyed rank window; the joined top-lists are ≤20 rows
+    per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(F.year("l_shipdate") <= 1997, 0).otherwise(1).alias(
+                "half"
+            ),
+            F.col("l_partkey").alias("pk"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    r = q.select(
+        "brand",
+        "half",
+        "pk",
+        F.row_number()
+        .over(
+            Window.partitionBy("brand", "half").orderBy(
+                F.col("qty").desc(), "pk"
+            )
+        )
+        .alias("rk"),
+    ).where(F.col("rk") <= 10)
+    t1 = r.where(F.col("half") == 0).select(
+        F.col("brand").alias("b1"), F.col("pk").alias("pk1"),
+        F.col("rk").alias("r1"),
+    )
+    t2 = r.where(F.col("half") == 1).select(
+        F.col("brand").alias("b2"), F.col("pk").alias("pk2"),
+        F.col("rk").alias("r2"),
+    )
+    j = t1.join(
+        t2,
+        (t1.b1 == t2.b2) & (t1.pk1 == t2.pk2),
+        "full_outer",
+    ).select(
+        F.coalesce("b1", "b2").alias("brand"),
+        F.when(
+            F.col("pk1").isNotNull() & F.col("pk2").isNotNull(), 1
+        ).otherwise(0).alias("common"),
+        F.when(F.col("pk1").isNotNull(), 1).otherwise(0).alias("in1"),
+        F.when(F.col("pk2").isNotNull(), 1).otherwise(0).alias("in2"),
+        F.when(
+            F.col("pk1").isNotNull() & F.col("pk2").isNotNull(),
+            F.abs(F.col("r1") - F.col("r2")),
+        ).otherwise(0).alias("shift"),
+    )
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.sum("in1").cast("long").alias("n_h1"),
+            F.sum("in2").cast("long").alias("n_h2"),
+            F.sum("common").cast("long").alias("n_common"),
+            F.expr(
+                "CAST(sum(common) * 10000"
+                " div (sum(in1) + sum(in2) - sum(common)) AS BIGINT)"
+            ).alias("jaccard_bp"),
+            F.expr(
+                "CAST(CASE WHEN sum(common) = 0 THEN 0"
+                " ELSE sum(shift) * 100 div sum(common) END AS BIGINT)"
+            ).alias("mean_rank_shift_e2"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_position_bias",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ),
+    allw AS (
+        SELECT source, unnest(words) AS w FROM ws
+    ),
+    firstw AS (
+        SELECT source, words[1] AS w FROM ws WHERE len(words) >= 1
+    ),
+    ac AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS n_all
+        FROM allw GROUP BY source, w
+    ),
+    fc AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS n_first
+        FROM firstw GROUP BY source, w
+    ),
+    sh AS (
+        SELECT ac.source, ac.w, ac.n_all,
+               coalesce(fc.n_first, 0) AS n_first,
+               CAST(ac.n_all * 10000
+                    // sum(ac.n_all) OVER (PARTITION BY ac.source)
+                    AS BIGINT) AS ashare_e4,
+               CAST(coalesce(fc.n_first, 0) * 10000
+                    // sum(coalesce(fc.n_first, 0))
+                          OVER (PARTITION BY ac.source)
+                    AS BIGINT) AS fshare_e4
+        FROM ac LEFT JOIN fc ON ac.source = fc.source AND ac.w = fc.w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n_first > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_vocab,
+           CAST(sum(abs(fshare_e4 - ashare_e4)) AS BIGINT) AS l1_e4,
+           CAST(max(fshare_e4) AS BIGINT) AS top_first_e4
+    FROM sh
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-initial token bias per source: the L1 distance between
+    the distribution of FIRST words and the overall word mix (e4).
+    Zero means openings look like everything else; large means the
+    generator (or scraper) stamps documents with a positional
+    template — exactly the artifact an LM trained on the corpus will
+    parrot at sequence starts, and a cheap fingerprint for detecting
+    templated/boilerplate sources where full dedup is overkill. The
+    first-word leg is words[1] (guarded on non-empty — the CLAUDE.md
+    short-array rule); the two share distributions meet in a LEFT
+    equi-join on (source, word) (first ⊆ all, so no rows are lost).
+    Scale: one explode + two keyed aggregations; the join runs on the
+    per-source vocabulary, not the corpus."""
+    ws = load_table(spark, sf_dir, "documents").select(
+        "source", _r11_words(F.col("text")).alias("words")
+    )
+    allw = ws.select(
+        "source", F.explode("words").alias("w")
+    )
+    firstw = ws.where(F.size("words") >= 1).select(
+        "source", F.element_at("words", 1).alias("w")
+    )
+    ac = allw.groupBy("source", "w").agg(
+        F.count("*").cast("long").alias("n_all")
+    )
+    fc = firstw.groupBy("source", "w").agg(
+        F.count("*").cast("long").alias("n_first")
+    )
+    sh = (
+        ac.join(fc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            "n_all",
+            F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        )
+        .select(
+            "source",
+            "n_all",
+            "n_first",
+            F.expr(
+                "CAST(n_all * 10000"
+                " div sum(n_all) OVER (PARTITION BY source) AS BIGINT)"
+            ).alias("ashare_e4"),
+            F.expr(
+                "CAST(n_first * 10000"
+                " div sum(n_first) OVER (PARTITION BY source) AS BIGINT)"
+            ).alias("fshare_e4"),
+        )
+    )
+    return (
+        sh.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("vocab"),
+            F.sum(F.when(F.col("n_first") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("first_vocab"),
+            F.sum(F.abs(F.col("fshare_e4") - F.col("ashare_e4")))
+            .cast("long")
+            .alias("l1_e4"),
+            F.max("fshare_e4").cast("long").alias("top_first_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_tax_discount_grid",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_pct
+        FROM lineitem
+    ),
+    m AS (
+        SELECT disc_pct, tax_pct, CAST(count(*) AS BIGINT) AS n_lines
+        FROM b GROUP BY disc_pct, tax_pct
+    ),
+    w AS (
+        SELECT disc_pct, tax_pct, n_lines,
+               sum(n_lines) OVER (PARTITION BY disc_pct) AS rs,
+               sum(n_lines) OVER (PARTITION BY tax_pct) AS cs,
+               sum(n_lines) OVER () AS t
+        FROM m
+    )
+    SELECT disc_pct, tax_pct, n_lines,
+           CAST((rs * cs * 100) // t AS BIGINT) AS exp_e2,
+           CAST(n_lines * 100 - (rs * cs * 100) // t AS BIGINT) AS resid_e2
+    FROM w
+    ORDER BY disc_pct, tax_pct
+    """,
+)
+def q_tax_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tax × discount independence grid: observed line counts per
+    (discount %, tax %) cell against what the two marginal profiles
+    alone predict — the q_traffic_calendar residual construction
+    pointed at the two PRICING dials. Independent dials give residuals
+    near zero; structure here means discounts are being steered by tax
+    band (a governance smell worth an audit before any elasticity
+    model trusts the columns as independent features). Percent bands
+    are exact via floor(x·100+0.5) (the 2-decimal-input rule);
+    expectations in e2 via integer division — rs·cs·100 ≤ N²·100
+    needs care only past sf10, where the ≤99-cell matrix would switch
+    to the double-floor form. Scale: one keyed aggregation;
+    constant-size window stage."""
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "disc_pct"
+        ),
+        F.expr("CAST(floor(l_tax * 100 + 0.5) AS BIGINT)").alias(
+            "tax_pct"
+        ),
+    )
+    m = b.groupBy("disc_pct", "tax_pct").agg(
+        F.count("*").cast("long").alias("n_lines")
+    )
+    w = (
+        m.withColumn(
+            "rs", F.sum("n_lines").over(Window.partitionBy("disc_pct"))
+        )
+        .withColumn(
+            "cs", F.sum("n_lines").over(Window.partitionBy("tax_pct"))
+        )
+        .withColumn(
+            "t", F.sum("n_lines").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    return w.select(
+        "disc_pct",
+        "tax_pct",
+        "n_lines",
+        F.expr("CAST((rs * cs * 100) div t AS BIGINT)").alias("exp_e2"),
+        F.expr(
+            "CAST(n_lines * 100 - (rs * cs * 100) div t AS BIGINT)"
+        ).alias("resid_e2"),
+    ).orderBy("disc_pct", "tax_pct")
+
+
+@_staged(
+    "q_audience_overlap",
+    oracle="""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    tc AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        FROM tu GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT p.type_a, p.type_b,
+           ca.n_users AS n_a, cb.n_users AS n_b, p.n_both,
+           CAST(p.n_both * 10000
+                // (ca.n_users + cb.n_users - p.n_both) AS BIGINT)
+               AS jaccard_bp
+    FROM pairs p
+    JOIN tc ca ON p.type_a = ca.event_type
+    JOIN tc cb ON p.type_b = cb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: the user-set Jaccard for
+    every unordered type pair — the segmentation readout behind
+    cross-feature targeting ('do error-prone users also purchase?')
+    and the prior any funnel analysis should check before assuming
+    its stages share a population (q_window_funnel ORDERS the stages;
+    this measures whether their audiences even intersect). The pair
+    counts anchor on the user_id equi-key with the a<b residual (the
+    q_join_band_interval discipline — never a type×type cross of
+    user sets), so cost is Σ_user |types(u)|², bounded by the type
+    count, not the user count. Scale: one distinct + one self
+    equi-join + tiny dimension legs."""
+    tu = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    tc = tu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    a = tu.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("ua")
+    )
+    b = tu.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+    )
+    pairs = (
+        a.join(b, (a.ua == b.ub) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    ca = tc.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    cb = tc.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(ca, "type_a")
+        .join(cb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 10000 div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )

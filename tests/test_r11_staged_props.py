@@ -713,3 +713,72 @@ def test_segment_mix_shift_baseline_is_zeroish(spark):
     exp = {r["m"]: r["count"] for r in expected}
     got = {r["m"]: r["n_buyers"] for r in rows}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Laws for the eleventh batch (window close at 50, round 11).
+# ---------------------------------------------------------------------------
+
+
+def test_nation_specialization_bounds(spark):
+    rows = _run(spark, "q_nation_specialization")
+    assert len(rows) == 25
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 1 <= r["n_types"] <= 6
+        # HHI of a mix over k types lives in [1e4/k - floors, 1e4]
+        assert 10000 // r["n_types"] - r["n_types"] <= r["hhi_e4"] <= 10000
+        assert 0 <= r["l1_e4"] <= 20000
+
+
+def test_assortment_drift_set_arithmetic(spark):
+    rows = _run(spark, "q_assortment_drift")
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_h1"] <= 10 and 1 <= r["n_h2"] <= 10
+        assert 0 <= r["n_common"] <= min(r["n_h1"], r["n_h2"])
+        assert 0 <= r["jaccard_bp"] <= 10000
+        # two length-<=10 rank lists can shift by at most 9 on average
+        assert 0 <= r["mean_rank_shift_e2"] <= 900
+        if r["n_common"] == min(r["n_h1"], r["n_h2"]) == 10:
+            assert r["jaccard_bp"] == 10000
+
+
+def test_position_bias_distribution_laws(spark):
+    rows = _run(spark, "q_position_bias")
+    assert rows
+    for r in rows:
+        assert 1 <= r["first_vocab"] <= r["vocab"]
+        # L1 between two (floored) distributions is < 2.0
+        assert 0 <= r["l1_e4"] <= 20000
+        # the top first-word share can't undershoot uniform over the
+        # observed first-vocab
+        assert r["top_first_e4"] >= 10000 // max(r["first_vocab"], 1) - 1
+
+
+def test_tax_discount_grid_margins(spark):
+    rows = _run(spark, "q_tax_discount_grid")
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["disc_pct"] <= 10
+        assert 0 <= r["tax_pct"] <= 8
+        assert r["resid_e2"] == r["n_lines"] * 100 - r["exp_e2"]
+    total_resid = sum(r["resid_e2"] for r in rows)
+    assert 0 <= total_resid <= len(rows)
+
+
+def test_audience_overlap_set_bounds(spark):
+    rows = _run(spark, "q_audience_overlap")
+    ev = load_table(spark, SF_DIR, "events")
+    k = ev.select("event_type").distinct().count()
+    assert len(rows) == k * (k - 1) // 2
+    n_users = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert max(r["n_a"], r["n_b"]) <= n_users
+        # inclusion-exclusion keeps the union within the population
+        assert r["n_a"] + r["n_b"] - r["n_both"] <= n_users
+        assert 0 <= r["jaccard_bp"] <= 10000

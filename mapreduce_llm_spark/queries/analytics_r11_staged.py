@@ -55,6 +55,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 STAGED_R11: dict[str, tuple[QueryFn, str]] = {}
 
 
+#: The exact round-12 DRIVER_PRIORITY window, pre-drafted so the flip
+#: is mechanical (the round-8/9/10 playbook): 50 staged queries in
+#: definition (= tranche) order — FUTURE_ORACLES is empty, so the whole
+#: window is new surface. tests/test_r11_flip_rehearsal.py pins that
+#: this list is exactly STAGED_R11 with no gaps, dupes, or registry
+#: collisions, and that the post-flip external-verification backlog is
+#: exactly this window.
+ROUND11_WINDOW: list[str] = [
+    "q_filter_length_bias", "q_sample_size_planner", "q_data_budget",
+    "q_token_fertility", "q_peak_load", "q_trade_locality",
+    "q_discount_consistency", "q_class_weights", "q_sequential_test",
+    "q_attribution_window_sweep", "q_brand_loyalty", "q_cents_audit",
+    "q_embed_norm_bias", "q_fulfillment_span", "q_returns_value",
+    "q_lang_mix_entropy", "q_quantization_error", "q_dow_stability",
+    "q_split_balance", "q_shingle_df_profile", "q_monthly_seasonality",
+    "q_trigram_exclusivity", "q_activity_span", "q_value_vs_delay",
+    "q_prefix_length_curve", "q_first_touch_profile", "q_linenumber_lag",
+    "q_balance_activity", "q_ingest_mix_drift", "q_supplier_balance_risk",
+    "q_fano_factor", "q_early_signal", "q_value_tail_share",
+    "q_transition_lift", "q_traffic_calendar", "q_latency_trend",
+    "q_price_jumps", "q_return_seasonality", "q_quantile_drift",
+    "q_discount_yield", "q_embed_participation", "q_embed_centroid_accuracy",
+    "q_embed_separation", "q_catalog_name_dup", "q_segment_mix_shift",
+    "q_nation_specialization", "q_assortment_drift", "q_position_bias",
+    "q_tax_discount_grid", "q_audience_overlap",
+]
+
+
 def _staged(name: str, oracle: str):
     def deco(fn: QueryFn) -> QueryFn:
         if name in STAGED_R11:

@@ -1,0 +1,101 @@
+"""Round-11 flip rehearsal — prove the NEXT round's registration is a
+pure formality before it happens (the round-8/9/10 playbook: each
+prior rehearsal pinned its flip one window ahead and the flip landed
+exactly as simulated — round 10's a round late, but byte-identical).
+
+Round 12's plan: flip the 50 ``STAGED_R11`` (fn, oracle) pairs into
+``@query(oracle=...)`` declarations and install the pre-drafted
+``ROUND11_WINDOW`` as DRIVER_PRIORITY (FUTURE_ORACLES is empty — no
+graduations remain, so the whole window is new surface). These tests
+simulate that end state WITHOUT touching the live registry: if they
+pass, the flip cannot create a name collision, an over/underfull
+window, or a reopened external-verification backlog. The same
+derivation as tools/gen_inventory.verification_backlog is replayed
+against the post-flip registry plus a simulated CORRECTNESS_r11 (every
+current window entry green at declared strength — what the driver
+records if round 11 lands as designed), and must show the round-12
+backlog to be exactly the 50 flipped names and nothing else.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from mapreduce_llm_spark import registry
+from mapreduce_llm_spark.queries.analytics_r11_staged import (
+    ROUND11_WINDOW,
+    STAGED_R11,
+)
+from mapreduce_llm_spark.queries.future_oracles import FUTURE_ORACLES
+
+registry.load_all()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WINDOW = 50
+
+
+def test_flip_fills_the_round11_window_exactly():
+    assert len(STAGED_R11) + len(FUTURE_ORACLES) == WINDOW
+
+
+def test_predrafted_window_is_exactly_the_flip_set():
+    assert len(ROUND11_WINDOW) == WINDOW
+    assert len(set(ROUND11_WINDOW)) == WINDOW, "duplicate window entry"
+    assert set(ROUND11_WINDOW) == set(STAGED_R11) | set(FUTURE_ORACLES)
+
+
+def test_staged_names_do_not_collide():
+    for name in STAGED_R11:
+        assert name not in registry.QUERIES, f"{name} already registered"
+        fn, sql = STAGED_R11[name]
+        assert callable(fn) and sql.strip(), name
+    for name, sql in FUTURE_ORACLES.items():
+        assert name in registry.QUERIES, f"{name} is not a registered query"
+        assert name not in registry.ORACLE, (
+            f"{name} already has a live oracle — FUTURE_ORACLES must only "
+            "stage flips for rows-only entries"
+        )
+        assert sql.strip()
+
+
+def _records_before(round_no: int) -> dict[str, list[dict]]:
+    records: dict[str, list[dict]] = {}
+    for fname in sorted(os.listdir(REPO_ROOT)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m or int(m.group(1)) >= round_no:
+            continue
+        with open(os.path.join(REPO_ROOT, fname)) as fh:
+            for name, rec in json.load(fh).items():
+                records.setdefault(name, []).append(rec)
+    return records
+
+
+def test_post_flip_backlog_is_exactly_the_flipped_window():
+    # the driver record round 11 produces if the round lands as
+    # designed: every current-window entry green at declared strength
+    records = _records_before(11)
+    for name in list(registry.QUERIES)[:WINDOW]:
+        records.setdefault(name, []).append(
+            {"rows_match": True, "schema_match": True, "hash_match": True}
+        )
+
+    post_oracle = dict(registry.ORACLE)
+    post_oracle.update(FUTURE_ORACLES)
+    post_oracle.update({n: sql for n, (_fn, sql) in STAGED_R11.items()})
+    post_queries = list(registry.QUERIES) + list(STAGED_R11)
+
+    def verified(name: str) -> bool:
+        recs = records.get(name, [])
+        if name in post_oracle:
+            return any(r.get("hash_match") is True for r in recs)
+        return bool(recs)
+
+    unverified = {n for n in post_queries if not verified(n)}
+    assert unverified == set(STAGED_R11) | set(FUTURE_ORACLES), (
+        "the round-11 flip would reopen the external book beyond its own "
+        f"window: extra={sorted(unverified - set(STAGED_R11) - set(FUTURE_ORACLES))} "
+        f"missing={sorted((set(STAGED_R11) | set(FUTURE_ORACLES)) - unverified)}"
+    )

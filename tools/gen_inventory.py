@@ -308,12 +308,12 @@ def main() -> None:
 
     lines += [
         "",
-        "## Staged for the round-11 window (derived)",
+        "## Staged for the round-12 window (derived)",
         "",
         f"{len(STAGED_R11)} complete (query, oracle) pairs in "
         "queries/analytics_r11_staged.py — hash-proven by "
-        "tests/test_r11_staged.py; surface built after the round-10 "
-        "staging filled its window stages one window further out: "
+        "tests/test_r11_staged.py; surface built after the round-10 flip "
+        "filled its window stages one window further out: "
         + ", ".join(f"`{n}`" for n in sorted(STAGED_R11)),
     ]
     lines += [

@@ -626,8 +626,9 @@ def q_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
     )
     return (
-        pairs.join(F.broadcast(pa), "part_a")
-        .join(F.broadcast(pb), "part_b")
+        # per-partkey count legs scale with SF - AQE-decided (broadcast_lint)
+    pairs.join(pa, "part_a")
+        .join(pb, "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",

@@ -491,8 +491,10 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     test = (
         bg.where(F.col("doc_id") % 2 == 1)
-        .join(F.broadcast(bcnt), ["w1", "w2"], "left")
-        .join(F.broadcast(ucnt), ["w1"], "left")
+        # vocab-keyed count legs grow with the corpus (Heaps' law) -
+        # AQE-decided (broadcast_lint)
+        .join(bcnt, ["w1", "w2"], "left")
+        .join(ucnt, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "source",
@@ -581,7 +583,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "w")
+        # per-term document frequencies are a vocab leg - AQE-decided
+        tf.join(dfreq, "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -1550,7 +1553,8 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("rel"))
     )
-    hits = top.join(F.broadcast(rel), "doc_id", "left").select(
+    # rel scales with the corpus (every doc containing the probe term)
+    hits = top.join(rel, "doc_id", "left").select(
         "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
     )
     m = hits.agg(

@@ -105,7 +105,8 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "word")
+        # per-term document frequencies are a vocab leg - AQE-decided
+        .join(dfreq, "word")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

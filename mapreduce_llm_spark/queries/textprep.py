@@ -436,8 +436,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = bigrams.filter(F.col("doc_id") % 50 == 0).select("bg").distinct()
     train = bigrams.filter(F.col("doc_id") % 50 != 0)
     per_doc = (
+        # the eval set is a 2% corpus slice - it scales with SF, so the
+        # join is AQE-decided (broadcast_lint)
         train.join(
-            F.broadcast(eval_set.withColumn("hit", F.lit(1))), "bg", "left"
+            eval_set.withColumn("hit", F.lit(1)), "bg", "left"
         )
         .groupBy("doc_id", "lang")
         .agg(

@@ -133,6 +133,56 @@ def build_sf1(src: str = SRC, dst: str = DST, copies: int = COPIES) -> str:
     return dst
 
 
+DEDUP_D1 = os.environ.get("SPARK_GRAFT_DEDUP_SF1_DIR", "/tmp/mrs_dedup_sf1")
+DEDUP_D10 = os.environ.get("SPARK_GRAFT_DEDUP_SF10_DIR", "/tmp/mrs_dedup_sf10")
+
+
+def build_dedup_density(
+    src: str, dst: str, salt: str, copies: int = COPIES
+) -> str:
+    """documents-only ×10 fixture that PRESERVES near-dup density
+    (VERDICT r10 item 5b / ROUND9_NOTES finding 2): the standard
+    copies fixture appends one shard word per copy, leaving every
+    document 9 near-identical twins (3-gram Jaccard ≈ 0.96) — the
+    near-dup PAIR SET then grows ~100× and any sf10 run measures the
+    fixture's duplicate density, not the engine. Here each copy
+    cp > 0 perturbs HALF the words (hash-selected, suffix unique per
+    copy and per level via `salt`), so only ~12.5% of word-3-gram
+    shingles survive between copies — cross-copy Jaccard ≈ 0.07,
+    far under q_dedup_clusters' 0.5 threshold — while WITHIN a copy
+    the original near-dup structure is untouched (the same words get
+    the same rewrite). Pairs therefore scale ~10× (linearly), the way
+    a real 10× corpus crawl behaves."""
+    marker = os.path.join(dst, "_SCALE_OK")
+    if os.path.exists(marker):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    src_docs = f"read_parquet('{src}/documents.parquet')"
+    stride = con.execute(f"SELECT max(doc_id) + 1 FROM {src_docs}").fetchone()[0]
+    series = f"(SELECT unnest(generate_series(0, {copies - 1})) AS cp)"
+    sql = f"""
+        SELECT doc_id + cp * {stride} AS doc_id,
+               array_to_string(list_transform(string_split(text, ' '),
+                   w -> CASE WHEN cp > 0 AND hash(w) % 2 = 0
+                             THEN w || '{salt}' || CAST(cp AS VARCHAR)
+                             ELSE w END), ' ') AS text,
+               lang, source,
+               CAST(length(array_to_string(list_transform(
+                   string_split(text, ' '),
+                   w -> CASE WHEN cp > 0 AND hash(w) % 2 = 0
+                             THEN w || '{salt}' || CAST(cp AS VARCHAR)
+                             ELSE w END), ' ')) AS BIGINT) AS n_chars
+        FROM {src_docs}, {series}
+    """
+    out = os.path.join(dst, "documents.parquet")
+    con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+    with open(marker, "w") as fh:
+        fh.write(f"copies={copies} src={src} salt={salt} density-preserving\n")
+    return dst
+
+
 def main() -> None:
     from mapreduce_llm_spark import registry
     from mapreduce_llm_spark.session import get_spark
@@ -154,10 +204,22 @@ def main() -> None:
     if "--passes" in args:
         passes = int(args[args.index("--passes") + 1])
 
-    build_sf1()
-    if decade == "1-10":
-        build_sf1(src=DST, dst=DST10)
-    small_dir, big_dir = (DST, DST10) if decade == "1-10" else (SRC, DST)
+    # --dedup-density: measure q_dedup_clusters' second decade on the
+    # density-preserving documents fixture (build_dedup_density) —
+    # sf1d -> sf10d. The standard copies fixture is confounded for this
+    # query (ROUND9_NOTES finding 2); rows land tagged with the fixture.
+    dedup_density = "--dedup-density" in args
+    if dedup_density:
+        decade = "1-10"
+        names = ["q_dedup_clusters"] if names is DEFAULT_QUERIES else names
+        build_dedup_density(SRC, DEDUP_D1, salt="da")
+        build_dedup_density(DEDUP_D1, DEDUP_D10, salt="db")
+        small_dir, big_dir = DEDUP_D1, DEDUP_D10
+    else:
+        build_sf1()
+        if decade == "1-10":
+            build_sf1(src=DST, dst=DST10)
+        small_dir, big_dir = (DST, DST10) if decade == "1-10" else (SRC, DST)
     registry.load_all()
     spark = get_spark(app_name="mapreduce_llm_spark-scale-stress")
 
@@ -190,6 +252,8 @@ def main() -> None:
                 "query": name, "decade": decade, "small_s": t_small,
                 "big_s": t_big, "exponent": exp,
             }
+            if dedup_density:
+                row["fixture"] = "density-preserving"
         rows.append(row)
         print(
             f"{name} [{decade}]: {t_small}s -> {t_big}s  exp={exp}",

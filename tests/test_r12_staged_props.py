@@ -1,0 +1,130 @@
+"""Semantic laws for the round-12 seed tranche — properties the hash
+gate can't express, plus the plan lint the round-12 flip will inherit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.queries.analytics_r12_staged import STAGED_R12
+from tests.conftest import SF_DIR, SMOKE_SF_DIR
+
+# Broadcast grid/scalar legs by design — copy into NLJ_OK on the
+# round-12 flip.
+STAGED_NLJ_OK: set[str] = {
+    "q_type_cooccurrence",  # broadcast 1-row distinct-user-total leg
+}
+
+PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _run(spark, name):
+    fn, _sql = STAGED_R12[name]
+    return [r.asDict() for r in fn(spark, SF_DIR).collect()]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R12))
+def test_staged_plan_lint(spark, name):
+    fn, _sql = STAGED_R12[name]
+    df = fn(spark, SMOKE_SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in STAGED_NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join — add to STAGED_NLJ_OK with reason"
+        )
+    for marker in PY_MARKERS:
+        assert marker not in plan, f"{name}: Python crossing ({marker})"
+
+
+def test_staged_nlj_allowlist_is_not_stale():
+    stale = STAGED_NLJ_OK - set(STAGED_R12)
+    assert not stale, f"allowlisted but not staged: {sorted(stale)}"
+
+
+# ---------------------------------------------------------------------------
+# Laws for the first r12 seed batch (point-process / series shape).
+# ---------------------------------------------------------------------------
+
+
+def test_interarrival_hazard_laws(spark):
+    rows = _run(spark, "q_interarrival_hazard")
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    type_counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    by_type: dict[str, list[dict]] = {}
+    for r in rows:
+        assert 0 <= r["hazard_e4"] <= 10000
+        assert 1 <= r["n_gaps"] <= r["n_at_risk"]
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, trs in by_type.items():
+        trs.sort(key=lambda r: r["bucket"])
+        # every gap is at risk in the lowest bucket: n-1 gaps per type
+        assert trs[0]["n_at_risk"] == type_counts[t] - 1
+        # the at-risk population shrinks as the bucket ascends, and the
+        # terminal bucket's hazard is exactly 1 (all survivors fail)
+        for a, b in zip(trs, trs[1:]):
+            assert a["n_at_risk"] > b["n_at_risk"]
+            assert b["n_at_risk"] == a["n_at_risk"] - a["n_gaps"]
+        assert trs[-1]["hazard_e4"] == 10000
+
+
+def test_type_cooccurrence_laws(spark):
+    rows = _run(spark, "q_type_cooccurrence")
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert (r["type_a"], r["type_b"]) not in seen
+        seen.add((r["type_a"], r["type_b"]))
+        assert r["n_both"] >= 1
+        assert 0 <= r["jaccard_e4"] <= 10000
+        assert r["lift_e4"] >= 0
+
+
+def test_drawdown_laws(spark):
+    rows = _run(spark, "q_drawdown")
+    assert rows
+    for r in rows:
+        assert r["min_daily"] <= r["max_daily"]
+        # a drawdown is a drop from a running peak: bounded by the
+        # total range of the daily series
+        assert 0 <= r["max_drawdown"] <= r["max_daily"] - r["min_daily"]
+        assert r["n_days"] >= 1
+        # trough day is a real epoch day in the corpus's modern range
+        assert 10000 <= r["trough_epoch_day"] <= 40000
+
+
+def test_gap_entropy_laws(spark):
+    rows = _run(spark, "q_gap_entropy")
+    assert rows
+    for r in rows:
+        # 0 <= H <= ln(k), with rounding slack
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_buckets"]) + 1e-4
+
+
+def test_wow_volatility_laws(spark):
+    rows = _run(spark, "q_wow_volatility")
+    assert rows
+    for r in rows:
+        assert r["n_changes"] >= 1
+        assert 0 <= r["mean_abs_wow_bp"] <= r["max_abs_wow_bp"]
+        # net is the signed sum of per-week changes, each of magnitude
+        # <= max_abs: |net| <= n_changes * max_abs
+        assert abs(r["net_wow_bp"]) <= r["n_changes"] * r["max_abs_wow_bp"]

@@ -478,3 +478,451 @@ def q_wow_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 2 — per-user behavioral structure.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_session_depth",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                      OR lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM ordered
+    ),
+    depths AS (
+        SELECT user_id, session_seq,
+               CAST(count(*) AS BIGINT) AS depth
+        FROM sessions
+        GROUP BY user_id, session_seq
+    ),
+    bucketed AS (
+        SELECT least(depth, CAST(20 AS BIGINT)) AS depth_bucket,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(depth) AS BIGINT) AS n_events
+        FROM depths
+        GROUP BY least(depth, CAST(20 AS BIGINT))
+    )
+    SELECT depth_bucket, n_sessions, n_events,
+           CAST(n_sessions * 10000 // sum(n_sessions) OVER ()
+               AS BIGINT) AS share_bp
+    FROM bucketed
+    ORDER BY depth_bucket
+    """,
+)
+def q_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram: sessionize each user's stream at a
+    30-minute inactivity gap (the q_evt_sessionize convention), count
+    events per session, and report the distribution of session depths
+    (capped at 20+) with each bucket's share of all sessions — the
+    engagement-shape number behind bounce-rate and prefetch sizing.
+    Pure keyed windows (lag + running sum per user, both explicitly
+    ordered by (ts, event_id) on both engines) — sessionization never
+    leaves the user partition, so the plan scales with even user skew;
+    exact integer shares in bp."""
+    ev = load_table(spark, sf_dir, "events")
+    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            (
+                F.expr("unix_micros(ts)")
+                - F.lag(F.expr("unix_micros(ts)")).over(lag_w)
+                > 1800000000
+            )
+            | F.lag(F.expr("unix_micros(ts)")).over(lag_w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = ordered.select(
+        "user_id", F.sum("new_session").over(cum).alias("session_seq")
+    )
+    depths = sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("depth")
+    )
+    bucketed = (
+        depths.select(
+            F.least(F.col("depth"), F.lit(20).cast("long")).alias(
+                "depth_bucket"
+            ),
+            "depth",
+        )
+        .groupBy("depth_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("depth").cast("long").alias("n_events"),
+        )
+    )
+    return bucketed.select(
+        "depth_bucket",
+        "n_sessions",
+        "n_events",
+        F.expr(
+            "CAST(n_sessions * 10000 div (sum(n_sessions) OVER ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    ).orderBy("depth_bucket")
+
+
+@_staged(
+    "q_alternation_rate",
+    oracle="""
+    WITH trans AS (
+        SELECT user_id,
+               CASE WHEN event_type <> lag(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS switched,
+               CASE WHEN lag(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 0 ELSE 1 END AS is_transition
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(switched) AS BIGINT) AS n_switch,
+               CAST(sum(is_transition) AS BIGINT) AS n_trans
+        FROM trans
+        GROUP BY user_id
+        HAVING sum(is_transition) > 0
+    ),
+    rated AS (
+        SELECT least(n_switch * 10000 // n_trans // 1000,
+                     CAST(9 AS BIGINT)) AS switch_decile,
+               n_switch, n_trans
+        FROM per_user
+    )
+    SELECT switch_decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_switch) * 10000 // sum(n_trans) AS BIGINT)
+               AS pooled_switch_bp
+    FROM rated
+    GROUP BY switch_decile
+    ORDER BY switch_decile
+    """,
+)
+def q_alternation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-switching propensity: per user, the share of consecutive
+    event pairs that CHANGE event type; users bucketed into deciles of
+    that switch rate, with each decile's pooled rate — separates
+    mono-task sessions (low deciles: view-view-view) from scattershot
+    behavior, the segmentation input for session-based recommenders.
+    Keyed lag windows only; exact bp via nonneg integer division (the
+    decile is a second integer division of the bp — floor-of-floor is
+    exact on both engines for nonneg operands)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.when(
+            F.col("event_type") != F.lag("event_type").over(w), 1
+        )
+        .otherwise(0)
+        .alias("switched"),
+        F.when(F.lag("event_type").over(w).isNull(), 0)
+        .otherwise(1)
+        .alias("is_transition"),
+    )
+    per_user = (
+        trans.groupBy("user_id")
+        .agg(
+            F.sum("switched").cast("long").alias("n_switch"),
+            F.sum("is_transition").cast("long").alias("n_trans"),
+        )
+        .where(F.col("n_trans") > 0)
+    )
+    rated = per_user.select(
+        F.least(
+            F.expr("n_switch * 10000 div n_trans div 1000"),
+            F.lit(9).cast("long"),
+        ).alias("switch_decile"),
+        "n_switch",
+        "n_trans",
+    )
+    return (
+        rated.groupBy("switch_decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr(
+                "CAST(sum(n_switch) * 10000 div sum(n_trans) AS BIGINT)"
+            ).alias("pooled_switch_bp"),
+        )
+        .orderBy("switch_decile")
+    )
+
+
+@_staged(
+    "q_monotone_runs",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    flagged AS (
+        SELECT event_type, day,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS rn,
+               CASE WHEN cnt > lag(cnt) OVER (
+                        PARTITION BY event_type ORDER BY day)
+                    THEN 1 ELSE 0 END AS up,
+               CASE WHEN cnt < lag(cnt) OVER (
+                        PARTITION BY event_type ORDER BY day)
+                    THEN 1 ELSE 0 END AS down
+        FROM daily
+    ),
+    runs AS (
+        SELECT event_type, up, down,
+               rn - sum(up) OVER (
+                   PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS up_grp,
+               rn - sum(down) OVER (
+                   PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS down_grp
+        FROM flagged
+    ),
+    up_runs AS (
+        SELECT event_type, CAST(sum(up) AS BIGINT) AS run_len
+        FROM runs GROUP BY event_type, up_grp
+    ),
+    down_runs AS (
+        SELECT event_type, CAST(sum(down) AS BIGINT) AS run_len
+        FROM runs GROUP BY event_type, down_grp
+    )
+    SELECT u.event_type,
+           CAST(max(u.run_len) AS BIGINT) AS longest_up_steps,
+           CAST((SELECT max(d.run_len) FROM down_runs d
+                 WHERE d.event_type = u.event_type) AS BIGINT)
+               AS longest_down_steps
+    FROM up_runs u
+    GROUP BY u.event_type
+    ORDER BY u.event_type
+    """,
+)
+def q_monotone_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-monotone stretch of the daily event-count
+    series per type, in consecutive up-steps and down-steps — the
+    trend-persistence summary (a 6-day up-run on 'error' is an
+    escalating incident; random series rarely exceed 3-4). Classic
+    gaps-and-islands: an up-run is a maximal block of consecutive
+    up-flags, found by the rn − cumsum(flag) island key — a flag
+    BREAKS the island key's advance exactly when the streak continues,
+    so each island groups one streak; windows stay keyed per type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    flagged = daily.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("cnt") > F.lag("cnt").over(w), 1)
+        .otherwise(0)
+        .alias("up"),
+        F.when(F.col("cnt") < F.lag("cnt").over(w), 1)
+        .otherwise(0)
+        .alias("down"),
+    )
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = flagged.select(
+        "event_type",
+        "up",
+        "down",
+        (F.col("rn") - F.sum("up").over(cum)).alias("up_grp"),
+        (F.col("rn") - F.sum("down").over(cum)).alias("down_grp"),
+    )
+    up_best = (
+        runs.groupBy("event_type", "up_grp")
+        .agg(F.sum("up").cast("long").alias("run_len"))
+        .groupBy("event_type")
+        .agg(F.max("run_len").cast("long").alias("longest_up_steps"))
+    )
+    down_best = (
+        runs.groupBy("event_type", "down_grp")
+        .agg(F.sum("down").cast("long").alias("run_len"))
+        .groupBy("event_type")
+        .agg(F.max("run_len").cast("long").alias("longest_down_steps"))
+    )
+    return up_best.join(down_best, "event_type").orderBy("event_type")
+
+
+@_staged(
+    "q_user_hour_hhi",
+    oracle="""
+    WITH per_hour AS (
+        SELECT user_id, extract(hour FROM ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY user_id, extract(hour FROM ts)
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(n * n) * 10000 // (sum(n) * sum(n)) AS BIGINT)
+                   AS hhi_e4,
+               CAST(count(*) AS BIGINT) AS n_active_hours
+        FROM per_hour
+        GROUP BY user_id
+    )
+    SELECT least(hhi_e4 // 1000, CAST(9 AS BIGINT)) AS hhi_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(hhi_e4) // count(*) AS BIGINT) AS mean_hhi_e4,
+           CAST(sum(n_active_hours) // count(*) AS BIGINT)
+               AS mean_active_hours
+    FROM per_user
+    GROUP BY least(hhi_e4 // 1000, CAST(9 AS BIGINT))
+    ORDER BY hhi_band
+    """,
+)
+def q_user_hour_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day concentration per user, as a Herfindahl index over
+    the user's 24-hour activity mix, banded — humans concentrate in a
+    few waking hours (high HHI), round-the-clock uniform activity
+    (HHI → 1/24) is the bot signature this audit flags, complementing
+    q_bot_score's gap-regularity lens. HHI is exact integer
+    arithmetic: Σn_h²·10⁴ // (Σn_h)² — per-user event counts keep
+    Σn²·10⁴ far inside int64 at any SF (the numerator is quadratic in
+    a SINGLE user's volume, not the corpus's)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "user_id", F.hour("ts").alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    per_user = per_hour.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(n * n) * 10000 div (sum(n) * sum(n)) AS BIGINT)"
+        ).alias("hhi_e4"),
+        F.count("*").cast("long").alias("n_active_hours"),
+    )
+    return (
+        per_user.groupBy(
+            F.least(
+                F.expr("hhi_e4 div 1000"), F.lit(9).cast("long")
+            ).alias("hhi_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr(
+                "CAST(sum(hhi_e4) div count(*) AS BIGINT)"
+            ).alias("mean_hhi_e4"),
+            F.expr(
+                "CAST(sum(n_active_hours) div count(*) AS BIGINT)"
+            ).alias("mean_active_hours"),
+        )
+        .orderBy("hhi_band")
+    )
+
+
+@_staged(
+    "q_gap_dominance",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                   // 1000000 AS gap_s
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, gap_s,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY gap_s DESC, gap_s DESC) AS rk
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+    ),
+    top2 AS (
+        SELECT user_id,
+               max(CASE WHEN rk = 1 THEN gap_s END) AS g1,
+               max(CASE WHEN rk = 2 THEN gap_s END) AS g2
+        FROM ranked
+        WHERE rk <= 2
+        GROUP BY user_id
+        HAVING max(CASE WHEN rk = 2 THEN gap_s END) > 0
+    )
+    SELECT least(g1 // g2, CAST(10 AS BIGINT)) AS dominance_ratio,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(g1) // count(*) AS BIGINT) AS mean_top_gap_s,
+           CAST(sum(g2) // count(*) AS BIGINT) AS mean_second_gap_s
+    FROM top2
+    GROUP BY least(g1 // g2, CAST(10 AS BIGINT))
+    ORDER BY dominance_ratio
+    """,
+)
+def q_gap_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail dominance of each user's inactivity gaps: the ratio of the
+    largest to the second-largest gap (capped at 10×), histogrammed —
+    a dominance near 1 means routine absences (nightly), a large one
+    means a single long dormancy splits the history (the churn-and-
+    revival shape q_dormancy_revival counts, seen per-user). Top-2
+    selection is a keyed row_number, never a self-join; ratio is
+    nonneg integer division (whole seconds), ties broken arbitrarily
+    among equal gaps — the VALUES g1 ≥ g2 are order-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id))"
+            " div 1000000"
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("gap_s").desc())
+    ranked = gaps.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 2
+    )
+    top2 = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("gap_s"))).alias("g1"),
+            F.max(F.when(F.col("rk") == 2, F.col("gap_s"))).alias("g2"),
+        )
+        .where(F.col("g2") > 0)
+    )
+    return (
+        top2.groupBy(
+            F.least(F.expr("g1 div g2"), F.lit(10).cast("long")).alias(
+                "dominance_ratio"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("CAST(sum(g1) div count(*) AS BIGINT)").alias(
+                "mean_top_gap_s"
+            ),
+            F.expr("CAST(sum(g2) div count(*) AS BIGINT)").alias(
+                "mean_second_gap_s"
+            ),
+        )
+        .orderBy("dominance_ratio")
+    )

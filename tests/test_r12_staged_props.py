@@ -128,3 +128,68 @@ def test_wow_volatility_laws(spark):
         # net is the signed sum of per-week changes, each of magnitude
         # <= max_abs: |net| <= n_changes * max_abs
         assert abs(r["net_wow_bp"]) <= r["n_changes"] * r["max_abs_wow_bp"]
+
+
+# ---------------------------------------------------------------------------
+# Laws for the second r12 batch (per-user behavioral structure).
+# ---------------------------------------------------------------------------
+
+
+def test_session_depth_laws(spark):
+    rows = _run(spark, "q_session_depth")
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    # every event lands in exactly one session
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert sum(r["share_bp"] for r in rows) <= 10000
+    for r in rows:
+        assert 1 <= r["depth_bucket"] <= 20
+        if r["depth_bucket"] < 20:
+            # an uncapped bucket holds sessions of exactly that depth
+            assert r["n_events"] == r["depth_bucket"] * r["n_sessions"]
+        else:
+            assert r["n_events"] >= 20 * r["n_sessions"]
+
+
+def test_alternation_rate_laws(spark):
+    rows = _run(spark, "q_alternation_rate")
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    multi = (
+        ev.groupBy("user_id").count().where("count >= 2").count()
+    )
+    assert sum(r["n_users"] for r in rows) == multi
+    for r in rows:
+        assert 0 <= r["switch_decile"] <= 9
+        assert 0 <= r["pooled_switch_bp"] <= 10000
+
+
+def test_monotone_runs_laws(spark):
+    rows = _run(spark, "q_monotone_runs")
+    assert rows
+    for r in rows:
+        assert 0 <= r["longest_up_steps"] <= 60
+        assert 0 <= r["longest_down_steps"] <= 60
+
+
+def test_user_hour_hhi_laws(spark):
+    rows = _run(spark, "q_user_hour_hhi")
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r["hhi_band"] <= 9
+        # HHI of a 24-cell mix is at least 1/24 and at most 1
+        assert 10000 // 24 <= r["mean_hhi_e4"] <= 10000
+        assert 1 <= r["mean_active_hours"] <= 24
+
+
+def test_gap_dominance_laws(spark):
+    rows = _run(spark, "q_gap_dominance")
+    assert rows
+    for r in rows:
+        assert 1 <= r["dominance_ratio"] <= 10
+        # per user g1 >= g2, so the bucket means preserve the order
+        assert r["mean_top_gap_s"] >= r["mean_second_gap_s"]
+        assert r["n_users"] >= 1

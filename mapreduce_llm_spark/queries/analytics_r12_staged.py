@@ -926,3 +926,349 @@ def q_gap_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dominance_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 3 — retail / fulfilment audits on the star schema.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_priority_inversion",
+    oracle="""
+    WITH delays AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                   AS month,
+               o.o_orderpriority AS prio,
+               datediff('day', o.o_orderdate, l.l_shipdate) AS delay_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    med AS (
+        SELECT month, prio, median(delay_d) AS med_delay
+        FROM delays
+        GROUP BY month, prio
+    ),
+    pairs AS (
+        SELECT a.month,
+               CASE WHEN a.med_delay > b.med_delay THEN 1 ELSE 0 END
+                   AS inverted,
+               CASE WHEN a.med_delay > b.med_delay
+                    THEN a.med_delay - b.med_delay ELSE 0 END AS gap
+        FROM med a JOIN med b
+          ON a.month = b.month AND a.prio < b.prio
+    )
+    SELECT month,
+           CAST(sum(inverted) AS BIGINT) AS n_inversions,
+           max(gap) + 0.0 AS max_inversion_gap_days
+    FROM pairs
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def q_priority_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-inversion audit of fulfilment: per month, how many
+    urgency-ordered priority pairs have the MORE urgent class shipping
+    with a HIGHER median delay — the SLA credibility check (a month
+    with 1-URGENT slower than 5-LOW means the priority field isn't
+    driving the warehouse). Medians are exact interpolated percentiles
+    (integer day counts → .0/.5 doubles, binary-exact on both
+    engines); the pair comparison self-joins the per-(month, priority)
+    AGGREGATE (≤5 rows per month), never the fact table, so the
+    quadratic term is over a 5-element set. The priority labels'
+    lexicographic order IS the urgency order ('1-URGENT' < '5-LOW')."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delays = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_d"),
+    )
+    med = delays.groupBy("month", "prio").agg(
+        F.expr("percentile(delay_d, 0.5)").alias("med_delay")
+    )
+    a = med.alias("a")
+    b = med.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.month") == F.col("b.month"))
+        & (F.col("a.prio") < F.col("b.prio")),
+    ).select(
+        F.col("a.month").alias("month"),
+        F.when(F.col("a.med_delay") > F.col("b.med_delay"), 1)
+        .otherwise(0)
+        .alias("inverted"),
+        F.when(
+            F.col("a.med_delay") > F.col("b.med_delay"),
+            F.col("a.med_delay") - F.col("b.med_delay"),
+        )
+        .otherwise(0.0)
+        .alias("gap"),
+    )
+    return (
+        pairs.groupBy("month")
+        .agg(
+            F.sum("inverted").cast("long").alias("n_inversions"),
+            (F.max("gap") + F.lit(0.0)).alias("max_inversion_gap_days"),
+        )
+        .orderBy("month")
+    )
+
+
+@_staged(
+    "q_balance_sign_mix",
+    oracle="""
+    WITH c AS (
+        SELECT n.n_name,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer c JOIN nation n
+          ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name,
+           CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg,
+           CAST(sum(CASE WHEN cents >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS neg_share_bp,
+           CAST(sum(CASE WHEN cents < 0 THEN -cents ELSE 0 END)
+                // nullif(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS mean_neg_debt_cents,
+           CAST(sum(CASE WHEN cents >= 0 THEN cents ELSE 0 END)
+                // nullif(sum(CASE WHEN cents >= 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS mean_pos_bal_cents
+    FROM c
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_balance_sign_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-exposure mix per nation: how many customers carry a
+    NEGATIVE account balance, their share, and the mean debt vs the
+    mean positive balance — the receivables-risk split behind
+    q_supplier_balance_risk's supplier-side twin. Balances are
+    cent-exact doubles; floor(x·100 + 0.5) converts to integer cents
+    identically on both engines for BOTH signs (half-up via floor,
+    never CAST — DuckDB CAST rounds while Spark truncates), and the
+    debt mean runs on the NEGATED nonneg cents so no negative value
+    ever meets integer division (the CLAUDE.md sign rule). The nation
+    leg is schema-bounded (25 rows) — AQE broadcasts it unhinted."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = c.join(n, n.n_nationkey == c.c_nationkey).select(
+        "n_name",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return (
+        cents.groupBy("n_name")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_neg"),
+            F.expr(
+                "CAST(sum(CASE WHEN cents >= 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_pos"),
+            F.expr(
+                "CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("neg_share_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN cents < 0 THEN -cents ELSE 0 END)"
+                " div nullif(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END),"
+                " 0) AS BIGINT)"
+            ).alias("mean_neg_debt_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN cents >= 0 THEN cents ELSE 0 END)"
+                " div nullif(sum(CASE WHEN cents >= 0 THEN 1 ELSE 0 END),"
+                " 0) AS BIGINT)"
+            ).alias("mean_pos_bal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_staged(
+    "q_part_token_price",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(p_name, ' ')) AS token,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM part
+    ),
+    agg AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM toks
+        GROUP BY token
+    )
+    SELECT token, n_parts, mean_cents, min_cents, max_cents
+    FROM agg
+    ORDER BY n_parts DESC, token
+    LIMIT 20
+    """,
+)
+def q_part_token_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-vocabulary pricing: split part names into tokens
+    (color/size adjectives and product nouns), and for the 20 most
+    common tokens report part count and the retail-price profile in
+    exact cents — does 'red' command a premium over 'blue'? The
+    merchandising-taxonomy audit for a name-only catalog. Token
+    explode is linear in name length; the top-20 is a
+    TakeOrderedAndProject with the token itself as the unique
+    tie-break (the CLAUDE.md ties rule)."""
+    p = load_table(spark, sf_dir, "part")
+    toks = p.select(
+        F.explode(F.split("p_name", " ")).alias("token"),
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+    return agg.orderBy(F.col("n_parts").desc(), "token").limit(20)
+
+
+@_staged(
+    "q_multi_supplier_orders",
+    oracle="""
+    WITH per_pair AS (
+        SELECT l_orderkey, l_partkey,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST(max(floor(l_extendedprice / l_quantity * 100 + 0.5))
+                    - min(floor(l_extendedprice / l_quantity * 100
+                                + 0.5)) AS BIGINT) AS spread_cents
+        FROM lineitem
+        GROUP BY l_orderkey, l_partkey
+        HAVING count(DISTINCT l_suppkey) >= 2
+    )
+    SELECT n_supp,
+           CAST(count(*) AS BIGINT) AS n_order_parts,
+           CAST(sum(spread_cents) // count(*) AS BIGINT)
+               AS mean_spread_cents,
+           CAST(max(spread_cents) AS BIGINT) AS max_spread_cents
+    FROM per_pair
+    GROUP BY n_supp
+    ORDER BY n_supp
+    """,
+)
+def q_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-sourcing audit: (order, part) pairs filled by MORE than
+    one supplier, grouped by supplier count, with the spread between
+    the cheapest and dearest implied unit price — paying two suppliers
+    different unit prices for the same part on the same order is
+    either negotiation headroom or a data defect. Implied unit price
+    is ext/qty floored to cents after one IEEE divide (identical on
+    both engines — int64→double divide + floor, the q_bot_score
+    pattern); the grouping key is the natural lineitem key so the
+    aggregation is one shuffle of the fact table, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_pair = (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+            F.expr(
+                "CAST(max(floor(l_extendedprice / l_quantity * 100"
+                " + 0.5)) - min(floor(l_extendedprice / l_quantity"
+                " * 100 + 0.5)) AS BIGINT)"
+            ).alias("spread_cents"),
+        )
+        .where(F.col("n_supp") >= 2)
+    )
+    return (
+        per_pair.groupBy("n_supp")
+        .agg(
+            F.count("*").cast("long").alias("n_order_parts"),
+            F.expr(
+                "CAST(sum(spread_cents) div count(*) AS BIGINT)"
+            ).alias("mean_spread_cents"),
+            F.max("spread_cents").cast("long").alias("max_spread_cents"),
+        )
+        .orderBy("n_supp")
+    )
+
+
+@_staged(
+    "q_tax_by_value_band",
+    oracle="""
+    WITH banded AS (
+        SELECT o_orderkey,
+               least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     // 5000000, CAST(9 AS BIGINT)) AS value_band
+        FROM orders
+    ),
+    joined AS (
+        SELECT b.value_band, l.l_orderkey,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS ext_cents,
+               CAST(floor(l.l_tax * 100 + 0.5) AS BIGINT) AS tax_e2
+        FROM banded b JOIN lineitem l ON l.l_orderkey = b.o_orderkey
+    )
+    SELECT value_band,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(ext_cents * tax_e2) * 100 // sum(ext_cents)
+               AS BIGINT) AS eff_tax_e4
+    FROM joined
+    GROUP BY value_band
+    ORDER BY value_band
+    """,
+)
+def q_tax_by_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective tax incidence by order-value band ($50k cent-bands,
+    capped at 9): the value-weighted tax rate a band's lineitems
+    actually paid — flat bands mean tax is orthogonal to order size,
+    a slope is (synthetic) progressivity. ALL arithmetic is integer:
+    cents and tax-percent enter as half-up-floored int64, the weighted
+    numerator Σ(cents·tax_e2) stays exact where a double Σ(price·tax)
+    would drift with summation order (the CLAUDE.md heavy-sum rule —
+    this is the decimal-sum trap, dodged with integers instead of
+    DECIMAL), and the e4 rate is one nonneg integer division. Value
+    bands come from the ORDER total so the band assignment needs no
+    window — band-by-value scales where an ntile decile would global-
+    sort."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    banded = o.select(
+        "o_orderkey",
+        F.least(
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                " div 5000000"
+            ),
+            F.lit(9).cast("long"),
+        ).alias("value_band"),
+    )
+    joined = banded.join(
+        li, li.l_orderkey == banded.o_orderkey
+    ).select(
+        "value_band",
+        "l_orderkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("ext_cents"),
+        F.expr("CAST(floor(l_tax * 100 + 0.5) AS BIGINT)").alias(
+            "tax_e2"
+        ),
+    )
+    return (
+        joined.groupBy("value_band")
+        .agg(
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(ext_cents * tax_e2) * 100 div sum(ext_cents)"
+                " AS BIGINT)"
+            ).alias("eff_tax_e4"),
+        )
+        .orderBy("value_band")
+    )

@@ -193,3 +193,62 @@ def test_gap_dominance_laws(spark):
         # per user g1 >= g2, so the bucket means preserve the order
         assert r["mean_top_gap_s"] >= r["mean_second_gap_s"]
         assert r["n_users"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Laws for the third r12 batch (retail / fulfilment audits).
+# ---------------------------------------------------------------------------
+
+
+def test_priority_inversion_laws(spark):
+    rows = _run(spark, "q_priority_inversion")
+    assert rows
+    for r in rows:
+        # 5 priority classes -> at most C(5,2) = 10 inverted pairs
+        assert 0 <= r["n_inversions"] <= 10
+        assert r["max_inversion_gap_days"] >= 0.0
+        if r["n_inversions"] == 0:
+            assert r["max_inversion_gap_days"] == 0.0
+
+
+def test_balance_sign_mix_laws(spark):
+    rows = _run(spark, "q_balance_sign_mix")
+    assert rows
+    cust = load_table(spark, SF_DIR, "customer")
+    assert sum(r["n_neg"] + r["n_pos"] for r in rows) == cust.count()
+    for r in rows:
+        assert 0 <= r["neg_share_bp"] <= 10000
+        if r["n_neg"]:
+            assert r["mean_neg_debt_cents"] > 0
+        if r["n_pos"]:
+            assert r["mean_pos_bal_cents"] >= 0
+
+
+def test_part_token_price_laws(spark):
+    rows = _run(spark, "q_part_token_price")
+    # the synthetic catalog vocabulary is small (16 tokens at sf0.01)
+    # so the LIMIT 20 may not bind — but it must never be exceeded
+    assert 1 <= len(rows) <= 20
+    counts = [r["n_parts"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["min_cents"] <= r["mean_cents"] <= r["max_cents"]
+
+
+def test_multi_supplier_orders_laws(spark):
+    rows = _run(spark, "q_multi_supplier_orders")
+    for r in rows:
+        assert r["n_supp"] >= 2
+        assert 0 <= r["mean_spread_cents"] <= r["max_spread_cents"]
+
+
+def test_tax_by_value_band_laws(spark):
+    rows = _run(spark, "q_tax_by_value_band")
+    assert rows
+    o = load_table(spark, SF_DIR, "orders")
+    # every order with lineitems lands in exactly one band
+    assert sum(r["n_orders"] for r in rows) <= o.count()
+    for r in rows:
+        assert 0 <= r["value_band"] <= 9
+        # tax rates are drawn from {0%..8%}
+        assert 0 <= r["eff_tax_e4"] <= 800

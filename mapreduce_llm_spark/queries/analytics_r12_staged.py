@@ -1272,3 +1272,442 @@ def q_tax_by_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 4 — corpus statistics on the documents table.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_hapax_rate",
+    oracle="""
+    WITH wc AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT source,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+        GROUP BY source, w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS hapax_share_bp
+    FROM wc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the share of each source's
+    vocabulary that occurs exactly once — high hapax share means
+    long-tail vocabulary (OCR noise, IDs, genuine lexical richness)
+    and predicts tokenizer OOV pressure; the Zipf-tail companion to
+    q_ttr_heaps' type-token curve. One explode → one (source, word)
+    aggregation; all integers."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "source", F.explode(_r12_words(F.col("text"))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_hapax"),
+            F.expr(
+                "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("hapax_share_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        FROM documents
+        GROUP BY lang, source
+    ),
+    tots AS (
+        SELECT lang, source, o,
+               sum(o) OVER (PARTITION BY lang) AS row_tot,
+               sum(o) OVER (PARTITION BY source) AS col_tot,
+               sum(o) OVER () AS grand
+        FROM cells
+    ),
+    chi AS (
+        SELECT CAST(max(grand) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               sum((CAST(o AS DOUBLE)
+                    - CAST(row_tot * col_tot AS DOUBLE)
+                      / CAST(grand AS DOUBLE))
+                   * (CAST(o AS DOUBLE)
+                      - CAST(row_tot * col_tot AS DOUBLE)
+                        / CAST(grand AS DOUBLE))
+                   / (CAST(row_tot * col_tot AS DOUBLE)
+                      / CAST(grand AS DOUBLE))) AS chi2_obs,
+               sum(CAST(row_tot * col_tot AS DOUBLE)
+                   / CAST(grand AS DOUBLE)) AS e_obs
+        FROM tots
+    ),
+    full_chi AS (
+        SELECT n_docs, n_langs, n_sources,
+               chi2_obs + (CAST(n_docs AS DOUBLE) - e_obs) AS chi2
+        FROM chi
+    )
+    SELECT n_docs, n_langs, n_sources,
+           round(chi2 + 0.0, 4) AS chi2,
+           round(sqrt(chi2 / (CAST(n_docs AS DOUBLE)
+                              * CAST(least(n_langs, n_sources) - 1
+                                     AS DOUBLE))) + 0.0, 4)
+               AS cramers_v
+    FROM full_chi
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between language and source — the
+    one-number answer to 'is language confounded with source?' that
+    decides whether per-source quality stats need language
+    stratification (V ≈ 0: orthogonal; V → 1: each source is
+    monolingual). A zero cell (a source with no docs in some language
+    — 3 of 100 cells at sf0.01) contributes (0−e)²/e = e to χ², and
+    the aggregation only SEES observed cells, so the full χ² is
+    recovered by the identity χ² = Σ_obs (o−e)²/e + (N − Σ_obs e):
+    the expected mass over ALL cells sums to N. Doubles enter only in
+    (o−e)²/e with one shared parenthesization; round(,4) is the
+    allowed sqrt/ratio class."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    tots = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    # one shared expression tree for e (int64 product cast once, one
+    # divide) keeps the IEEE op order identical to the oracle's
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "grand"
+    ).cast("double")
+    chi = tots.agg(
+        F.max("grand").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+        ).alias("chi2_obs"),
+        F.sum(e).alias("e_obs"),
+    )
+    chi = chi.withColumn(
+        "chi2_raw",
+        F.col("chi2_obs")
+        + (F.col("n_docs").cast("double") - F.col("e_obs")),
+    )
+    return chi.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        F.round(F.col("chi2_raw") + F.lit(0.0), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (
+                    F.col("n_docs").cast("double")
+                    * (
+                        F.least("n_langs", "n_sources") - F.lit(1)
+                    ).cast("double")
+                )
+            )
+            + F.lit(0.0),
+            4,
+        ).alias("cramers_v"),
+    )
+
+
+@_staged(
+    "q_bits_per_char",
+    oracle="""
+    WITH bigrams AS (
+        SELECT source,
+               substr(text, i, 2) AS bg
+        FROM (
+            SELECT source, text,
+                   unnest(generate_series(1,
+                       CAST(length(text) AS BIGINT) - 1)) AS i
+            FROM documents
+            WHERE length(text) >= 2
+        )
+    ),
+    counts AS (
+        SELECT source, bg, CAST(count(*) AS BIGINT) AS n_ab
+        FROM bigrams
+        GROUP BY source, bg
+    ),
+    withfirst AS (
+        SELECT source, n_ab,
+               sum(n_ab) OVER (
+                   PARTITION BY source, substr(bg, 1, 1)) AS n_a,
+               sum(n_ab) OVER (PARTITION BY source) AS n_tot
+        FROM counts
+    )
+    SELECT source,
+           CAST(max(n_tot) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           round(-sum((CAST(n_ab AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      * log2(CAST(n_ab AS DOUBLE)
+                             / CAST(n_a AS DOUBLE))) + 0.0, 4)
+               AS cond_entropy_bits
+    FROM withfirst
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_bits_per_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level conditional entropy H(next char | char) per
+    source, in bits — the zeroth-order compressibility estimate
+    (bits/char under an order-1 model) that ranks sources by
+    redundancy before any real compressor runs; the q_char_entropy
+    unigram measure upgraded one order. Bigrams are enumerated with a
+    per-document index range (guarded to length ≥ 2 — the CLAUDE.md
+    sequence/generate_series descent trap), counted exactly; only the
+    final p·log₂ enters doubles, round(,4). The bigram-count relation
+    is keyed by (source, first char) windows over the AGGREGATED
+    count matrix (≤ 27² rows per source), never the raw corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        d.where(F.length("text") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.length("text").cast("long") - 1,
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "source",
+            F.expr("substr(text, i, 2)").alias("bg"),
+        )
+    )
+    counts = bigrams.groupBy("source", "bg").agg(
+        F.count("*").cast("long").alias("n_ab")
+    )
+    withfirst = counts.select(
+        "source",
+        "n_ab",
+        F.sum("n_ab")
+        .over(Window.partitionBy("source", F.expr("substr(bg, 1, 1)")))
+        .alias("n_a"),
+        F.sum("n_ab").over(Window.partitionBy("source")).alias("n_tot"),
+    )
+    plogp = (
+        F.col("n_ab").cast("double") / F.col("n_tot").cast("double")
+    ) * F.log2(
+        F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    )
+    return (
+        withfirst.groupBy("source")
+        .agg(
+            F.max("n_tot").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_distinct_bigrams"),
+            F.round(-F.sum(plogp) + F.lit(0.0), 4).alias(
+                "cond_entropy_bits"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_cohens_kappa",
+    oracle="""
+    WITH rules AS (
+        SELECT source,
+               CASE WHEN n_chars BETWEEN 150 AND 450
+                    THEN 1 ELSE 0 END AS rule_len,
+               CASE WHEN length(list_filter(
+                        regexp_split_to_array(lower(text), '[^a-z]+'),
+                        x -> x IN ('the', 'a', 'and', 'of', 'in')))
+                        >= 5
+                    THEN 1 ELSE 0 END AS rule_stop
+        FROM documents
+    ),
+    counts AS (
+        SELECT source,
+               CAST(sum(rule_len * rule_stop) AS BIGINT) AS n11,
+               CAST(sum(rule_len * (1 - rule_stop)) AS BIGINT) AS n10,
+               CAST(sum((1 - rule_len) * rule_stop) AS BIGINT) AS n01,
+               CAST(sum((1 - rule_len) * (1 - rule_stop)) AS BIGINT)
+                   AS n00,
+               CAST(count(*) AS BIGINT) AS n
+        FROM rules
+        GROUP BY source
+    )
+    SELECT source, n11, n10, n01, n00,
+           round((
+               (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+               - (CAST((n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                  / CAST(n * n AS DOUBLE))
+           ) / (
+               1.0
+               - (CAST((n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                  / CAST(n * n AS DOUBLE))
+           ) + 0.0, 4) AS kappa
+    FROM counts
+    ORDER BY source
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ agreement between two independent curation rules —
+    the length gate (150–450 chars) and a stopword-count gate (≥5
+    function words) — per source: κ near 0 means the rules select
+    DIFFERENT documents (stack them), κ near 1 means one is redundant.
+    The quality-rule portfolio question behind q_gopher_rules. The
+    2×2 table is exact integers; κ is three int64→double conversions
+    and divides with ONE shared parenthesization on both engines
+    (chance agreement pe = (n1·+n·1 + n0·+n·0)/n² folded into a single
+    fraction so no engine reassociates), round(,4) with the −0.0
+    guard (κ can be negative)."""
+    d = load_table(spark, sf_dir, "documents")
+    rules = d.select(
+        "source",
+        F.when(F.col("n_chars").between(150, 450), 1)
+        .otherwise(0)
+        .alias("rule_len"),
+        F.when(
+            F.size(
+                F.filter(
+                    _r12_words(F.col("text")),
+                    lambda w: w.isin("the", "a", "and", "of", "in"),
+                )
+            )
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("rule_stop"),
+    )
+    counts = rules.groupBy("source").agg(
+        F.sum(F.col("rule_len") * F.col("rule_stop"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.col("rule_len") * (1 - F.col("rule_stop")))
+        .cast("long")
+        .alias("n10"),
+        F.sum((1 - F.col("rule_len")) * F.col("rule_stop"))
+        .cast("long")
+        .alias("n01"),
+        F.sum((1 - F.col("rule_len")) * (1 - F.col("rule_stop")))
+        .cast("long")
+        .alias("n00"),
+        F.count("*").cast("long").alias("n"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    return counts.select(
+        "source",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((po - pe) / (F.lit(1.0) - pe) + F.lit(0.0), 4).alias(
+            "kappa"
+        ),
+    ).orderBy("source")
+
+
+@_staged(
+    "q_filter_parity",
+    oracle="""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM documents
+        GROUP BY lang
+    ),
+    rated AS (
+        SELECT lang, n_docs, n_pass,
+               CAST(n_pass * 10000 // n_docs AS BIGINT) AS pass_bp,
+               CAST(sum(n_pass) OVER () * 10000
+                    // sum(n_docs) OVER () AS BIGINT) AS corpus_bp
+        FROM per_lang
+    )
+    SELECT lang, n_docs, n_pass, pass_bp, corpus_bp,
+           pass_bp - corpus_bp AS gap_bp
+    FROM rated
+    ORDER BY lang
+    """,
+)
+def q_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic parity of the length filter across languages: each
+    language's pass rate vs the corpus pooled rate, and the signed gap
+    in bp — a filter tuned on English quietly starves other languages
+    (the multilingual-curation fairness check; q_filter_length_bias
+    audits WHAT the filter selects, this audits WHO it selects).
+    Corpus totals are windows over the per-language AGGREGATE (≤
+    #langs rows, no broadcast leg, no second scan); the gap is a
+    SUBTRACTION of two already-floored nonneg bp integers, so no
+    negative value ever meets integer division."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("n_pass"),
+    )
+    rated = per_lang.select(
+        "lang",
+        "n_docs",
+        "n_pass",
+        F.expr("CAST(n_pass * 10000 div n_docs AS BIGINT)").alias(
+            "pass_bp"
+        ),
+        F.expr(
+            "CAST(sum(n_pass) OVER () * 10000"
+            " div (sum(n_docs) OVER ()) AS BIGINT)"
+        ).alias("corpus_bp"),
+    )
+    return rated.select(
+        "lang",
+        "n_docs",
+        "n_pass",
+        "pass_bp",
+        "corpus_bp",
+        (F.col("pass_bp") - F.col("corpus_bp")).alias("gap_bp"),
+    ).orderBy("lang")

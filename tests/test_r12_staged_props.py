@@ -252,3 +252,79 @@ def test_tax_by_value_band_laws(spark):
         assert 0 <= r["value_band"] <= 9
         # tax rates are drawn from {0%..8%}
         assert 0 <= r["eff_tax_e4"] <= 800
+
+
+# ---------------------------------------------------------------------------
+# Laws for the fourth r12 batch (corpus statistics).
+# ---------------------------------------------------------------------------
+
+
+def test_hapax_rate_laws(spark):
+    rows = _run(spark, "q_hapax_rate")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hapax"] <= r["vocab_size"] <= r["n_tokens"]
+        assert 0 <= r["hapax_share_bp"] <= 10000
+
+
+def test_cramers_v_laws(spark):
+    rows = _run(spark, "q_cramers_v")
+    assert len(rows) == 1
+    r = rows[0]
+    docs = load_table(spark, SF_DIR, "documents")
+    assert r["n_docs"] == docs.count()
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["chi2"] >= 0.0
+    # independent recomputation of the FULL chi2 (including zero
+    # cells) from the contingency table
+    import itertools
+    cells = {
+        (c["lang"], c["source"]): c["count"]
+        for c in docs.groupBy("lang", "source").count().collect()
+    }
+    langs = sorted({k[0] for k in cells})
+    sources = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    row_t = {l: sum(v for (a, _), v in cells.items() if a == l) for l in langs}
+    col_t = {s: sum(v for (_, b), v in cells.items() if b == s) for s in sources}
+    chi2 = 0.0
+    for l, s in itertools.product(langs, sources):
+        e = row_t[l] * col_t[s] / n
+        o = cells.get((l, s), 0)
+        chi2 += (o - e) ** 2 / e
+    assert abs(chi2 - r["chi2"]) < 0.01
+
+
+def test_bits_per_char_laws(spark):
+    rows = _run(spark, "q_bits_per_char")
+    assert rows
+    for r in rows:
+        assert r["n_distinct_bigrams"] <= r["n_bigrams"]
+        # conditional entropy of a 27-symbol alphabet is in [0, log2 27]
+        assert -1e-9 <= r["cond_entropy_bits"] <= math.log2(27) + 1e-4
+
+
+def test_cohens_kappa_laws(spark):
+    rows = _run(spark, "q_cohens_kappa")
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(
+        r["n11"] + r["n10"] + r["n01"] + r["n00"] for r in rows
+    ) == docs.count()
+    for r in rows:
+        assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_filter_parity_laws(spark):
+    rows = _run(spark, "q_filter_parity")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert 0 <= r["pass_bp"] <= 10000
+        assert r["gap_bp"] == r["pass_bp"] - r["corpus_bp"]
+    # the corpus rate is shared by construction
+    assert len({r["corpus_bp"] for r in rows}) == 1
+    # gaps bracket zero: some language is above the pooled rate and
+    # some below, unless all rates are exactly equal
+    gaps = [r["gap_bp"] for r in rows]
+    assert min(gaps) <= 0 <= max(gaps) + 60  # floor slack on small langs

@@ -1711,3 +1711,389 @@ def q_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_bp",
         (F.col("pass_bp") - F.col("corpus_bp")).alias("gap_bp"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 5 — text-prep geometry for the LLM pipeline.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_vocab_gini",
+    oracle="""
+    WITH wc AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+        GROUP BY lang, w
+    ),
+    ranked AS (
+        SELECT lang, n,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n, w) AS i
+        FROM wc
+    ),
+    sums AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(i * n) AS BIGINT) AS s
+        FROM ranked
+        GROUP BY lang
+    )
+    SELECT lang, v AS vocab_size, n_tokens,
+           CAST(floor((CAST(2 * s - (v + 1) * n_tokens AS DOUBLE)
+                       * 10000.0)
+                      / CAST(v * n_tokens AS DOUBLE)) AS BIGINT)
+               AS gini_e4
+    FROM sums
+    ORDER BY lang
+    """,
+)
+def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the word-frequency distribution per
+    language — the inequality view of the Zipf curve (q_zipf_slope
+    fits the exponent; this integrates it): near 1 means a few words
+    carry all the mass (aggressive stopword pruning pays), lower
+    means a flat vocabulary. Uses the rank identity
+    G = (2·Σ i·nᵢ − (V+1)·N) / (V·N) over frequencies ranked
+    ascending (ties broken by word for a deterministic rank; G is
+    tie-order invariant). The numerator is nonneg by construction,
+    emitted as ONE double multiply-divide-floor (the q_bot_score
+    pattern — int64→double conversion and IEEE divide round
+    identically on both engines even past 2⁵³, and floor pins the
+    result, keeping Σi·n·10⁴ safe from int64 overflow at any SF).
+    The rank window runs over the per-language VOCABULARY aggregate
+    (Heaps-sublinear in corpus size), not the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "lang", F.explode(_r12_words(F.col("text"))).alias("w")
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = wc.select(
+        "lang",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("n", "w"))
+        .cast("long")
+        .alias("i"),
+    )
+    sums = ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("i") * F.col("n")).cast("long").alias("s"),
+    )
+    return sums.select(
+        "lang",
+        F.col("v").alias("vocab_size"),
+        "n_tokens",
+        F.expr(
+            "CAST(floor((CAST(2 * s - (v + 1) * n_tokens AS DOUBLE)"
+            " * 10000.0) / CAST(v * n_tokens AS DOUBLE)) AS BIGINT)"
+        ).alias("gini_e4"),
+    ).orderBy("lang")
+
+
+@_staged(
+    "q_word_stutter",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, source,
+               CAST(len(ws) AS BIGINT) - 1 AS n_pairs,
+               CAST(len(list_filter(
+                   generate_series(1, CAST(len(ws) AS BIGINT) - 1),
+                   i -> ws[i] = ws[i + 1])) AS BIGINT) AS n_stutter
+        FROM words
+        WHERE len(ws) >= 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_pairs) AS BIGINT) AS n_adjacent_pairs,
+           CAST(sum(n_stutter) AS BIGINT) AS n_stutters,
+           CAST(sum(n_stutter) * 10000 // sum(n_pairs) AS BIGINT)
+               AS stutter_bp,
+           CAST(sum(CASE WHEN n_stutter > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_affected
+    FROM pairs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_word_stutter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Immediate word repetition ('the the') per source: the share of
+    adjacent word pairs that repeat, and how many documents are
+    affected — the cheapest generation/OCR-defect detector there is,
+    and a dedup-normalization input (q_text_repetition looks at
+    longer periods; this is period-1). Computed ARRAY-SIDE on both
+    engines (no explode of the token stream): a lambda over the index
+    range compares each word to its successor, with the ≥2-word guard
+    the CLAUDE.md sequence rule demands."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source", _r12_words(F.col("text")).alias("ws")
+    ).where(F.size("ws") >= 2)
+    pairs = words.select(
+        "source",
+        (F.size("ws").cast("long") - 1).alias("n_pairs"),
+        F.size(
+            F.filter(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.size("ws").cast("long") - 1,
+                ),
+                lambda i: F.element_at("ws", i.cast("int"))
+                == F.element_at("ws", (i + 1).cast("int")),
+            )
+        )
+        .cast("long")
+        .alias("n_stutter"),
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_pairs").cast("long").alias("n_adjacent_pairs"),
+            F.sum("n_stutter").cast("long").alias("n_stutters"),
+            F.expr(
+                "CAST(sum(n_stutter) * 10000 div sum(n_pairs)"
+                " AS BIGINT)"
+            ).alias("stutter_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_stutter > 0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_docs_affected"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_word_position_bias",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    positioned AS (
+        SELECT ws[i] AS w,
+               (i - 1) * 10000 // (CAST(len(ws) AS BIGINT) - 1)
+                   AS pos_e4
+        FROM (
+            SELECT ws,
+                   unnest(generate_series(
+                       CAST(1 AS BIGINT),
+                       CAST(len(ws) AS BIGINT))) AS i
+            FROM words
+            WHERE len(ws) >= 2
+        )
+    )
+    SELECT w AS word,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(sum(pos_e4) // count(*) AS BIGINT) AS mean_pos_e4
+    FROM positioned
+    GROUP BY w
+    ORDER BY count(*) DESC, w
+    LIMIT 10
+    """,
+)
+def q_word_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional bias of the 10 most frequent words: each
+    occurrence's position normalized to [0, 10⁴] over its document
+    (0 = first word, 10⁴ = last), averaged per word — words that
+    systematically open documents (boilerplate headers) or close them
+    (signatures) surface as extreme means; uniform content words sit
+    near 5000. The normalized position is an exact nonneg integer
+    floor per occurrence ((i−1)·10⁴ // (L−1), docs of ≥2 words);
+    top-10 is a TakeOrderedAndProject with the word as tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(_r12_words(F.col("text")).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    positioned = words.select(
+        F.posexplode("ws").alias("i0", "w"),
+        F.size("ws").cast("long").alias("len"),
+    ).select(
+        "w",
+        F.expr("CAST(i0 AS BIGINT) * 10000 div (len - 1)").alias(
+            "pos_e4"
+        ),
+    )
+    agg = positioned.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.expr("CAST(sum(pos_e4) div count(*) AS BIGINT)").alias(
+            "mean_pos_e4"
+        ),
+    )
+    return (
+        agg.select(
+            F.col("w").alias("word"), "n_occurrences", "mean_pos_e4"
+        )
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(10)
+    )
+
+
+@_staged(
+    "q_chunk_boundary_loss",
+    oracle="""
+    WITH cuts AS (
+        SELECT source,
+               CAST((length(text) - 1) // 200 AS BIGINT) AS n_cuts,
+               CAST(len(list_filter(
+                   generate_series(CAST(1 AS BIGINT),
+                       CAST((length(text) - 1) // 200 AS BIGINT)),
+                   i -> substr(text, CAST(i * 200 AS INTEGER), 1) <> ' '
+                    AND substr(text, CAST(i * 200 + 1 AS INTEGER), 1)
+                        <> ' ')) AS BIGINT) AS n_midword
+        FROM documents
+        WHERE length(text) > 200
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_cuts) AS BIGINT) AS n_cuts,
+           CAST(sum(n_midword) AS BIGINT) AS n_midword,
+           CAST(sum(n_midword) * 10000 // sum(n_cuts) AS BIGINT)
+               AS midword_bp
+    FROM cuts
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_chunk_boundary_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-boundary damage estimate for a fixed 200-char splitter:
+    the share of cut points that fall MID-WORD (both characters
+    around the cut are non-space) per source — the concrete cost of
+    naive fixed-size chunking that the token-aware chunker
+    (operators/chunker.py, reference mapreduce.go's splitter) exists
+    to avoid; run BEFORE choosing a chunk size. Cut inspection is an
+    array lambda over the per-doc cut indices (≤ len/200 of them),
+    exact integer counts, docs longer than one chunk only."""
+    d = load_table(spark, sf_dir, "documents")
+    cuts = d.where(F.length("text") > 200).select(
+        "source",
+        F.expr("CAST((length(text) - 1) div 200 AS BIGINT)").alias(
+            "n_cuts"
+        ),
+        F.size(
+            F.filter(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.expr("CAST((length(text) - 1) div 200 AS BIGINT)"),
+                ),
+                lambda i: (
+                    F.expr("text").substr(
+                        (i * 200).cast("int"), F.lit(1)
+                    )
+                    != " "
+                )
+                & (
+                    F.expr("text").substr(
+                        (i * 200 + 1).cast("int"), F.lit(1)
+                    )
+                    != " "
+                ),
+            )
+        )
+        .cast("long")
+        .alias("n_midword"),
+    )
+    return (
+        cuts.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_cuts").cast("long").alias("n_cuts"),
+            F.sum("n_midword").cast("long").alias("n_midword"),
+            F.expr(
+                "CAST(sum(n_midword) * 10000 div sum(n_cuts)"
+                " AS BIGINT)"
+            ).alias("midword_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_context_fit",
+    oracle="""
+    WITH counted AS (
+        SELECT source,
+               CAST(len(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS BIGINT) AS n_words
+        FROM documents
+    ),
+    expanded AS (
+        SELECT source, n_words,
+               unnest([CAST(16 AS BIGINT), CAST(32 AS BIGINT),
+                       CAST(64 AS BIGINT), CAST(128 AS BIGINT)])
+                   AS budget
+        FROM counted
+    )
+    SELECT source, budget,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_words <= budget THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fit,
+           CAST(sum(CASE WHEN n_words <= budget THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS fit_bp
+    FROM expanded
+    GROUP BY source, budget
+    ORDER BY source, budget
+    """,
+)
+def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit curve: per source, the share of documents
+    whose word count fits whole into each of four context budgets
+    (16/32/64/128 words) — the no-chunking-needed fraction that
+    decides whether a pipeline pays for the splitter at all (the
+    planning twin of q_chunk_assign's actual assignment). The budget
+    grid rides an EXPLODE of a 4-element literal array per document
+    row — a column, not a join, so no broadcast leg and no NLJ —
+    then one aggregation; all integers."""
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "source",
+        F.size(_r12_words(F.col("text"))).cast("long").alias("n_words"),
+    )
+    expanded = counted.select(
+        "source",
+        "n_words",
+        F.explode(
+            F.array(
+                F.lit(16).cast("long"),
+                F.lit(32).cast("long"),
+                F.lit(64).cast("long"),
+                F.lit(128).cast("long"),
+            )
+        ).alias("budget"),
+    )
+    return (
+        expanded.groupBy("source", "budget")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_words <= budget THEN 1 ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("n_fit"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_words <= budget THEN 1 ELSE 0"
+                " END) * 10000 div count(*) AS BIGINT)"
+            ).alias("fit_bp"),
+        )
+        .orderBy("source", "budget")
+    )

@@ -328,3 +328,61 @@ def test_filter_parity_laws(spark):
     # some below, unless all rates are exactly equal
     gaps = [r["gap_bp"] for r in rows]
     assert min(gaps) <= 0 <= max(gaps) + 60  # floor slack on small langs
+
+
+# ---------------------------------------------------------------------------
+# Laws for the fifth r12 batch (text-prep geometry).
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_gini_laws(spark):
+    rows = _run(spark, "q_vocab_gini")
+    assert rows
+    for r in rows:
+        assert 0 <= r["gini_e4"] <= 10000
+        assert 1 <= r["vocab_size"] <= r["n_tokens"]
+
+
+def test_word_stutter_laws(spark):
+    rows = _run(spark, "q_word_stutter")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_stutters"] <= r["n_adjacent_pairs"]
+        assert 0 <= r["stutter_bp"] <= 10000
+        assert 0 <= r["n_docs_affected"] <= r["n_docs"]
+
+
+def test_word_position_bias_laws(spark):
+    rows = _run(spark, "q_word_position_bias")
+    assert 1 <= len(rows) <= 10
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0 <= r["mean_pos_e4"] <= 10000
+
+
+def test_chunk_boundary_loss_laws(spark):
+    rows = _run(spark, "q_chunk_boundary_loss")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_midword"] <= r["n_cuts"]
+        assert 0 <= r["midword_bp"] <= 10000
+        # every doc counted has at least one cut (length > 200)
+        assert r["n_cuts"] >= r["n_docs"]
+
+
+def test_context_fit_laws(spark):
+    rows = _run(spark, "q_context_fit")
+    assert rows
+    by_source: dict[str, list[dict]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, srs in by_source.items():
+        srs.sort(key=lambda r: r["budget"])
+        assert [r["budget"] for r in srs] == [16, 32, 64, 128]
+        # fit share is monotone in the budget; doc count is constant
+        assert len({r["n_docs"] for r in srs}) == 1
+        fits = [r["n_fit"] for r in srs]
+        assert fits == sorted(fits)
+        for r in srs:
+            assert 0 <= r["fit_bp"] <= 10000

@@ -2097,3 +2097,536 @@ def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 6 — nonparametric statistics over series and facts.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_mood_median",
+    oracle="""
+    WITH med AS (
+        SELECT median(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS grand_med
+        FROM orders
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST(floor(o.o_totalprice * 100
+                                            + 0.5) AS BIGINT)
+                                  > m.grand_med
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        CROSS JOIN med m
+        GROUP BY c.c_mktsegment
+    ),
+    tot AS (
+        SELECT segment, n, n_above,
+               sum(n) OVER () AS grand_n,
+               sum(n_above) OVER () AS grand_above
+        FROM seg
+    )
+    SELECT segment, n, n_above,
+           CAST(n_above * 10000 // n AS BIGINT) AS above_bp,
+           round(
+               (CAST(n_above AS DOUBLE)
+                - CAST(n * grand_above AS DOUBLE)
+                  / CAST(grand_n AS DOUBLE))
+               * (CAST(n_above AS DOUBLE)
+                  - CAST(n * grand_above AS DOUBLE)
+                    / CAST(grand_n AS DOUBLE))
+               / (CAST(n * grand_above AS DOUBLE)
+                  / CAST(grand_n AS DOUBLE))
+               + (CAST(n - n_above AS DOUBLE)
+                  - CAST(n * (grand_n - grand_above) AS DOUBLE)
+                    / CAST(grand_n AS DOUBLE))
+                 * (CAST(n - n_above AS DOUBLE)
+                    - CAST(n * (grand_n - grand_above) AS DOUBLE)
+                      / CAST(grand_n AS DOUBLE))
+                 / (CAST(n * (grand_n - grand_above) AS DOUBLE)
+                    / CAST(grand_n AS DOUBLE))
+               + 0.0, 4) AS chi2_cell
+    FROM tot
+    ORDER BY segment
+    """,
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of order value across market segments: each
+    segment's share of orders ABOVE the grand median price, and its
+    two-cell χ² contribution — the distribution-free 'do segments
+    spend differently?' answer that a means test gets wrong under the
+    heavy right tail (q_ab_welch's robust cousin). The grand median is
+    ONE broadcast scalar row (documented NLJ leg); the segment table
+    and its χ² expectations live in windows over the ≤5-row segment
+    AGGREGATE. Prices enter as exact cents; χ² cells are doubles with
+    one shared parenthesization, round(,4)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    med = o.agg(
+        F.expr(
+            "median(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+        ).alias("grand_med")
+    )
+    seg = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .crossJoin(F.broadcast(med))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(floor(o_totalprice * 100"
+                " + 0.5) AS BIGINT) > grand_med THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_above"),
+        )
+    )
+    tot = seg.select(
+        "segment",
+        "n",
+        "n_above",
+        F.sum("n").over(Window.partitionBy()).alias("grand_n"),
+        F.sum("n_above").over(Window.partitionBy()).alias("grand_above"),
+    )
+    e_above = (F.col("n") * F.col("grand_above")).cast("double") / F.col(
+        "grand_n"
+    ).cast("double")
+    e_below = (
+        F.col("n") * (F.col("grand_n") - F.col("grand_above"))
+    ).cast("double") / F.col("grand_n").cast("double")
+    o_above = F.col("n_above").cast("double")
+    o_below = (F.col("n") - F.col("n_above")).cast("double")
+    return tot.select(
+        "segment",
+        "n",
+        "n_above",
+        F.expr("CAST(n_above * 10000 div n AS BIGINT)").alias(
+            "above_bp"
+        ),
+        F.round(
+            (o_above - e_above) * (o_above - e_above) / e_above
+            + (o_below - e_below) * (o_below - e_below) / e_below
+            + F.lit(0.0),
+            4,
+        ).alias("chi2_cell"),
+    ).orderBy("segment")
+
+
+@_staged(
+    "q_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    indexed AS (
+        SELECT event_type, cnt,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                             WHEN b.cnt < a.cnt THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM indexed a JOIN indexed b
+          ON a.event_type = b.event_type AND a.rn < b.rn
+        GROUP BY a.event_type
+    ),
+    nn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM daily GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                   AS BIGINT) AS tie_term
+        FROM (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS t
+            FROM daily
+            GROUP BY event_type, cnt
+            HAVING count(*) > 1
+        )
+        GROUP BY event_type
+    ),
+    z AS (
+        SELECT s.event_type, nn.n, s.s_stat,
+               (CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                     - coalesce(t.tie_term, 0) AS DOUBLE)) / 18.0
+                   AS var_s
+        FROM s
+        JOIN nn ON nn.event_type = s.event_type
+        LEFT JOIN ties t ON t.event_type = s.event_type
+    )
+    SELECT event_type, n AS n_days, s_stat,
+           round(var_s + 0.0, 4) AS var_s,
+           round(CASE WHEN s_stat > 0
+                      THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                      WHEN s_stat < 0
+                      THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                      ELSE 0.0 END + 0.0, 4) AS z_score
+    FROM z
+    ORDER BY event_type
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily event-count series per
+    type: S = Σ_{i<j} sign(xⱼ−xᵢ), its tie-corrected variance, and the
+    continuity-corrected z — the standard is-traffic-trending test
+    that needs no distributional assumption (q_cusum_changepoint finds
+    WHERE a shift happened; this says WHETHER a monotone trend
+    exists). The quadratic pair sum runs on the per-type DAILY
+    AGGREGATE (≤31 rows per type, equi-joined on type), never the
+    event stream; S and the tie term are exact integers, variance and
+    z are the allowed sqrt/round(,4) class."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    indexed = daily.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+    )
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+                .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "cnt")
+        .agg(F.count("*").cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    z = (
+        s.join(nn, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            (
+                (
+                    F.col("n")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.coalesce(F.col("tie_term"), F.lit(0))
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    return z.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round(F.col("var_s") + F.lit(0.0), 4).alias("var_s"),
+        F.round(
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double")
+                / F.sqrt(F.col("var_s")),
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1).cast("double")
+                / F.sqrt(F.col("var_s")),
+            )
+            .otherwise(F.lit(0.0))
+            + F.lit(0.0),
+            4,
+        ).alias("z_score"),
+    ).orderBy("event_type")
+
+
+@_staged(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    indexed AS (
+        SELECT event_type, cnt,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.cnt - a.cnt AS DOUBLE)
+                   / CAST(b.rn - a.rn AS DOUBLE) AS slope
+        FROM indexed a JOIN indexed b
+          ON a.event_type = b.event_type AND a.rn < b.rn
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(median(slope) + 0.0, 4) AS sen_slope
+    FROM slopes
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of the daily event-count series per type: the
+    MEDIAN of all pairwise slopes — the robust events-per-day trend
+    estimate a single outage day cannot drag (the line-fit companion
+    to q_mann_kendall's test; q_rolling_ols is the fragile OLS twin).
+    Pairwise slopes are int64 deltas through ONE IEEE divide each
+    (identical both engines); the median interpolates two such doubles
+    — also identical — and the pair set lives on the per-type daily
+    aggregate (≤31 rows per type)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    indexed = daily.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+    )
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.rn") < F.col("b.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            / (F.col("b.rn") - F.col("a.rn")).cast("double")
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.expr("percentile(slope, 0.5)") + F.lit(0.0), 4
+            ).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_spearman",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+        FROM lineitem
+    ),
+    qr AS (
+        SELECT q,
+               2 * (sum(cnt) OVER (ORDER BY q
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - cnt)
+                   + cnt + 1 AS qrank2
+        FROM (SELECT q, CAST(count(*) AS BIGINT) AS cnt
+              FROM vals GROUP BY q)
+    ),
+    dr AS (
+        SELECT d,
+               2 * (sum(cnt) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - cnt)
+                   + cnt + 1 AS drank2
+        FROM (SELECT d, CAST(count(*) AS BIGINT) AS cnt
+              FROM vals GROUP BY d)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT v.q) AS BIGINT) AS n_distinct_qty,
+           CAST(count(DISTINCT v.d) AS BIGINT) AS n_distinct_disc,
+           round(corr(CAST(qr.qrank2 AS DOUBLE),
+                      CAST(dr.drank2 AS DOUBLE)) + 0.0, 4)
+               AS spearman_rho
+    FROM vals v
+    JOIN qr ON qr.q = v.q
+    JOIN dr ON dr.d = v.d
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount — does
+    the synthetic pricing engine discount bulk lines? Monotone
+    association that Pearson (q_agg_corr) misses when the relation
+    curves. The tie-averaged ranks are built WITHOUT a global sort of
+    the fact table: both columns have bounded value domains (integral
+    quantities, percent discounts), so per-VALUE counts aggregate
+    first and the average rank per value = cum_before + (t+1)/2 comes
+    from a window over the ≤51-row value table (doubled to stay
+    integer), then joins back — AQE broadcasts the tiny rank maps.
+    Pearson-on-ranks uses the engines' corr, the allowed round(,4)
+    class (q_agg_corr precedent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("q"),
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "d"
+        ),
+    )
+    def rank_map(col):
+        cnts = vals.groupBy(col).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return cnts.select(
+            col,
+            (
+                2 * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(f"{col}rank2"),
+        )
+    qr = rank_map("q")
+    dr = rank_map("d")
+    joined = vals.join(qr, "q").join(dr, "d")
+    return joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("q").cast("long").alias("n_distinct_qty"),
+        F.countDistinct("d").cast("long").alias("n_distinct_disc"),
+        F.round(
+            F.corr(
+                F.col("qrank2").cast("double"),
+                F.col("drank2").cast("double"),
+            )
+            + F.lit(0.0),
+            4,
+        ).alias("spearman_rho"),
+    )
+
+
+@_staged(
+    "q_xcorr_lag",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                   // 86400000000 AS epoch_day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    x AS (SELECT epoch_day, cnt FROM daily
+          WHERE event_type = 'click'),
+    y AS (SELECT epoch_day, cnt FROM daily
+          WHERE event_type = 'purchase'),
+    lagged AS (
+        SELECT l.lag, x.cnt AS xv, y.cnt AS yv
+        FROM x
+        CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) l
+        JOIN y ON y.epoch_day = x.epoch_day + l.lag
+    )
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(CAST(xv AS DOUBLE), CAST(yv AS DOUBLE)) + 0.0, 4)
+               AS xcorr
+    FROM lagged
+    GROUP BY lag
+    ORDER BY lag
+    """,
+)
+def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase
+    daily series at lags −3..+3 days: does click volume LEAD purchase
+    volume (positive lag peak) — the attribution-window sizing signal
+    (q_attribution_window_sweep measures per-user windows; this is
+    the population-level echo). Each series is a ≤31-row daily
+    aggregate; the 7-lag grid explodes per x-row (a column, no join)
+    and the shifted alignment is an equi-join on epoch_day + lag.
+    corr is the allowed round(,4) class."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "event_type",
+            F.expr("unix_micros(day) div 86400000000").alias(
+                "epoch_day"
+            ),
+            "cnt",
+        )
+    )
+    x = daily.where(F.col("event_type") == "click").select(
+        "epoch_day", F.col("cnt").alias("xv")
+    )
+    y = daily.where(F.col("event_type") == "purchase").select(
+        F.col("epoch_day").alias("y_day"), F.col("cnt").alias("yv")
+    )
+    lagged = (
+        x.select(
+            "epoch_day",
+            "xv",
+            F.explode(
+                F.array(*[F.lit(v) for v in (-3, -2, -1, 0, 1, 2, 3)])
+            ).alias("lag"),
+        )
+        .join(y, F.col("y_day") == F.col("epoch_day") + F.col("lag"))
+    )
+    return (
+        lagged.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(
+                F.corr(
+                    F.col("xv").cast("double"),
+                    F.col("yv").cast("double"),
+                )
+                + F.lit(0.0),
+                4,
+            ).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )

@@ -16,6 +16,7 @@ from tests.conftest import SF_DIR, SMOKE_SF_DIR
 # round-12 flip.
 STAGED_NLJ_OK: set[str] = {
     "q_type_cooccurrence",  # broadcast 1-row distinct-user-total leg
+    "q_mood_median",  # broadcast 1-row grand-median leg
 }
 
 PY_MARKERS = (
@@ -386,3 +387,69 @@ def test_context_fit_laws(spark):
         assert fits == sorted(fits)
         for r in srs:
             assert 0 <= r["fit_bp"] <= 10000
+
+
+# ---------------------------------------------------------------------------
+# Laws for the sixth r12 batch (nonparametric statistics).
+# ---------------------------------------------------------------------------
+
+
+def test_mood_median_laws(spark):
+    rows = _run(spark, "q_mood_median")
+    assert rows
+    total = sum(r["n"] for r in rows)
+    above = sum(r["n_above"] for r in rows)
+    # by definition of the median, at most half the orders lie above
+    assert above * 2 <= total + 1
+    for r in rows:
+        assert 0 <= r["n_above"] <= r["n"]
+        assert r["chi2_cell"] >= 0.0
+
+
+def test_mann_kendall_laws(spark):
+    rows = _run(spark, "q_mann_kendall")
+    assert rows
+    for r in rows:
+        n = r["n_days"]
+        max_s = n * (n - 1) // 2
+        assert -max_s <= r["s_stat"] <= max_s
+        assert r["var_s"] > 0
+        # |z| can't exceed |S|/sqrt(var) and matches its sign
+        if r["s_stat"] > 0:
+            assert r["z_score"] >= 0
+        elif r["s_stat"] < 0:
+            assert r["z_score"] <= 0
+        else:
+            assert r["z_score"] == 0.0
+
+
+def test_theil_sen_laws(spark):
+    rows = _run(spark, "q_theil_sen")
+    assert rows
+    for r in rows:
+        n_days_implied = (1 + (1 + 8 * r["n_pairs"]) ** 0.5) / 2
+        assert abs(n_days_implied - round(n_days_implied)) < 1e-9, (
+            "pair count must be triangular: C(n,2)"
+        )
+
+
+def test_spearman_laws(spark):
+    rows = _run(spark, "q_spearman")
+    assert len(rows) == 1
+    r = rows[0]
+    assert -1.0 <= r["spearman_rho"] <= 1.0
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert r["n"] == li.count()
+
+
+def test_xcorr_lag_laws(spark):
+    rows = _run(spark, "q_xcorr_lag")
+    assert len(rows) == 7
+    assert sorted(r["lag"] for r in rows) == [-3, -2, -1, 0, 1, 2, 3]
+    for r in rows:
+        assert -1.0 <= r["xcorr"] <= 1.0
+        # overlap shrinks by |lag| days
+        assert r["n_days"] >= 1
+    by_lag = {r["lag"]: r["n_days"] for r in rows}
+    assert by_lag[0] >= by_lag[3]
+    assert by_lag[0] >= by_lag[-3]

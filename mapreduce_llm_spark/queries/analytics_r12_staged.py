@@ -2630,3 +2630,373 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 7 — calendar effects and distribution drift.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_month_end_load",
+    oracle="""
+    WITH flagged AS (
+        SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents,
+               CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                                  last_day(CAST(o_orderdate AS DATE)))
+                         <= 2
+                    THEN 1 ELSE 0 END AS is_tail
+        FROM orders
+    )
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(is_tail) AS BIGINT) AS n_tail,
+           CAST(sum(is_tail) * 10000 // count(*) AS BIGINT)
+               AS tail_orders_bp,
+           CAST(sum(CASE WHEN is_tail = 1 THEN cents ELSE 0 END)
+                * 10000 // sum(cents) AS BIGINT) AS tail_value_bp
+    FROM flagged
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def q_month_end_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end loading: per year, the share of orders (and of order
+    VALUE) booked in the final three days of their calendar month —
+    the sales-pull-forward fingerprint every finance audit starts
+    with (a value share persistently above the ~10% calendar-neutral
+    baseline means quota-driven booking). The tail test is pure date
+    arithmetic against last_day (identical on both engines on DATE
+    operands); value is exact cents with int64 sums and bp floors."""
+    o = load_table(spark, sf_dir, "orders")
+    flagged = o.select(
+        F.expr("CAST(extract(year FROM o_orderdate) AS BIGINT)").alias(
+            "yr"
+        ),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "CASE WHEN datediff(last_day(CAST(o_orderdate AS DATE)),"
+            " CAST(o_orderdate AS DATE)) <= 2 THEN 1 ELSE 0 END"
+        ).alias("is_tail"),
+    )
+    return (
+        flagged.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("is_tail").cast("long").alias("n_tail"),
+            F.expr(
+                "CAST(sum(is_tail) * 10000 div count(*) AS BIGINT)"
+            ).alias("tail_orders_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN is_tail = 1 THEN cents ELSE 0 END)"
+                " * 10000 div sum(cents) AS BIGINT)"
+            ).alias("tail_value_bp"),
+        )
+        .orderBy("yr")
+    )
+
+
+@_staged(
+    "q_isoweek_rollover",
+    oracle="""
+    SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN CAST(isoyear(o_orderdate) AS BIGINT)
+                              > CAST(extract(year FROM o_orderdate)
+                                     AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_december_next_isoyear,
+           CAST(sum(CASE WHEN CAST(isoyear(o_orderdate) AS BIGINT)
+                              < CAST(extract(year FROM o_orderdate)
+                                     AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_january_prior_isoyear
+    FROM orders
+    GROUP BY extract(year FROM o_orderdate)
+    ORDER BY yr
+    """,
+)
+def q_isoweek_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-week rollover exposure: per calendar year, how many orders
+    fall on dates whose ISO week belongs to the NEIGHBORING year
+    (late-December dates in next year's week 1; early-January dates
+    in the prior year's week 52/53) — exactly the rows that
+    double-count or vanish when one report groups by calendar year
+    and another by ISO week (the fiscal-calendar reconciliation trap;
+    q_dow_stability's boundary sibling). Spark's YEAROFWEEK ≡
+    DuckDB's isoyear; counts are exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr(
+                "CAST(extract(year FROM o_orderdate) AS BIGINT)"
+            ).alias("yr")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(extract(YEAROFWEEK FROM"
+                " o_orderdate) AS BIGINT) > CAST(extract(year FROM"
+                " o_orderdate) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_december_next_isoyear"),
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(extract(YEAROFWEEK FROM"
+                " o_orderdate) AS BIGINT) < CAST(extract(year FROM"
+                " o_orderdate) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_january_prior_isoyear"),
+        )
+        .orderBy("yr")
+    )
+
+
+@_staged(
+    "q_quarter_end_push",
+    oracle="""
+    WITH flagged AS (
+        SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+                   AS quarter,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents,
+               CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(date_trunc('quarter', o_orderdate)
+                             + INTERVAL 3 MONTH - INTERVAL 1 DAY
+                             AS DATE)) <= 13
+                    THEN 1 ELSE 0 END AS is_push
+        FROM orders
+    )
+    SELECT quarter,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(is_push) * 10000 // count(*) AS BIGINT)
+               AS push_orders_bp,
+           CAST(sum(CASE WHEN is_push = 1 THEN cents ELSE 0 END)
+                * 10000 // sum(cents) AS BIGINT) AS push_value_bp
+    FROM flagged
+    GROUP BY quarter
+    ORDER BY quarter
+    """,
+)
+def q_quarter_end_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end push: per quarter, the order and value share booked
+    in the final 14 days — the quota-cycle signature at the grain
+    where it actually operates (q_month_end_load's monthly cousin,
+    kept separate because month-end and quarter-end pressures differ
+    in kind). The quarter's last day is
+    date_trunc('quarter') + 3 months − 1 day, identical arithmetic on
+    both engines' DATE operands; exact cents, bp floors."""
+    o = load_table(spark, sf_dir, "orders")
+    flagged = o.select(
+        F.date_trunc("quarter", "o_orderdate").alias("quarter"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "CASE WHEN datediff(CAST(date_sub(add_months("
+            "date_trunc('quarter', o_orderdate), 3), 1) AS DATE),"
+            " CAST(o_orderdate AS DATE)) <= 13 THEN 1 ELSE 0 END"
+        ).alias("is_push"),
+    )
+    return (
+        flagged.groupBy("quarter")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(is_push) * 10000 div count(*) AS BIGINT)"
+            ).alias("push_orders_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN is_push = 1 THEN cents ELSE 0 END)"
+                " * 10000 div sum(cents) AS BIGINT)"
+            ).alias("push_value_bp"),
+        )
+        .orderBy("quarter")
+    )
+
+
+@_staged(
+    "q_psi_drift",
+    oracle="""
+    WITH banded AS (
+        SELECT least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     // 5000000, CAST(9 AS BIGINT)) AS value_band,
+               CASE WHEN extract(year FROM o_orderdate) >= 1998
+                    THEN 1 ELSE 0 END AS half
+        FROM orders
+    ),
+    cells AS (
+        SELECT value_band,
+               CAST(sum(1 - half) AS BIGINT) AS n_first,
+               CAST(sum(half) AS BIGINT) AS n_second
+        FROM banded
+        GROUP BY value_band
+    ),
+    tots AS (
+        SELECT value_band, n_first, n_second,
+               sum(n_first) OVER () AS tot_first,
+               sum(n_second) OVER () AS tot_second,
+               count(*) OVER () AS n_bands
+        FROM cells
+    )
+    SELECT value_band, n_first, n_second,
+           round((CAST(n_first + 1 AS DOUBLE)
+                  / CAST(tot_first + n_bands AS DOUBLE)
+                  - CAST(n_second + 1 AS DOUBLE)
+                    / CAST(tot_second + n_bands AS DOUBLE))
+                 * ln((CAST(n_first + 1 AS DOUBLE)
+                       / CAST(tot_first + n_bands AS DOUBLE))
+                      / (CAST(n_second + 1 AS DOUBLE)
+                         / CAST(tot_second + n_bands AS DOUBLE)))
+                 + 0.0, 4) AS psi_term
+    FROM tots
+    ORDER BY value_band
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the order-value distribution,
+    early era (pre-1998) vs late era: the per-band PSI terms
+    (p₁−p₂)·ln(p₁/p₂) over $50k value bands with add-one smoothing —
+    the model-monitoring drift score (PSI < 0.1 stable, > 0.25
+    retrain) applied to the corpus's own history; q_dist_drift is the
+    JSD twin, PSI is what risk teams actually threshold. Laplace
+    smoothing guards empty bands so the log never sees zero;
+    smoothed shares are int64→double divides with one shared
+    parenthesization; windows run over the ≤10-row band aggregate.
+    Each term is round(,4) (the allowed log class); the headline PSI
+    is the column's sum (law-tested ≥ 0 in aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    banded = o.select(
+        F.least(
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                " div 5000000"
+            ),
+            F.lit(9).cast("long"),
+        ).alias("value_band"),
+        F.expr(
+            "CASE WHEN extract(year FROM o_orderdate) >= 1998"
+            " THEN 1 ELSE 0 END"
+        ).alias("half"),
+    )
+    cells = banded.groupBy("value_band").agg(
+        F.sum(1 - F.col("half")).cast("long").alias("n_first"),
+        F.sum("half").cast("long").alias("n_second"),
+    )
+    w = Window.partitionBy()
+    tots = cells.select(
+        "value_band",
+        "n_first",
+        "n_second",
+        F.sum("n_first").over(w).alias("tot_first"),
+        F.sum("n_second").over(w).alias("tot_second"),
+        F.count("*").over(w).alias("n_bands"),
+    )
+    p1 = (F.col("n_first") + 1).cast("double") / (
+        F.col("tot_first") + F.col("n_bands")
+    ).cast("double")
+    p2 = (F.col("n_second") + 1).cast("double") / (
+        F.col("tot_second") + F.col("n_bands")
+    ).cast("double")
+    return tots.select(
+        "value_band",
+        "n_first",
+        "n_second",
+        F.round((p1 - p2) * F.log(p1 / p2) + F.lit(0.0), 4).alias(
+            "psi_term"
+        ),
+    ).orderBy("value_band")
+
+
+@_staged(
+    "q_benford_second",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR), 2, 1)
+                    AS BIGINT) AS d2
+        FROM orders
+        WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >= 10
+    ),
+    expected(d2, exp_e6) AS (
+        VALUES (CAST(0 AS BIGINT), CAST(119679 AS BIGINT)),
+               (1, 113890), (2, 108821), (3, 104329), (4, 100308),
+               (5, 96677), (6, 93374), (7, 90351), (8, 87570),
+               (9, 84997)
+    ),
+    observed AS (
+        SELECT d2, CAST(count(*) AS BIGINT) AS n,
+               sum(count(*)) OVER () AS total
+        FROM digits
+        GROUP BY d2
+    )
+    SELECT e.d2, coalesce(o.n, 0) AS n,
+           CAST(floor((CAST(coalesce(o.n, 0) AS DOUBLE) * 1000000.0)
+                      / CAST(t.total AS DOUBLE)) AS BIGINT) AS obs_e6,
+           e.exp_e6,
+           CAST(floor((CAST(coalesce(o.n, 0) AS DOUBLE) * 1000000.0)
+                      / CAST(t.total AS DOUBLE)) AS BIGINT) - e.exp_e6
+               AS dev_e6
+    FROM expected e
+    LEFT JOIN observed o ON o.d2 = e.d2
+    CROSS JOIN (SELECT max(total) AS total FROM observed) t
+    ORDER BY e.d2
+    """,
+)
+def q_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford second-digit test on order totals: observed frequency
+    of each second significant digit of the cent amount vs the
+    Benford expectation P(d) = Σ_k log₁₀(1 + 1/(10k+d)) — the
+    forensic-accounting screen that catches invented amounts which
+    PASS the first-digit test (q_benford); second digits are the
+    auditor's standard escalation. The ten expectation constants are
+    DRIVER-PRECOMPUTED e6 integer literals inlined in BOTH engines
+    (the q_minhash_band_tuning rule: no cross-engine libm in emitted
+    integers); the digit is substring arithmetic on the exact cent
+    string; observed shares are the one-double-divide floor pattern.
+    The digit grid is a 10-row literal table (broadcast by design,
+    NLJ-allowlisted)."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)"
+            " AS BIGINT) AS STRING), 2, 1) AS BIGINT)"
+        ).alias("d2")
+    ).where(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)") >= 10
+    )
+    exp_rows = [
+        (0, 119679), (1, 113890), (2, 108821), (3, 104329),
+        (4, 100308), (5, 96677), (6, 93374), (7, 90351),
+        (8, 87570), (9, 84997),
+    ]
+    expected = spark.createDataFrame(
+        exp_rows, "d2 long, exp_e6 long"
+    )
+    observed = digits.groupBy("d2").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    observed = observed.withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    total = observed.agg(F.max("total").alias("total"))
+    joined = (
+        expected.join(observed.select("d2", "n"), "d2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d2",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CAST(floor((CAST(coalesce(n, 0) AS DOUBLE)"
+                " * 1000000.0) / CAST(total AS DOUBLE)) AS BIGINT)"
+            ).alias("obs_e6"),
+            "exp_e6",
+        )
+    )
+    return joined.select(
+        "d2",
+        "n",
+        "obs_e6",
+        "exp_e6",
+        (F.col("obs_e6") - F.col("exp_e6")).alias("dev_e6"),
+    ).orderBy("d2")

@@ -17,6 +17,7 @@ from tests.conftest import SF_DIR, SMOKE_SF_DIR
 STAGED_NLJ_OK: set[str] = {
     "q_type_cooccurrence",  # broadcast 1-row distinct-user-total leg
     "q_mood_median",  # broadcast 1-row grand-median leg
+    "q_benford_second",  # broadcast 1-row digit-total leg + 10-row grid
 }
 
 PY_MARKERS = (
@@ -453,3 +454,71 @@ def test_xcorr_lag_laws(spark):
     by_lag = {r["lag"]: r["n_days"] for r in rows}
     assert by_lag[0] >= by_lag[3]
     assert by_lag[0] >= by_lag[-3]
+
+
+# ---------------------------------------------------------------------------
+# Laws for the seventh r12 batch (calendar effects / drift).
+# ---------------------------------------------------------------------------
+
+
+def test_month_end_load_laws(spark):
+    rows = _run(spark, "q_month_end_load")
+    assert rows
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    for r in rows:
+        assert 0 <= r["n_tail"] <= r["n_orders"]
+        assert 0 <= r["tail_orders_bp"] <= 10000
+        assert 0 <= r["tail_value_bp"] <= 10000
+        # ~3/30.4 days: a calendar-uniform generator sits near 986 bp;
+        # sanity-bound generously
+        assert 200 <= r["tail_orders_bp"] <= 3000
+
+
+def test_isoweek_rollover_laws(spark):
+    rows = _run(spark, "q_isoweek_rollover")
+    assert rows
+    for r in rows:
+        # rollover rows exist only in a year's first/last ISO week:
+        # at most 6 calendar days -> a small fraction of the year
+        assert 0 <= r["n_december_next_isoyear"] <= r["n_orders"] // 10
+        assert 0 <= r["n_january_prior_isoyear"] <= r["n_orders"] // 10
+
+
+def test_quarter_end_push_laws(spark):
+    rows = _run(spark, "q_quarter_end_push")
+    assert rows
+    last_quarter = max(r["quarter"] for r in rows)
+    for r in rows:
+        assert 0 <= r["push_orders_bp"] <= 10000
+        assert 0 <= r["push_value_bp"] <= 10000
+        # 14 of ~91 days: uniform sits near 1538 bp — except the final
+        # quarter, which the corpus truncates mid-quarter (its last 14
+        # days may hold no data at all)
+        if r["quarter"] != last_quarter:
+            assert 500 <= r["push_orders_bp"] <= 4000
+
+
+def test_psi_drift_laws(spark):
+    rows = _run(spark, "q_psi_drift")
+    assert rows
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_first"] + r["n_second"] for r in rows) == o.count()
+    # both eras populated (the split year is inside the date range)
+    assert sum(r["n_first"] for r in rows) > 0
+    assert sum(r["n_second"] for r in rows) > 0
+    # every PSI term is nonneg up to rounding: (p1-p2) and ln(p1/p2)
+    # always share a sign
+    for r in rows:
+        assert r["psi_term"] >= -1e-9
+
+
+def test_benford_second_laws(spark):
+    rows = _run(spark, "q_benford_second")
+    assert len(rows) == 10
+    assert sorted(r["d2"] for r in rows) == list(range(10))
+    total_obs = sum(r["obs_e6"] for r in rows)
+    # floors lose at most 1 each
+    assert 1000000 - 10 <= total_obs <= 1000000
+    for r in rows:
+        assert r["dev_e6"] == r["obs_e6"] - r["exp_e6"]

@@ -3000,3 +3000,333 @@ def q_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exp_e6",
         (F.col("obs_e6") - F.col("exp_e6")).alias("dev_e6"),
     ).orderBy("d2")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 8 — catalog and supplier dynamics.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_new_item_ramp",
+    oracle="""
+    WITH firsts AS (
+        SELECT l_partkey,
+               min(l_shipdate) AS first_ship
+        FROM lineitem
+        GROUP BY l_partkey
+    ),
+    ramp AS (
+        SELECT f.l_partkey,
+               CAST(date_trunc('quarter', f.first_ship) AS TIMESTAMP)
+                   AS cohort,
+               CAST(count(*) AS BIGINT) AS lines_total,
+               CAST(sum(CASE WHEN datediff('day', f.first_ship,
+                                           l.l_shipdate) < 90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS lines_90
+        FROM firsts f
+        JOIN lineitem l ON l.l_partkey = f.l_partkey
+        GROUP BY f.l_partkey, date_trunc('quarter', f.first_ship)
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(lines_90) // count(*) AS BIGINT)
+               AS mean_lines_90d,
+           CAST(sum(lines_total) // count(*) AS BIGINT)
+               AS mean_lines_total,
+           CAST(sum(lines_90) * 10000 // sum(lines_total) AS BIGINT)
+               AS ramp_share_bp
+    FROM ramp
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def q_new_item_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-item ramp by introduction cohort: parts grouped by the
+    quarter of their FIRST shipment, with the mean line volume in
+    their first 90 days and its share of lifetime volume — the
+    assortment-introduction health curve (a cohort whose 90-day share
+    collapses is being launched into dead demand; q_slow_movers finds
+    today's laggards, this dates their launch). Two passes over
+    lineitem: a per-part min, then one equi-join back on partkey —
+    the join key is the aggregation key, so co-partitioning makes the
+    second pass shuffle-free after the first at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    firsts = li.groupBy("l_partkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    ramp = (
+        li.join(firsts, "l_partkey")
+        .groupBy(
+            "l_partkey",
+            F.date_trunc("quarter", "first_ship").alias("cohort"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("lines_total"),
+            F.expr(
+                "CAST(sum(CASE WHEN datediff(l_shipdate, first_ship)"
+                " < 90 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("lines_90"),
+        )
+    )
+    return (
+        ramp.groupBy("cohort")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.expr(
+                "CAST(sum(lines_90) div count(*) AS BIGINT)"
+            ).alias("mean_lines_90d"),
+            F.expr(
+                "CAST(sum(lines_total) div count(*) AS BIGINT)"
+            ).alias("mean_lines_total"),
+            F.expr(
+                "CAST(sum(lines_90) * 10000 div sum(lines_total)"
+                " AS BIGINT)"
+            ).alias("ramp_share_bp"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@_staged(
+    "q_cheapest_supplier_churn",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey,
+               CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                   AS month,
+               min(CAST(floor(l_extendedprice / l_quantity * 100
+                              + 0.5) AS BIGINT) * 100000000
+                   + l_suppkey) AS packed
+        FROM lineitem
+        GROUP BY l_partkey, date_trunc('month', l_shipdate)
+    ),
+    cheapest AS (
+        SELECT l_partkey, month,
+               packed % 100000000 AS best_supp,
+               lag(packed % 100000000) OVER (
+                   PARTITION BY l_partkey ORDER BY month) AS prev_supp
+        FROM unit
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_parts_with_history,
+           CAST(sum(CASE WHEN best_supp <> prev_supp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN best_supp <> prev_supp
+                         THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS churn_bp
+    FROM cheapest
+    WHERE prev_supp IS NOT NULL
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def q_cheapest_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-supplier churn: per month, the share of parts whose
+    BEST (lowest implied unit price, tie-broken to the smaller
+    supplier key) supplier differs from the part's previous active
+    month — volatile sourcing means spot-market pricing, stable means
+    contracts; the procurement-strategy fingerprint. The argmin rides
+    the packed-integer key unit_cents·10⁸ + suppkey (the CLAUDE.md
+    q_kmeans_step rule — DuckDB has no struct-ordered min; 10⁸ bounds
+    any realistic supplier key and keeps the product ≤ 10¹⁵), and the
+    month-over-month comparison is a keyed lag per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(
+        F.min(
+            F.expr(
+                "CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)"
+                " AS BIGINT) * 100000000 + l_suppkey"
+            )
+        ).alias("packed")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("month")
+    cheapest = unit.select(
+        "month",
+        (F.col("packed") % 100000000).alias("best_supp"),
+        F.lag(F.col("packed") % 100000000).over(w).alias("prev_supp"),
+    ).where(F.col("prev_supp").isNotNull())
+    return (
+        cheapest.groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_parts_with_history"),
+            F.expr(
+                "CAST(sum(CASE WHEN best_supp <> prev_supp THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("n_changed"),
+            F.expr(
+                "CAST(sum(CASE WHEN best_supp <> prev_supp THEN 1"
+                " ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+            ).alias("churn_bp"),
+        )
+        .orderBy("month")
+    )
+
+
+@_staged(
+    "q_supplier_reach",
+    oracle="""
+    WITH reach AS (
+        SELECT l.l_suppkey,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_cust,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_suppkey
+    )
+    SELECT least(n_cust // 100, CAST(9 AS BIGINT)) AS reach_band,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(n_cust) // count(*) AS BIGINT) AS mean_customers,
+           CAST(sum(n_lines) // count(*) AS BIGINT) AS mean_lines
+    FROM reach
+    GROUP BY least(n_cust // 100, CAST(9 AS BIGINT))
+    ORDER BY reach_band
+    """,
+)
+def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier customer reach: distinct end-customers each supplier's
+    lines ultimately serve (lineitem→orders), banded by hundreds —
+    the supplier-concentration view from the DEMAND side
+    (q_supplier_hhi concentrates on value; this asks how many
+    relationships a supplier failure would break). One fact-to-fact
+    equi-join on the order key, then a distinct-count keyed by
+    supplier; the banding floors are nonneg integer division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    reach = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    return (
+        reach.groupBy(
+            F.least(
+                F.expr("n_cust div 100"), F.lit(9).cast("long")
+            ).alias("reach_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.expr("CAST(sum(n_cust) div count(*) AS BIGINT)").alias(
+                "mean_customers"
+            ),
+            F.expr("CAST(sum(n_lines) div count(*) AS BIGINT)").alias(
+                "mean_lines"
+            ),
+        )
+        .orderBy("reach_band")
+    )
+
+
+@_staged(
+    "q_unit_price_consistency",
+    oracle="""
+    WITH ratios AS (
+        SELECT p.p_brand,
+               CAST(floor((CAST(floor(l.l_extendedprice / l.l_quantity
+                                      * 100 + 0.5) AS BIGINT)
+                           * 10000.0)
+                          / CAST(floor(p.p_retailprice * 100 + 0.5)
+                                 AS DOUBLE)) AS BIGINT) AS ratio_e4
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(ratio_e4) // count(*) AS BIGINT) AS mean_ratio_e4,
+           CAST(min(ratio_e4) AS BIGINT) AS min_ratio_e4,
+           CAST(max(ratio_e4) AS BIGINT) AS max_ratio_e4
+    FROM ratios
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_unit_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-vs-catalog price consistency per brand: the implied
+    unit price each lineitem actually charged, as an e4 ratio of the
+    part's retail price — a mean far from 10⁴ means systematic
+    off-list pricing; a wide min–max band means the list price is
+    fiction (q_price_fairness audits customer-level dispersion; this
+    is catalog-level). The ratio is the one-double-divide floor
+    pattern over two exact cent integers; brand aggregation is one
+    join on partkey and one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ratios = li.join(p, p.p_partkey == li.l_partkey).select(
+        "p_brand",
+        F.expr(
+            "CAST(floor((CAST(floor(l_extendedprice / l_quantity * 100"
+            " + 0.5) AS BIGINT) * 10000.0) / CAST(floor(p_retailprice"
+            " * 100 + 0.5) AS DOUBLE)) AS BIGINT)"
+        ).alias("ratio_e4"),
+    )
+    return (
+        ratios.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(ratio_e4) div count(*) AS BIGINT)"
+            ).alias("mean_ratio_e4"),
+            F.min("ratio_e4").cast("long").alias("min_ratio_e4"),
+            F.max("ratio_e4").cast("long").alias("max_ratio_e4"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_staged(
+    "q_daily_mix_entropy",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY date_trunc('day', ts), event_type
+    ),
+    withp AS (
+        SELECT day, n,
+               CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                   PARTITION BY day) AS DOUBLE) AS p
+        FROM cells
+    )
+    SELECT day,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-sum(p * ln(p)) + 0.0, 4) AS entropy_nats
+    FROM withp
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q_daily_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type mix entropy: Shannon entropy of each day's
+    type distribution — a day whose entropy dips is dominated by one
+    event type (an error storm or a bot flood drowns the mix long
+    before any single-type threshold fires); the one-line daily
+    health score (q_lang_mix_entropy's temporal twin on the events
+    stream). Exact counts, one int64→double divide per cell, ln in
+    the allowed round(,4) class, windows over the ≤|types|-row daily
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = Window.partitionBy("day")
+    p = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    withp = cells.withColumn("plnp", p * F.log(p))
+    return (
+        withp.groupBy("day")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(-F.sum("plnp") + F.lit(0.0), 4).alias(
+                "entropy_nats"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -522,3 +522,65 @@ def test_benford_second_laws(spark):
     assert 1000000 - 10 <= total_obs <= 1000000
     for r in rows:
         assert r["dev_e6"] == r["obs_e6"] - r["exp_e6"]
+
+
+# ---------------------------------------------------------------------------
+# Laws for the eighth r12 batch (catalog / supplier dynamics).
+# ---------------------------------------------------------------------------
+
+
+def test_new_item_ramp_laws(spark):
+    rows = _run(spark, "q_new_item_ramp")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_parts_sold = li.select("l_partkey").distinct().count()
+    assert sum(r["n_parts"] for r in rows) == n_parts_sold
+    for r in rows:
+        assert 0 < r["mean_lines_90d"] or r["mean_lines_90d"] == 0
+        assert r["mean_lines_90d"] <= r["mean_lines_total"]
+        assert 0 <= r["ramp_share_bp"] <= 10000
+
+
+def test_cheapest_supplier_churn_laws(spark):
+    rows = _run(spark, "q_cheapest_supplier_churn")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_changed"] <= r["n_parts_with_history"]
+        assert 0 <= r["churn_bp"] <= 10000
+
+
+def test_supplier_reach_laws(spark):
+    rows = _run(spark, "q_supplier_reach")
+    assert rows
+    sup = load_table(spark, SF_DIR, "lineitem").select(
+        "l_suppkey"
+    ).distinct().count()
+    assert sum(r["n_suppliers"] for r in rows) == sup
+    for r in rows:
+        assert 0 <= r["reach_band"] <= 9
+        assert r["mean_customers"] <= r["mean_lines"] or (
+            # a supplier can serve a customer across many lines, so
+            # lines >= customers per supplier and means preserve it
+            False
+        )
+
+
+def test_unit_price_consistency_laws(spark):
+    rows = _run(spark, "q_unit_price_consistency")
+    assert rows
+    for r in rows:
+        assert (
+            r["min_ratio_e4"]
+            <= r["mean_ratio_e4"]
+            <= r["max_ratio_e4"]
+        )
+        assert r["min_ratio_e4"] >= 0
+
+
+def test_daily_mix_entropy_laws(spark):
+    rows = _run(spark, "q_daily_mix_entropy")
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-4

@@ -3330,3 +3330,415 @@ def q_daily_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 9 — embedding geometry + engine-surface patterns.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_embed_signbits",
+    oracle="""
+    WITH coords AS (
+        SELECT vec_id, i,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+                   AS BIGINT) AS q
+        FROM (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings
+        )
+    ),
+    bits AS (
+        SELECT c.vec_id, h.j,
+               CASE WHEN sum(CASE WHEN
+                        CAST('0x' || substr(md5(CAST(h.j AS VARCHAR)
+                             || '_' || CAST(c.i AS VARCHAR)), 1, 1)
+                             AS BIGINT) % 2 = 0
+                        THEN c.q ELSE -c.q END) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM coords c
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) h
+        GROUP BY c.vec_id, h.j
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(sum(bit * (1 << CAST(j AS INTEGER))) AS BIGINT)
+                   AS sig
+        FROM bits
+        GROUP BY vec_id
+    ),
+    buckets AS (
+        SELECT sig, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM sigs GROUP BY sig
+    )
+    SELECT n_vecs AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM buckets
+    GROUP BY n_vecs
+    ORDER BY bucket_size
+    """,
+)
+def q_embed_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane sign fingerprint (SimHash for embeddings):
+    8 deterministic ±1 hyperplanes (coefficient = parity of an md5
+    nibble keyed by (plane, dimension) — the CLAUDE.md cross-engine
+    hash idiom, no RNG and no libm), each vector's 8-bit signature,
+    and the bucket-size histogram — the collision profile that sizes
+    an LSH index for cosine search BEFORE building it
+    (q_lsh_bucket_skew audits the text MinHash index; this is the
+    embedding twin). Coordinates are quantized to exact e3 integers
+    so every dot product is an order-free int64 sum — a double dot
+    product would drift with partition order. Work is |vectors|·64·8
+    exploded rows, linear in the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+    planes = coords.select(
+        "vec_id",
+        "i",
+        "q",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(8)])
+        ).alias("j"),
+    )
+    signed = planes.select(
+        "vec_id",
+        "j",
+        F.expr(
+            "CASE WHEN conv(substr(md5(CAST(j AS STRING) || '_' ||"
+            " CAST(i AS STRING)), 1, 1), 16, 10) % 2 = 0"
+            " THEN q ELSE -q END"
+        ).alias("term"),
+    )
+    bits = signed.groupBy("vec_id", "j").agg(
+        F.when(F.sum("term") > 0, 1).otherwise(0).alias("bit")
+    )
+    sigs = bits.groupBy("vec_id").agg(
+        F.sum(F.expr("bit * shiftleft(1, CAST(j AS INT))"))
+        .cast("long")
+        .alias("sig")
+    )
+    buckets = sigs.groupBy("sig").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    return (
+        buckets.groupBy(F.col("n_vecs").alias("bucket_size"))
+        .agg(F.count("*").cast("long").alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
+
+
+@_staged(
+    "q_embed_axis_dominance",
+    oracle="""
+    WITH coords AS (
+        SELECT vec_id, label, i,
+               abs(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000
+                              + 0.5) AS BIGINT)) AS absq
+        FROM (
+            SELECT vec_id, label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings
+        )
+    ),
+    dominant AS (
+        SELECT vec_id, label,
+               9999 - (max(absq * 10000 + (9999 - i)) % 10000)
+                   AS axis
+        FROM coords
+        GROUP BY vec_id, label
+    ),
+    per_axis AS (
+        SELECT label, axis, CAST(count(*) AS BIGINT) AS n
+        FROM dominant
+        GROUP BY label, axis
+    )
+    SELECT label,
+           CAST(sum(n) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_distinct_axes,
+           CAST(9999 - (max(n * 10000 + (9999 - axis)) % 10000)
+               AS BIGINT) AS top_axis,
+           CAST(max(n * 10000 + (9999 - axis)) // 10000 * 10000
+                // sum(n) AS BIGINT) AS top_axis_share_bp
+    FROM per_axis
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_axis_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-axis profile per label: each vector's largest-|coord|
+    dimension (ties to the SMALLER index), then per label the modal
+    dominant axis, its share, and how many distinct axes dominate —
+    isotropic embeddings spread across all 64 axes (share → 1/64); a
+    label glued to one axis signals a degenerate feature or a
+    one-hot-ish encoder (q_embed_isotropy measures this globally;
+    this localizes it per class). BOTH argmaxes ride the packed
+    nonneg key v·10⁴ + (10⁴−1−idx) (q_kmeans_step rule; |q| ≤ ~525
+    and axis < 10⁴ keep products tiny); coordinates quantize to e3
+    integers so comparisons are exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.expr(
+            "abs(CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)"
+            " AS BIGINT))"
+        ).alias("absq"),
+    )
+    dominant = coords.groupBy("vec_id", "label").agg(
+        F.expr(
+            "9999 - (max(absq * 10000 + (9999 - i)) % 10000)"
+        ).alias("axis")
+    )
+    per_axis = dominant.groupBy("label", "axis").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        per_axis.groupBy("label")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.count("*").cast("long").alias("n_distinct_axes"),
+            F.expr(
+                "CAST(9999 - (max(n * 10000 + (9999 - axis)) % 10000)"
+                " AS BIGINT)"
+            ).alias("top_axis"),
+            F.expr(
+                "CAST(max(n * 10000 + (9999 - axis)) div 10000 * 10000"
+                " div sum(n) AS BIGINT)"
+            ).alias("top_axis_share_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_pivot_two_measures",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_cnt,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS f_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+               AS BIGINT) AS o_cnt,
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS o_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p_cnt,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS p_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_pivot_two_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-measure pivot: order priority × status matrix carrying BOTH
+    a count and an exact-cents value per status column — the
+    dual-measure crosstab q_pivot (single measure) leaves open, and
+    the shape every finance reconciliation export takes. Uses Spark's
+    native pivot with explicit status values (planner prunes to one
+    pass; no per-status scans) and per-agg aliases, renamed to the
+    oracle's flat snake_case columns; values are exact cent sums."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(*) is invalid inside a Pivot aggregate; count(1)
+            # is the same cardinality
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    # an empty (priority, status) cell pivots to NULL where the
+    # oracle's conditional sum yields 0 — normalize
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{s}_{m}"), F.lit(0))
+            .cast("long")
+            .alias(f"{s.lower()}_{m}")
+            for s in ("F", "O", "P")
+            for m in ("cnt", "cents")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+@_staged(
+    "q_win_exclude_current",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type, user_id,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+        FROM events
+    ),
+    grouped AS (
+        SELECT event_type, v_e4,
+               sum(v_e4) OVER (PARTITION BY event_type, user_id)
+                   AS grp_sum,
+               count(*) OVER (PARTITION BY event_type, user_id)
+                   AS grp_n
+        FROM vals
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN v_e4 * (grp_n - 1) > grp_sum - v_e4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_loo,
+           CAST(sum(CASE WHEN v_e4 * (grp_n - 1) > grp_sum - v_e4
+                         THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS above_loo_bp
+    FROM grouped
+    WHERE grp_n >= 2
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE CURRENT ROW emulation: the share of events whose value
+    exceeds the mean of their OWN (user, type) group with themselves
+    left out — the leave-one-out comparison SQL's window frames can't
+    express directly in either engine, rewritten algebraically as
+    v·(n−1) > Σ−v over whole-partition sum/count windows (exact
+    integers after e4 quantization, so the comparison never touches a
+    float). The self-excluded baseline matters: against the plain
+    group mean, a group of 2 ties both sides; against the LOO mean
+    each event compares to the OTHER one. Groups of 1 are excluded
+    (their LOO mean is undefined)."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias(
+            "v_e4"
+        ),
+    )
+    grp = Window.partitionBy("event_type", "user_id")
+    grouped = vals.select(
+        "event_type",
+        "v_e4",
+        F.sum("v_e4").over(grp).alias("grp_sum"),
+        F.count("*").over(grp).alias("grp_n"),
+    ).where(F.col("grp_n") >= 2)
+    return (
+        grouped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(sum(CASE WHEN v_e4 * (grp_n - 1) > grp_sum -"
+                " v_e4 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_above_loo"),
+            F.expr(
+                "CAST(sum(CASE WHEN v_e4 * (grp_n - 1) > grp_sum -"
+                " v_e4 THEN 1 ELSE 0 END) * 10000 div count(*)"
+                " AS BIGINT)"
+            ).alias("above_loo_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_forecast_mase",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+        SELECT event_type, cnt,
+               lag(cnt, 7) OVER (
+                   PARTITION BY event_type ORDER BY day) AS cnt_7,
+               lag(cnt, 1) OVER (
+                   PARTITION BY event_type ORDER BY day) AS cnt_1
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(cnt_7) AS BIGINT) AS n7,
+               CAST(sum(abs(cnt - cnt_7)) AS BIGINT) AS s7,
+               CAST(count(cnt_1) AS BIGINT) AS n1,
+               CAST(sum(abs(cnt - cnt_1)) AS BIGINT) AS s1
+        FROM lagged
+        GROUP BY event_type
+    )
+    SELECT event_type, n7 AS n_seasonal_points,
+           CAST(s7 * 10000 // n7 AS BIGINT) AS mae_seasonal_e4,
+           CAST(s1 * 10000 // n1 AS BIGINT) AS mae_naive_e4,
+           CAST(s7 * n1 * 10000 // (s1 * n7) AS BIGINT) AS mase_e4
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the seasonal-naive forecaster: per event type, the MAE
+    of predicting each day by the SAME WEEKDAY last week (lag-7)
+    scaled by the MAE of the random-walk (lag-1) baseline — MASE < 1
+    means weekly seasonality is real signal worth modeling, > 1 means
+    yesterday already beats last-week (q_forecast_backtest scores
+    bias; this scores the standard scale-free accuracy ratio).
+    Integer counts through keyed lag windows; both MAEs and their
+    ratio are exact nonneg integer e4 floors (s·n' ≤ 10⁷·31·10⁴
+    stays far inside int64)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 7).over(w).alias("cnt_7"),
+        F.lag("cnt", 1).over(w).alias("cnt_1"),
+    )
+    sums = lagged.groupBy("event_type").agg(
+        F.count("cnt_7").cast("long").alias("n7"),
+        F.sum(F.abs(F.col("cnt") - F.col("cnt_7")))
+        .cast("long")
+        .alias("s7"),
+        F.count("cnt_1").cast("long").alias("n1"),
+        F.sum(F.abs(F.col("cnt") - F.col("cnt_1")))
+        .cast("long")
+        .alias("s1"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n7").alias("n_seasonal_points"),
+        F.expr("CAST(s7 * 10000 div n7 AS BIGINT)").alias(
+            "mae_seasonal_e4"
+        ),
+        F.expr("CAST(s1 * 10000 div n1 AS BIGINT)").alias(
+            "mae_naive_e4"
+        ),
+        F.expr(
+            "CAST(s7 * n1 * 10000 div (s1 * n7) AS BIGINT)"
+        ).alias("mase_e4"),
+    ).orderBy("event_type")

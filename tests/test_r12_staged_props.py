@@ -584,3 +584,68 @@ def test_daily_mix_entropy_laws(spark):
     assert sum(r["n_events"] for r in rows) == ev.count()
     for r in rows:
         assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Laws for the ninth r12 batch (embedding geometry / engine surface).
+# ---------------------------------------------------------------------------
+
+
+def test_embed_signbits_laws(spark):
+    rows = _run(spark, "q_embed_signbits")
+    assert rows
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # every vector lands in exactly one bucket
+    assert sum(
+        r["bucket_size"] * r["n_buckets"] for r in rows
+    ) == emb.count()
+    # at most 256 distinct 8-bit signatures
+    assert sum(r["n_buckets"] for r in rows) <= 256
+
+
+def test_embed_axis_dominance_laws(spark):
+    rows = _run(spark, "q_embed_axis_dominance")
+    assert rows
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        assert 1 <= r["top_axis"] <= 64
+        assert 1 <= r["n_distinct_axes"] <= 64
+        assert 0 < r["top_axis_share_bp"] <= 10000
+
+
+def test_pivot_two_measures_laws(spark):
+    rows = _run(spark, "q_pivot_two_measures")
+    assert len(rows) == 5
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(
+        r["f_cnt"] + r["o_cnt"] + r["p_cnt"] for r in rows
+    ) == o.count()
+    for r in rows:
+        for s in "fop":
+            if r[f"{s}_cnt"] == 0:
+                assert r[f"{s}_cents"] == 0
+
+
+def test_win_exclude_current_laws(spark):
+    rows = _run(spark, "q_win_exclude_current")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_above_loo"] <= r["n_events"]
+        # roughly half of a continuous group sits above its LOO mean;
+        # bound loosely
+        assert 2000 <= r["above_loo_bp"] <= 8000
+
+
+def test_forecast_mase_laws(spark):
+    rows = _run(spark, "q_forecast_mase")
+    assert rows
+    for r in rows:
+        assert r["n_seasonal_points"] >= 1
+        assert r["mae_seasonal_e4"] >= 0
+        assert r["mae_naive_e4"] >= 0
+        # the emitted ratio is consistent with its components up to
+        # the two floors
+        if r["mae_naive_e4"] > 0:
+            implied = r["mae_seasonal_e4"] / r["mae_naive_e4"]
+            assert abs(implied - r["mase_e4"] / 10000) < 0.01

@@ -3742,3 +3742,396 @@ def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(s7 * n1 * 10000 div (s1 * n7) AS BIGINT)"
         ).alias("mase_e4"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 10 — window close: returns, pricing, and mix audits.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_brand_return_wilson",
+    oracle="""
+    WITH per_brand AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, n_lines, n_returns,
+           CAST(n_returns * 10000 // n_lines AS BIGINT) AS return_bp,
+           round((
+               (CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                + 1.9208 / CAST(n_lines AS DOUBLE)
+                - 1.96 * sqrt(
+                    (CAST(n_returns AS DOUBLE)
+                     / CAST(n_lines AS DOUBLE))
+                    * (1.0 - CAST(n_returns AS DOUBLE)
+                             / CAST(n_lines AS DOUBLE))
+                    / CAST(n_lines AS DOUBLE)
+                    + 0.9604 / (CAST(n_lines AS DOUBLE)
+                                * CAST(n_lines AS DOUBLE))))
+               / (1.0 + 3.8416 / CAST(n_lines AS DOUBLE))
+           ) + 0.0, 4) AS wilson_lb
+    FROM per_brand
+    ORDER BY p_brand
+    """,
+)
+def q_brand_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand return rates with a Wilson 95% LOWER bound: the return
+    share per brand and the statistically safe floor under it — the
+    rank-by-lower-bound rule that stops a 3-line brand with one
+    return from topping the quality blacklist (the standard fix for
+    small-sample rate ranking). z enters only through the
+    driver-precomputed literals 1.96 / z²=3.8416 / z²/2=1.9208 /
+    z²/4=0.9604 shared by both engines; the bound itself is the
+    allowed sqrt + round(,4) class with ONE parenthesization; the
+    integer return_bp stays exact for downstream thresholds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_brand = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("n_returns"),
+        )
+    )
+    ph = F.col("n_returns").cast("double") / F.col("n_lines").cast(
+        "double"
+    )
+    n = F.col("n_lines").cast("double")
+    wilson = (
+        ph
+        + F.lit(1.9208) / n
+        - F.lit(1.96)
+        * F.sqrt(ph * (F.lit(1.0) - ph) / n + F.lit(0.9604) / (n * n))
+    ) / (F.lit(1.0) + F.lit(3.8416) / n)
+    return per_brand.select(
+        "p_brand",
+        "n_lines",
+        "n_returns",
+        F.expr("CAST(n_returns * 10000 div n_lines AS BIGINT)").alias(
+            "return_bp"
+        ),
+        F.round(wilson + F.lit(0.0), 4).alias("wilson_lb"),
+    ).orderBy("p_brand")
+
+
+@_staged(
+    "q_price_staleness",
+    oracle="""
+    WITH per_part AS (
+        SELECT l.l_partkey, p.p_brand,
+               CAST(count(DISTINCT date_trunc('month', l.l_shipdate))
+                   AS BIGINT) AS n_months,
+               CAST(count(DISTINCT CAST(floor(l.l_extendedprice
+                        / l.l_quantity * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS n_prices
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l.l_partkey, p.p_brand
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN n_prices = 1 AND n_months >= 6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+           CAST(sum(CASE WHEN n_prices = 1 AND n_months >= 6
+                         THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS stale_bp,
+           CAST(sum(n_prices - 1) // count(*) AS BIGINT)
+               AS mean_price_changes
+    FROM per_part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_price_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price staleness per brand: parts that traded in ≥6 distinct
+    months yet never moved off a SINGLE implied unit price — frozen
+    price files are how stale catalogs leak margin through inflation
+    (q_cheapest_supplier_churn watches WHO is cheapest; this watches
+    whether prices move AT ALL). Distinct months and distinct exact
+    cent prices per part are one aggregation; staleness is a pure
+    integer predicate rolled up per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy("l_partkey", "p_brand")
+        .agg(
+            F.countDistinct(F.date_trunc("month", "l_shipdate"))
+            .cast("long")
+            .alias("n_months"),
+            F.countDistinct(
+                F.expr(
+                    "CAST(floor(l_extendedprice / l_quantity * 100"
+                    " + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("n_prices"),
+        )
+    )
+    return (
+        per_part.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_prices = 1 AND n_months >= 6"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_stale"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_prices = 1 AND n_months >= 6"
+                " THEN 1 ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+            ).alias("stale_bp"),
+            F.expr(
+                "CAST(sum(n_prices - 1) div count(*) AS BIGINT)"
+            ).alias("mean_price_changes"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_staged(
+    "q_mktseg_priority_mix",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS segment,
+               o.o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    ),
+    tots AS (
+        SELECT segment, prio, n,
+               sum(n) OVER (PARTITION BY segment) AS seg_tot,
+               sum(n) OVER (PARTITION BY prio) AS prio_tot,
+               sum(n) OVER () AS grand
+        FROM cells
+    )
+    SELECT segment, prio, n,
+           CAST(n * 10000 // seg_tot AS BIGINT) AS share_bp,
+           CAST(n * 10000 // seg_tot AS BIGINT)
+               - CAST(prio_tot * 10000 // grand AS BIGINT) AS dev_bp
+    FROM tots
+    ORDER BY segment, prio
+    """,
+)
+def q_mktseg_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment × priority mix audit: each segment's priority
+    distribution in bp, and its signed deviation from the corpus-wide
+    priority mix — a segment over-indexing on 1-URGENT is either a
+    premium tier or a mis-tagged feed (the χ² machinery of
+    q_chi_square localized to per-cell deviations a planner can read
+    off). Marginals are windows over the ≤25-cell aggregate; the
+    deviation subtracts two already-floored nonneg bp integers (no
+    negative ever meets integer division)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tots = cells.select(
+        "segment",
+        "prio",
+        "n",
+        F.sum("n").over(Window.partitionBy("segment")).alias("seg_tot"),
+        F.sum("n").over(Window.partitionBy("prio")).alias("prio_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("grand"),
+    )
+    return tots.select(
+        "segment",
+        "prio",
+        "n",
+        F.expr("CAST(n * 10000 div seg_tot AS BIGINT)").alias(
+            "share_bp"
+        ),
+        (
+            F.expr("CAST(n * 10000 div seg_tot AS BIGINT)")
+            - F.expr("CAST(prio_tot * 10000 div grand AS BIGINT)")
+        ).alias("dev_bp"),
+    ).orderBy("segment", "prio")
+
+
+@_staged(
+    "q_value_half_life",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v_e4
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    running AS (
+        SELECT event_type, v_e4,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS rn,
+               sum(v_e4) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_v,
+               sum(v_e4) OVER (PARTITION BY event_type) AS tot_v
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(min(CASE WHEN 2 * run_v >= tot_v THEN rn END)
+               AS BIGINT) AS half_day_idx,
+           CAST(min(CASE WHEN 2 * run_v >= tot_v THEN rn END) * 10000
+                // count(*) AS BIGINT) AS half_point_bp
+    FROM running
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_value_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value accumulation half-point: per event type, the first day
+    index at which the running daily value crosses half the period
+    total, and that index as a share of the period — 5000 bp means
+    value accrues uniformly; an early half-point means front-loaded
+    value (launch spike), late means a closing rush (the
+    q_quarter_end_push shape measured on the events stream). Daily
+    values quantize to exact e4 integers so the running and total
+    sums compare exactly; the crossing day is a conditional min over
+    an integer predicate — no doubles anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("v_e4")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = daily.select(
+        "event_type",
+        "v_e4",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v_e4").over(cum).alias("run_v"),
+        F.sum("v_e4")
+        .over(Window.partitionBy("event_type"))
+        .alias("tot_v"),
+    )
+    return (
+        running.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.min(
+                F.when(2 * F.col("run_v") >= F.col("tot_v"), F.col("rn"))
+            )
+            .cast("long")
+            .alias("half_day_idx"),
+            F.expr(
+                "CAST(min(CASE WHEN 2 * run_v >= tot_v THEN rn END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("half_point_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_discount_by_quantity",
+    oracle="""
+    WITH lines AS (
+        SELECT least(CAST(floor(l_quantity + 0.5) AS BIGINT) // 10,
+                     CAST(4 AS BIGINT)) AS qty_band,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_e2,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS ext_cents
+        FROM lineitem
+    )
+    SELECT qty_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(disc_e2) * 100 // count(*) AS BIGINT)
+               AS mean_disc_bp,
+           CAST(sum(ext_cents * disc_e2) * 100 // sum(ext_cents)
+               AS BIGINT) AS weighted_disc_bp
+    FROM lines
+    GROUP BY qty_band
+    ORDER BY qty_band
+    """,
+)
+def q_discount_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discount-vs-quantity curve: mean and value-weighted
+    discount (bp) per 10-unit quantity band — the actual volume-
+    discount schedule in force, read off the data (q_spearman says
+    whether bulk correlates with discount; this says BY HOW MUCH per
+    band, the number a pricing negotiation uses). Discount percent
+    and price cents are exact integers; the value-weighted numerator
+    Σ(cents·disc_e2) is the same int64-exact trick as
+    q_tax_by_value_band — a double product sum would drift with
+    partition order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.least(
+            F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT) div 10"),
+            F.lit(4).cast("long"),
+        ).alias("qty_band"),
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "disc_e2"
+        ),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("ext_cents"),
+    )
+    return (
+        lines.groupBy("qty_band")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(disc_e2) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_disc_bp"),
+            F.expr(
+                "CAST(sum(ext_cents * disc_e2) * 100 div"
+                " sum(ext_cents) AS BIGINT)"
+            ).alias("weighted_disc_bp"),
+        )
+        .orderBy("qty_band")
+    )
+
+
+#: The exact round-13 DRIVER_PRIORITY window, pre-drafted so the flip
+#: is mechanical (the round-8..11 playbook): the 50 staged queries in
+#: definition (= tranche) order — FUTURE_ORACLES is empty, so the whole
+#: window is new surface. tests/test_r12_flip_rehearsal.py pins that
+#: this list is exactly STAGED_R12 with no gaps, dupes, or registry
+#: collisions, and that the post-flip external-verification backlog is
+#: exactly this window.
+ROUND12_WINDOW: list[str] = [
+    "q_interarrival_hazard", "q_type_cooccurrence", "q_drawdown",
+    "q_gap_entropy", "q_wow_volatility", "q_session_depth",
+    "q_alternation_rate", "q_monotone_runs", "q_user_hour_hhi",
+    "q_gap_dominance", "q_priority_inversion", "q_balance_sign_mix",
+    "q_part_token_price", "q_multi_supplier_orders", "q_tax_by_value_band",
+    "q_hapax_rate", "q_cramers_v", "q_bits_per_char", "q_cohens_kappa",
+    "q_filter_parity", "q_vocab_gini", "q_word_stutter",
+    "q_word_position_bias", "q_chunk_boundary_loss", "q_context_fit",
+    "q_mood_median", "q_mann_kendall", "q_theil_sen", "q_spearman",
+    "q_xcorr_lag", "q_month_end_load", "q_isoweek_rollover",
+    "q_quarter_end_push", "q_psi_drift", "q_benford_second",
+    "q_new_item_ramp", "q_cheapest_supplier_churn", "q_supplier_reach",
+    "q_unit_price_consistency", "q_daily_mix_entropy", "q_embed_signbits",
+    "q_embed_axis_dominance", "q_pivot_two_measures",
+    "q_win_exclude_current", "q_forecast_mase", "q_brand_return_wilson",
+    "q_price_staleness", "q_mktseg_priority_mix", "q_value_half_life",
+    "q_discount_by_quantity",
+]

@@ -649,3 +649,61 @@ def test_forecast_mase_laws(spark):
         if r["mae_naive_e4"] > 0:
             implied = r["mae_seasonal_e4"] / r["mae_naive_e4"]
             assert abs(implied - r["mase_e4"] / 10000) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Laws for the tenth r12 batch (window close).
+# ---------------------------------------------------------------------------
+
+
+def test_brand_return_wilson_laws(spark):
+    rows = _run(spark, "q_brand_return_wilson")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_returns"] <= r["n_lines"]
+        # the Wilson lower bound never exceeds the point estimate and
+        # never leaves [0, 1]
+        assert 0.0 <= r["wilson_lb"] <= r["return_bp"] / 10000 + 1e-4
+
+
+def test_price_staleness_laws(spark):
+    rows = _run(spark, "q_price_staleness")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_stale"] <= r["n_parts"]
+        assert 0 <= r["stale_bp"] <= 10000
+        assert r["mean_price_changes"] >= 0
+
+
+def test_mktseg_priority_mix_laws(spark):
+    rows = _run(spark, "q_mktseg_priority_mix")
+    assert rows
+    by_seg: dict[str, list[dict]] = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+        assert 0 <= r["share_bp"] <= 10000
+        assert -10000 <= r["dev_bp"] <= 10000
+    for seg, srs in by_seg.items():
+        # each segment's priority shares sum to ~1 (floor losses)
+        tot = sum(r["share_bp"] for r in srs)
+        assert 10000 - len(srs) <= tot <= 10000
+
+
+def test_value_half_life_laws(spark):
+    rows = _run(spark, "q_value_half_life")
+    assert rows
+    for r in rows:
+        assert 1 <= r["half_day_idx"] <= r["n_days"]
+        assert 0 < r["half_point_bp"] <= 10000
+
+
+def test_discount_by_quantity_laws(spark):
+    rows = _run(spark, "q_discount_by_quantity")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["qty_band"] <= 4
+        # discounts are drawn from {0%..10%}
+        assert 0 <= r["mean_disc_bp"] <= 1000
+        assert 0 <= r["weighted_disc_bp"] <= 1000

@@ -316,6 +316,18 @@ def main() -> None:
         "filled its window stages one window further out: "
         + ", ".join(f"`{n}`" for n in sorted(STAGED_R11)),
     ]
+    from mapreduce_llm_spark.queries.analytics_r12_staged import STAGED_R12
+
+    lines += [
+        "",
+        "## Staged for the round-13 window (derived)",
+        "",
+        f"{len(STAGED_R12)} complete (query, oracle) pairs in "
+        "queries/analytics_r12_staged.py — hash-proven by "
+        "tests/test_r12_staged.py; the round-11 staging is itself full, "
+        "so this tranche stages two windows out: "
+        + ", ".join(f"`{n}`" for n in sorted(STAGED_R12)),
+    ]
     lines += [
         "",
         "## Library surface without a query form",

@@ -1,0 +1,690 @@
+"""Round-13 STAGED surface — seed tranche.
+
+Same staged-tranche contract as analytics_r11_staged /
+analytics_r12_staged, one more window out (the precedent: round 9
+seeded the r11 staging while the r10 window was still pending): the
+round-12 staging is CLOSED at 50, so surface built beyond that point
+stages HERE and flips in round 14 after the r12 batch registers in
+round 13. Every entry is a complete (query fn, DuckDB oracle) pair
+hash-proven NOW at sf0.01 and the sf0.1 sweep env by
+tests/test_r13_staged.py. NOT imported by registry.load_all.
+
+Seed themes — capacity, interleaving, and positional structure:
+
+- **Capacity headroom** (q_peak_to_mean, q_burst_ratio): peak-to-mean
+  and burst-to-median load ratios — the two numbers an autoscaler
+  configuration starts from.
+- **Dormancy survival** (q_dormancy_survival): the share of users
+  whose longest silence exceeds 1/3/7 days — the churn-definition
+  sensitivity table.
+- **Within-session drift** (q_value_by_depth): does event value grow
+  or decay with session position?
+- **Fulfilment interleaving** (q_order_overlap, q_span_by_size): how
+  often a customer's next order arrives before the previous one
+  finished shipping, and how the shipping span stretches with order
+  size.
+- **Pricing calendar / assortment breadth** (q_discount_seasonality,
+  q_brand_breadth): the discount month-curve and the cross-brand
+  shopping distribution.
+- **Positional text structure** (q_word_len_by_position,
+  q_head_mass): word length across document thirds, and the token
+  mass the top-10 words absorb.
+
+Determinism discipline: identical to the r11/r12 staging — exact
+integer counts and e4/bp floors via nonneg integer division, round(,4)
+only on the allowed log/sqrt/corr class, nullif/CASE guards, packed
+nonneg-integer argmax, explicit (ts, event_id) tie-breaks in every
+ordered window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_llm_spark.io import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (query fn, DuckDB oracle SQL); round 14 flips these.
+STAGED_R13: dict[str, tuple[QueryFn, str]] = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED_R13:
+            raise ValueError(f"duplicate staged query {name!r}")
+        STAGED_R13[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _r13_words(col):
+    """Lowercased alpha word array (the _r12_words twin, module-local
+    so the staged modules stay import-independent)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit("")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 1 — capacity and dormancy.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_peak_to_mean",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(n) AS BIGINT) AS peak_hour_events,
+           CAST(sum(n) // count(*) AS BIGINT) AS mean_hour_events,
+           CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT)
+               AS peak_to_mean_e4
+    FROM hourly
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_peak_to_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-mean hourly load per event type — the first number a
+    capacity plan needs: provisioning for the mean drops peak traffic,
+    provisioning for the peak wastes (peak/mean − 1) of the fleet
+    (q_peak_load finds WHEN the peak is; this sizes it against the
+    average). Hourly counts are one aggregation; the ratio is exact:
+    max·n_hours·10⁴ // Σn (all int64, no mean rounding loss)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.max("n").cast("long").alias("peak_hour_events"),
+            F.expr("CAST(sum(n) div count(*) AS BIGINT)").alias(
+                "mean_hour_events"
+            ),
+            F.expr(
+                "CAST(max(n) * count(*) * 10000 div sum(n) AS BIGINT)"
+            ).alias("peak_to_mean_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_burst_ratio",
+    oracle="""
+    WITH win5 AS (
+        SELECT event_type,
+               epoch_us(ts) // 300000000 AS w5,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, epoch_us(ts) // 300000000
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(n) AS BIGINT) AS burst_peak,
+           round(median(n) + 0.0, 4) AS median_window,
+           CAST(floor((CAST(max(n) AS DOUBLE) * 10000.0)
+                      / median(n)) AS BIGINT) AS burst_ratio_e4
+    FROM win5
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_burst_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst ratio at the 5-minute grain: the busiest 5-minute window
+    vs the MEDIAN occupied window per type — the rate-limiter sizing
+    number (peak-to-mean at the hour grain smooths bursts away; rate
+    limits live at minutes). Window keys are integer µs-epoch
+    divisions — no timestamp truncation ambiguity; the median of
+    integer counts interpolates to binary-exact .0/.5 doubles, and
+    the ratio is one double multiply-divide under floor (the
+    q_bot_score pattern — median(n) can be a .5, so integer division
+    is unavailable and the pinned-double form is the exact one)."""
+    ev = load_table(spark, sf_dir, "events")
+    win5 = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 300000000").alias("w5"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    return (
+        win5.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.max("n").cast("long").alias("burst_peak"),
+            F.round(
+                F.expr("percentile(n, 0.5)") + F.lit(0.0), 4
+            ).alias("median_window"),
+            F.expr(
+                "CAST(floor((CAST(max(n) AS DOUBLE) * 10000.0)"
+                " / percentile(n, 0.5)) AS BIGINT)"
+            ).alias("burst_ratio_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_dormancy_survival",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                   // 1000000 AS gap_s
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, max(gap_s) AS max_gap_s
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+    ),
+    expanded AS (
+        SELECT user_id, max_gap_s,
+               unnest([CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+                       CAST(7 AS BIGINT)]) AS threshold_days
+        FROM per_user
+    )
+    SELECT threshold_days,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN max_gap_s >= threshold_days * 86400
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dormant,
+           CAST(sum(CASE WHEN max_gap_s >= threshold_days * 86400
+                         THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS dormant_bp
+    FROM expanded
+    GROUP BY threshold_days
+    ORDER BY threshold_days
+    """,
+)
+def q_dormancy_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy survival table: the share of (multi-event) users whose
+    LONGEST silence reaches 1, 3, and 7 days — the churn-definition
+    sensitivity row (q_churn_label commits to one cutoff; this shows
+    how much the 'churned' population moves as the cutoff slides).
+    The threshold grid explodes per user row (a column, not a join);
+    whole-second gaps and day thresholds compare as exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id))"
+            " div 1000000"
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.max("gap_s").alias("max_gap_s")
+    )
+    expanded = per_user.select(
+        "max_gap_s",
+        F.explode(
+            F.array(
+                F.lit(1).cast("long"),
+                F.lit(3).cast("long"),
+                F.lit(7).cast("long"),
+            )
+        ).alias("threshold_days"),
+    )
+    return (
+        expanded.groupBy("threshold_days")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr(
+                "CAST(sum(CASE WHEN max_gap_s >= threshold_days *"
+                " 86400 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_dormant"),
+            F.expr(
+                "CAST(sum(CASE WHEN max_gap_s >= threshold_days *"
+                " 86400 THEN 1 ELSE 0 END) * 10000 div count(*)"
+                " AS BIGINT)"
+            ).alias("dormant_bp"),
+        )
+        .orderBy("threshold_days")
+    )
+
+
+@_staged(
+    "q_value_by_depth",
+    oracle="""
+    WITH positioned AS (
+        SELECT least(CAST(row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT), CAST(10 AS BIGINT)) AS depth,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+        FROM events
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_e4) // count(*) AS BIGINT) AS mean_value_e4,
+           CAST(max(v_e4) AS BIGINT) AS max_value_e4
+    FROM positioned
+    GROUP BY depth
+    ORDER BY depth
+    """,
+)
+def q_value_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value by within-user position: mean value at each of the
+    user's first 10 events (10+ capped) — a rising curve means value
+    compounds with engagement (onboarding works), a falling one means
+    the first touch is the valuable one (acquisition is everything).
+    Position is a keyed row_number with the engine-wide
+    (ts, event_id) tie-break; values quantize to exact e4 integers
+    before any sum."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    positioned = ev.select(
+        F.least(
+            F.row_number().over(w).cast("long"),
+            F.lit(10).cast("long"),
+        ).alias("depth"),
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias(
+            "v_e4"
+        ),
+    )
+    return (
+        positioned.groupBy("depth")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr("CAST(sum(v_e4) div count(*) AS BIGINT)").alias(
+                "mean_value_e4"
+            ),
+            F.max("v_e4").cast("long").alias("max_value_e4"),
+        )
+        .orderBy("depth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 2 — fulfilment interleaving and pricing calendar.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_order_overlap",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+               max(l.l_shipdate) AS last_ship
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    ),
+    seq AS (
+        SELECT o_custkey, o_orderdate,
+               lag(last_ship) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev_last_ship
+        FROM spans
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_consecutive_pairs,
+           CAST(sum(CASE WHEN o_orderdate < prev_last_ship
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(sum(CASE WHEN o_orderdate < prev_last_ship
+                         THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS overlap_bp
+    FROM seq
+    WHERE prev_last_ship IS NOT NULL
+    """,
+)
+def q_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order interleaving: across each customer's consecutive orders,
+    how often the NEXT order is placed before the previous one
+    finished shipping — high overlap means customers don't wait for
+    delivery to reorder (a loyalty signal, and a warehouse-contention
+    one). One fact join to get each order's last ship date, then a
+    keyed lag per customer ordered by (date, orderkey); the overlap
+    test is a pure timestamp comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = spans.select(
+        "o_orderdate",
+        F.lag("last_ship").over(w).alias("prev_last_ship"),
+    ).where(F.col("prev_last_ship").isNotNull())
+    return seq.agg(
+        F.count("*").cast("long").alias("n_consecutive_pairs"),
+        F.expr(
+            "CAST(sum(CASE WHEN o_orderdate < prev_last_ship THEN 1"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("n_overlap"),
+        F.expr(
+            "CAST(sum(CASE WHEN o_orderdate < prev_last_ship THEN 1"
+            " ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+        ).alias("overlap_bp"),
+    )
+
+
+@_staged(
+    "q_span_by_size",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               least(CAST(count(*) AS BIGINT), CAST(7 AS BIGINT))
+                   AS n_lines,
+               datediff('day', min(l_shipdate), max(l_shipdate))
+                   AS span_d
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(span_d) // count(*) AS BIGINT) AS mean_span_days,
+           CAST(max(span_d) AS BIGINT) AS max_span_days,
+           CAST(sum(CASE WHEN span_d = 0 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS single_day_bp
+    FROM per_order
+    GROUP BY n_lines
+    ORDER BY n_lines
+    """,
+)
+def q_span_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping span vs order size: for orders of 1..7+ lines, the
+    mean first-to-last-shipment stretch and the share that shipped in
+    a single day — quantifies how much each extra line costs in
+    consolidation (q_fulfillment_span gives the global percentiles;
+    this is the size-conditioned curve a packing policy is tuned on).
+    One aggregation of lineitem keyed by order; day spans are exact
+    integer datediffs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.least(
+            F.count("*").cast("long"), F.lit(7).cast("long")
+        ).alias("n_lines"),
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate")).alias(
+            "span_d"
+        ),
+    )
+    return (
+        per_order.groupBy("n_lines")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr("CAST(sum(span_d) div count(*) AS BIGINT)").alias(
+                "mean_span_days"
+            ),
+            F.max("span_d").cast("long").alias("max_span_days"),
+            F.expr(
+                "CAST(sum(CASE WHEN span_d = 0 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("single_day_bp"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+@_staged(
+    "q_discount_seasonality",
+    oracle="""
+    WITH lines AS (
+        SELECT CAST(extract(month FROM l_shipdate) AS BIGINT) AS mo,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                   AS disc_e2,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS ext_cents
+        FROM lineitem
+    )
+    SELECT mo,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(disc_e2) * 100 // count(*) AS BIGINT)
+               AS mean_disc_bp,
+           CAST(sum(ext_cents * disc_e2) // 100 AS BIGINT)
+               AS discount_given_cents
+    FROM lines
+    GROUP BY mo
+    ORDER BY mo
+    """,
+)
+def q_discount_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount calendar: mean discount rate and total discount
+    dollars given per calendar month (all years pooled) — does the
+    synthetic pricing engine run seasonal promotions?
+    (q_return_seasonality tracks the return flow by month; this
+    tracks the margin given away.) The given-discount total is
+    Σ(cents·disc_e2)/100 — integer-exact where a double Σ(price·disc)
+    would drift with summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.expr("CAST(extract(month FROM l_shipdate) AS BIGINT)").alias(
+            "mo"
+        ),
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "disc_e2"
+        ),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("ext_cents"),
+    )
+    return (
+        lines.groupBy("mo")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(disc_e2) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_disc_bp"),
+            F.expr(
+                "CAST(sum(ext_cents * disc_e2) div 100 AS BIGINT)"
+            ).alias("discount_given_cents"),
+        )
+        .orderBy("mo")
+    )
+
+
+@_staged(
+    "q_brand_breadth",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY o.o_custkey
+    )
+    SELECT least(n_brands, CAST(10 AS BIGINT)) AS brand_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) * 10000 // sum(count(*)) OVER () AS BIGINT)
+               AS share_bp
+    FROM per_cust
+    GROUP BY least(n_brands, CAST(10 AS BIGINT))
+    ORDER BY brand_band
+    """,
+)
+def q_brand_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-brand shopping breadth: the distribution of distinct
+    brands each buying customer has purchased (capped at 10+) —
+    single-brand customers are loyalty-program targets, wide shoppers
+    are price shoppers (q_brand_loyalty computes a share-of-wallet
+    number; this is the population histogram it slots into). A
+    three-table star join, one distinct count keyed by customer, and
+    a windowed share over the ≤10-row band aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_cust = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(p, p.p_partkey == li.l_partkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("p_brand").cast("long").alias("n_brands"))
+    )
+    banded = per_cust.groupBy(
+        F.least(F.col("n_brands"), F.lit(10).cast("long")).alias(
+            "brand_band"
+        )
+    ).agg(F.count("*").cast("long").alias("n_customers"))
+    return banded.select(
+        "brand_band",
+        "n_customers",
+        F.expr(
+            "CAST(n_customers * 10000 div (sum(n_customers) OVER ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    ).orderBy("brand_band")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 3 — positional text structure.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_word_len_by_position",
+    oracle="""
+    WITH words AS (
+        SELECT lang,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    positioned AS (
+        SELECT lang,
+               least((i - 1) * 3 // CAST(len(ws) AS BIGINT),
+                     CAST(2 AS BIGINT)) AS third,
+               CAST(length(ws[i]) AS BIGINT) AS wlen
+        FROM (
+            SELECT lang, ws,
+                   unnest(generate_series(
+                       CAST(1 AS BIGINT),
+                       CAST(len(ws) AS BIGINT))) AS i
+            FROM words
+            WHERE len(ws) >= 3
+        )
+    )
+    SELECT lang, third,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wlen) * 100 // count(*) AS BIGINT)
+               AS mean_word_len_e2
+    FROM positioned
+    GROUP BY lang, third
+    ORDER BY lang, third
+    """,
+)
+def q_word_len_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word length across document thirds per language: mean word
+    length (e2) in the opening, middle, and closing third — boilerplate
+    openings and signature closings skew short; a flat profile means
+    positional truncation (taking the first N words as a 'summary') is
+    representative, a sloped one means it biases the vocabulary. The
+    third index is an exact integer floor (i−1)·3 // len capped at 2;
+    one posexplode and one aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", _r13_words(F.col("text")).alias("ws")
+    ).where(F.size("ws") >= 3)
+    positioned = words.select(
+        "lang",
+        F.posexplode("ws").alias("i0", "w"),
+        F.size("ws").cast("long").alias("len"),
+    ).select(
+        "lang",
+        F.least(
+            F.expr("CAST(i0 AS BIGINT) * 3 div len"),
+            F.lit(2).cast("long"),
+        ).alias("third"),
+        F.length("w").cast("long").alias("wlen"),
+    )
+    return (
+        positioned.groupBy("lang", "third")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.expr(
+                "CAST(sum(wlen) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_word_len_e2"),
+        )
+        .orderBy("lang", "third")
+    )
+
+
+@_staged(
+    "q_head_mass",
+    oracle="""
+    WITH wc AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+        GROUP BY lang, w
+    ),
+    ranked AS (
+        SELECT lang, n,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, w) AS rk
+        FROM wc
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT)
+               AS head_tokens,
+           CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 10000
+                // sum(n) AS BIGINT) AS head_mass_bp
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_head_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head mass per language: the share of all tokens absorbed by the
+    10 most frequent words — the one number that decides whether a
+    stopword list is worth maintaining (head mass ≫ 10/V means yes;
+    q_vocab_gini integrates the whole curve, this reads its head).
+    Frequency ranks use row_number over the per-language VOCABULARY
+    aggregate with the word as tie-break (deterministic; head mass is
+    tie-order invariant only when rank-10 ties are broken identically
+    on both engines — hence the explicit tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "lang", F.explode(_r13_words(F.col("text"))).alias("w")
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = wc.select(
+        "lang",
+        "n",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(F.col("n").desc(), "w")
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("head_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END)"
+                " * 10000 div sum(n) AS BIGINT)"
+            ).alias("head_mass_bp"),
+        )
+        .orderBy("lang")
+    )

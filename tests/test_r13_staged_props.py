@@ -1,0 +1,175 @@
+"""Semantic laws for the round-13 seed tranche — properties the hash
+gate can't express, plus the plan lint the round-13 flip will inherit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
+from tests.conftest import SF_DIR, SMOKE_SF_DIR
+
+# Broadcast grid/scalar legs by design — copy into NLJ_OK on the
+# round-13 flip.
+STAGED_NLJ_OK: set[str] = set()
+
+PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _run(spark, name):
+    fn, _sql = STAGED_R13[name]
+    return [r.asDict() for r in fn(spark, SF_DIR).collect()]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R13))
+def test_staged_plan_lint(spark, name):
+    fn, _sql = STAGED_R13[name]
+    df = fn(spark, SMOKE_SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in STAGED_NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join — add to STAGED_NLJ_OK with reason"
+        )
+    for marker in PY_MARKERS:
+        assert marker not in plan, f"{name}: Python crossing ({marker})"
+
+
+def test_staged_nlj_allowlist_is_not_stale():
+    stale = STAGED_NLJ_OK - set(STAGED_R13)
+    assert not stale, f"allowlisted but not staged: {sorted(stale)}"
+
+
+# ---------------------------------------------------------------------------
+# Laws for the r13 seed tranche.
+# ---------------------------------------------------------------------------
+
+
+def test_peak_to_mean_laws(spark):
+    rows = _run(spark, "q_peak_to_mean")
+    assert rows
+    for r in rows:
+        assert r["mean_hour_events"] <= r["peak_hour_events"]
+        # peak/mean >= 1 by definition
+        assert r["peak_to_mean_e4"] >= 10000
+
+
+def test_burst_ratio_laws(spark):
+    rows = _run(spark, "q_burst_ratio")
+    assert rows
+    for r in rows:
+        assert r["burst_peak"] >= 1
+        assert r["median_window"] >= 1.0
+        assert r["burst_ratio_e4"] >= 10000
+
+
+def test_dormancy_survival_laws(spark):
+    rows = _run(spark, "q_dormancy_survival")
+    assert len(rows) == 3
+    assert [r["threshold_days"] for r in rows] == [1, 3, 7]
+    # survival is monotone nonincreasing in the threshold
+    dormant = [r["n_dormant"] for r in rows]
+    assert dormant == sorted(dormant, reverse=True)
+    assert len({r["n_users"] for r in rows}) == 1
+    for r in rows:
+        assert 0 <= r["dormant_bp"] <= 10000
+
+
+def test_value_by_depth_laws(spark):
+    rows = _run(spark, "q_value_by_depth")
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    counts = {r["depth"]: r["n_events"] for r in rows}
+    # depth-k population can't exceed depth-(k-1): each user passes
+    # through every position once (the capped bucket 10 accumulates)
+    for k in range(2, 10):
+        if k in counts and k - 1 in counts:
+            assert counts[k] <= counts[k - 1]
+    for r in rows:
+        assert 0 <= r["mean_value_e4"] <= r["max_value_e4"]
+
+
+def test_order_overlap_laws(spark):
+    rows = _run(spark, "q_order_overlap")
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r["n_overlap"] <= r["n_consecutive_pairs"]
+    assert 0 <= r["overlap_bp"] <= 10000
+
+
+def test_span_by_size_laws(spark):
+    rows = _run(spark, "q_span_by_size")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_orders"] for r in rows) == li.select(
+        "l_orderkey"
+    ).distinct().count()
+    for r in rows:
+        assert 1 <= r["n_lines"] <= 7
+        assert 0 <= r["mean_span_days"] <= r["max_span_days"]
+        if r["n_lines"] == 1:
+            # a single line ships on one day by definition
+            assert r["mean_span_days"] == 0
+            assert r["single_day_bp"] == 10000
+
+
+def test_discount_seasonality_laws(spark):
+    rows = _run(spark, "q_discount_seasonality")
+    assert len(rows) == 12
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 1 <= r["mo"] <= 12
+        assert 0 <= r["mean_disc_bp"] <= 1000
+        assert r["discount_given_cents"] >= 0
+
+
+def test_brand_breadth_laws(spark):
+    rows = _run(spark, "q_brand_breadth")
+    assert rows
+    o = load_table(spark, SF_DIR, "orders")
+    buying = o.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == buying
+    assert sum(r["share_bp"] for r in rows) <= 10000
+    for r in rows:
+        assert 1 <= r["brand_band"] <= 10
+
+
+def test_word_len_by_position_laws(spark):
+    rows = _run(spark, "q_word_len_by_position")
+    assert rows
+    by_lang: dict[str, list[dict]] = {}
+    for r in rows:
+        assert r["third"] in (0, 1, 2)
+        assert 100 <= r["mean_word_len_e2"] <= 2000
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, lrs in by_lang.items():
+        assert len(lrs) == 3, f"{lang}: missing a third"
+        # thirds split ~equally: no third may dwarf another by 2x
+        ns = [r["n_words"] for r in lrs]
+        assert max(ns) <= 2 * min(ns)
+
+
+def test_head_mass_laws(spark):
+    rows = _run(spark, "q_head_mass")
+    assert rows
+    for r in rows:
+        assert 0 <= r["head_tokens"] <= r["n_tokens"]
+        assert 0 <= r["head_mass_bp"] <= 10000
+        # ten words can't carry less mass than 10/vocab of the tokens
+        # (they are the MOST frequent ten)
+        if r["vocab_size"] >= 10:
+            assert (
+                r["head_tokens"] * r["vocab_size"]
+                >= 10 * r["n_tokens"] * 1 // 1
+            )

@@ -688,3 +688,319 @@ def q_head_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 4 (seed extension) — pricing structure and tail risk.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_size_price_slope",
+    oracle="""
+    WITH pts AS (
+        SELECT p_type,
+               CAST(p_size AS BIGINT) AS x,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+        FROM part
+    ),
+    sums AS (
+        SELECT p_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts
+        GROUP BY p_type
+    )
+    SELECT p_type, n,
+           CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+                floor((CAST(n * sxy - sx * sy AS DOUBLE) * 100.0)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                END AS BIGINT) AS slope_cents_per_size_e2,
+           CAST(sy // n AS BIGINT) AS mean_price_cents
+    FROM sums
+    ORDER BY p_type
+    """,
+)
+def q_size_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size premium per product type: the exact OLS slope of retail
+    price (cents) on part size — does a bigger size command a higher
+    list price, and does the premium differ by type? (q_rolling_ols
+    fits time windows; this is the cross-sectional catalog fit.) All
+    four moment sums are exact int64 (size ≤ 50, cents ≤ 10⁵, so
+    Σxy ≤ 5·10⁶·|parts| stays safe at any SF); the slope is the
+    one-double-divide floor pattern, e2, with the degenerate
+    zero-variance guard emitting NULL rather than dividing."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_type",
+        F.col("p_size").cast("long").alias("x"),
+        F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    sums = pts.groupBy("p_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        "p_type",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
+            " floor((CAST(n * sxy - sx * sy AS DOUBLE) * 100.0)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)) END AS BIGINT)"
+        ).alias("slope_cents_per_size_e2"),
+        F.expr("CAST(sy div n AS BIGINT)").alias("mean_price_cents"),
+    ).orderBy("p_type")
+
+
+@_staged(
+    "q_iqr_outliers",
+    oracle="""
+    WITH vals AS (
+        SELECT event_type,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+        FROM events
+    ),
+    fences AS (
+        SELECT event_type,
+               quantile_cont(v_e4, 0.25) AS q1,
+               quantile_cont(v_e4, 0.75) AS q3
+        FROM vals
+        GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN CAST(v.v_e4 AS DOUBLE)
+                              > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN CAST(v.v_e4 AS DOUBLE)
+                              < f.q1 - 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN CAST(v.v_e4 AS DOUBLE)
+                              > f.q3 + 1.5 * (f.q3 - f.q1)
+                           OR CAST(v.v_e4 AS DOUBLE)
+                              < f.q1 - 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS outlier_bp
+    FROM vals v
+    JOIN fences f ON f.event_type = v.event_type
+    GROUP BY v.event_type
+    ORDER BY v.event_type
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier share per event type: events outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of their type's value distribution —
+    the boxplot definition every monitoring dashboard defaults to
+    (q_anomaly_mad fences by MAD, q_clip_outliers by percentile; the
+    IQR fence is the third standard and the one with a fixed 0.7%
+    Gaussian false-positive rate). Quartiles interpolate e4 integers
+    at dyadic fractions (.25/.75 → exact doubles, identical engines);
+    the fence arithmetic is double but shared-form; counts and bp are
+    exact. The fences join is per-type (a ≤|types|-row leg, AQE
+    broadcasts it unhinted)."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias(
+            "v_e4"
+        ),
+    )
+    fences = vals.groupBy("event_type").agg(
+        F.expr("percentile(v_e4, 0.25)").alias("q1"),
+        F.expr("percentile(v_e4, 0.75)").alias("q3"),
+    )
+    joined = vals.join(fences, "event_type")
+    hi = F.col("v_e4").cast("double") > F.col("q3") + 1.5 * (
+        F.col("q3") - F.col("q1")
+    )
+    lo = F.col("v_e4").cast("double") < F.col("q1") - 1.5 * (
+        F.col("q3") - F.col("q1")
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "n_high"
+            ),
+            F.sum(F.when(lo, 1).otherwise(0)).cast("long").alias(
+                "n_low"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(v_e4 AS DOUBLE) > q3 + 1.5 *"
+                " (q3 - q1) OR CAST(v_e4 AS DOUBLE) < q1 - 1.5 * (q3"
+                " - q1) THEN 1 ELSE 0 END) * 10000 div count(*)"
+                " AS BIGINT)"
+            ).alias("outlier_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_delay_tail_risk",
+    oracle="""
+    WITH delays AS (
+        SELECT o.o_orderpriority AS prio,
+               datediff('day', o.o_orderdate, l.l_shipdate) AS delay_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN delay_d > 60 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_over_60d,
+           CAST(sum(CASE WHEN delay_d > 60 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS over_60d_bp,
+           CAST(sum(CASE WHEN delay_d > 90 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS over_90d_bp,
+           CAST(max(delay_d) AS BIGINT) AS max_delay_d
+    FROM delays
+    GROUP BY prio
+    ORDER BY prio
+    """,
+)
+def q_delay_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment tail risk per priority: the share of lineitems
+    shipping more than 60 and 90 days after order — medians
+    (q_priority_inversion) rank typical service; customers churn on
+    the TAIL, and a priority class whose 90-day exceedance is nonzero
+    is an SLA breach whatever its median says. One fact join, exact
+    integer day counts and bp floors."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delays = o.join(li, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_d"),
+    )
+    return (
+        delays.groupBy("prio")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(CASE WHEN delay_d > 60 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_over_60d"),
+            F.expr(
+                "CAST(sum(CASE WHEN delay_d > 60 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("over_60d_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN delay_d > 90 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("over_90d_bp"),
+            F.max("delay_d").cast("long").alias("max_delay_d"),
+        )
+        .orderBy("prio")
+    )
+
+
+@_staged(
+    "q_dom_profile",
+    oracle="""
+    WITH dom AS (
+        SELECT CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders
+    )
+    SELECT dom,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * 10000 // sum(count(*)) OVER () AS BIGINT)
+               AS share_bp,
+           CAST(sum(cents) // count(*) AS BIGINT)
+               AS mean_order_cents
+    FROM dom
+    GROUP BY dom
+    ORDER BY dom
+    """,
+)
+def q_dom_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month order profile: volume share and mean order value
+    for each calendar day 1–31 — the full curve behind
+    q_month_end_load's tail summary (billing cycles, payday humps,
+    and the mechanical 29–31 dip from short months all read directly
+    off it). One aggregation; the share is a windowed bp floor over
+    the 31-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    dom = o.select(
+        F.expr("CAST(extract(day FROM o_orderdate) AS BIGINT)").alias(
+            "dom"
+        ),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    agg = dom.groupBy("dom").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+            "mean_order_cents"
+        ),
+    )
+    return agg.select(
+        "dom",
+        "n_orders",
+        F.expr(
+            "CAST(n_orders * 10000 div (sum(n_orders) OVER ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+        "mean_order_cents",
+    ).orderBy("dom")
+
+
+@_staged(
+    "q_brand_quantity_mix",
+    oracle="""
+    WITH lines AS (
+        SELECT p.p_brand,
+               CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(qty) AS BIGINT) AS total_units,
+           CAST(sum(qty) * 100 // count(*) AS BIGINT)
+               AS mean_qty_e2,
+           CAST(sum(CASE WHEN qty >= 40 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS bulk_line_bp
+    FROM lines
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_brand_quantity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-quantity mix per brand: mean units per line (e2) and the
+    share of bulk lines (≥40 units) — separates brands moving by the
+    pallet from brands moving by the piece, the demand-shape input to
+    both replenishment and the q_discount_by_quantity schedule.
+    Quantities are integral doubles floored to exact int64; one join,
+    one aggregation, all integer emissions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    lines = li.join(p, p.p_partkey == li.l_partkey).select(
+        "p_brand",
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("qty"),
+    )
+    return (
+        lines.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("total_units"),
+            F.expr(
+                "CAST(sum(qty) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_qty_e2"),
+            F.expr(
+                "CAST(sum(CASE WHEN qty >= 40 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("bulk_line_bp"),
+        )
+        .orderBy("p_brand")
+    )

@@ -169,7 +169,63 @@ def test_head_mass_laws(spark):
         # ten words can't carry less mass than 10/vocab of the tokens
         # (they are the MOST frequent ten)
         if r["vocab_size"] >= 10:
-            assert (
-                r["head_tokens"] * r["vocab_size"]
-                >= 10 * r["n_tokens"] * 1 // 1
-            )
+            assert r["head_tokens"] * r["vocab_size"] >= 10 * r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# Laws for the second r13 seed batch (pricing structure / tail risk).
+# ---------------------------------------------------------------------------
+
+
+def test_size_price_slope_laws(spark):
+    rows = _run(spark, "q_size_price_slope")
+    assert rows
+    for r in rows:
+        assert r["n"] >= 1
+        assert r["mean_price_cents"] > 0
+    # at least one type has size variance and thus a real slope
+    assert any(r["slope_cents_per_size_e2"] is not None for r in rows)
+
+
+def test_iqr_outliers_laws(spark):
+    rows = _run(spark, "q_iqr_outliers")
+    assert rows
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r["n_high"] + r["n_low"] <= r["n_events"]
+        # Tukey fences at 1.5 IQR cap the outlier share well below
+        # 25% by construction (both fences sit outside the quartiles)
+        assert 0 <= r["outlier_bp"] <= 2500
+
+
+def test_delay_tail_risk_laws(spark):
+    rows = _run(spark, "q_delay_tail_risk")
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["over_90d_bp"] <= r["over_60d_bp"] <= 10000
+        assert r["n_over_60d"] <= r["n_lines"]
+
+
+def test_dom_profile_laws(spark):
+    rows = _run(spark, "q_dom_profile")
+    assert 28 <= len(rows) <= 31
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    assert sum(r["share_bp"] for r in rows) <= 10000
+    # days 29-31 occur in fewer months: their share must not exceed
+    # a full day's uniform share
+    by_dom = {r["dom"]: r["share_bp"] for r in rows}
+    if 31 in by_dom and 15 in by_dom:
+        assert by_dom[31] < by_dom[15]
+
+
+def test_brand_quantity_mix_laws(spark):
+    rows = _run(spark, "q_brand_quantity_mix")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        # quantities are 1..50
+        assert 100 <= r["mean_qty_e2"] <= 5000
+        assert 0 <= r["bulk_line_bp"] <= 10000

@@ -1004,3 +1004,385 @@ def q_brand_quantity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 5 (seed extension) — temporal correlation and cohort value.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_gap_autocorr",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id))
+                   // 1000000 AS gap_s,
+               ts, event_id
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type, gap_s,
+               lead(gap_s) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)
+                   AS next_gap_s
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(CAST(gap_s AS DOUBLE),
+                      CAST(next_gap_s AS DOUBLE)) + 0.0, 4)
+               AS gap_autocorr
+    FROM pairs
+    WHERE next_gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_gap_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of inter-event gaps per type: do long
+    silences follow long silences? Positive autocorrelation means
+    clustered arrivals (bursts + lulls — a Poisson model underprovisions
+    the bursts); zero backs the memoryless model q_interarrival_hazard
+    tests from the hazard side. Gaps and their successors come from
+    two stacked keyed windows with the engine-wide (ts, event_id)
+    tie-break; corr on exact integer seconds is the allowed round(,4)
+    class."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
+            "PARTITION BY event_type ORDER BY ts, event_id))"
+            " div 1000000"
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    pairs = gaps.select(
+        "event_type",
+        "gap_s",
+        F.lead("gap_s").over(w).alias("next_gap_s"),
+    ).where(F.col("next_gap_s").isNotNull())
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.corr(
+                    F.col("gap_s").cast("double"),
+                    F.col("next_gap_s").cast("double"),
+                )
+                + F.lit(0.0),
+                4,
+            ).alias("gap_autocorr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_tenure_value",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               datediff('day', min(o_orderdate), max(o_orderdate))
+                   AS tenure_d,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS spend_cents
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT least(tenure_d // 365, CAST(6 AS BIGINT)) AS tenure_years,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) * 100 // count(*) AS BIGINT)
+               AS mean_orders_e2,
+           CAST(sum(spend_cents) // count(*) AS BIGINT)
+               AS mean_spend_cents
+    FROM per_cust
+    GROUP BY least(tenure_d // 365, CAST(6 AS BIGINT))
+    ORDER BY tenure_years
+    """,
+)
+def q_tenure_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value by tenure: order count and total spend banded by
+    the years between a customer's first and last order — the
+    cheapest lifetime-value table there is (q_cohort_ltv tracks value
+    by ACQUISITION cohort over calendar time; this collapses it to
+    the tenure axis a retention program budgets against). One
+    aggregation per customer, exact cents and day arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+            "tenure_d"
+        ),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("spend_cents"),
+    )
+    return (
+        per_cust.groupBy(
+            F.least(
+                F.expr("tenure_d div 365"), F.lit(6).cast("long")
+            ).alias("tenure_years")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(sum(n_orders) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_orders_e2"),
+            F.expr(
+                "CAST(sum(spend_cents) div count(*) AS BIGINT)"
+            ).alias("mean_spend_cents"),
+        )
+        .orderBy("tenure_years")
+    )
+
+
+@_staged(
+    "q_ttr_by_length",
+    oracle="""
+    WITH per_doc AS (
+        SELECT CAST(len(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> x <> ''))) AS BIGINT) AS n_distinct
+        FROM documents
+    )
+    SELECT least(n_words // 50, CAST(5 AS BIGINT)) AS length_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) // count(*) AS BIGINT) AS mean_words,
+           CAST(sum(n_distinct) * 10000 // sum(n_words) AS BIGINT)
+               AS pooled_ttr_e4
+    FROM per_doc
+    WHERE n_words >= 1
+    GROUP BY least(n_words // 50, CAST(5 AS BIGINT))
+    ORDER BY length_band
+    """,
+)
+def q_ttr_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio by document length band (50-word bands): the
+    pooled distinct-to-total word ratio per band — TTR falls
+    mechanically with length (Heaps' law; q_ttr_heaps fits the
+    exponent), so comparing RAW TTRs across sources with different
+    length mixes lies: this table is the length-controlled baseline
+    to compare against. Array-side distinct counts (no token
+    explode), exact integer bp pooling."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        F.size(_r13_words(F.col("text"))).cast("long").alias("n_words"),
+        F.size(F.array_distinct(_r13_words(F.col("text"))))
+        .cast("long")
+        .alias("n_distinct"),
+    ).where(F.col("n_words") >= 1)
+    return (
+        per_doc.groupBy(
+            F.least(
+                F.expr("n_words div 50"), F.lit(5).cast("long")
+            ).alias("length_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(sum(n_words) div count(*) AS BIGINT)"
+            ).alias("mean_words"),
+            F.expr(
+                "CAST(sum(n_distinct) * 10000 div sum(n_words)"
+                " AS BIGINT)"
+            ).alias("pooled_ttr_e4"),
+        )
+        .orderBy("length_band")
+    )
+
+
+@_staged(
+    "q_rank_stability",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    ranked AS (
+        SELECT event_type, day,
+               CAST(row_number() OVER (
+                   PARTITION BY day
+                   ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        FROM daily
+    ),
+    deltas AS (
+        SELECT event_type, rk,
+               lag(rk) OVER (
+                   PARTITION BY event_type ORDER BY day) AS prev_rk
+        FROM ranked
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_with_prev,
+           CAST(sum(rk) * 100 // count(*) AS BIGINT) AS mean_rank_e2,
+           CAST(sum(abs(rk - prev_rk)) * 100 // count(*) AS BIGINT)
+               AS mean_abs_rank_change_e2
+    FROM deltas
+    WHERE prev_rk IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily leaderboard stability: each event type's volume rank per
+    day (ties broken by name) and the mean absolute day-over-day rank
+    move — a stable ranking means dashboards sorted by volume stay
+    readable; churn near the top means the mix genuinely rotates
+    (q_daily_mix_entropy scores the mix's spread; this scores its
+    ORDER). Per-day ranking is a window over the ≤|types|-row daily
+    aggregate; rank deltas are exact integers through a keyed lag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    ranked = daily.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(
+            Window.partitionBy("day").orderBy(
+                F.col("n").desc(), "event_type"
+            )
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    deltas = ranked.select(
+        "event_type",
+        "rk",
+        F.lag("rk").over(w).alias("prev_rk"),
+    ).where(F.col("prev_rk").isNotNull())
+    return (
+        deltas.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days_with_prev"),
+            F.expr(
+                "CAST(sum(rk) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_rank_e2"),
+            F.expr(
+                "CAST(sum(abs(rk - prev_rk)) * 100 div count(*)"
+                " AS BIGINT)"
+            ).alias("mean_abs_rank_change_e2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_session_value",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                      OR lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, v_e4,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, session_seq,
+               CAST(count(*) AS BIGINT) AS depth,
+               CAST(sum(v_e4) AS BIGINT) AS value_e4
+        FROM sessions
+        GROUP BY user_id, session_seq
+    )
+    SELECT least(value_e4 // 500000, CAST(9 AS BIGINT))
+               AS value_band,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(depth) * 100 // count(*) AS BIGINT)
+               AS mean_depth_e2,
+           CAST(sum(value_e4) // count(*) AS BIGINT)
+               AS mean_value_e4
+    FROM per_session
+    GROUP BY least(value_e4 // 500000, CAST(9 AS BIGINT))
+    ORDER BY value_band
+    """,
+)
+def q_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session value distribution: total event value per 30-minute
+    session, banded (50-value units, capped), with each band's mean
+    depth — links the engagement shape (q_session_depth) to the money:
+    do valuable sessions run deep, or do one-shot sessions carry the
+    value? Sessionization is the engine's standard keyed lag+cumsum
+    with explicit (ts, event_id) frame order on both engines; values
+    quantize to exact e4 integers before any sum."""
+    ev = load_table(spark, sf_dir, "events")
+    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias(
+            "v_e4"
+        ),
+        F.when(
+            (
+                F.expr("unix_micros(ts)")
+                - F.lag(F.expr("unix_micros(ts)")).over(lag_w)
+                > 1800000000
+            )
+            | F.lag(F.expr("unix_micros(ts)")).over(lag_w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = ordered.select(
+        "user_id",
+        "v_e4",
+        F.sum("new_session").over(cum).alias("session_seq"),
+    )
+    per_session = sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("depth"),
+        F.sum("v_e4").cast("long").alias("value_e4"),
+    )
+    return (
+        per_session.groupBy(
+            F.least(
+                F.expr("value_e4 div 500000"), F.lit(9).cast("long")
+            ).alias("value_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.expr(
+                "CAST(sum(depth) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_depth_e2"),
+            F.expr(
+                "CAST(sum(value_e4) div count(*) AS BIGINT)"
+            ).alias("mean_value_e4"),
+        )
+        .orderBy("value_band")
+    )

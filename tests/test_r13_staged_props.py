@@ -229,3 +229,61 @@ def test_brand_quantity_mix_laws(spark):
         # quantities are 1..50
         assert 100 <= r["mean_qty_e2"] <= 5000
         assert 0 <= r["bulk_line_bp"] <= 10000
+
+
+# ---------------------------------------------------------------------------
+# Laws for the third r13 seed batch (temporal correlation / cohorts).
+# ---------------------------------------------------------------------------
+
+
+def test_gap_autocorr_laws(spark):
+    rows = _run(spark, "q_gap_autocorr")
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["gap_autocorr"] <= 1.0
+        assert r["n_pairs"] >= 2
+
+
+def test_tenure_value_laws(spark):
+    rows = _run(spark, "q_tenure_value")
+    assert rows
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_customers"] for r in rows) == o.select(
+        "o_custkey"
+    ).distinct().count()
+    for r in rows:
+        assert 0 <= r["tenure_years"] <= 6
+        assert r["mean_orders_e2"] >= 100
+        assert r["mean_spend_cents"] > 0
+
+
+def test_ttr_by_length_laws(spark):
+    rows = _run(spark, "q_ttr_by_length")
+    assert rows
+    for r in rows:
+        assert 0 < r["pooled_ttr_e4"] <= 10000
+    # Heaps' law: pooled TTR falls as documents get longer
+    rows.sort(key=lambda r: r["length_band"])
+    if len(rows) >= 2:
+        assert rows[0]["pooled_ttr_e4"] >= rows[-1]["pooled_ttr_e4"]
+
+
+def test_rank_stability_laws(spark):
+    rows = _run(spark, "q_rank_stability")
+    assert rows
+    k = len(rows)
+    for r in rows:
+        # ranks live in [1, k]
+        assert 100 <= r["mean_rank_e2"] <= 100 * k
+        # a rank can move at most k-1 places
+        assert 0 <= r["mean_abs_rank_change_e2"] <= 100 * (k - 1)
+
+
+def test_session_value_laws(spark):
+    rows = _run(spark, "q_session_value")
+    assert rows
+    for r in rows:
+        assert 0 <= r["value_band"] <= 9
+        assert r["n_sessions"] >= 1
+        assert r["mean_depth_e2"] >= 100
+        assert r["mean_value_e4"] >= 0

@@ -1386,3 +1386,347 @@ def q_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 6 (seed extension) — loyalty, dependency, and continuity.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_first_basket_effect",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rk,
+               count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders
+    ),
+    firsts AS (
+        SELECT least(cents // 5000000, CAST(4 AS BIGINT))
+                   AS first_value_band,
+               CAST(n_orders AS BIGINT) AS n_orders
+        FROM ranked
+        WHERE rk = 1
+    )
+    SELECT first_value_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) * 100 // count(*) AS BIGINT)
+               AS mean_orders_e2,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS repeat_bp
+    FROM firsts
+    GROUP BY first_value_band
+    ORDER BY first_value_band
+    """,
+)
+def q_first_basket_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-basket effect: customers banded by the value of their
+    FIRST order ($50k bands), with the mean lifetime order count and
+    the repeat rate per band — does a big first basket predict
+    loyalty, or do whales one-shot? (q_new_vs_returning splits
+    revenue; this is the acquisition-quality curve CRM spend is
+    allocated on.) The first order is a rank-1 keyed window with the
+    (date, orderkey) tie-break — the CLAUDE.md rule against packing
+    timestamps into argmin integers; lifetime counts ride the same
+    window scan as a partition count."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ranked = o.select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.row_number().over(w).alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("o_custkey"))
+        .cast("long")
+        .alias("n_orders"),
+    )
+    firsts = ranked.where(F.col("rk") == 1).select(
+        F.least(
+            F.expr("cents div 5000000"), F.lit(4).cast("long")
+        ).alias("first_value_band"),
+        "n_orders",
+    )
+    return (
+        firsts.groupBy("first_value_band")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(sum(n_orders) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_orders_e2"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("repeat_bp"),
+        )
+        .orderBy("first_value_band")
+    )
+
+
+@_staged(
+    "q_basket_size_trend",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS yr,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, extract(year FROM o.o_orderdate)
+    )
+    SELECT yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) * 100 // count(*) AS BIGINT)
+               AS mean_lines_e2,
+           CAST(sum(n_parts) * 100 // count(*) AS BIGINT)
+               AS mean_parts_e2
+    FROM per_order
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def q_basket_size_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket size by year: mean lines and mean distinct parts per
+    order — is the catalog consolidating orders or fragmenting them?
+    (q_order_size_profile is the static distribution; this is its
+    trend, the number a packaging or free-shipping-threshold change
+    is judged by.) One fact join keyed by order, two-level
+    aggregation, exact e2 means."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.expr(
+                "CAST(extract(year FROM o_orderdate) AS BIGINT)"
+            ).alias("yr"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        )
+    )
+    return (
+        per_order.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(n_lines) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_lines_e2"),
+            F.expr(
+                "CAST(sum(n_parts) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_parts_e2"),
+        )
+        .orderBy("yr")
+    )
+
+
+@_staged(
+    "q_supplier_dependency",
+    oracle="""
+    WITH per_pair AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(sum(n) AS BIGINT) AS total_lines,
+               CAST(max(n) AS BIGINT) AS top_supp_lines
+        FROM per_pair
+        GROUP BY l_partkey
+    )
+    SELECT least(top_supp_lines * 10000 // total_lines // 2000,
+                 CAST(4 AS BIGINT)) AS dependency_band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(top_supp_lines * 10000 // total_lines)
+                // count(*) AS BIGINT) AS mean_dependency_bp,
+           CAST(sum(total_lines) // count(*) AS BIGINT)
+               AS mean_lines
+    FROM per_part
+    GROUP BY least(top_supp_lines * 10000 // total_lines // 2000,
+                   CAST(4 AS BIGINT))
+    ORDER BY dependency_band
+    """,
+)
+def q_supplier_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dependency: each part's share of line volume filled by
+    its single largest supplier, banded in 20-point steps — 100%
+    dependency is a single point of failure even when multiple
+    suppliers are NOMINALLY qualified (q_single_source_risk counts
+    parts with one supplier; this grades the parts with several).
+    Two-level integer aggregation; the per-part dependency bp is a
+    nonneg integer floor and its band a second floor (floor-of-floor
+    exact for nonneg operands)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(
+        F.sum("n").cast("long").alias("total_lines"),
+        F.max("n").cast("long").alias("top_supp_lines"),
+    )
+    return (
+        per_part.groupBy(
+            F.least(
+                F.expr("top_supp_lines * 10000 div total_lines div 2000"),
+                F.lit(4).cast("long"),
+            ).alias("dependency_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.expr(
+                "CAST(sum(top_supp_lines * 10000 div total_lines)"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_dependency_bp"),
+            F.expr(
+                "CAST(sum(total_lines) div count(*) AS BIGINT)"
+            ).alias("mean_lines"),
+        )
+        .orderBy("dependency_band")
+    )
+
+
+@_staged(
+    "q_source_lang_purity",
+    oracle="""
+    WITH cells AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY source, lang
+    ),
+    ranked AS (
+        SELECT source, lang, n,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n DESC, lang) AS rk,
+               sum(n) OVER (PARTITION BY source) AS total,
+               count(*) OVER (PARTITION BY source) AS n_langs
+        FROM cells
+    )
+    SELECT source,
+           CAST(total AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           lang AS top_lang,
+           CAST(n * 10000 // total AS BIGINT) AS top_lang_bp
+    FROM ranked
+    WHERE rk = 1
+    ORDER BY source
+    """,
+)
+def q_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity per source: the dominant language, its share,
+    and how many languages each source emits — the per-source reading
+    of the q_cramers_v association (a crawler feed that's 95% one
+    language can route to a monolingual pipeline; a 60% one can't).
+    The dominant language is a rank-1 window over the ≤|langs|-row
+    per-source aggregate with the language name as tie-break (the
+    portable alternative to a struct argmax, which DuckDB's min_by
+    can't express — the CLAUDE.md q_kmeans_step note)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    src = Window.partitionBy("source")
+    ranked = cells.select(
+        "source",
+        "lang",
+        "n",
+        F.row_number()
+        .over(src.orderBy(F.col("n").desc(), "lang"))
+        .alias("rk"),
+        F.sum("n").over(src).alias("total"),
+        F.count("*").over(src).alias("n_langs"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("total").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("lang").alias("top_lang"),
+            F.expr("CAST(n * 10000 div total AS BIGINT)").alias(
+                "top_lang_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_part_continuity",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(count(DISTINCT extract(year FROM l_shipdate) * 12
+                          + extract(month FROM l_shipdate))
+                   AS BIGINT) AS n_active,
+               CAST(max(extract(year FROM l_shipdate) * 12
+                        + extract(month FROM l_shipdate))
+                    - min(extract(year FROM l_shipdate) * 12
+                          + extract(month FROM l_shipdate)) + 1
+                   AS BIGINT) AS span_months
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT least(n_active * 10000 // span_months // 2000,
+                 CAST(4 AS BIGINT)) AS continuity_band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(n_active * 10000 // span_months) // count(*)
+               AS BIGINT) AS mean_continuity_bp,
+           CAST(sum(span_months) * 100 // count(*) AS BIGINT)
+               AS mean_span_months_e2
+    FROM per_part
+    GROUP BY least(n_active * 10000 // span_months // 2000,
+                   CAST(4 AS BIGINT))
+    ORDER BY continuity_band
+    """,
+)
+def q_part_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand continuity per part: active months as a share of the
+    part's first-to-last sale span, banded — continuous parts (band
+    4) are forecastable staples, gappy ones (low bands) are
+    intermittent demand that safety-stock formulas must treat
+    specially (the XYZ axis of inventory classification;
+    q_abc_classification is the value axis). Months are exact
+    year·12+month integers; the continuity bp and its band are
+    nonneg integer floors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mo = (
+        "extract(year FROM l_shipdate) * 12"
+        " + extract(month FROM l_shipdate)"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct(F.expr(mo)).cast("long").alias("n_active"),
+        (F.max(F.expr(mo)) - F.min(F.expr(mo)) + 1)
+        .cast("long")
+        .alias("span_months"),
+    )
+    return (
+        per_part.groupBy(
+            F.least(
+                F.expr("n_active * 10000 div span_months div 2000"),
+                F.lit(4).cast("long"),
+            ).alias("continuity_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.expr(
+                "CAST(sum(n_active * 10000 div span_months)"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_continuity_bp"),
+            F.expr(
+                "CAST(sum(span_months) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_span_months_e2"),
+        )
+        .orderBy("continuity_band")
+    )

@@ -287,3 +287,73 @@ def test_session_value_laws(spark):
         assert r["n_sessions"] >= 1
         assert r["mean_depth_e2"] >= 100
         assert r["mean_value_e4"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Laws for the fourth r13 seed batch (loyalty / dependency / continuity).
+# ---------------------------------------------------------------------------
+
+
+def test_first_basket_effect_laws(spark):
+    rows = _run(spark, "q_first_basket_effect")
+    assert rows
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_customers"] for r in rows) == o.select(
+        "o_custkey"
+    ).distinct().count()
+    for r in rows:
+        assert 0 <= r["first_value_band"] <= 4
+        assert r["mean_orders_e2"] >= 100
+        assert 0 <= r["repeat_bp"] <= 10000
+
+
+def test_basket_size_trend_laws(spark):
+    rows = _run(spark, "q_basket_size_trend")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_orders"] for r in rows) == li.select(
+        "l_orderkey"
+    ).distinct().count()
+    for r in rows:
+        # an order has 1..7 lines in this corpus shape
+        assert 100 <= r["mean_lines_e2"] <= 700
+        assert 100 <= r["mean_parts_e2"] <= r["mean_lines_e2"]
+
+
+def test_supplier_dependency_laws(spark):
+    rows = _run(spark, "q_supplier_dependency")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_parts"] for r in rows) == li.select(
+        "l_partkey"
+    ).distinct().count()
+    for r in rows:
+        assert 0 <= r["dependency_band"] <= 4
+        # the top supplier carries at least 1/|suppliers-per-part| of
+        # the volume; bp is always positive
+        assert 0 < r["mean_dependency_bp"] <= 10000
+
+
+def test_source_lang_purity_laws(spark):
+    rows = _run(spark, "q_source_lang_purity")
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 1 <= r["n_langs"] <= 5
+        # the dominant language carries at least 1/n_langs of the mass
+        assert r["top_lang_bp"] * r["n_langs"] >= 10000 - r["n_langs"]
+        assert r["top_lang"]
+
+
+def test_part_continuity_laws(spark):
+    rows = _run(spark, "q_part_continuity")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_parts"] for r in rows) == li.select(
+        "l_partkey"
+    ).distinct().count()
+    for r in rows:
+        assert 0 <= r["continuity_band"] <= 4
+        assert 0 < r["mean_continuity_bp"] <= 10000
+        assert r["mean_span_months_e2"] >= 100

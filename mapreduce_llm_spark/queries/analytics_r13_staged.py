@@ -1730,3 +1730,350 @@ def q_part_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("continuity_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 7 (seed extension) — regularity, universality, and parity.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_reorder_regularity",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               datediff('day',
+                   lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_d
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_d) AS BIGINT) AS sum_gap,
+               CAST(max(gap_d) AS BIGINT) AS max_gap
+        FROM gaps
+        WHERE gap_d IS NOT NULL
+        GROUP BY o_custkey
+        HAVING count(*) >= 2 AND max(gap_d) > 0
+    ),
+    rated AS (
+        SELECT sum_gap * 10000 // (n_gaps * max_gap) AS regularity_bp
+        FROM per_cust
+    )
+    SELECT least(regularity_bp // 2000, CAST(4 AS BIGINT))
+               AS regularity_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(regularity_bp) // count(*) AS BIGINT)
+               AS mean_regularity_bp
+    FROM rated
+    GROUP BY least(regularity_bp // 2000, CAST(4 AS BIGINT))
+    ORDER BY regularity_band
+    """,
+)
+def q_reorder_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder regularity: per repeat customer (≥3 orders), the
+    mean-to-max ratio of inter-order gaps, banded — a ratio near 1
+    means clockwork reordering (subscription-like; forecast their
+    demand), near 0 means one long dormancy dominates
+    (q_gap_dominance's shape on the ORDER stream, folded to one
+    number; q_subscription_detect hunts fixed periods, this grades
+    everyone). mean/max folds into ONE nonneg integer floor
+    Σgap·10⁴ // (n·max) — no intermediate mean rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_d"),
+    ).where(F.col("gap_d").isNotNull())
+    per_cust = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("gap_d").cast("long").alias("sum_gap"),
+            F.max("gap_d").cast("long").alias("max_gap"),
+        )
+        .where((F.col("n_gaps") >= 2) & (F.col("max_gap") > 0))
+    )
+    rated = per_cust.select(
+        F.expr("sum_gap * 10000 div (n_gaps * max_gap)").alias(
+            "regularity_bp"
+        )
+    )
+    return (
+        rated.groupBy(
+            F.least(
+                F.expr("regularity_bp div 2000"),
+                F.lit(4).cast("long"),
+            ).alias("regularity_band")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(sum(regularity_bp) div count(*) AS BIGINT)"
+            ).alias("mean_regularity_bp"),
+        )
+        .orderBy("regularity_band")
+    )
+
+
+@_staged(
+    "q_cross_segment_parts",
+    oracle="""
+    WITH per_part AS (
+        SELECT l.l_partkey,
+               CAST(count(DISTINCT c.c_mktsegment) AS BIGINT)
+                   AS n_segments,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY l.l_partkey
+    )
+    SELECT n_segments,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(n_lines) // count(*) AS BIGINT) AS mean_lines,
+           CAST(count(*) * 10000 // sum(count(*)) OVER () AS BIGINT)
+               AS share_bp
+    FROM per_part
+    GROUP BY n_segments
+    ORDER BY n_segments
+    """,
+)
+def q_cross_segment_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part universality across market segments: how many of the five
+    segments each part sells into — universal parts (5/5) are safe
+    stock anywhere; single-segment parts are niche assortment whose
+    demand moves with that segment alone (the merchandising
+    complement of q_mktseg_priority_mix). A two-hop star join keyed
+    by part, one distinct count, and a windowed share over the
+    ≤5-row histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_part = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("c_mktsegment")
+            .cast("long")
+            .alias("n_segments"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    hist = per_part.groupBy("n_segments").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.expr("CAST(sum(n_lines) div count(*) AS BIGINT)").alias(
+            "mean_lines"
+        ),
+    )
+    return hist.select(
+        "n_segments",
+        "n_parts",
+        "mean_lines",
+        F.expr(
+            "CAST(n_parts * 10000 div (sum(n_parts) OVER ())"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    ).orderBy("n_segments")
+
+
+@_staged(
+    "q_discount_return_link",
+    oracle="""
+    WITH lines AS (
+        SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                   AS disc_e2,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem
+    )
+    SELECT disc_e2,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(ret) AS BIGINT) AS n_returns,
+           CAST(sum(ret) * 10000 // count(*) AS BIGINT) AS return_bp
+    FROM lines
+    GROUP BY disc_e2
+    ORDER BY disc_e2
+    """,
+)
+def q_discount_return_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-return linkage: return rate at each discount percent —
+    a return rate RISING with discount depth means promotions pull in
+    low-intent purchases that bounce back (the margin leak compounds:
+    the discount is gone AND the item returns);
+    q_brand_return_wilson ranks who returns, this tests a causal
+    channel for WHY. Single-table exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "disc_e2"
+        ),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .alias("ret"),
+    )
+    return (
+        lines.groupBy("disc_e2")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returns"),
+            F.expr(
+                "CAST(sum(ret) * 10000 div count(*) AS BIGINT)"
+            ).alias("return_bp"),
+        )
+        .orderBy("disc_e2")
+    )
+
+
+@_staged(
+    "q_region_price_parity",
+    oracle="""
+    WITH ratios AS (
+        SELECT r.r_name,
+               CAST(floor((CAST(floor(l.l_extendedprice / l.l_quantity
+                                      * 100 + 0.5) AS BIGINT)
+                           * 10000.0)
+                          / CAST(floor(p.p_retailprice * 100 + 0.5)
+                                 AS DOUBLE)) AS BIGINT) AS ratio_e4
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    agg AS (
+        SELECT r_name,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(ratio_e4) // count(*) AS BIGINT)
+                   AS mean_ratio_e4
+        FROM ratios
+        GROUP BY r_name
+    )
+    SELECT r_name, n_lines, mean_ratio_e4,
+           mean_ratio_e4
+               - CAST(sum(mean_ratio_e4 * n_lines) OVER ()
+                      // sum(n_lines) OVER () AS BIGINT)
+               AS parity_gap_e4
+    FROM agg
+    ORDER BY r_name
+    """,
+)
+def q_region_price_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional price parity: the mean paid-to-list unit-price ratio
+    per customer region, and its signed gap to the volume-weighted
+    world mean — systematic regional gaps are price discrimination
+    (or FX leakage) that q_price_fairness' customer-level lens
+    averages away. The full five-table star join runs ONE pass; the
+    per-line ratio is the exact one-double-divide floor
+    (q_unit_price_consistency's), the world mean is a window over the
+    5-row region aggregate, and the gap subtracts two already-floored
+    integers. nation/region are schema-bounded legs — AQE broadcasts
+    them unhinted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    ratios = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .join(p, p.p_partkey == li.l_partkey)
+        .select(
+            "r_name",
+            F.expr(
+                "CAST(floor((CAST(floor(l_extendedprice / l_quantity"
+                " * 100 + 0.5) AS BIGINT) * 10000.0) /"
+                " CAST(floor(p_retailprice * 100 + 0.5) AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("ratio_e4"),
+        )
+    )
+    agg = ratios.groupBy("r_name").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr("CAST(sum(ratio_e4) div count(*) AS BIGINT)").alias(
+            "mean_ratio_e4"
+        ),
+    )
+    tot = Window.partitionBy()
+    return agg.select(
+        "r_name",
+        "n_lines",
+        "mean_ratio_e4",
+        (
+            F.col("mean_ratio_e4")
+            - F.expr(
+                "CAST(sum(mean_ratio_e4 * n_lines) OVER ()"
+                " div (sum(n_lines) OVER ()) AS BIGINT)"
+            )
+        ).alias("parity_gap_e4"),
+    ).orderBy("r_name")
+
+
+@_staged(
+    "q_brand_seasonal_peak",
+    oracle="""
+    WITH monthly AS (
+        SELECT p.p_brand,
+               CAST(extract(month FROM l.l_shipdate) AS BIGINT) AS mo,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, extract(month FROM l.l_shipdate)
+    )
+    SELECT p_brand,
+           CAST(sum(n) AS BIGINT) AS n_lines,
+           CAST(99 - (max(n * 100 + (99 - mo)) % 100) AS BIGINT)
+               AS peak_month,
+           CAST(max(n * 100 + (99 - mo)) // 100 * 10000 // sum(n)
+               AS BIGINT) AS peak_month_bp
+    FROM monthly
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_brand_seasonal_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal peak per brand: the calendar month (all years pooled)
+    carrying each brand's largest line volume, and that month's share
+    — a brand whose peak share is near 1/12 has no season; one near
+    1/4 plans inventory around it (q_monthly_seasonality indexes the
+    whole curve per segment; this names each brand's single peak).
+    The peak-month argmax rides the packed key n·100 + (99−month) —
+    ties resolve to the EARLIEST month identically on both engines
+    (the q_kmeans_step packing rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy(
+            "p_brand",
+            F.expr(
+                "CAST(extract(month FROM l_shipdate) AS BIGINT)"
+            ).alias("mo"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        monthly.groupBy("p_brand")
+        .agg(
+            F.sum("n").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(99 - (max(n * 100 + (99 - mo)) % 100) AS BIGINT)"
+            ).alias("peak_month"),
+            F.expr(
+                "CAST(max(n * 100 + (99 - mo)) div 100 * 10000"
+                " div sum(n) AS BIGINT)"
+            ).alias("peak_month_bp"),
+        )
+        .orderBy("p_brand")
+    )

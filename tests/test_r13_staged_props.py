@@ -357,3 +357,63 @@ def test_part_continuity_laws(spark):
         assert 0 <= r["continuity_band"] <= 4
         assert 0 < r["mean_continuity_bp"] <= 10000
         assert r["mean_span_months_e2"] >= 100
+
+
+# ---------------------------------------------------------------------------
+# Laws for the fifth r13 seed batch (regularity / universality / parity).
+# ---------------------------------------------------------------------------
+
+
+def test_reorder_regularity_laws(spark):
+    rows = _run(spark, "q_reorder_regularity")
+    assert rows
+    for r in rows:
+        assert 0 <= r["regularity_band"] <= 4
+        # mean gap <= max gap always
+        assert 0 < r["mean_regularity_bp"] <= 10000
+
+
+def test_cross_segment_parts_laws(spark):
+    rows = _run(spark, "q_cross_segment_parts")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_parts"] for r in rows) == li.select(
+        "l_partkey"
+    ).distinct().count()
+    for r in rows:
+        assert 1 <= r["n_segments"] <= 5
+        # a part needs at least one line per segment it reaches
+        assert r["mean_lines"] >= r["n_segments"] - 1
+
+
+def test_discount_return_link_laws(spark):
+    rows = _run(spark, "q_discount_return_link")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0 <= r["disc_e2"] <= 10
+        assert 0 <= r["return_bp"] <= 10000
+
+
+def test_region_price_parity_laws(spark):
+    rows = _run(spark, "q_region_price_parity")
+    assert 1 <= len(rows) <= 5
+    # signed gaps to a weighted mean bracket zero
+    gaps = [r["parity_gap_e4"] for r in rows]
+    assert min(gaps) <= 0
+    for r in rows:
+        assert r["mean_ratio_e4"] > 0
+        assert r["parity_gap_e4"] == r["mean_ratio_e4"] - (
+            sum(x["mean_ratio_e4"] * x["n_lines"] for x in rows)
+            // sum(x["n_lines"] for x in rows)
+        )
+
+
+def test_brand_seasonal_peak_laws(spark):
+    rows = _run(spark, "q_brand_seasonal_peak")
+    assert rows
+    for r in rows:
+        assert 1 <= r["peak_month"] <= 12
+        # the peak month carries at least 1/12 of the lines
+        assert r["peak_month_bp"] * 12 >= 10000 - 12

@@ -2077,3 +2077,342 @@ def q_brand_seasonal_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 8 (seed extension) — priority economics and text signals.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_priority_value_profile",
+    oracle="""
+    WITH vals AS (
+        SELECT o_orderpriority AS prio,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    agg AS (
+        SELECT prio,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents,
+               CAST(sum(cents) // count(*) AS BIGINT)
+                   AS mean_cents,
+               round(median(cents) + 0.0, 4) AS median_cents
+        FROM vals
+        GROUP BY prio
+    )
+    SELECT prio, n_orders, mean_cents, median_cents,
+           CAST(revenue_cents * 10000
+                // sum(revenue_cents) OVER () AS BIGINT)
+               AS revenue_share_bp
+    FROM agg
+    ORDER BY prio
+    """,
+)
+def q_priority_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority economics: order count, mean and median value, and
+    revenue share per priority class — whether urgency correlates with
+    value decides if expedited capacity is a premium product or a
+    cost center (q_delay_tail_risk grades the service; this prices
+    it). Exact cents; the median of integer cents interpolates to a
+    binary-exact half; revenue share is a windowed bp floor over the
+    5-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    agg = vals.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+        F.round(
+            F.expr("percentile(cents, 0.5)") + F.lit(0.0), 4
+        ).alias("median_cents"),
+    )
+    return agg.select(
+        "prio",
+        "n_orders",
+        "mean_cents",
+        "median_cents",
+        F.expr(
+            "CAST(revenue_cents * 10000 div"
+            " (sum(revenue_cents) OVER ()) AS BIGINT)"
+        ).alias("revenue_share_bp"),
+    ).orderBy("prio")
+
+
+@_staged(
+    "q_vowel_profile",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                   AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^aeiou]', '', 'g'))
+                   AS BIGINT) AS n_vowel
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_vowel) * 10000 // sum(n_alpha) AS BIGINT)
+               AS vowel_bp,
+           CAST((sum(n_chars) - sum(n_alpha)) * 10000
+                // sum(n_chars) AS BIGINT) AS space_bp
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_vowel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vowel and whitespace density per language: the vowel share of
+    alphabetic characters and the non-alpha (space) share of all
+    characters — the two cheapest language-ID features there are
+    (Italian ≫ English ≫ Czech on vowels; CJK transliterations skew
+    spacing), used to sanity-check the n-gram classifier
+    (q_text_langid) on corpora where it disagrees with metadata.
+    Counting by regexp_replace-and-length is identical on both
+    engines (DuckDB needs the 'g' flag; Spark's regexp_replace is
+    global by default); all integers."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-z]", ""))
+        .cast("long")
+        .alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^aeiou]", ""))
+        .cast("long")
+        .alias("n_vowel"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(sum(n_vowel) * 10000 div sum(n_alpha)"
+                " AS BIGINT)"
+            ).alias("vowel_bp"),
+            F.expr(
+                "CAST((sum(n_chars) - sum(n_alpha)) * 10000"
+                " div sum(n_chars) AS BIGINT)"
+            ).alias("space_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_staged(
+    "q_basket_unit_price",
+    oracle="""
+    WITH sized AS (
+        SELECT l.l_orderkey, l.l_partkey,
+               least(count(*) OVER (PARTITION BY l.l_orderkey),
+                     CAST(7 AS BIGINT)) AS size_band,
+               CAST(floor((CAST(floor(l.l_extendedprice / l.l_quantity
+                                      * 100 + 0.5) AS BIGINT)
+                           * 10000.0)
+                          / CAST(floor(p.p_retailprice * 100 + 0.5)
+                                 AS DOUBLE)) AS BIGINT) AS ratio_e4
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT size_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(ratio_e4) // count(*) AS BIGINT)
+               AS mean_ratio_e4
+    FROM sized
+    GROUP BY size_band
+    ORDER BY size_band
+    """,
+)
+def q_basket_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price discipline by basket size: the mean paid-to-list
+    ratio for lines in 1-line through 7+-line orders — if bigger
+    baskets pay closer to list, bundling suppresses haggling; if they
+    pay less, volume discounts leak beyond the quantity schedule
+    (q_discount_by_quantity prices per-line volume; this prices
+    ORDER-level volume). Basket size is a whole-partition count
+    window keyed by order (no ordering, no sort); the ratio is the
+    standard exact one-double-divide floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sized = li.join(p, p.p_partkey == li.l_partkey).select(
+        F.least(
+            F.count("*")
+            .over(Window.partitionBy("l_orderkey"))
+            .cast("long"),
+            F.lit(7).cast("long"),
+        ).alias("size_band"),
+        F.expr(
+            "CAST(floor((CAST(floor(l_extendedprice / l_quantity"
+            " * 100 + 0.5) AS BIGINT) * 10000.0) /"
+            " CAST(floor(p_retailprice * 100 + 0.5) AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("ratio_e4"),
+    )
+    return (
+        sized.groupBy("size_band")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(ratio_e4) div count(*) AS BIGINT)"
+            ).alias("mean_ratio_e4"),
+        )
+        .orderBy("size_band")
+    )
+
+
+@_staged(
+    "q_priority_mix_trend",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+               o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY extract(year FROM o_orderdate), o_orderpriority
+    ),
+    tots AS (
+        SELECT yr, prio, n,
+               sum(n) OVER (PARTITION BY yr) AS yr_tot,
+               sum(n) OVER (PARTITION BY prio) AS prio_tot,
+               sum(n) OVER () AS grand
+        FROM cells
+    )
+    SELECT yr, prio,
+           CAST(n * 10000 // yr_tot AS BIGINT) AS share_bp,
+           CAST(n * 10000 // yr_tot AS BIGINT)
+               - CAST(prio_tot * 10000 // grand AS BIGINT) AS dev_bp
+    FROM tots
+    ORDER BY yr, prio
+    """,
+)
+def q_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-mix drift by year: each year's priority distribution
+    and its signed deviation from the all-time mix — a creeping
+    1-URGENT share is either a real demand shift or priority-field
+    inflation, and both invalidate SLA capacity plans tuned on the
+    historical mix (q_mktseg_priority_mix crosses priorities with
+    segments; this crosses them with time). Marginals are windows
+    over the ≤35-cell aggregate; deviations subtract already-floored
+    nonneg bp integers."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.expr("CAST(extract(year FROM o_orderdate) AS BIGINT)").alias(
+            "yr"
+        ),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    tots = cells.select(
+        "yr",
+        "prio",
+        "n",
+        F.sum("n").over(Window.partitionBy("yr")).alias("yr_tot"),
+        F.sum("n").over(Window.partitionBy("prio")).alias("prio_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("grand"),
+    )
+    return tots.select(
+        "yr",
+        "prio",
+        F.expr("CAST(n * 10000 div yr_tot AS BIGINT)").alias(
+            "share_bp"
+        ),
+        (
+            F.expr("CAST(n * 10000 div yr_tot AS BIGINT)")
+            - F.expr("CAST(prio_tot * 10000 div grand AS BIGINT)")
+        ).alias("dev_bp"),
+    ).orderBy("yr", "prio")
+
+
+@_staged(
+    "q_value_trend_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    indexed AS (
+        SELECT event_type, v,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT)
+                   AS x
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(x * v) AS BIGINT) AS sxv,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM indexed
+        GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST(sv // n AS BIGINT) AS mean_daily_value_e4,
+           CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+                floor(CAST(n * sxv - sx * sv AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                END AS BIGINT) AS slope_ve4_per_day
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-value trend per event type: the exact OLS slope of total
+    daily value (e4 units) on the day index — the dollar companion to
+    q_theil_sen's robust count slope (OLS here because daily VALUE
+    totals are the quantity finance extrapolates linearly; Theil-Sen
+    remains the robust cross-check). All four moment sums are exact
+    int64 over the ≤31-row daily aggregate (x ≤ 31 keeps Σx·v within
+    31·Σv); the slope is one int64→double divide under floor with the
+    zero-variance guard."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("v")
+    )
+    indexed = daily.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("x"),
+    )
+    sums = indexed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("x") * F.col("v")).cast("long").alias("sxv"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr("CAST(sv div n AS BIGINT)").alias(
+            "mean_daily_value_e4"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
+            " floor(CAST(n * sxv - sx * sv AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)) END AS BIGINT)"
+        ).alias("slope_ve4_per_day"),
+    ).orderBy("event_type")

@@ -417,3 +417,61 @@ def test_brand_seasonal_peak_laws(spark):
         assert 1 <= r["peak_month"] <= 12
         # the peak month carries at least 1/12 of the lines
         assert r["peak_month_bp"] * 12 >= 10000 - 12
+
+
+# ---------------------------------------------------------------------------
+# Laws for the sixth r13 seed batch (priority economics / text signals).
+# ---------------------------------------------------------------------------
+
+
+def test_priority_value_profile_laws(spark):
+    rows = _run(spark, "q_priority_value_profile")
+    assert len(rows) == 5
+    assert sum(r["revenue_share_bp"] for r in rows) <= 10000
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    for r in rows:
+        assert r["mean_cents"] > 0
+        assert r["median_cents"] > 0
+
+
+def test_vowel_profile_laws(spark):
+    rows = _run(spark, "q_vowel_profile")
+    assert rows
+    for r in rows:
+        # vowels are a proper subset of letters in every language here
+        assert 0 < r["vowel_bp"] < 10000
+        assert 0 <= r["space_bp"] < 10000
+
+
+def test_basket_unit_price_laws(spark):
+    rows = _run(spark, "q_basket_unit_price")
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 1 <= r["size_band"] <= 7
+        assert r["mean_ratio_e4"] > 0
+
+
+def test_priority_mix_trend_laws(spark):
+    rows = _run(spark, "q_priority_mix_trend")
+    assert rows
+    by_year: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r["share_bp"] <= 10000
+        by_year[r["yr"]] = by_year.get(r["yr"], 0) + r["share_bp"]
+    for yr, tot in by_year.items():
+        assert 10000 - 5 <= tot <= 10000, f"{yr}: shares must sum to ~1"
+
+
+def test_value_trend_ols_laws(spark):
+    rows = _run(spark, "q_value_trend_ols")
+    assert rows
+    for r in rows:
+        assert r["n_days"] >= 2
+        assert r["mean_daily_value_e4"] > 0
+        assert r["slope_ve4_per_day"] is not None
+        # a slope can't exceed the whole mean level per day here
+        # (sanity bound: series are bounded positive)
+        assert abs(r["slope_ve4_per_day"]) < 10 * r["mean_daily_value_e4"]

@@ -1,18 +1,12 @@
-"""Round-11 STAGED surface — seed tranche.
+"""Round-11 registered surface — 50 oracle-backed analytics queries,
+staged (as queries/analytics_r11_staged.py) and hash-proven through
+the driver-gate harness at sf0.01 AND the sf0.1 sweep env in round 11,
+flipped into live ``@query(oracle=...)`` declarations in round 12,
+byte-identical to the rehearsal (tests/test_r11_flip_rehearsal.py at
+the time): no collisions, exactly 50 slots, no FUTURE_ORACLES
+graduations remaining, backlog closure by construction.
 
-Same staged-tranche contract the round-9 and round-10 batches followed
-before their flips (analytics_r9_staged → queries/analytics_r9.py in
-round 9; analytics_r10_staged → queries/analytics_r10.py in round 11):
-the round-10 window is fully allocated (50 registered pairs), so
-surface built beyond that point stages HERE and flips next. Every
-entry is a
-complete (query fn, DuckDB oracle) pair hash-proven NOW at sf0.01 and
-the sf0.1 sweep env by tests/test_r11_staged.py through the same
-harness the driver gate uses. NOT imported by registry.load_all —
-importing this module must stay registry-side-effect free (pinned by
-the staging test).
-
-Seed themes — the decision seams the first 485 queries leave open:
+Tranche themes — the decision seams the first 485 queries leave open:
 
 - **Curation selection bias** (q_filter_length_bias): a quality
   filter that silently selects on length reshapes the corpus; the
@@ -29,14 +23,25 @@ Seed themes — the decision seams the first 485 queries leave open:
   word-level tokenizer budgets.
 - **Capacity planning** (q_peak_load): exact peak rolling-hour event
   load per type via a RANGE window frame — no self-join, no grid.
-- **Trade locality / discount governance / class weights**: the
-  supply-chain-miles proxy, the same-part-same-month discount
-  consistency audit, and inverse-frequency class weights.
+- **Event-stream science** (q_fano_factor, q_early_signal,
+  q_transition_lift, q_traffic_calendar, q_value_tail_share) and
+  fulfilment/pricing time series (q_latency_trend, q_price_jumps,
+  q_return_seasonality, q_quantile_drift, q_discount_yield).
+- **Embedding geometry** (q_embed_participation,
+  q_embed_centroid_accuracy, q_embed_separation) and catalog/mix
+  audits (q_catalog_name_dup, q_segment_mix_shift).
 
-Determinism discipline: identical to the r9/r10 staging — exact
+Determinism discipline: identical to the r9/r10 batches — exact
 integer cents/e4 floors via integer div, no libm in any emitted value,
 nullif/CASE guards on data-dependent denominators, packed-integer
 argmax instead of struct argmin (the CLAUDE.md q_kmeans_step rule).
+
+Plan-lint status: no cartesian products, no Python crossings; the
+BroadcastNestedLoopJoin hits are all allowlisted broadcast
+scalar/grid legs carried verbatim into
+tests/test_plan_lint.py::NLJ_OK — q_data_budget, q_class_weights,
+q_dow_stability, q_split_balance, q_balance_activity,
+q_ingest_mix_drift.
 """
 
 from __future__ import annotations
@@ -47,51 +52,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-#: name -> (query fn, DuckDB oracle SQL); round 11 flips these into
-#: @query(oracle=...) declarations verbatim.
-STAGED_R11: dict[str, tuple[QueryFn, str]] = {}
-
-
-#: The exact round-12 DRIVER_PRIORITY window, pre-drafted so the flip
-#: is mechanical (the round-8/9/10 playbook): 50 staged queries in
-#: definition (= tranche) order — FUTURE_ORACLES is empty, so the whole
-#: window is new surface. tests/test_r11_flip_rehearsal.py pins that
-#: this list is exactly STAGED_R11 with no gaps, dupes, or registry
-#: collisions, and that the post-flip external-verification backlog is
-#: exactly this window.
-ROUND11_WINDOW: list[str] = [
-    "q_filter_length_bias", "q_sample_size_planner", "q_data_budget",
-    "q_token_fertility", "q_peak_load", "q_trade_locality",
-    "q_discount_consistency", "q_class_weights", "q_sequential_test",
-    "q_attribution_window_sweep", "q_brand_loyalty", "q_cents_audit",
-    "q_embed_norm_bias", "q_fulfillment_span", "q_returns_value",
-    "q_lang_mix_entropy", "q_quantization_error", "q_dow_stability",
-    "q_split_balance", "q_shingle_df_profile", "q_monthly_seasonality",
-    "q_trigram_exclusivity", "q_activity_span", "q_value_vs_delay",
-    "q_prefix_length_curve", "q_first_touch_profile", "q_linenumber_lag",
-    "q_balance_activity", "q_ingest_mix_drift", "q_supplier_balance_risk",
-    "q_fano_factor", "q_early_signal", "q_value_tail_share",
-    "q_transition_lift", "q_traffic_calendar", "q_latency_trend",
-    "q_price_jumps", "q_return_seasonality", "q_quantile_drift",
-    "q_discount_yield", "q_embed_participation", "q_embed_centroid_accuracy",
-    "q_embed_separation", "q_catalog_name_dup", "q_segment_mix_shift",
-    "q_nation_specialization", "q_assortment_drift", "q_position_bias",
-    "q_tax_discount_grid", "q_audience_overlap",
-]
-
-
-def _staged(name: str, oracle: str):
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_R11:
-            raise ValueError(f"duplicate staged query {name!r}")
-        STAGED_R11[name] = (fn, oracle)
-        return fn
-
-    return deco
-
 
 def _r11_words(col):
     """Lowercased alpha word array — the shared tokenization of the
@@ -102,7 +65,7 @@ def _r11_words(col):
     )
 
 
-@_staged(
+@query(
     "q_filter_length_bias",
     oracle="""
     WITH wc AS (
@@ -205,7 +168,7 @@ def q_filter_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_sample_size_planner",
     oracle="""
     WITH s AS (
@@ -256,7 +219,7 @@ def q_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-@_staged(
+@query(
     "q_data_budget",
     oracle="""
     WITH toks AS (
@@ -317,7 +280,7 @@ def q_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_token_fertility",
     oracle="""
     WITH w AS (
@@ -371,7 +334,7 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_peak_load",
     oracle="""
     WITH e AS (
@@ -437,7 +400,7 @@ def q_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_trade_locality",
     oracle="""
     WITH f AS (
@@ -506,7 +469,7 @@ def q_trade_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_discount_consistency",
     oracle="""
     WITH pm AS (
@@ -594,7 +557,7 @@ def q_discount_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_class_weights",
     oracle="""
     WITH c AS (
@@ -656,7 +619,7 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_sequential_test",
     oracle="""
     WITH u AS (
@@ -770,7 +733,7 @@ def q_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
-@_staged(
+@query(
     "q_attribution_window_sweep",
     oracle="""
     WITH e AS (
@@ -859,7 +822,7 @@ def q_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_brand_loyalty",
     oracle="""
     WITH cb AS (
@@ -935,7 +898,7 @@ def q_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_cents_audit",
     oracle="""
     WITH probes AS (
@@ -1026,7 +989,7 @@ def q_cents_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
-@_staged(
+@query(
     "q_embed_norm_bias",
     oracle="""
     WITH n2 AS (
@@ -1121,7 +1084,7 @@ def q_embed_norm_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_fulfillment_span",
     oracle="""
     WITH per_order AS (
@@ -1207,7 +1170,7 @@ def q_fulfillment_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_returns_value",
     oracle="""
     SELECT p_brand,
@@ -1265,7 +1228,7 @@ def q_returns_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_lang_mix_entropy",
     oracle="""
     WITH c AS (
@@ -1322,7 +1285,7 @@ def q_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_quantization_error",
     oracle="""
     WITH f AS (
@@ -1399,7 +1362,7 @@ def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_dow_stability",
     oracle="""
     WITH o AS (
@@ -1484,7 +1447,7 @@ def q_dow_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_split_balance",
     oracle="""
     WITH s AS (
@@ -1560,7 +1523,7 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_shingle_df_profile",
     oracle="""
     WITH sh AS (
@@ -1664,7 +1627,7 @@ def q_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_monthly_seasonality",
     oracle="""
     WITH m AS (
@@ -1724,7 +1687,7 @@ def q_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_trigram_exclusivity",
     oracle="""
     WITH sh AS (
@@ -1802,7 +1765,7 @@ def q_trigram_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_activity_span",
     oracle="""
     WITH per_cust AS (
@@ -1895,7 +1858,7 @@ def q_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_value_vs_delay",
     oracle="""
     WITH d AS (
@@ -1995,7 +1958,7 @@ def q_value_vs_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_prefix_length_curve",
     oracle="""
     WITH ws AS (
@@ -2068,7 +2031,7 @@ def q_prefix_length_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_first_touch_profile",
     oracle="""
     WITH e AS (
@@ -2144,7 +2107,7 @@ def q_first_touch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_linenumber_lag",
     oracle="""
     WITH base AS (
@@ -2249,7 +2212,7 @@ def q_linenumber_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_balance_activity",
     oracle="""
     WITH act AS (
@@ -2344,7 +2307,7 @@ def q_balance_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_ingest_mix_drift",
     oracle="""
     WITH mid AS (
@@ -2432,7 +2395,7 @@ def q_ingest_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_supplier_balance_risk",
     oracle="""
     WITH sv AS (
@@ -2521,7 +2484,7 @@ def q_supplier_balance_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_fano_factor",
     oracle="""
     WITH u AS (
@@ -2588,7 +2551,7 @@ def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_early_signal",
     oracle="""
     WITH t AS (
@@ -2693,7 +2656,7 @@ def q_early_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_value_tail_share",
     oracle="""
     WITH c AS (
@@ -2810,7 +2773,7 @@ def _transition_lift_sql() -> str:
     """
 
 
-@_staged("q_transition_lift", oracle=_transition_lift_sql())
+@query("q_transition_lift", oracle=_transition_lift_sql())
 def q_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-transition lift vs independence: for each consecutive
     (src → dst) event-type pair within a user's stream, observed count
@@ -2862,7 +2825,7 @@ def q_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "dst")
 
 
-@_staged(
+@query(
     "q_traffic_calendar",
     oracle="""
     WITH e AS (
@@ -2939,7 +2902,7 @@ def q_traffic_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_latency_trend",
     oracle="""
     WITH d AS (
@@ -3055,7 +3018,7 @@ def q_latency_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("m")
 
 
-@_staged(
+@query(
     "q_price_jumps",
     oracle="""
     WITH pm AS (
@@ -3156,7 +3119,7 @@ def q_price_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_return_seasonality",
     oracle="""
     WITH m AS (
@@ -3222,7 +3185,7 @@ def q_return_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mon")
 
 
-@_staged(
+@query(
     "q_quantile_drift",
     oracle="""
     WITH c AS (
@@ -3312,7 +3275,7 @@ def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("m")
 
 
-@_staged(
+@query(
     "q_discount_yield",
     oracle="""
     WITH b AS (
@@ -3445,7 +3408,7 @@ _R11_QDIMS_SQL = """
 """
 
 
-@_staged(
+@query(
     "q_embed_participation",
     oracle=f"""
     WITH q AS ({_R11_QDIMS_SQL}),
@@ -3526,7 +3489,7 @@ def q_embed_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
-@_staged(
+@query(
     "q_embed_centroid_accuracy",
     oracle=f"""
     WITH q AS ({_R11_QDIMS_SQL}),
@@ -3611,7 +3574,7 @@ def q_embed_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_embed_separation",
     oracle=f"""
     WITH q AS ({_R11_QDIMS_SQL}),
@@ -3712,7 +3675,7 @@ def q_embed_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
-@_staged(
+@query(
     "q_catalog_name_dup",
     oracle="""
     WITH nm AS (
@@ -3770,7 +3733,7 @@ def q_catalog_name_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_segment_mix_shift",
     oracle="""
     WITH b AS (
@@ -3864,7 +3827,7 @@ def q_segment_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_nation_specialization",
     oracle="""
     WITH nt AS (
@@ -3964,7 +3927,7 @@ def q_nation_specialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_assortment_drift",
     oracle="""
     WITH q AS (
@@ -4093,7 +4056,7 @@ def q_assortment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_position_bias",
     oracle="""
     WITH ws AS (
@@ -4205,7 +4168,7 @@ def q_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_tax_discount_grid",
     oracle="""
     WITH b AS (
@@ -4277,7 +4240,7 @@ def q_tax_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("disc_pct", "tax_pct")
 
 
-@_staged(
+@query(
     "q_audience_overlap",
     oracle="""
     WITH tu AS (

@@ -122,6 +122,16 @@ NLJ_OK = {
     "q_last_digit_uniformity",  # broadcast 1-row chi-square totals leg
     "q_leakage_scan",  # broadcast 1-row horizon-cutoff leg
     "q_slow_movers",  # broadcast 1-row corpus-horizon (max shipdate) leg
+    # round-11 flip batch (pre-flighted in the staged plan lint,
+    # tests/test_r11_staged_props.py::STAGED_NLJ_OK at the time; every
+    # entry is a broadcast scalar/grid leg, never a data×data NLJ)
+    "q_data_budget",  # broadcast 1-row corpus-token-total leg
+    "q_class_weights",  # broadcast 1-row (total, k, max_n) leg
+    "q_dow_stability",  # broadcast 7-row corpus dow-mix + 1-row total legs
+    "q_split_balance",  # broadcast 1-row split-totals leg
+    "q_balance_activity",  # broadcast 1-row customer-count leg (+ the
+    #                        ranking operator's internal offset leg)
+    "q_ingest_mix_drift",  # broadcast 1-row id-midpoint leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -1,69 +1,30 @@
-"""Semantic laws for the round-11 seed tranche — properties the hash
-gate can't express, plus the plan lint the round-11 flip will inherit.
+"""Semantic invariants for the round-11 query batch (registered in
+queries/analytics_r11.py since the round-11 flip executed in round 12)
+— algebraic laws of the claimed algorithms that the DuckDB hash gate
+cannot express (it proves Spark ≡ oracle, not that both implement the
+CLAIMED semantics). Evaluated on real testdata at SF_DIR. The staged
+plan lint this file carried pre-flip is now the blanket sweep in
+tests/test_plan_lint.py (NLJ allowlist carried verbatim).
 """
 
 from __future__ import annotations
 
-import pytest
-
 from pyspark.sql import functions as F
 
+from mapreduce_llm_spark import registry
 from mapreduce_llm_spark.io import load_table
-from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
-from tests.conftest import SF_DIR, SMOKE_SF_DIR
+from tests.conftest import SF_DIR
 
-# Broadcast grid/scalar legs by design — copy into NLJ_OK on the
-# round-11 flip.
-STAGED_NLJ_OK: set[str] = {
-    "q_data_budget",  # broadcast 1-row corpus-token-total leg
-    "q_class_weights",  # broadcast 1-row (total, k, max_n) leg
-    "q_dow_stability",  # broadcast 7-row corpus dow-mix + 1-row total legs
-    "q_split_balance",  # broadcast 1-row split-totals leg
-    "q_balance_activity",  # broadcast 1-row customer-count leg (+ the
-    #                        ranking operator's internal offset leg)
-    "q_ingest_mix_drift",  # broadcast 1-row id-midpoint leg
-}
-
-PY_MARKERS = (
-    "BatchEvalPython",
-    "ArrowEvalPython",
-    "MapInPandas",
-    "FlatMapGroupsInPandas",
-)
+registry.load_all()
 
 
 def _run(spark, name):
-    fn, _sql = STAGED_R11[name]
-    return [r.asDict() for r in fn(spark, SF_DIR).collect()]
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R11))
-def test_staged_plan_lint(spark, name):
-    fn, _sql = STAGED_R11[name]
-    df = fn(spark, SMOKE_SF_DIR)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    plan = df._jdf.queryExecution().explainString(jmode)
-    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    if name not in STAGED_NLJ_OK:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{name}: nested-loop join — add to STAGED_NLJ_OK with reason"
-        )
-    for marker in PY_MARKERS:
-        assert marker not in plan, f"{name}: Python crossing ({marker})"
-
-
-def test_staged_nlj_allowlist_is_not_stale():
-    stale = STAGED_NLJ_OK - set(STAGED_R11)
-    assert not stale, f"allowlisted but not staged: {sorted(stale)}"
+    return [r.asDict() for r in registry.QUERIES[name](spark, SF_DIR).collect()]
 
 
 def test_filter_length_bias_agrees_with_the_rule_matrix(spark):
     """Cross-query law: n_pass per source must equal q_gopher_rules'
     pass_all (the audit examines exactly that filter)."""
-    from mapreduce_llm_spark import registry
-
     rows = {r["source"]: r for r in _run(spark, "q_filter_length_bias")}
     gopher = registry.QUERIES["q_gopher_rules"](spark, SF_DIR).collect()
     for g in gopher:

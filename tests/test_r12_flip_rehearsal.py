@@ -11,11 +11,11 @@ simulate that end state WITHOUT touching the live registry: if they
 pass, the flip cannot create a name collision, an over/underfull
 window, or a reopened external-verification backlog. The same
 derivation as tools/gen_inventory.verification_backlog is replayed
-against the post-flip registry plus TWO simulated driver records —
-CORRECTNESS_r11 (the current ROUND10_WINDOW goes green at round-11
-end) and CORRECTNESS_r12 (the round-12 flip registers STAGED_R11 and
-its ROUND11_WINDOW goes green) — and must show the round-13 backlog
-to be exactly the 50 flipped names and nothing else.
+against the post-flip registry plus a simulated CORRECTNESS_r12 (every
+current window entry green at declared strength — what the driver
+records if round 12 lands as designed, the round-11 flip having
+executed), and must show the round-13 backlog to be exactly the 50
+flipped names and nothing else.
 """
 
 from __future__ import annotations
@@ -25,10 +25,6 @@ import os
 import re
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r11_staged import (
-    ROUND11_WINDOW,
-    STAGED_R11,
-)
 from mapreduce_llm_spark.queries.analytics_r12_staged import (
     ROUND12_WINDOW,
     STAGED_R12,
@@ -43,13 +39,13 @@ WINDOW = 50
 
 
 def test_flip_fills_the_round12_window_exactly():
-    assert len(STAGED_R12) == WINDOW
+    assert len(STAGED_R12) + len(FUTURE_ORACLES) == WINDOW
 
 
 def test_predrafted_window_is_exactly_the_flip_set():
     assert len(ROUND12_WINDOW) == WINDOW
     assert len(set(ROUND12_WINDOW)) == WINDOW, "duplicate window entry"
-    assert set(ROUND12_WINDOW) == set(STAGED_R12)
+    assert set(ROUND12_WINDOW) == set(STAGED_R12) | set(FUTURE_ORACLES)
     # definition order is the window order — the tranche narrative in
     # the module is the verification order the driver will walk
     assert ROUND12_WINDOW == list(STAGED_R12)
@@ -58,12 +54,15 @@ def test_predrafted_window_is_exactly_the_flip_set():
 def test_staged_names_do_not_collide():
     for name in STAGED_R12:
         assert name not in registry.QUERIES, f"{name} already registered"
-        assert name not in STAGED_R11, (
-            f"{name} staged in both r11 and r12 — the r12 flip would "
-            "collide with the r13 one"
-        )
         fn, sql = STAGED_R12[name]
         assert callable(fn) and sql.strip(), name
+    for name, sql in FUTURE_ORACLES.items():
+        assert name in registry.QUERIES, f"{name} is not a registered query"
+        assert name not in registry.ORACLE, (
+            f"{name} already has a live oracle — FUTURE_ORACLES must only "
+            "stage flips for rows-only entries"
+        )
+        assert sql.strip()
 
 
 def _records_before(round_no: int) -> dict[str, list[dict]]:
@@ -79,23 +78,19 @@ def _records_before(round_no: int) -> dict[str, list[dict]]:
 
 
 def test_post_flip_backlog_is_exactly_the_flipped_window():
-    # simulate the two driver records between now and the r13 flip:
-    # round 11 verifies the live DRIVER_PRIORITY (the round-10 window),
-    # round 12 verifies ROUND11_WINDOW after its flip
-    records = _records_before(13)
-    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    # the driver record round 12 produces if the round lands as
+    # designed: every current-window entry green at declared strength
+    # (the round-11 flip executed, so the live window IS ROUND11_WINDOW)
+    records = _records_before(12)
     for name in list(registry.QUERIES)[:WINDOW]:
-        records.setdefault(name, []).append(dict(green))
-    for name in ROUND11_WINDOW:
-        records.setdefault(name, []).append(dict(green))
+        records.setdefault(name, []).append(
+            {"rows_match": True, "schema_match": True, "hash_match": True}
+        )
 
     post_oracle = dict(registry.ORACLE)
     post_oracle.update(FUTURE_ORACLES)
-    post_oracle.update({n: sql for n, (_fn, sql) in STAGED_R11.items()})
     post_oracle.update({n: sql for n, (_fn, sql) in STAGED_R12.items()})
-    post_queries = (
-        list(registry.QUERIES) + list(STAGED_R11) + list(STAGED_R12)
-    )
+    post_queries = list(registry.QUERIES) + list(STAGED_R12)
 
     def verified(name: str) -> bool:
         recs = records.get(name, [])
@@ -104,8 +99,8 @@ def test_post_flip_backlog_is_exactly_the_flipped_window():
         return bool(recs)
 
     unverified = {n for n in post_queries if not verified(n)}
-    assert unverified == set(STAGED_R12), (
-        "the round-13 flip would reopen the external book beyond its "
-        f"own window: extra={sorted(unverified - set(STAGED_R12))} "
-        f"missing={sorted(set(STAGED_R12) - unverified)}"
+    assert unverified == set(STAGED_R12) | set(FUTURE_ORACLES), (
+        "the round-12 flip would reopen the external book beyond its own "
+        f"window: extra={sorted(unverified - set(STAGED_R12) - set(FUTURE_ORACLES))} "
+        f"missing={sorted((set(STAGED_R12) | set(FUTURE_ORACLES)) - unverified)}"
     )

@@ -1,12 +1,12 @@
 """Round-12 staged-surface invariants (queries/analytics_r12_staged.py).
 
-Same contract as the round-11 staging test, one window further out:
-the round-11 window is fully allocated (ROUND11_WINDOW, flipping in
-round 12), so surface built beyond that point stages in the r12 module
-and is proven NOW with the driver-gate harness at sf0.01 (and the
-sf0.1 sweep env), carrying zero flip risk into round 13. Also pins
-that the module is registry-side-effect free and collision-free
-against the live registry AND the round-11 staging.
+Same contract as the (retired) round-11 staging test, one window
+further out: the round-11 window is fully allocated by the r11 flip,
+so surface built beyond that point stages in the r12 module and is
+proven NOW with the driver-gate harness at sf0.01 (and the sf0.1
+sweep env), carrying zero flip risk into round 13. Also pins that the
+module is registry-side-effect free and collision-free against the
+live registry (which includes the flipped round-11 batch).
 """
 
 from __future__ import annotations
@@ -14,7 +14,6 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
 from mapreduce_llm_spark.queries.analytics_r12_staged import STAGED_R12
 from tests.conftest import SF_DIR
 from tests.oracle_harness import compare, duckdb_conn
@@ -35,14 +34,6 @@ def test_staged_module_has_no_registry_side_effects():
             f"{name} leaked into the registry — staged queries must not "
             "register until their round-12 window slot exists"
         )
-
-
-def test_staged_names_do_not_collide_with_r11_staging():
-    overlap = set(STAGED_R12) & set(STAGED_R11)
-    assert not overlap, (
-        f"{sorted(overlap)} staged in both r11 and r12 — the r11 flip "
-        "would collide"
-    )
 
 
 def test_staged_names_are_new():

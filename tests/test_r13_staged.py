@@ -14,7 +14,6 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
 from mapreduce_llm_spark.queries.analytics_r12_staged import STAGED_R12
 from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
 from tests.conftest import SF_DIR
@@ -39,9 +38,7 @@ def test_staged_module_has_no_registry_side_effects():
 
 
 def test_staged_names_do_not_collide_with_pending_stagings():
-    overlap = (set(STAGED_R13) & set(STAGED_R12)) | (
-        set(STAGED_R13) & set(STAGED_R11)
-    )
+    overlap = set(STAGED_R13) & set(STAGED_R12)
     assert not overlap, (
         f"{sorted(overlap)} staged twice — an earlier flip would collide"
     )

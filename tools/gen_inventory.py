@@ -304,18 +304,6 @@ def main() -> None:
             "by tests/test_future_oracles.py: "
             + ", ".join(f"`{n}`" for n in sorted(FUTURE_ORACLES)),
         ]
-    from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
-
-    lines += [
-        "",
-        "## Staged for the round-12 window (derived)",
-        "",
-        f"{len(STAGED_R11)} complete (query, oracle) pairs in "
-        "queries/analytics_r11_staged.py — hash-proven by "
-        "tests/test_r11_staged.py; surface built after the round-10 flip "
-        "filled its window stages one window further out: "
-        + ", ".join(f"`{n}`" for n in sorted(STAGED_R11)),
-    ]
     from mapreduce_llm_spark.queries.analytics_r12_staged import STAGED_R12
 
     lines += [
@@ -324,9 +312,21 @@ def main() -> None:
         "",
         f"{len(STAGED_R12)} complete (query, oracle) pairs in "
         "queries/analytics_r12_staged.py — hash-proven by "
-        "tests/test_r12_staged.py; the round-11 staging is itself full, "
-        "so this tranche stages two windows out: "
+        "tests/test_r12_staged.py; surface built after the round-11 flip "
+        "filled its window stages one window further out: "
         + ", ".join(f"`{n}`" for n in sorted(STAGED_R12)),
+    ]
+    from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
+
+    lines += [
+        "",
+        "## Staged for the round-14 window (derived)",
+        "",
+        f"{len(STAGED_R13)} complete (query, oracle) pairs in "
+        "queries/analytics_r13_staged.py — hash-proven by "
+        "tests/test_r13_staged.py; the round-12 staging is itself full, "
+        "so this tranche stages two windows out: "
+        + ", ".join(f"`{n}`" for n in sorted(STAGED_R13)),
     ]
     lines += [
         "",

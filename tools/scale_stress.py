@@ -227,15 +227,14 @@ def main() -> None:
         if name in registry.QUERIES:
             return registry.QUERIES[name]
         # staged-but-unregistered surface is stressed BEFORE its flip
-        from mapreduce_llm_spark.queries.analytics_r11_staged import STAGED_R11
         from mapreduce_llm_spark.queries.analytics_r12_staged import STAGED_R12
         from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
 
-        if name in STAGED_R11:
-            return STAGED_R11[name][0]
         if name in STAGED_R12:
             return STAGED_R12[name][0]
-        return STAGED_R13[name][0]
+        if name in STAGED_R13:
+            return STAGED_R13[name][0]
+        raise KeyError(f"{name}: not registered and not staged in r12/r13")
 
     def bench(name: str, sf_dir: str) -> float:
         qfn = resolve(name)

@@ -857,7 +857,7 @@ def q_user_hour_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, gap_s,
                row_number() OVER (
                    PARTITION BY user_id
-                   ORDER BY gap_s DESC, gap_s DESC) AS rk
+                   ORDER BY gap_s DESC) AS rk
         FROM gaps
         WHERE gap_s IS NOT NULL
     ),

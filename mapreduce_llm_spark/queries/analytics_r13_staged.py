@@ -2361,7 +2361,9 @@ def q_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
     )
     SELECT event_type, n AS n_days,
-           CAST(sv // n AS BIGINT) AS mean_daily_value_e4,
+           CAST(CASE WHEN sv >= 0 THEN sv // n
+                     ELSE -((-sv) // n) END AS BIGINT)
+               AS mean_daily_value_e4,
            CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
                 floor(CAST(n * sxv - sx * sv AS DOUBLE)
                       / CAST(n * sxx - sx * sx AS DOUBLE))
@@ -2378,7 +2380,11 @@ def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains the robust cross-check). All four moment sums are exact
     int64 over the ≤31-row daily aggregate (x ≤ 31 keeps Σx·v within
     31·Σv); the slope is one int64→double divide under floor with the
-    zero-variance guard."""
+    zero-variance guard. The mean uses the q_header_detail_recon
+    sign-safe integer division (abs, divide, re-sign) — events.value
+    is nonnegative in today's generator, but a negative daily sum must
+    not reopen the Spark-trunc vs DuckDB-floor divergence (ADVICE
+    r11)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -2407,9 +2413,10 @@ def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.expr("CAST(sv div n AS BIGINT)").alias(
-            "mean_daily_value_e4"
-        ),
+        F.expr(
+            "CAST(CASE WHEN sv >= 0 THEN sv div n"
+            " ELSE -((-sv) div n) END AS BIGINT)"
+        ).alias("mean_daily_value_e4"),
         F.expr(
             "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
             " floor(CAST(n * sxv - sx * sv AS DOUBLE)"

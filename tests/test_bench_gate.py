@@ -147,3 +147,24 @@ def test_load_bench_reads_the_committed_full_map_artifact():
     # the artifact is directly gateable against itself
     ok, _msg = gate(rec, rec, max_ratio=1.15)
     assert ok
+
+
+def test_bench_refuses_to_overwrite_a_committed_round_map():
+    """VERDICT r11 hygiene finding #1 (second occurrence of the class):
+    the driver's end-of-round bench derives the same in-flight round as
+    the builder's round-end run (CORRECTNESS_r{N} is still uncommitted
+    at both times) and clobbered the committed BENCH_FULL map in rounds
+    10 and 11. bench.py now checks git history: a map committed at HEAD
+    for the derived round is never overwritten (absent the explicit
+    SPARK_GRAFT_BENCH_OVERWRITE escape hatch)."""
+    import bench
+
+    # a committed artifact is protected
+    assert bench.committed_at_head("BENCH_FULL_r11.json")
+    # a name not in history is writable
+    assert not bench.committed_at_head("BENCH_FULL_r99.json")
+    # the guard wires committed_at_head into the write path with the
+    # documented escape hatch
+    src = open(os.path.join(os.path.dirname(bench.__file__), "bench.py")).read()
+    assert "committed_at_head(full_name)" in src
+    assert "SPARK_GRAFT_BENCH_OVERWRITE" in src

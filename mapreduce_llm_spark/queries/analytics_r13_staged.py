@@ -1,13 +1,14 @@
-"""Round-13 STAGED surface — seed tranche.
+"""Round-13 STAGED surface — CLOSED at 50 pairs.
 
-Same staged-tranche contract as analytics_r11_staged /
-analytics_r12_staged, one more window out (the precedent: round 9
-seeded the r11 staging while the r10 window was still pending): the
-round-12 staging is CLOSED at 50, so surface built beyond that point
-stages HERE and flips in round 14 after the r12 batch registers in
-round 13. Every entry is a complete (query fn, DuckDB oracle) pair
-hash-proven NOW at sf0.01 and the sf0.1 sweep env by
-tests/test_r13_staged.py. NOT imported by registry.load_all.
+Same staged-tranche contract as analytics_r11_staged (flipped in
+round 12 as queries/analytics_r11.py) / analytics_r12_staged, one
+more window out: the round-12 staging is CLOSED at 50, so surface
+built beyond that point stages HERE and flips in round 14 after the
+r12 batch registers in round 13. Every entry is a complete (query fn,
+DuckDB oracle) pair hash-proven NOW at sf0.01 and the sf0.1 sweep env
+by tests/test_r13_staged.py. NOT imported by registry.load_all.
+Per the round-11 verdict's backlog cap (item 3), NOTHING stages
+beyond this module until the r12 window registers.
 
 Seed themes — capacity, interleaving, and positional structure:
 
@@ -29,6 +30,15 @@ Seed themes — capacity, interleaving, and positional structure:
 - **Positional text structure** (q_word_len_by_position,
   q_head_mass): word length across document thirds, and the token
   mass the top-10 words absorb.
+- **Order-book economics** (tranche 7): positional pricing within
+  the order, the status×priority mix matrix, pent-up-demand gap
+  pricing, balance-band ordering behavior, brand discount policy.
+- **Event-stream behavior** (tranche 8): per-type value momentum,
+  hour-of-day value premium, the lifecycle activity-week curve, the
+  props payload profile, per-user modal-type affinity.
+- **Star mix & dispersion** (tranche 9): regional part-size mix,
+  embedding sign balance, the nation demand league table,
+  within-order value concentration, brand price laddering.
 
 Determinism discipline: identical to the r11/r12 staging — exact
 integer counts and e4/bp floors via nonneg integer division, round(,4)
@@ -2423,3 +2433,907 @@ def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n * sxx - sx * sx AS DOUBLE)) END AS BIGINT)"
         ).alias("slope_ve4_per_day"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 7 — order-book economics: positional pricing, the
+# status×priority mix, gap-value and balance-value links, brand
+# discount policy.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_line_position_profile",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                // count(*) AS BIGINT) AS mean_price_cents,
+           CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+                // count(*) AS BIGINT) AS mean_discount_bp,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS return_share_bp
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+)
+def q_line_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economics by line POSITION within the order (1..7): mean price,
+    mean discount, and return share per l_linenumber — the
+    order-composition twin of q_linenumber_lag's fulfilment-timing
+    view (lag answers WHEN position ships; this answers WHAT position
+    carries: if late lines are cheap filler or discount bait, basket
+    algorithms should treat them differently). One hash aggregation
+    over lineitem, all moments exact integer cents/bp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_price_cents"),
+            F.expr(
+                "CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_discount_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("return_share_bp"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+@_staged(
+    "q_status_priority_mix",
+    oracle="""
+    WITH cell AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT status, priority, n,
+           CAST(n * 10000 // sum(n) OVER (PARTITION BY status)
+                AS BIGINT) AS status_share_bp,
+           CAST(n * 10000 // sum(n) OVER (PARTITION BY priority)
+                AS BIGINT) AS priority_share_bp
+    FROM cell
+    ORDER BY status, priority
+    """,
+)
+def q_status_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The status × priority contingency MATRIX with row and column
+    shares — the table a fulfilment dashboard renders (q_chi_square
+    emits the independence STATISTIC for a different pair; this emits
+    the cells themselves, so a human sees WHERE the mix skews, e.g.
+    urgent orders stuck open). One aggregation to the ≤15-cell frame,
+    then two windows over that bounded matrix (the round-11 staging's
+    post-aggregation-window pattern — no broadcast legs, no NLJ)."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    return cell.select(
+        "status",
+        "priority",
+        "n",
+        F.expr(
+            "CAST(n * 10000 div sum(n) OVER (PARTITION BY status)"
+            " AS BIGINT)"
+        ).alias("status_share_bp"),
+        F.expr(
+            "CAST(n * 10000 div sum(n) OVER (PARTITION BY priority)"
+            " AS BIGINT)"
+        ).alias("priority_share_bp"),
+    ).orderBy("status", "priority")
+
+
+@_staged(
+    "q_order_gap_value_link",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey, o_totalprice,
+               date_diff('day',
+                   CAST(lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT least(gap_days // 7, CAST(8 AS BIGINT)) AS gap_weeks,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                // count(*) AS BIGINT) AS mean_value_cents
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY least(gap_days // 7, CAST(8 AS BIGINT))
+    ORDER BY gap_weeks
+    """,
+)
+def q_order_gap_value_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a longer silence before an order predict a bigger basket?
+    Mean order value by the weeks elapsed since the customer's
+    PREVIOUS order (capped at 8+ weeks) — the pent-up-demand curve
+    that decides whether win-back campaigns should expect recovery
+    revenue (q_reorder_cadence profiles the gaps; this prices them).
+    Gap via a keyed lag window with the (o_orderdate, o_orderkey)
+    tie-break; first orders have no gap and drop; value moments are
+    exact integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_totalprice",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.select(
+            F.least(
+                F.expr("CAST(gap_days div 7 AS BIGINT)"),
+                F.lit(8).cast("long"),
+            ).alias("gap_weeks"),
+            "o_totalprice",
+        )
+        .groupBy("gap_weeks")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_value_cents"),
+        )
+        .orderBy("gap_weeks")
+    )
+
+
+@_staged(
+    "q_acctbal_order_link",
+    oracle="""
+    WITH banded AS (
+        SELECT c_custkey,
+               CAST(floor((c_acctbal + 1000.0) / 2000.0) AS BIGINT)
+                   AS bal_band
+        FROM customer
+    ),
+    per_cust AS (
+        SELECT b.bal_band, b.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                   AS BIGINT)), 0) AS BIGINT) AS cents
+        FROM banded b LEFT JOIN orders o ON b.c_custkey = o.o_custkey
+        GROUP BY b.bal_band, b.c_custkey
+    )
+    SELECT bal_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(n_orders) * 100 // count(*) AS BIGINT)
+               AS orders_per_cust_e2,
+           CAST(CASE WHEN sum(n_orders) > 0
+                THEN sum(cents) // sum(n_orders) ELSE 0 END AS BIGINT)
+               AS mean_order_cents
+    FROM per_cust
+    GROUP BY bal_band
+    ORDER BY bal_band
+    """,
+)
+def q_acctbal_order_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance band → ordering behavior: orders per customer
+    and mean order value by fixed 2000-unit acctbal bands (schema
+    range [-999.99, 9999.99] ⇒ bands 0..5). FIXED thresholds, not
+    quantiles — band membership is a per-row map, so no global
+    ranking funnel exists at any SF (the q_value_vs_delay lesson
+    applied at design time); dormant customers enter via the left
+    join with zero orders so the per-customer rate is honest. All
+    moments exact integer cents."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    banded = c.select(
+        "c_custkey",
+        F.expr(
+            "CAST(floor((c_acctbal + 1000.0) / 2000.0) AS BIGINT)"
+        ).alias("bal_band"),
+    )
+    per_cust = (
+        banded.join(o, banded["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("bal_band", "c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5)"
+                " AS BIGINT)), 0) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    return (
+        per_cust.groupBy("bal_band")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(n_orders) * 100 div count(*) AS BIGINT)"
+            ).alias("orders_per_cust_e2"),
+            F.expr(
+                "CAST(CASE WHEN sum(n_orders) > 0"
+                " THEN sum(cents) div sum(n_orders) ELSE 0 END AS BIGINT)"
+            ).alias("mean_order_cents"),
+        )
+        .orderBy("bal_band")
+    )
+
+
+@_staged(
+    "q_brand_discount_policy",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS discounted_share_bp,
+           CAST(sum(CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+                // count(*) AS BIGINT) AS mean_discount_bp,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                // count(*) AS BIGINT) AS mean_price_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def q_brand_discount_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level discount POLICY: how often each brand's lines carry
+    any discount, and the mean depth when they do not vs the list
+    price level — the assortment-pricing governance view
+    (q_discount_consistency audits same-part-same-month variance;
+    q_discount_yield tracks time; this compares BRANDS, the unit a
+    vendor negotiation happens at). One shuffle join lineitem→part on
+    partkey (both sides SF-scaling: unhinted, AQE decides strategy),
+    one hash aggregation, exact integer bp/cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("discounted_share_bp"),
+            F.expr(
+                "CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_discount_bp"),
+            F.expr(
+                "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+                " div count(*) AS BIGINT)"
+            ).alias("mean_price_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 8 — event-stream behavior: value momentum and hourly premium,
+# the activity-week cohort curve, the props payload profile, and
+# per-user type affinity.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_value_momentum",
+    oracle="""
+    WITH spanned AS (
+        SELECT event_type,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v,
+               CASE WHEN 2 * epoch_us(ts)
+                         <= min(epoch_us(ts)) OVER (PARTITION BY event_type)
+                            + max(epoch_us(ts)) OVER (PARTITION BY event_type)
+                    THEN 0 ELSE 1 END AS half
+        FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_early,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(sum(CASE WHEN half = 0 THEN v ELSE 0 END)
+                // nullif(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS early_mean_e4,
+           CAST(sum(CASE WHEN half = 1 THEN v ELSE 0 END)
+                // nullif(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS late_mean_e4
+    FROM spanned
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_value_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus value momentum per event type: mean event value in
+    the first vs second half of THAT TYPE's own time span — is the
+    monetization of each action rising or decaying (q_value_trend_ols
+    fits a daily slope; this is the assumption-free two-bucket read
+    that survives any seasonality misfit). The per-type midpoint comes
+    from min/max windows over the type partition — no broadcast
+    scalar leg, no NLJ; half-compare uses 2·t ≤ min+max so the
+    midpoint is never divided; means are exact integer e4 divisions
+    with nullif guards (a half can be empty only if a type has one
+    event, but the guard costs nothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    us = F.unix_micros(F.col("ts"))
+    spanned = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v"),
+        F.when(
+            2 * us <= F.min(us).over(w) + F.max(us).over(w), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    return (
+        spanned.groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_early"),
+            F.expr(
+                "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_late"),
+            F.expr(
+                "CAST(sum(CASE WHEN half = 0 THEN v ELSE 0 END)"
+                " div nullif(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT)"
+            ).alias("early_mean_e4"),
+            F.expr(
+                "CAST(sum(CASE WHEN half = 1 THEN v ELSE 0 END)"
+                " div nullif(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT)"
+            ).alias("late_mean_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_hour_value_premium",
+    oracle="""
+    WITH hourly AS (
+        SELECT hour(ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v
+        FROM events
+        GROUP BY hour(ts)
+    ),
+    tot AS (
+        SELECT hr, n_events, v,
+               CAST(v // n_events AS BIGINT) AS mean_value_e4,
+               sum(n_events) OVER () AS tot_n,
+               sum(v) OVER () AS tot_v
+        FROM hourly
+    )
+    SELECT hr, n_events, mean_value_e4,
+           CAST(floor(CAST((v // n_events) * 10000 * tot_n AS DOUBLE)
+                      / CAST(tot_v AS DOUBLE)) - 10000 AS BIGINT)
+               AS premium_bp
+    FROM tot
+    ORDER BY hr
+    """,
+)
+def q_hour_value_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day value premium: each hour's mean event value vs the
+    corpus mean, in signed basis points — WHEN the high-intent traffic
+    arrives (q_traffic_calendar counts load by slot; this prices the
+    slot, the input a bid-pacing schedule actually needs). One
+    aggregation to 24 rows, totals as windows over that bounded frame,
+    and the premium is one int64-product → double divide under floor
+    (the q_bot_score pinned-double pattern) minus 10000 — never a
+    double mean of a double mean."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.hour("ts").alias("hr")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)"
+        ).alias("v"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("hr"), F.lit(1)))
+    tot = hourly.select(
+        "hr",
+        "n_events",
+        "v",
+        F.expr("CAST(v div n_events AS BIGINT)").alias("mean_value_e4"),
+        F.sum("n_events").over(w).alias("tot_n"),
+        F.sum("v").over(w).alias("tot_v"),
+    )
+    return tot.select(
+        "hr",
+        "n_events",
+        "mean_value_e4",
+        F.expr(
+            "CAST(floor(CAST((v div n_events) * 10000 * tot_n AS DOUBLE)"
+            " / CAST(tot_v AS DOUBLE)) - 10000 AS BIGINT)"
+        ).alias("premium_bp"),
+    ).orderBy("hr")
+
+
+@_staged(
+    "q_user_week_curve",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id,
+               (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+                   // 604800000000 AS wk
+        FROM events
+    )
+    SELECT wk,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) * 100 // count(DISTINCT user_id) AS BIGINT)
+               AS events_per_active_e2
+    FROM marked
+    GROUP BY wk
+    ORDER BY wk
+    """,
+)
+def q_user_week_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-time activity curve: events per active user by WEEKS
+    SINCE THAT USER'S FIRST EVENT (calendar-free lifecycle time, the
+    x-axis retention teams actually plot; q_cohort_retention buckets
+    by calendar cohort, this aligns every user at week 0). Week index
+    via a keyed min-window and integer µs division (the 7-day constant
+    precomputed as 604800000000 — the DuckDB int32-literal-product
+    gotcha); one aggregation per week; the per-active rate is an exact
+    e2 integer division."""
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "CAST((unix_micros(ts) -"
+            " min(unix_micros(ts)) OVER (PARTITION BY user_id))"
+            " div 604800000000 AS BIGINT)"
+        ).alias("wk"),
+    )
+    return (
+        marked.groupBy("wk")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("active_users"),
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(count(*) * 100 div count(DISTINCT user_id) AS BIGINT)"
+            ).alias("events_per_active_e2"),
+        )
+        .orderBy("wk")
+    )
+
+
+@_staged(
+    "q_props_payload",
+    oracle="""
+    WITH payload AS (
+        SELECT event_type,
+               CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(k) * 100 // count(*) AS BIGINT) AS mean_payload_e2,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_payloads,
+           CAST(max(k) AS BIGINT) AS max_payload
+    FROM payload
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_props_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The props-column numeric payload profile per event type: mean,
+    cardinality, and max of the integer carried in the JSON props
+    blob — the first question against an untyped property bag (is the
+    payload an enum, a counter, or an id?). Extraction is one regexp
+    per row pushed through the scan projection (identical '[0-9]+'
+    semantics both engines — no JSON parser dependency, so the oracle
+    needs no extension); moments are exact integer e2."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = ev.select(
+        "event_type",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k"),
+    )
+    return (
+        payload.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(
+                "CAST(sum(k) * 100 div count(*) AS BIGINT)"
+            ).alias("mean_payload_e2"),
+            F.countDistinct("k").cast("long").alias("n_distinct_payloads"),
+            F.max("k").cast("long").alias("max_payload"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_user_type_affinity",
+    oracle="""
+    WITH per_ut AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY user_id, event_type
+    ),
+    shared AS (
+        SELECT user_id, event_type, n,
+               sum(n) OVER (PARTITION BY user_id) AS tot,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM per_ut
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_dominated_users,
+           CAST(sum(n * 10000 // tot) // count(*) AS BIGINT)
+               AS mean_affinity_bp,
+           CAST(sum(CASE WHEN 2 * n > tot THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS majority_share_bp
+    FROM shared
+    WHERE rk = 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_user_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type affinity, aggregated by each user's MODAL
+    type: how many users each type dominates, their mean affinity
+    (modal-type share of their events), and how many are true
+    majorities — the behavioral-segmentation table (are 'error' users
+    a segment or noise?). Modal type via the portable rank-1 keyed
+    window with the (n DESC, event_type) tie-break (the
+    q_source_lang_purity struct-argmax pattern on the events domain);
+    per-user shares are exact integer bp BEFORE averaging so the mean
+    is a mean of pinned integers."""
+    ev = load_table(spark, sf_dir, "events")
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wu = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    shared = per_ut.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.sum("n").over(wu).alias("tot"),
+        F.row_number().over(wr).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return (
+        shared.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_dominated_users"),
+            F.expr(
+                "CAST(sum(n * 10000 div tot) div count(*) AS BIGINT)"
+            ).alias("mean_affinity_bp"),
+            F.expr(
+                "CAST(sum(CASE WHEN 2 * n > tot THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("majority_share_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 9 — star-schema mix and dispersion: regional size mix,
+# embedding sign balance, nation value ranking, within-order value
+# concentration, brand price range.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_region_size_mix",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(p.p_size AS BIGINT)) * 100 // count(*) AS BIGINT)
+               AS mean_size_e2,
+           CAST(sum(CASE WHEN p.p_size >= 40 THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS large_share_bp
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+)
+def q_region_size_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-size mix of what each supplier REGION actually ships:
+    mean part size and the large-part (size ≥ 40) share per region —
+    the logistics-capacity companion to q_region_price_parity's price
+    view (bulky-mix regions need different freight contracts even at
+    equal value). Five-table star: the two SF-scaling joins
+    (supplier, part) are unhinted equi-joins AQE decides;
+    nation/region are fixed-cardinality legs Catalyst broadcasts on
+    its own; one hash aggregation to 5 rows, exact integer e2/bp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    star = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+    )
+    return (
+        star.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr(
+                "CAST(sum(CAST(p_size AS BIGINT)) * 100 div count(*)"
+                " AS BIGINT)"
+            ).alias("mean_size_e2"),
+            F.expr(
+                "CAST(sum(CASE WHEN p_size >= 40 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("large_share_bp"),
+        )
+        .orderBy("region")
+    )
+
+
+@_staged(
+    "q_embed_sign_balance",
+    oracle="""
+    WITH comp AS (
+        SELECT label, unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS pos_share_bp,
+           CAST(sum(CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000)
+                AS BIGINT)) // count(*) AS BIGINT) AS mean_abs_e6
+    FROM comp
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_sign_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign balance of embedding components per label: the positive
+    share and mean magnitude — the cheapest asymmetry probe (a
+    centered embedding space sits near 5000 bp; a drifted or
+    ReLU-truncated one does not, and that decides whether cosine needs
+    recentering before LSH). Component explode is linear in vectors ×
+    dims; sign tests are exact float comparisons and the magnitude is
+    per-component floor(|x|·10⁶) BEFORE summation (float→double cast
+    is value-preserving and identical both engines), so every
+    aggregate is an exact int64."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.explode("embedding").alias("x"))
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.expr(
+                "CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("pos_share_bp"),
+            F.expr(
+                "CAST(sum(CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000)"
+                " AS BIGINT)) div count(*) AS BIGINT)"
+            ).alias("mean_abs_e6"),
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_nation_customer_value",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_name AS nation,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                   AS BIGINT)), 0) AS BIGINT) AS total_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+    )
+    SELECT nation, n_customers, n_orders, total_cents,
+           CAST(CASE WHEN n_orders > 0 THEN total_cents // n_orders
+                ELSE 0 END AS BIGINT) AS cents_per_order,
+           CAST(row_number() OVER (ORDER BY total_cents DESC, nation)
+               AS BIGINT) AS value_rank
+    FROM per_nation
+    ORDER BY value_rank
+    """,
+)
+def q_nation_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation league table by customer order value: customers,
+    orders, exact total cents, per-order value, and rank — the
+    market-sizing view by CUSTOMER domicile (q_nation_trade_balance
+    ranks nations by supply-side flows; this ranks demand). Customers
+    without orders enter via the left join so n_customers is the true
+    base; the rank is a row_number over the 25-row national aggregate
+    with the nation-name tie-break (pmod partition keeps the bounded
+    window off the single-partition warn path)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    per_nation = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5)"
+                " AS BIGINT)), 0) AS BIGINT)"
+            ).alias("total_cents"),
+        )
+    )
+    wr = Window.partitionBy(
+        F.pmod(F.length("nation"), F.lit(1))
+    ).orderBy(F.col("total_cents").desc(), "nation")
+    return per_nation.select(
+        "nation",
+        "n_customers",
+        "n_orders",
+        "total_cents",
+        F.expr(
+            "CAST(CASE WHEN n_orders > 0 THEN total_cents div n_orders"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("cents_per_order"),
+        F.row_number().over(wr).cast("long").alias("value_rank"),
+    ).orderBy("value_rank")
+
+
+@_staged(
+    "q_order_value_concentration",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS top_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS total_cents
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(top_cents * 10000 // total_cents) // count(*)
+               AS BIGINT) AS mean_top_share_bp
+    FROM per_order
+    WHERE n_lines >= 2
+    GROUP BY n_lines
+    ORDER BY n_lines
+    """,
+)
+def q_order_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-order value concentration: the share of an order's value
+    its single biggest line carries, by basket width (2..13 lines in
+    this corpus — linenumbers repeat, so width exceeds the 1..7
+    linenumber domain) — is
+    a multi-line order one purchase plus filler, or balanced? (the
+    anchor-item signal cross-sell models condition on; q_supplier_hhi
+    measures concentration ACROSS orders, this measures INSIDE one).
+    One aggregation per order, per-order shares pinned to integer bp
+    BEFORE the group mean (a random 6-line basket sits near
+    ~3500-4500 bp; 10000 means pure anchor), single-line orders
+    excluded as trivially 10000."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("top_cents"),
+        F.expr(
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("total_cents"),
+    )
+    return (
+        per_order.filter(F.col("n_lines") >= 2)
+        .groupBy("n_lines")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr(
+                "CAST(sum(top_cents * 10000 div total_cents) div count(*)"
+                " AS BIGINT)"
+            ).alias("mean_top_share_bp"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+@_staged(
+    "q_brand_price_range",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS max_cents,
+           CAST((max(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                 - min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)))
+                * 10000 * count(*)
+                // sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS range_vs_mean_bp
+    FROM part
+    GROUP BY p_brand
+    ORDER BY brand
+    """,
+)
+def q_brand_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price RANGE per brand: min/max list price and the range
+    as basis points of the brand mean — does a brand span budget to
+    premium or hold one tier? (q_brand_price_median locates the
+    center; this measures the spread, the laddering question a
+    category manager asks.) One aggregation over part; the
+    range-to-mean ratio is computed as range·10⁴·n // Σcents — one
+    exact integer expression, no intermediate mean rounding."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.expr(
+                "CAST(min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("min_cents"),
+            F.expr(
+                "CAST(max(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("max_cents"),
+            F.expr(
+                "CAST((max(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))"
+                " - min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)))"
+                " * 10000 * count(*)"
+                " div sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("range_vs_mean_bp"),
+        )
+        .orderBy("brand")
+    )
+
+
+#: The exact round-14 DRIVER_PRIORITY window, pre-drafted so the flip
+#: is mechanical (the round-8..12 playbook): 50 staged queries in
+#: definition (= tranche) order — FUTURE_ORACLES is empty, so the whole
+#: window is new surface. tests/test_r13_flip_rehearsal.py pins that
+#: this list is exactly STAGED_R13 with no gaps, dupes, or registry
+#: collisions, and that the post-flip external-verification backlog is
+#: exactly this window.
+ROUND13_WINDOW: list[str] = [
+    "q_peak_to_mean", "q_burst_ratio", "q_dormancy_survival",
+    "q_value_by_depth", "q_order_overlap", "q_span_by_size",
+    "q_discount_seasonality", "q_brand_breadth", "q_word_len_by_position",
+    "q_head_mass", "q_size_price_slope", "q_iqr_outliers",
+    "q_delay_tail_risk", "q_dom_profile", "q_brand_quantity_mix",
+    "q_gap_autocorr", "q_tenure_value", "q_ttr_by_length",
+    "q_rank_stability", "q_session_value", "q_first_basket_effect",
+    "q_basket_size_trend", "q_supplier_dependency", "q_source_lang_purity",
+    "q_part_continuity", "q_reorder_regularity", "q_cross_segment_parts",
+    "q_discount_return_link", "q_region_price_parity", "q_brand_seasonal_peak",
+    "q_priority_value_profile", "q_vowel_profile", "q_basket_unit_price",
+    "q_priority_mix_trend", "q_value_trend_ols", "q_line_position_profile",
+    "q_status_priority_mix", "q_order_gap_value_link", "q_acctbal_order_link",
+    "q_brand_discount_policy", "q_value_momentum", "q_hour_value_premium",
+    "q_user_week_curve", "q_props_payload", "q_user_type_affinity",
+    "q_region_size_mix", "q_embed_sign_balance", "q_nation_customer_value",
+    "q_order_value_concentration", "q_brand_price_range",
+]

@@ -175,12 +175,20 @@ def enriched_segment_counts_stream(
     events: DataFrame, customers: DataFrame
 ) -> DataFrame:
     """Stream-static enrichment: join each micro-batch against a
-    static dimension (broadcast — the dim ships once per executor,
-    the stream never shuffles for the join), then aggregate per
-    segment. The canonical "enrich events with reference data" shape;
-    the static side is re-resolvable per batch, so a slowly-updated
-    dim table is picked up without restarting the query."""
-    dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
+    static dimension, then aggregate per segment. The canonical
+    "enrich events with reference data" shape; the static side is
+    re-resolvable per batch, so a slowly-updated dim table is picked
+    up without restarting the query.
+
+    The dimension leg is deliberately UNHINTED: customers scales with
+    SF, and ``F.broadcast`` is not advisory — a forced hint that works
+    at sf0.1 becomes a forced multi-GB build at the 100-TB design
+    point (the round-9 kcore class; flagged by the round-12 call-site
+    tracing in tools/broadcast_lint.py). When the projection is under
+    the auto-broadcast threshold Spark still picks the broadcast join
+    per micro-batch on its own; past it, the per-batch shuffle join is
+    the plan that completes."""
+    dim = customers.select("c_custkey", "c_mktsegment")
     return (
         events.join(dim, events["user_id"] == dim["c_custkey"])
         .groupBy("c_mktsegment")

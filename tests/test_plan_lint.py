@@ -175,3 +175,81 @@ def test_no_broadcast_hint_on_sf_scaling_tables():
         "F.broadcast hint on an SF-scaling table leg (demote to "
         f"AQE-decided or justify in ALLOWED_BOUNDED): {violations}"
     )
+
+
+def test_broadcast_lint_traces_parameter_passed_hints():
+    """Round-11 verdict item 5: the parameter-passed blind spot is
+    closed by call-site tracing — a library operator that broadcasts a
+    caller-supplied DataFrame is flagged at every call site that feeds
+    it an SF-scaling leg, including through a wrapper (transitive
+    sensitivity), while bounded callers pass."""
+    from tools.broadcast_lint import lint_sources
+
+    operator_mod = '''
+from pyspark.sql import functions as F
+
+def enrich(events, dim):
+    return events.join(F.broadcast(dim.select("k", "v")), "k")
+
+def wrapped(events, reference):
+    return enrich(events, dim=reference)
+'''
+    caller_mod = '''
+from mapreduce_llm_spark.io import load_table
+from ops import enrich, wrapped
+
+def q_bad(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return enrich(ev, cust)
+
+def q_bad_transitive(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem").filter("l_quantity > 0")
+    return wrapped(ev, li)
+
+def q_ok(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    nat = load_table(spark, sf_dir, "nation")
+    return enrich(ev, nat)
+'''
+    violations = lint_sources(
+        [(operator_mod, "ops.py"), (caller_mod, "caller.py")]
+    )
+    descs = [d for _p, _l, d in violations]
+    assert any(
+        "q_bad: F.broadcast(cust) [via enrich(dim=...)]" in d for d in descs
+    ), descs
+    # the wrapper passes its own parameter through: sensitivity must
+    # propagate so the OUTER call site is the one flagged
+    assert any(
+        "q_bad_transitive" in d and "[via wrapped(reference=...)]" in d
+        for d in descs
+    ), descs
+    assert not any("q_ok" in d for d in descs), descs
+    # the stream-side events leg is never broadcast — only dim is
+    assert all("(dim=...)" in d or "(reference=...)" in d for d in descs), descs
+
+
+def test_broadcast_lint_definition_site_waiver_bounds_all_callers():
+    """An ALLOWED_BOUNDED waiver on the operator's own broadcast
+    argument (the ranking operators' one-row-per-partition offsets
+    leg) suppresses sensitivity entirely — callers feeding scaling
+    inputs are not flagged, because the build side is bounded by
+    construction."""
+    from tools.broadcast_lint import lint_sources
+
+    mod = '''
+from pyspark.sql import functions as F
+from mapreduce_llm_spark.io import load_table
+
+def global_row_number(df, order_cols):
+    parts = df.repartitionByRange("k")
+    offsets = parts.groupBy("pid").count()
+    return parts.join(F.broadcast(offsets), "pid")
+
+def q_ranked(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return global_row_number(li, ["k"])
+'''
+    assert lint_sources([(mod, "m.py")]) == []

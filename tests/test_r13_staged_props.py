@@ -475,3 +475,199 @@ def test_value_trend_ols_laws(spark):
         # a slope can't exceed the whole mean level per day here
         # (sanity bound: series are bounded positive)
         assert abs(r["slope_ve4_per_day"]) < 10 * r["mean_daily_value_e4"]
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranches 7-9 (the round-12 window fill).
+# ---------------------------------------------------------------------------
+
+
+def test_line_position_profile_covers_every_line(spark):
+    rows = _run(spark, "q_line_position_profile")
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    assert [r["l_linenumber"] for r in rows] == sorted(
+        r["l_linenumber"] for r in rows
+    )
+    for r in rows:
+        assert 0 <= r["return_share_bp"] <= 10000
+        assert 0 <= r["mean_discount_bp"] <= 10000
+        assert r["mean_price_cents"] > 0
+
+
+def test_status_priority_mix_shares_sum_to_one(spark):
+    rows = _run(spark, "q_status_priority_mix")
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n"] for r in rows) == o.count()
+    by_status: dict = {}
+    by_priority: dict = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r["status_share_bp"])
+        by_priority.setdefault(r["priority"], []).append(
+            r["priority_share_bp"]
+        )
+    # integer-floor shares: each margin sums to 10000 minus < |cells|
+    for shares in by_status.values():
+        assert 10000 - len(shares) <= sum(shares) <= 10000
+    for shares in by_priority.values():
+        assert 10000 - len(shares) <= sum(shares) <= 10000
+
+
+def test_order_gap_value_link_buckets(spark):
+    rows = _run(spark, "q_order_gap_value_link")
+    assert rows
+    buckets = [r["gap_weeks"] for r in rows]
+    assert all(0 <= b <= 8 for b in buckets)
+    assert len(set(buckets)) == len(buckets)
+    # every non-first order contributes exactly one gap
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_DIR, "orders")
+    n_custs = o.select("o_custkey").distinct().count()
+    assert sum(r["n_orders"] for r in rows) == o.count() - n_custs
+
+
+def test_acctbal_order_link_conserves_customers_and_orders(spark):
+    rows = _run(spark, "q_acctbal_order_link")
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_customers"] for r in rows) == c.count()
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    for r in rows:
+        # schema range [-999.99, 9999.99] => bands 0..5
+        assert 0 <= r["bal_band"] <= 5
+        assert r["orders_per_cust_e2"] == r["n_orders"] * 100 // r["n_customers"]
+
+
+def test_brand_discount_policy_bounds(spark):
+    rows = _run(spark, "q_brand_discount_policy")
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == li_n
+    for r in rows:
+        assert 0 <= r["discounted_share_bp"] <= 10000
+        # mean depth cannot exceed the max schema discount (10%)
+        assert 0 <= r["mean_discount_bp"] <= 1000
+        # a brand with any discounting must show positive mean depth
+        if r["discounted_share_bp"] > 0:
+            assert r["mean_discount_bp"] >= 0
+
+
+def test_value_momentum_accounts_for_every_event(spark):
+    rows = _run(spark, "q_value_momentum")
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_early"] + r["n_late"] for r in rows) == ev.count()
+    for r in rows:
+        # the early half INCLUDES the min-ts event by construction
+        assert r["n_early"] >= 1
+        assert r["early_mean_e4"] >= 0 and r["late_mean_e4"] >= 0
+
+
+def test_hour_value_premium_is_centered(spark):
+    rows = _run(spark, "q_hour_value_premium")
+    assert len(rows) == 24
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    # premiums are deviations around the corpus mean: the event-count-
+    # weighted average must straddle zero within floor slack
+    weighted = sum(r["premium_bp"] * r["n_events"] for r in rows)
+    total = sum(r["n_events"] for r in rows)
+    assert -2 * 10000 <= weighted // total <= 10000 // 24
+
+
+def test_user_week_curve_week0_holds_every_user(spark):
+    rows = _run(spark, "q_user_week_curve")
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    week0 = next(r for r in rows if r["wk"] == 0)
+    # every user's first event lands in their own week 0
+    assert week0["active_users"] == n_users
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["events_per_active_e2"] >= 100  # active => >= 1 event
+
+
+def test_props_payload_matches_raw_extraction(spark):
+    from pyspark.sql import functions as F
+
+    rows = _run(spark, "q_props_payload")
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    raw_max = ev.agg(
+        F.max(F.regexp_extract("props", "[0-9]+", 0).cast("long"))
+    ).first()[0]
+    assert max(r["max_payload"] for r in rows) == raw_max
+    for r in rows:
+        assert r["n_distinct_payloads"] <= r["max_payload"] + 1
+
+
+def test_user_type_affinity_partitions_users(spark):
+    rows = _run(spark, "q_user_type_affinity")
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    # rank-1 window: every user has exactly one modal type
+    assert sum(r["n_dominated_users"] for r in rows) == n_users
+    for r in rows:
+        # the modal share of k types is at least ceil(1/k) of events
+        assert r["mean_affinity_bp"] >= 10000 // 5
+        assert 0 <= r["majority_share_bp"] <= 10000
+
+
+def test_region_size_mix_conserves_lines(spark):
+    rows = _run(spark, "q_region_size_mix")
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    assert len(rows) == 5
+    assert sum(r["n_lines"] for r in rows) == li_n
+    for r in rows:
+        # p_size is 1..50 by schema
+        assert 100 <= r["mean_size_e2"] <= 5000
+        assert 0 <= r["large_share_bp"] <= 10000
+
+
+def test_embed_sign_balance_conserves_components(spark):
+    from pyspark.sql import functions as F
+
+    rows = _run(spark, "q_embed_sign_balance")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_comp = emb.select(F.sum(F.size("embedding"))).first()[0]
+    assert sum(r["n_components"] for r in rows) == n_comp
+    for r in rows:
+        assert 0 <= r["pos_share_bp"] <= 10000
+        assert r["mean_abs_e6"] >= 0
+
+
+def test_nation_customer_value_rank_is_a_permutation(spark):
+    rows = _run(spark, "q_nation_customer_value")
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_customers"] for r in rows) == c.count()
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    ranks = [r["value_rank"] for r in rows]
+    assert sorted(ranks) == list(range(1, len(rows) + 1))
+    totals = [r["total_cents"] for r in sorted(rows, key=lambda x: x["value_rank"])]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_order_value_concentration_bounds(spark):
+    rows = _run(spark, "q_order_value_concentration")
+    assert rows
+    for r in rows:
+        assert r["n_lines"] >= 2
+        # the top line of an n-line order carries between 1/n and all
+        assert 10000 // r["n_lines"] - 1 <= r["mean_top_share_bp"] <= 10000
+    # concentration must fall as baskets widen; only assert between
+    # well-populated adjacent buckets (the 12-13-line tail is sparse)
+    by_n = sorted(rows, key=lambda r: r["n_lines"])
+    for a, b in zip(by_n, by_n[1:]):
+        if a["n_orders"] >= 50 and b["n_orders"] >= 50:
+            assert b["mean_top_share_bp"] <= a["mean_top_share_bp"] + 100
+
+
+def test_brand_price_range_bounds(spark):
+    rows = _run(spark, "q_brand_price_range")
+    p = load_table(spark, SF_DIR, "part")
+    assert sum(r["n_parts"] for r in rows) == p.count()
+    for r in rows:
+        assert r["min_cents"] <= r["max_cents"]
+        assert r["range_vs_mean_bp"] >= 0
+        if r["n_parts"] == 1:
+            assert r["range_vs_mean_bp"] == 0

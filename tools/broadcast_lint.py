@@ -27,14 +27,21 @@ aware (round-10 advisor findings):
   ride the waiver) may bless a provably fixed-cardinality key set.
 - ``limit/summary/describe`` bound the output regardless of input.
 
-KNOWN BLIND SPOT (documented, reviewed): the lint is static and
-intra-module — a DataFrame arriving as a FUNCTION PARAMETER classifies
-'other' and is skipped, so a hint on a parameter inside a library
-operator (e.g. the stream-static join in ``streaming/pipeline.py``,
-which broadcasts a caller-supplied dimension leg) is invisible here.
-Those call sites are covered by review + the runtime plan lint
-(tests/test_plan_lint.py sweeps every registered query's physical
-plan), not by this AST pass.
+PARAMETER TRACING (closes the round-9-class blind spot, VERDICT r11
+item 5): a DataFrame arriving as a FUNCTION PARAMETER is no longer
+skipped. Pass 1 tags every function parameter and records which
+parameters' tags reach a ``F.broadcast`` argument inside their
+function ("broadcast-sensitive" parameters). Pass 2 walks every call
+site in the tree, binds arguments to the callee's parameters (by
+position and keyword, matched on the callee's bare name), and flags
+any call that feeds a SCALING expression into a broadcast-sensitive
+parameter — at the CALL SITE, where the caller knows the real
+cardinality. Sensitivity propagates transitively (a wrapper passing
+its own parameter through to a sensitive callee becomes sensitive
+itself, to a fixpoint across the whole tree). Residual limits: bare-
+name callee matching (two same-named functions share sensitivity) and
+no tracing through containers/closures — both conservative, and the
+runtime plan lint (tests/test_plan_lint.py) remains the backstop.
 
 CLI: ``python tools/broadcast_lint.py`` prints one ``path:line var``
 per violation and exits non-zero if any. The test suite pins the
@@ -189,6 +196,14 @@ def _classify(node: ast.expr, env: dict[str, str]) -> str:
                 arg_cls = [_classify(a, env) for a in node.args]
                 if base == "scaling" or "scaling" in arg_cls:
                     return "scaling"
+                # a parameter tag survives passthrough ops (and joins
+                # against bounded legs): broadcast(param.select(...))
+                # must still resolve to the parameter
+                tags = [
+                    c for c in (base, *arg_cls) if c.startswith("param::")
+                ]
+                if tags:
+                    return tags[0]
                 if base == "bounded":
                     return "bounded"
                 return "other"
@@ -208,75 +223,217 @@ def _is_broadcast_call(node: ast.Call) -> bool:
     return False
 
 
-def lint_source(src: str, path: str = "<src>") -> list[tuple[str, int, str]]:
-    """Return [(path, lineno, description)] for every scaling-leg hint.
+def _param_tag(fname: str, param: str) -> str:
+    return f"param::{fname}::{param}"
 
-    Walks the module ONCE with an explicit scope map (round-10 advisor
-    finding): module-level code and async functions are checked, nested
-    defs are visited exactly once, and each broadcast call resolves
-    names against the assignment env of its own scope chain (innermost
-    function outward to module), never a sibling's.
-    """
-    tree = ast.parse(src)
 
-    # innermost enclosing scope (function node or the module) per node
-    scope_of: dict[ast.AST, ast.AST] = {}
+def _params_of(node: ast.AST) -> list[ast.arg]:
+    a = node.args
+    return list(a.posonlyargs) + list(a.args) + list(a.kwonlyargs)
 
-    def visit(node: ast.AST, scope: ast.AST) -> None:
-        scope_of[node] = scope
-        for child in ast.iter_child_nodes(node):
-            visit(child, node if isinstance(node, _FUNC_TYPES) else scope)
 
-    # top-level: the module is its own scope; a function node itself
-    # belongs to the scope it is DEFINED in, its body to itself
-    for child in ast.iter_child_nodes(tree):
-        visit(child, tree)
-    scope_of[tree] = tree
+class _Analysis:
+    """Single-module AST pass: explicit scope map (round-10 advisor
+    finding — module-level code and async functions are checked, nested
+    defs visited exactly once, each site resolving names against its
+    own scope chain), per-site assignment envs seeded with parameter
+    tags, direct scaling violations, broadcast-sensitive parameters,
+    and call records for the cross-module pass-2."""
 
-    assigns_by_scope: dict[ast.AST, list[ast.Assign]] = {}
-    calls: list[tuple[ast.Call, ast.AST]] = []
-    for node, scope in scope_of.items():
-        # a def's body nodes carry the def itself as scope; the def
-        # node's own scope is where it was defined
-        owner = node if isinstance(node, _FUNC_TYPES) else scope
-        if isinstance(node, ast.Assign):
-            assigns_by_scope.setdefault(scope, []).append(node)
-        elif isinstance(node, ast.Call) and _is_broadcast_call(node):
-            calls.append((node, scope))
-        del owner
+    def __init__(self, src: str, path: str = "<src>") -> None:
+        self.path = path
+        self.tree = tree = ast.parse(src)
 
-    def scope_chain(scope: ast.AST) -> list[ast.AST]:
+        scope_of: dict[ast.AST, ast.AST] = {}
+
+        def visit(node: ast.AST, scope: ast.AST) -> None:
+            scope_of[node] = scope
+            for child in ast.iter_child_nodes(node):
+                visit(child, node if isinstance(node, _FUNC_TYPES) else scope)
+
+        # top-level: the module is its own scope; a function node itself
+        # belongs to the scope it is DEFINED in, its body to itself
+        for child in ast.iter_child_nodes(tree):
+            visit(child, tree)
+        scope_of[tree] = tree
+        self.scope_of = scope_of
+
+        self.assigns_by_scope: dict[ast.AST, list[ast.Assign]] = {}
+        self.bcasts: list[tuple[ast.Call, ast.AST]] = []
+        self.calls: list[tuple[ast.Call, ast.AST]] = []
+        #: bare function name -> every parameter-name list defined
+        #: under that name in this module
+        self.funcdefs: dict[str, list[list[str]]] = {}
+        for node, scope in scope_of.items():
+            if isinstance(node, ast.Assign):
+                self.assigns_by_scope.setdefault(scope, []).append(node)
+            elif isinstance(node, ast.Call):
+                if _is_broadcast_call(node):
+                    self.bcasts.append((node, scope))
+                else:
+                    self.calls.append((node, scope))
+            if isinstance(node, _FUNC_TYPES):
+                self.funcdefs.setdefault(node.name, []).append(
+                    [a.arg for a in _params_of(node)]
+                )
+
+    def _chain(self, scope: ast.AST) -> list[ast.AST]:
         chain = [scope]
-        while scope is not tree:
-            scope = scope_of[scope]
-            if isinstance(scope, _FUNC_TYPES) or scope is tree:
+        while scope is not self.tree:
+            scope = self.scope_of[scope]
+            if isinstance(scope, _FUNC_TYPES) or scope is self.tree:
                 chain.append(scope)
         return chain
 
-    violations: list[tuple[str, int, str]] = []
-    for call, scope in sorted(calls, key=lambda c: c[0].lineno):
-        if not call.args:
-            continue
-        chain = scope_chain(scope)
+    def env_at(self, site: ast.AST, scope: ast.AST) -> dict[str, str]:
+        """Assignment env visible at ``site``: parameter tags of every
+        enclosing function (outermost first, so inner shadows outer),
+        then assignments in scope-chain lineno order up to the site."""
+        chain = self._chain(scope)
+        env: dict[str, str] = {}
+        for s in reversed(chain):
+            if isinstance(s, _FUNC_TYPES):
+                for a in _params_of(s):
+                    env[a.arg] = _param_tag(s.name, a.arg)
         relevant = sorted(
-            (a for s in chain for a in assigns_by_scope.get(s, [])),
+            (a for s in chain for a in self.assigns_by_scope.get(s, [])),
             key=lambda a: a.lineno,
         )
-        env: dict[str, str] = {}
         for a in relevant:
-            if a.lineno > call.lineno:
+            if a.lineno > site.lineno:
                 break
             cls = _classify(a.value, env)
             for tgt in a.targets:
                 if isinstance(tgt, ast.Name):
                     env[tgt.id] = cls
-        if _classify(call.args[0], env) == "scaling":
-            fname = scope.name if isinstance(scope, _FUNC_TYPES) else "<module>"
-            argtxt = ast.unparse(call.args[0])
-            violations.append(
-                (path, call.lineno, f"{fname}: F.broadcast({argtxt})")
+        return env
+
+    def scan(self) -> tuple[list[tuple[str, int, str]], set[tuple[str, str]]]:
+        """-> (direct scaling violations, broadcast-sensitive params)."""
+        violations: list[tuple[str, int, str]] = []
+        sensitive: set[tuple[str, str]] = set()
+        for call, scope in sorted(self.bcasts, key=lambda c: c[0].lineno):
+            if not call.args:
+                continue
+            env = self.env_at(call, scope)
+            cls = _classify(call.args[0], env)
+            fname = (
+                scope.name if isinstance(scope, _FUNC_TYPES) else "<module>"
             )
-    return violations
+            if cls == "scaling":
+                argtxt = ast.unparse(call.args[0])
+                violations.append(
+                    (self.path, call.lineno, f"{fname}: F.broadcast({argtxt})")
+                )
+            elif cls.startswith("param::"):
+                # a definition-site ALLOWED_BOUNDED waiver on the
+                # broadcast argument (e.g. the ranking operators'
+                # one-row-per-partition offsets leg) bounds the build
+                # side for EVERY caller — no sensitivity to propagate
+                argtxt = ast.unparse(call.args[0])
+                if _waived(f"{fname}: F.broadcast({argtxt})"):
+                    continue
+                _, owner, param = cls.split("::", 2)
+                sensitive.add((owner, param))
+        return violations, sensitive
+
+    def call_records(
+        self, known: dict[str, list[list[str]]]
+    ) -> list[dict]:
+        """One record per (call site, bound parameter) for every call
+        to a known function whose argument classifies as scaling or as
+        a caller parameter tag (the only classes that can produce a
+        violation or propagate sensitivity)."""
+        out: list[dict] = []
+        for call, scope in self.calls:
+            fn = call.func
+            name = fn.attr if isinstance(fn, ast.Attribute) else (
+                fn.id if isinstance(fn, ast.Name) else None
+            )
+            if name is None or name not in known:
+                continue
+            env = self.env_at(call, scope)
+            caller = (
+                scope.name if isinstance(scope, _FUNC_TYPES) else "<module>"
+            )
+            seen: set[tuple[str, int]] = set()
+            for params in known[name]:
+                kw = {k.arg: k.value for k in call.keywords if k.arg}
+                bindings = list(zip(params, call.args)) + [
+                    (p, kw[p]) for p in params if p in kw
+                ]
+                for param, argnode in bindings:
+                    if (param, argnode.lineno) in seen:
+                        continue
+                    seen.add((param, argnode.lineno))
+                    cls = _classify(argnode, env)
+                    if cls != "scaling" and not cls.startswith("param::"):
+                        continue
+                    out.append(
+                        {
+                            "callee": name,
+                            "param": param,
+                            "cls": cls,
+                            "path": self.path,
+                            "lineno": call.lineno,
+                            "caller": caller,
+                            "argtext": ast.unparse(argnode),
+                        }
+                    )
+        return out
+
+
+def lint_source(src: str, path: str = "<src>") -> list[tuple[str, int, str]]:
+    """Direct (intra-module) scaling-leg hints of one module."""
+    return _Analysis(src, path).scan()[0]
+
+
+def lint_sources(
+    modules: list[tuple[str, str]]
+) -> list[tuple[str, int, str]]:
+    """Tree-wide lint over [(src, path)]: direct violations plus
+    call-site tracing of broadcast-sensitive parameters, sensitivity
+    propagated transitively to a fixpoint."""
+    analyses = [_Analysis(src, path) for src, path in modules]
+    known: dict[str, list[list[str]]] = {}
+    for a in analyses:
+        for name, plists in a.funcdefs.items():
+            known.setdefault(name, []).extend(plists)
+
+    violations: list[tuple[str, int, str]] = []
+    sensitive: set[tuple[str, str]] = set()
+    records: list[dict] = []
+    for a in analyses:
+        direct, sens = a.scan()
+        violations.extend(direct)
+        sensitive |= sens
+        records.extend(a.call_records(known))
+
+    # transitive closure: a wrapper feeding its own parameter into a
+    # sensitive callee parameter is itself sensitive
+    changed = True
+    while changed:
+        changed = False
+        for r in records:
+            if (r["callee"], r["param"]) in sensitive and r[
+                "cls"
+            ].startswith("param::"):
+                _, owner, p = r["cls"].split("::", 2)
+                if (owner, p) not in sensitive:
+                    sensitive.add((owner, p))
+                    changed = True
+
+    for r in records:
+        if (r["callee"], r["param"]) in sensitive and r["cls"] == "scaling":
+            violations.append(
+                (
+                    r["path"],
+                    r["lineno"],
+                    f"{r['caller']}: F.broadcast({r['argtext']})"
+                    f" [via {r['callee']}({r['param']}=...)]",
+                )
+            )
+    return sorted(violations)
 
 
 # Bounded-by-semantics legs the AST classifier cannot see; each hint's
@@ -366,17 +523,37 @@ ALLOWED_BOUNDED: dict[tuple[str, str], str] = {
     ("q_absorption_prob", "acc"): "per-event-type, <= 5 rows",
     ("q_lang_vocab_overlap", "sa"): "per-lang vocab sizes, 5 rows",
     ("q_lang_vocab_overlap", "sb"): "per-lang vocab sizes, 5 rows",
+    # --- definition-site waivers for parameter-receiving operators
+    # (round-12 call-site tracing): the broadcast leg is bounded by
+    # CONSTRUCTION for every caller, so no sensitivity propagates ---
+    ("global_row_number", "offsets"): (
+        "prefix-summed per-partition counts: one row per physical "
+        "partition (~|partitions|), independent of df's row count"
+    ),
+    ("partitioned_row_number", "offsets"): (
+        "per-(partition, key) count frame, |keys| x |partitions| rows; "
+        "the operator's documented contract restricts it to "
+        "low-cardinality keys (high-cardinality callers use the plain "
+        "keyed window instead)"
+    ),
+    ("global_prefix_sum", "offsets"): (
+        "prefix-summed per-partition totals: one row per physical "
+        "partition, independent of df's row count"
+    ),
 }
 
 
 def _waived(desc: str) -> bool:
     fname, _, rest = desc.partition(": F.broadcast(")
-    argtxt = rest[:-1] if rest.endswith(")") else rest
+    if ") [via " in rest:
+        argtxt = rest.split(") [via ")[0]
+    else:
+        argtxt = rest[:-1] if rest.endswith(")") else rest
     return (fname, argtxt) in ALLOWED_BOUNDED
 
 
 def lint_tree(root: str) -> list[tuple[str, int, str]]:
-    out: list[tuple[str, int, str]] = []
+    modules: list[tuple[str, str]] = []
     for dirpath, _dirnames, filenames in os.walk(root):
         if "__pycache__" in dirpath:
             continue
@@ -385,9 +562,8 @@ def lint_tree(root: str) -> list[tuple[str, int, str]]:
                 continue
             path = os.path.join(dirpath, fname)
             with open(path) as fh:
-                src = fh.read()
-            out.extend(v for v in lint_source(src, path) if not _waived(v[2]))
-    return sorted(out)
+                modules.append((fh.read(), path))
+    return sorted(v for v in lint_sources(modules) if not _waived(v[2]))
 
 
 def main() -> int:

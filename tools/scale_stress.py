@@ -270,7 +270,10 @@ def main() -> None:
     # rows of earlier tranches — SCALE_STRESS.json is the cumulative
     # book of every measured query
     def key(r: dict) -> tuple:
-        return (r["query"], r.get("decade", "0.1-1"))
+        # fixture enters the key so a density-preserving re-measurement
+        # ACCOMPANIES the standard-copies row instead of erasing it —
+        # the book keeps both the confounded and the corrected exponent
+        return (r["query"], r.get("decade", "0.1-1"), r.get("fixture", "copies"))
 
     prior: list[dict] = []
     if os.path.exists("SCALE_STRESS.json"):

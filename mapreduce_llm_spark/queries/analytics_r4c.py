@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
@@ -515,11 +516,17 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 for ~4% more edge rows).
     items = li.select("l_orderkey", "l_partkey")
     a, b = items.alias("a"), items.alias("b")
+    # SERIALIZED storage for the materialized edge list (storage only —
+    # value-identical): the default deserialized-row cache of the
+    # |lines|²-per-order pair set outgrew executor storage at sf10 and
+    # the eviction/GC churn ran the second decade at exponent 1.246
+    # (round-12 diagnosis); MEMORY_AND_DISK (serialized in PySpark)
+    # packs ~2-4x tighter, stays resident, and re-measures at 0.84.
     oriented = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     edges = oriented.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")

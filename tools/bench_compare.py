@@ -31,6 +31,12 @@ ACCEPTED_REGRESSIONS: dict[str, str] = {
     # ngram_jaccard_pairs (+0.44 s at sf0.1, plan shape unchanged) —
     # accepted in ROUND4_NOTES; keeps prior-round comparisons honest.
     "q_dedup_ngram": "r4 leak-fix localCheckpoint (+0.44s accepted)",
+    # round 12: the materialized co-purchase edge list moved to
+    # SERIALIZED localCheckpoint storage — +~1.5-2 s of (de)serialize
+    # CPU at sf0.1 bought a 2.3x absolute win at sf10 and dropped the
+    # second-decade exponent 1.246 -> 0.846 (ROUND12_NOTES); the
+    # 100 TB design point wins the trade.
+    "q_graph_bfs": "r12 serialized edge-list checkpoint (sf10 2.3x win)",
 }
 
 

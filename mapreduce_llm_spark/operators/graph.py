@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def connected_components(
@@ -203,7 +204,15 @@ def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
     exists, instead of all ``iters`` levels pinning block-manager
     memory until the final union evaluates."""
     spark = edges.sparkSession
-    e = edges.select("u", "v").localCheckpoint(eager=True)
+    # Edge-list checkpoints use SERIALIZED storage (MEMORY_AND_DISK is
+    # serialized in PySpark): the q_graph_bfs round-12 diagnosis showed
+    # the default deserialized-row cache of an SF-scaling pair frame
+    # outgrowing executor storage at sf10 (eviction + GC churn) — the
+    # packed form stays resident. Node-set checkpoints stay default:
+    # one slim column, re-read twice per round, not storage-bound.
+    e = edges.select("u", "v").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     nodes = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -228,7 +237,9 @@ def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
             e.join(nodes.select(F.col("n").alias("u")), "u", "left_semi")
             .join(nodes.select(F.col("n").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
     return spark.createDataFrame(
         trace_rows, "iter INT, n_nodes BIGINT, n_edges BIGINT"

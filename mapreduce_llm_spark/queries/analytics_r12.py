@@ -1,17 +1,13 @@
-"""Round-12 STAGED surface — seed tranche.
+"""Round-12 registered surface — 50 oracle-backed analytics queries,
+staged (as queries/analytics_r12_staged.py) and hash-proven through
+the driver-gate harness at sf0.01 AND the sf0.1 sweep env in rounds
+11-12, flipped into live ``@query(oracle=...)`` declarations in
+round 13, byte-identical to the rehearsal
+(tests/test_r12_flip_rehearsal.py at the time): no collisions,
+exactly 50 slots, no FUTURE_ORACLES graduations remaining, backlog
+closure by construction.
 
-Same staged-tranche contract the round-9/10/11 batches followed before
-their flips (analytics_r10_staged → queries/analytics_r10.py in
-round 11; analytics_r11_staged flips in round 12): the round-11 window
-is fully allocated (50 pre-drafted pairs in ROUND11_WINDOW), so surface
-built beyond that point stages HERE and flips in round 13. Every entry
-is a complete (query fn, DuckDB oracle) pair hash-proven NOW at sf0.01
-and the sf0.1 sweep env by tests/test_r12_staged.py through the same
-harness the driver gate uses. NOT imported by registry.load_all —
-importing this module must stay registry-side-effect free (pinned by
-the staging test).
-
-Seed themes — decision seams the first 535 queries leave open:
+Tranche themes — decision seams the first 535 queries leave open:
 
 - **Point-process structure** (q_interarrival_hazard, q_gap_entropy):
   the discrete hazard and bucket-entropy of inter-event gaps — the
@@ -29,6 +25,13 @@ q_header_detail_recon rule), round(,4) only on the allowed
 log/sqrt/corr class, nullif/CASE guards on data-dependent
 denominators, packed nonneg-integer argmax instead of struct argmin
 (the q_kmeans_step rule).
+
+Plan-lint status: no cartesian products, no Python crossings; the
+BroadcastNestedLoopJoin hits are all allowlisted broadcast
+scalar/grid legs carried verbatim into
+tests/test_plan_lint.py::NLJ_OK — q_type_cooccurrence (1-row
+distinct-user-total leg), q_mood_median (1-row grand-median leg),
+q_benford_second (1-row digit-total leg + 10-row digit grid).
 """
 
 from __future__ import annotations
@@ -39,22 +42,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-#: name -> (query fn, DuckDB oracle SQL); round 13 flips these into
-#: @query(oracle=...) declarations verbatim.
-STAGED_R12: dict[str, tuple[QueryFn, str]] = {}
-
-
-def _staged(name: str, oracle: str):
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_R12:
-            raise ValueError(f"duplicate staged query {name!r}")
-        STAGED_R12[name] = (fn, oracle)
-        return fn
-
-    return deco
 
 
 def _r12_words(col):
@@ -71,7 +61,7 @@ def _r12_words(col):
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_interarrival_hazard",
     oracle="""
     WITH gaps AS (
@@ -151,7 +141,7 @@ def q_interarrival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket")
 
 
-@_staged(
+@query(
     "q_type_cooccurrence",
     oracle="""
     WITH ut AS (
@@ -249,7 +239,7 @@ def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_drawdown",
     oracle="""
     WITH daily AS (
@@ -329,7 +319,7 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_gap_entropy",
     oracle="""
     WITH gaps AS (
@@ -404,7 +394,7 @@ def q_gap_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_wow_volatility",
     oracle="""
     WITH weekly AS (
@@ -485,7 +475,7 @@ def q_wow_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_session_depth",
     oracle="""
     WITH ordered AS (
@@ -588,7 +578,7 @@ def q_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("depth_bucket")
 
 
-@_staged(
+@query(
     "q_alternation_rate",
     oracle="""
     WITH trans AS (
@@ -675,7 +665,7 @@ def q_alternation_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_monotone_runs",
     oracle="""
     WITH daily AS (
@@ -778,7 +768,7 @@ def q_monotone_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return up_best.join(down_best, "event_type").orderBy("event_type")
 
 
-@_staged(
+@query(
     "q_user_hour_hhi",
     oracle="""
     WITH per_hour AS (
@@ -843,7 +833,7 @@ def q_user_hour_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_gap_dominance",
     oracle="""
     WITH gaps AS (
@@ -933,7 +923,7 @@ def q_gap_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_priority_inversion",
     oracle="""
     WITH delays AS (
@@ -1014,7 +1004,7 @@ def q_priority_inversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_balance_sign_mix",
     oracle="""
     WITH c AS (
@@ -1090,7 +1080,7 @@ def q_balance_sign_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_part_token_price",
     oracle="""
     WITH toks AS (
@@ -1140,7 +1130,7 @@ def q_part_token_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("n_parts").desc(), "token").limit(20)
 
 
-@_staged(
+@query(
     "q_multi_supplier_orders",
     oracle="""
     WITH per_pair AS (
@@ -1199,7 +1189,7 @@ def q_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_tax_by_value_band",
     oracle="""
     WITH banded AS (
@@ -1279,7 +1269,7 @@ def q_tax_by_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_hapax_rate",
     oracle="""
     WITH wc AS (
@@ -1337,7 +1327,7 @@ def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_cramers_v",
     oracle="""
     WITH cells AS (
@@ -1448,7 +1438,7 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_bits_per_char",
     oracle="""
     WITH bigrams AS (
@@ -1544,7 +1534,7 @@ def q_bits_per_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_cohens_kappa",
     oracle="""
     WITH rules AS (
@@ -1649,7 +1639,7 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-@_staged(
+@query(
     "q_filter_parity",
     oracle="""
     WITH per_lang AS (
@@ -1718,7 +1708,7 @@ def q_filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_vocab_gini",
     oracle="""
     WITH wc AS (
@@ -1802,7 +1792,7 @@ def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-@_staged(
+@query(
     "q_word_stutter",
     oracle="""
     WITH words AS (
@@ -1881,7 +1871,7 @@ def q_word_stutter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_word_position_bias",
     oracle="""
     WITH words AS (
@@ -1949,7 +1939,7 @@ def q_word_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_chunk_boundary_loss",
     oracle="""
     WITH cuts AS (
@@ -2028,7 +2018,7 @@ def q_chunk_boundary_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_context_fit",
     oracle="""
     WITH counted AS (
@@ -2104,7 +2094,7 @@ def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_mood_median",
     oracle="""
     WITH med AS (
@@ -2215,7 +2205,7 @@ def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment")
 
 
-@_staged(
+@query(
     "q_mann_kendall",
     oracle="""
     WITH daily AS (
@@ -2378,7 +2368,7 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@_staged(
+@query(
     "q_theil_sen",
     oracle="""
     WITH daily AS (
@@ -2454,7 +2444,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_spearman",
     oracle="""
     WITH vals AS (
@@ -2544,7 +2534,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_xcorr_lag",
     oracle="""
     WITH daily AS (
@@ -2637,7 +2627,7 @@ def q_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_month_end_load",
     oracle="""
     WITH flagged AS (
@@ -2700,7 +2690,7 @@ def q_month_end_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_isoweek_rollover",
     oracle="""
     SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
@@ -2753,7 +2743,7 @@ def q_isoweek_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_quarter_end_push",
     oracle="""
     WITH flagged AS (
@@ -2815,7 +2805,7 @@ def q_quarter_end_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_psi_drift",
     oracle="""
     WITH banded AS (
@@ -2908,7 +2898,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("value_band")
 
 
-@_staged(
+@query(
     "q_benford_second",
     oracle="""
     WITH digits AS (
@@ -3007,7 +2997,7 @@ def q_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_new_item_ramp",
     oracle="""
     WITH firsts AS (
@@ -3088,7 +3078,7 @@ def q_new_item_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_cheapest_supplier_churn",
     oracle="""
     WITH unit AS (
@@ -3165,7 +3155,7 @@ def q_cheapest_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_supplier_reach",
     oracle="""
     WITH reach AS (
@@ -3222,7 +3212,7 @@ def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_unit_price_consistency",
     oracle="""
     WITH ratios AS (
@@ -3278,7 +3268,7 @@ def q_unit_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_daily_mix_entropy",
     oracle="""
     WITH cells AS (
@@ -3337,7 +3327,7 @@ def q_daily_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_embed_signbits",
     oracle="""
     WITH coords AS (
@@ -3437,7 +3427,7 @@ def q_embed_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_embed_axis_dominance",
     oracle="""
     WITH coords AS (
@@ -3523,7 +3513,7 @@ def q_embed_axis_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_pivot_two_measures",
     oracle="""
     SELECT o_orderpriority,
@@ -3590,7 +3580,7 @@ def q_pivot_two_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
-@_staged(
+@query(
     "q_win_exclude_current",
     oracle="""
     WITH vals AS (
@@ -3663,7 +3653,7 @@ def q_win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_forecast_mase",
     oracle="""
     WITH daily AS (
@@ -3749,7 +3739,7 @@ def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_brand_return_wilson",
     oracle="""
     WITH per_brand AS (
@@ -3824,7 +3814,7 @@ def q_brand_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_brand")
 
 
-@_staged(
+@query(
     "q_price_staleness",
     oracle="""
     WITH per_part AS (
@@ -3899,7 +3889,7 @@ def q_price_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_mktseg_priority_mix",
     oracle="""
     WITH cells AS (
@@ -3966,7 +3956,7 @@ def q_mktseg_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment", "prio")
 
 
-@_staged(
+@query(
     "q_value_half_life",
     oracle="""
     WITH daily AS (
@@ -4048,7 +4038,7 @@ def q_value_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_discount_by_quantity",
     oracle="""
     WITH lines AS (
@@ -4107,31 +4097,3 @@ def q_discount_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_band")
     )
-
-
-#: The exact round-13 DRIVER_PRIORITY window, pre-drafted so the flip
-#: is mechanical (the round-8..11 playbook): the 50 staged queries in
-#: definition (= tranche) order — FUTURE_ORACLES is empty, so the whole
-#: window is new surface. tests/test_r12_flip_rehearsal.py pins that
-#: this list is exactly STAGED_R12 with no gaps, dupes, or registry
-#: collisions, and that the post-flip external-verification backlog is
-#: exactly this window.
-ROUND12_WINDOW: list[str] = [
-    "q_interarrival_hazard", "q_type_cooccurrence", "q_drawdown",
-    "q_gap_entropy", "q_wow_volatility", "q_session_depth",
-    "q_alternation_rate", "q_monotone_runs", "q_user_hour_hhi",
-    "q_gap_dominance", "q_priority_inversion", "q_balance_sign_mix",
-    "q_part_token_price", "q_multi_supplier_orders", "q_tax_by_value_band",
-    "q_hapax_rate", "q_cramers_v", "q_bits_per_char", "q_cohens_kappa",
-    "q_filter_parity", "q_vocab_gini", "q_word_stutter",
-    "q_word_position_bias", "q_chunk_boundary_loss", "q_context_fit",
-    "q_mood_median", "q_mann_kendall", "q_theil_sen", "q_spearman",
-    "q_xcorr_lag", "q_month_end_load", "q_isoweek_rollover",
-    "q_quarter_end_push", "q_psi_drift", "q_benford_second",
-    "q_new_item_ramp", "q_cheapest_supplier_churn", "q_supplier_reach",
-    "q_unit_price_consistency", "q_daily_mix_entropy", "q_embed_signbits",
-    "q_embed_axis_dominance", "q_pivot_two_measures",
-    "q_win_exclude_current", "q_forecast_mase", "q_brand_return_wilson",
-    "q_price_staleness", "q_mktseg_priority_mix", "q_value_half_life",
-    "q_discount_by_quantity",
-]

@@ -2818,7 +2818,8 @@ def q_value_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hourly
     )
     SELECT hr, n_events, mean_value_e4,
-           CAST(floor(CAST((v // n_events) * 10000 * tot_n AS DOUBLE)
+           CAST(floor(CAST(v // n_events AS DOUBLE) * 10000.0
+                      * CAST(tot_n AS DOUBLE)
                       / CAST(tot_v AS DOUBLE)) - 10000 AS BIGINT)
                AS premium_bp
     FROM tot
@@ -2831,9 +2832,12 @@ def q_hour_value_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives (q_traffic_calendar counts load by slot; this prices the
     slot, the input a bid-pacing schedule actually needs). One
     aggregation to 24 rows, totals as windows over that bounded frame,
-    and the premium is one int64-product → double divide under floor
-    (the q_bot_score pinned-double pattern) minus 10000 — never a
-    double mean of a double mean."""
+    and the premium converts each int64 term to DOUBLE BEFORE the
+    product (int64→double conversion and IEEE multiply/divide round
+    identically on both engines, the q_bot_score pinned-double
+    pattern; the earlier int64 product form would pass 2^63 near
+    ~2e8 events — advisor round-12 finding) under floor, minus
+    10000 — never a double mean of a double mean."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.hour("ts").alias("hr")).agg(
         F.count("*").cast("long").alias("n_events"),
@@ -2855,7 +2859,8 @@ def q_hour_value_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "mean_value_e4",
         F.expr(
-            "CAST(floor(CAST((v div n_events) * 10000 * tot_n AS DOUBLE)"
+            "CAST(floor(CAST(v div n_events AS DOUBLE) * 10000.0D"
+            " * CAST(tot_n AS DOUBLE)"
             " / CAST(tot_v AS DOUBLE)) - 10000 AS BIGINT)"
         ).alias("premium_bp"),
     ).orderBy("hr")
@@ -2917,7 +2922,7 @@ def q_user_week_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH payload AS (
         SELECT event_type,
-               CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+               TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
         FROM events
     )
     SELECT event_type,
@@ -2937,7 +2942,9 @@ def q_props_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload an enum, a counter, or an id?). Extraction is one regexp
     per row pushed through the scan projection (identical '[0-9]+'
     semantics both engines — no JSON parser dependency, so the oracle
-    needs no extension); moments are exact integer e2."""
+    needs no extension; the oracle TRY_CASTs so a digitless props row
+    NULLs like Spark's cast instead of erroring — advisor round-12
+    finding); moments are exact integer e2."""
     ev = load_table(spark, sf_dir, "events")
     payload = ev.select(
         "event_type",

@@ -132,6 +132,12 @@ NLJ_OK = {
     "q_balance_activity",  # broadcast 1-row customer-count leg (+ the
     #                        ranking operator's internal offset leg)
     "q_ingest_mix_drift",  # broadcast 1-row id-midpoint leg
+    # round-12 flip batch (pre-flighted in the staged plan lint,
+    # tests/test_r12_staged_props.py::STAGED_NLJ_OK at the time; every
+    # entry is a broadcast scalar/grid leg, never a data×data NLJ)
+    "q_type_cooccurrence",  # broadcast 1-row distinct-user-total leg
+    "q_mood_median",  # broadcast 1-row grand-median leg
+    "q_benford_second",  # broadcast 1-row digit-total leg + 10-row grid
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r12_staged import STAGED_R12
+from mapreduce_llm_spark.queries.analytics_r14_staged import STAGED_R14
 from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
 from tests.conftest import SF_DIR
 from tests.oracle_harness import compare, duckdb_conn
@@ -38,7 +38,7 @@ def test_staged_module_has_no_registry_side_effects():
 
 
 def test_staged_names_do_not_collide_with_pending_stagings():
-    overlap = set(STAGED_R13) & set(STAGED_R12)
+    overlap = set(STAGED_R13) & set(STAGED_R14)
     assert not overlap, (
         f"{sorted(overlap)} staged twice — an earlier flip would collide"
     )

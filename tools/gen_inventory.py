@@ -181,7 +181,7 @@ API_SURFACE = {
         ("dedup_stream / running_totals_stream (stateful)", "tests/test_streaming.py"),
         ("purchase_attribution_stream (stream-stream join)", "tests/test_streaming.py"),
         ("topk_events_stream (O(k)-state streaming top-k)", "tests/test_streaming.py"),
-        ("enriched_segment_counts_stream (stream-static broadcast join)", "tests/test_streaming.py"),
+        ("enriched_segment_counts_stream (stream-static join, AQE/auto-broadcast decided)", "tests/test_streaming.py"),
         ("upsert_parquet_sink (foreachBatch)", "tests/test_streaming.py"),
         (
             "unattributed_purchases_stream (left-outer stream-stream join)",
@@ -304,18 +304,6 @@ def main() -> None:
             "by tests/test_future_oracles.py: "
             + ", ".join(f"`{n}`" for n in sorted(FUTURE_ORACLES)),
         ]
-    from mapreduce_llm_spark.queries.analytics_r12_staged import STAGED_R12
-
-    lines += [
-        "",
-        "## Staged for the round-13 window (derived)",
-        "",
-        f"{len(STAGED_R12)} complete (query, oracle) pairs in "
-        "queries/analytics_r12_staged.py — hash-proven by "
-        "tests/test_r12_staged.py; surface built after the round-11 flip "
-        "filled its window stages one window further out: "
-        + ", ".join(f"`{n}`" for n in sorted(STAGED_R12)),
-    ]
     from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
 
     lines += [
@@ -324,9 +312,21 @@ def main() -> None:
         "",
         f"{len(STAGED_R13)} complete (query, oracle) pairs in "
         "queries/analytics_r13_staged.py — hash-proven by "
-        "tests/test_r13_staged.py; the round-12 staging is itself full, "
-        "so this tranche stages two windows out: "
+        "tests/test_r13_staged.py; surface built after the round-12 flip "
+        "filled its window stages one window further out: "
         + ", ".join(f"`{n}`" for n in sorted(STAGED_R13)),
+    ]
+    from mapreduce_llm_spark.queries.analytics_r14_staged import STAGED_R14
+
+    lines += [
+        "",
+        "## Staged for the round-15 window (derived)",
+        "",
+        f"{len(STAGED_R14)} complete (query, oracle) pairs in "
+        "queries/analytics_r14_staged.py — hash-proven by "
+        "tests/test_r14_staged.py; the round-13 staging is itself full, "
+        "so this tranche stages two windows out: "
+        + ", ".join(f"`{n}`" for n in sorted(STAGED_R14)),
     ]
     lines += [
         "",

@@ -296,6 +296,23 @@ HEADLINE = [
 ]
 
 
+def host_state() -> dict:
+    """Self-reported host conditions, embedded in every emitted bench
+    record (VERDICT r12 item 5): the driver's round-12 pinned artifact
+    read 1.37× with UNIFORM inflation across all 30 queries including
+    a bare parquet scan — host contention at driver-bench time, which
+    took builder-side forensic A/B brackets to adjudicate. With the
+    md5-2M single-thread CPU anchor (quiet-host basis ~0.30 s,
+    ROUND12_NOTES) and /proc/loadavg riding in the artifact itself, a
+    noisy bracket is self-diagnosing: anchor >> 0.30 s or loadavg >> 0
+    at measurement time means the host, not the plans."""
+    from tools.host_anchor import cpu_anchor
+
+    with open("/proc/loadavg") as fh:
+        loadavg = [float(x) for x in fh.read().split()[:3]]
+    return {"cpu_anchor_md5_2m_s": cpu_anchor(), "loadavg": loadavg}
+
+
 def run_query(qfn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = qfn(spark, sf_dir)
@@ -321,6 +338,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # anchor BEFORE the Spark session exists: the measurement must see
+    # the host as the suite is about to find it, with no JVM threads
+    # of our own competing for the anchor's single core
+    host_start = host_state()
     registry.load_all()
     spark = get_spark(app_name="mapreduce_llm_spark-bench")
 
@@ -358,6 +379,9 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     pinned_total = round(sum(pinned_times.values()), 3)
+    # re-anchor after the suite: a quiet start + inflated end (or vice
+    # versa) localizes WHEN the contention hit within the run
+    host = {"start": host_start, "end": host_state()}
     full_record = {
         "metric": "headline_suite_seconds_full",
         "value": total,
@@ -371,6 +395,7 @@ def main() -> None:
         "pinned_set": "v1",
         "pinned_seconds": pinned_total,
         "pinned_queries": pinned_times,
+        "host": host,
     }
     # Committed full-map artifact (VERDICT r8 finding #1): the stdout
     # padding that keeps the driver's last-N-chars capture clean also
@@ -447,6 +472,7 @@ def main() -> None:
                 "pinned_set": "v1",
                 "pinned_seconds": pinned_total,
                 "queries": pinned_times,
+                "host": host,
             },
             separators=(",", ":"),
         )

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def normalize_text(col: Column) -> Column:
@@ -280,7 +281,12 @@ def minhash_near_dup_pairs(
     # cluster scale localCheckpoint is non-replicated, so swap for a
     # reliable checkpoint dir if executor loss must not fail the job.
     if materialize:
-        out = out.localCheckpoint(eager=True)
+        # serialized storage: the near-dup pair set scales with corpus
+        # duplicate density (the q_graph_bfs round-12 SF-scaling-
+        # checkpoint rule; MEMORY_AND_DISK is serialized in PySpark)
+        out = out.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         base.unpersist()
     else:
         out.cached_base = base
@@ -359,7 +365,12 @@ def ngram_jaccard_pairs(
     # release the shingle cache deterministically inside the operator;
     # materialize=False keeps the lazy plan for inspection.
     if materialize:
-        out = out.localCheckpoint(eager=True)
+        # serialized storage: the near-dup pair set scales with corpus
+        # duplicate density (the q_graph_bfs round-12 SF-scaling-
+        # checkpoint rule; MEMORY_AND_DISK is serialized in PySpark)
+        out = out.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         base.unpersist()
     else:
         out.cached_base = base

@@ -92,8 +92,16 @@ def connected_components(
             # checkpoint files; drop the superseded generation's cache
             # (eager by default, so the data is safe before unpersist) —
             # otherwise every checkpoint leaves one dead cached
-            # generation pinned in executor storage until LRU eviction
-            checkpointed = labels.localCheckpoint()
+            # generation pinned in executor storage until LRU eviction.
+            # SERIALIZED storage (MEMORY_AND_DISK is serialized in
+            # PySpark) for the per-node label frame: it scales with
+            # |V|, and the q_graph_bfs round-12 diagnosis showed a
+            # default deserialized-row checkpoint of an SF-scaling
+            # frame outgrowing executor storage at sf10 (eviction +
+            # GC churn, decade-2 exponent 1.25 → 0.85 packed).
+            checkpointed = labels.localCheckpoint(
+                storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
             labels.unpersist()
             labels = checkpointed
         if changed == 0:
@@ -171,7 +179,11 @@ def pagerank(
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            # serialized storage for the per-node rank frame — the
+            # same SF-scaling-checkpoint rule as connected_components
+            ranks = ranks.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
     nodes.unpersist()
     outdeg.unpersist()
     return ranks

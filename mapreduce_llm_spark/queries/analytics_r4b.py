@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
@@ -712,7 +713,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # SERIALIZED storage for the SF-scaling co-purchase pair set —
+        # the exact frame class whose default deserialized-row
+        # checkpoint hit the executor-storage wall at sf10 in
+        # q_graph_bfs (round-12 diagnosis; MEMORY_AND_DISK is
+        # serialized in PySpark, ~2-4x tighter, value-identical)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -792,11 +798,13 @@ def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_depth = max(2, int(math.log2(max(2, mx - root + 1))) + 2)
     n_rounds = max(1, math.ceil(math.log2(max_depth)))
 
+    # serialized storage for the per-part pointer-jumping state (one
+    # row per part — SF-scaling; the q_graph_bfs round-12 storage rule)
     state = p.select(
         "k",
         F.greatest(F.expr("k div 2"), F.lit(root)).alias("anc"),
         F.when(F.col("k") == root, F.lit(0)).otherwise(F.lit(1)).alias("d"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     for _ in range(n_rounds):
         hop = state.select(
             F.col("k").alias("h_k"),
@@ -806,7 +814,9 @@ def q_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = (
             state.join(hop, state["anc"] == hop["h_k"])
             .select("k", F.col("h_anc").alias("anc"), (F.col("d") + F.col("h_d")).alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
     return (
         state.groupBy(F.col("d").cast("long").alias("depth"))

@@ -549,7 +549,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(F.broadcast(dist.select("node")), "node", "left_anti")
             .withColumn("hop", F.lit(level))
-            .localCheckpoint(eager=True)
+            # serialized like the edge list above: the frontier is a
+            # per-node (SF-scaling) frame
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
         dist = dist.unionByName(frontier)
     return dist.select(

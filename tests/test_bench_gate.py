@@ -168,3 +168,26 @@ def test_bench_refuses_to_overwrite_a_committed_round_map():
     src = open(os.path.join(os.path.dirname(bench.__file__), "bench.py")).read()
     assert "committed_at_head(full_name)" in src
     assert "SPARK_GRAFT_BENCH_OVERWRITE" in src
+
+
+def test_bench_records_self_report_host_state():
+    """VERDICT r12 item 5: the driver's r12 pinned artifact read 1.37×
+    with uniform inflation across all 30 queries (a bare parquet scan
+    included) — host contention that needed builder-side forensic A/Bs
+    to adjudicate. Every bench record now embeds the md5-2M CPU anchor
+    and /proc/loadavg at suite start AND end, so a noisy bracket is
+    self-diagnosing from the artifact alone."""
+    import bench
+
+    state = bench.host_state()
+    assert set(state) == {"cpu_anchor_md5_2m_s", "loadavg"}
+    # the anchor is a real single-thread measurement: quiet-host basis
+    # ~0.3 s (ROUND12_NOTES); bound generously but meaningfully
+    assert 0.05 < state["cpu_anchor_md5_2m_s"] < 10.0
+    assert len(state["loadavg"]) == 3
+    assert all(x >= 0.0 for x in state["loadavg"])
+    # both emitted records carry it: the full map AND the compact gate
+    # line the driver's tail capture keeps
+    src = open(os.path.join(os.path.dirname(bench.__file__), "bench.py")).read()
+    assert src.count('"host": host,') == 2
+    assert 'host = {"start": host_start, "end": host_state()}' in src

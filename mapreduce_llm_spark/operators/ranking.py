@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 _PID = "__mrs_pid"
 _LOCAL_RN = "__mrs_local_rn"
@@ -46,15 +47,23 @@ def global_row_number(
     unique key as the last tie-break). Ranks are bigint — at the scale
     this operator exists for, row counts exceed int32.
 
-    The counts branch and the data branch share the repartitionByRange
-    subtree; they see the same partition boundaries because Spark's
-    range sampling is deterministically seeded per input partition
-    (RangePartitioner.sketch, XORShiftRandom(byteswap32(idx))) and
-    exchange reuse collapses the two reads into one physical exchange
-    in the common case.
+    The counts branch and the data branch MUST observe the same
+    physical partitioning, so the pid-stamped frame is materialized
+    ONCE (eager serialized localCheckpoint) and both branches read the
+    checkpointed blocks. Relying on exchange reuse to collapse the two
+    reads is NOT sound: Catalyst prunes each branch's columns
+    independently (counts needs only the pid), the differing
+    ReadSchema defeats reuse, and AQE then coalesces the two range
+    shuffles to DIFFERENT partition counts — the inner join on pid
+    silently dropped ~half the rows the first time a consumer put a
+    wide projection behind an upstream join (q_kruskal_wallis staging,
+    round 13; nondeterministic row loss at sf0.1). Correctness here
+    cannot depend on the optimizer choosing to share a subtree.
     """
     parts = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    with_pid = parts.withColumn(_PID, F.spark_partition_id())
+    with_pid = parts.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
     counts = with_pid.groupBy(_PID).count()
     # The prefix sum runs over one row per partition (~32 rows), so a
@@ -112,7 +121,13 @@ def partitioned_row_number(
     parts = df.repartitionByRange(*keys, *order_cols).sortWithinPartitions(
         *keys, *order_cols
     )
-    with_pid = parts.withColumn(_PID, F.spark_partition_id())
+    # materialized once for the same reason as global_row_number: the
+    # counts and data branches must see ONE physical partitioning, and
+    # exchange reuse (defeated by per-branch column pruning) is not a
+    # correctness mechanism
+    with_pid = parts.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
     counts = with_pid.groupBy(_PID, *partition_cols).count()
     off_w = (

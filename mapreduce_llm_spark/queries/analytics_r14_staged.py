@@ -53,3 +53,579 @@ def _r14_words(col):
     return F.filter(
         F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit("")
     )
+
+# ---------------------------------------------------------------------------
+# Tranche 1 — nonparametric / diagnostic statistics: the distribution-
+# free test battery an analyst runs before trusting any of the
+# parametric trend and mix queries already registered.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_kendall_tau",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    ),
+    pairs AS (
+        SELECT CASE WHEN (b.c - a.c) * (b.v - a.v) > 0 THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (b.c - a.c) * (b.v - a.v) < 0 THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.c = b.c THEN 1 ELSE 0 END AS tie_c,
+               CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS tie_v
+        FROM monthly a JOIN monthly b ON a.m < b.m
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS n_months,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conc) AS BIGINT) AS n_concordant,
+           CAST(sum(disc) AS BIGINT) AS n_discordant,
+           round(CAST(sum(conc) - sum(disc) AS DOUBLE)
+                 / sqrt(CAST(count(*) - sum(tie_c) AS DOUBLE)
+                        * CAST(count(*) - sum(tie_v) AS DOUBLE)), 4)
+               AS tau_b
+    FROM pairs
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between monthly order COUNT and
+    monthly order VALUE — the distribution-free answer to "do busy
+    months also carry more money, monotonically?" (q_spearman ranks
+    row-level pairs; tau-b's pairwise concordance is the statistic
+    survey pipelines quote when the series is short and tied).
+    Concordant/discordant/tie counts are exact integers over the
+    month-pair frame; tau-b is one sqrt-normalized double, round(,4)
+    (the allowed sqrt/corr class). The pair join is month × month with
+    an inequality — both sides are bounded by the CALENDAR (~80 rows
+    at any SF: TPC-H's 1995-2001 date range is fixed while rows grow),
+    so the broadcast nested-loop is a bounded grid, never data × data
+    (staged NLJ allowlist)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v"),
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(b, F.col("a.m") < F.col("b.m")).select(
+        F.when(
+            (F.col("b.c") - F.col("a.c")) * (F.col("b.v") - F.col("a.v")) > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            (F.col("b.c") - F.col("a.c")) * (F.col("b.v") - F.col("a.v")) < 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("a.c") == F.col("b.c"), 1).otherwise(0).alias("tie_c"),
+        F.when(F.col("a.v") == F.col("b.v"), 1).otherwise(0).alias("tie_v"),
+    )
+    n_months = monthly.agg(F.count("*").cast("long").alias("n_months"))
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("n_concordant"),
+        F.sum("disc").cast("long").alias("n_discordant"),
+        F.round(
+            (F.sum("conc") - F.sum("disc")).cast("double")
+            / F.sqrt(
+                (F.count("*") - F.sum("tie_c")).cast("double")
+                * (F.count("*") - F.sum("tie_v")).cast("double")
+            ),
+            4,
+        ).alias("tau_b"),
+    ).crossJoin(F.broadcast(n_months)).select(
+        "n_months", "n_pairs", "n_concordant", "n_discordant", "tau_b"
+    )
+
+
+@_staged(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH x AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o.o_orderkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+        SELECT segment,
+               CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                   AS BIGINT) AS r
+        FROM x
+    ),
+    grp AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(r) AS BIGINT) AS rsum
+        FROM ranked
+        GROUP BY segment
+    ),
+    tot AS (
+        SELECT segment, n_orders, rsum,
+               sum(n_orders) OVER () AS n,
+               sum(pow(CAST(rsum AS DOUBLE), 2) / CAST(n_orders AS DOUBLE))
+                   OVER () AS ssq
+        FROM grp
+    )
+    SELECT segment, n_orders,
+           CAST(rsum * 100 // n_orders AS BIGINT) AS mean_rank_e2,
+           round(12.0 * ssq / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                 - 3.0 * CAST(n + 1 AS DOUBLE), 4) AS h_stat
+    FROM tot
+    ORDER BY segment
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across market segments on order value — the
+    rank-based one-way ANOVA (does ANY segment's value distribution
+    sit higher, without assuming normality). Ranks are a DETERMINISTIC
+    total order over (cents, orderkey) — the repo's rank convention:
+    ties broken by key, identical both engines — produced by the
+    distributed global_row_number operator (range-partition + offset
+    prefix sum, operators/ranking.py), never a single-task global
+    window. Per-group rank sums are exact int64 (R_g ≤ N² ≈ 2e14 at
+    sf10, far under 2^63); H folds the 5 bounded group contributions
+    in double and rounds to 4 (the corr-class justification: the two
+    ~3N-magnitude terms cancel to O(100) with ~1e-9 absolute double
+    error). Mean ranks are exact e2 integers."""
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    x = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    ranked = global_row_number(
+        x, [F.col("cents"), F.col("o_orderkey")], alias="r"
+    )
+    grp = ranked.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("r").cast("long").alias("rsum"),
+    )
+    # single group by construction (5 segment rows); pmod on a column
+    # keeps Catalyst from folding the partition spec into the warning-
+    # emitting unpartitioned form (the operators/ranking.py trick)
+    w = Window.partitionBy(F.pmod(F.col("n_orders"), F.lit(1)))
+    tot = grp.select(
+        "segment",
+        "n_orders",
+        "rsum",
+        F.sum("n_orders").over(w).alias("n"),
+        F.sum(
+            F.pow(F.col("rsum").cast("double"), F.lit(2.0))
+            / F.col("n_orders").cast("double")
+        )
+        .over(w)
+        .alias("ssq"),
+    )
+    return tot.select(
+        "segment",
+        "n_orders",
+        F.expr("CAST(rsum * 100 div n_orders AS BIGINT)").alias(
+            "mean_rank_e2"
+        ),
+        F.round(
+            F.lit(12.0)
+            * F.col("ssq")
+            / (F.col("n").cast("double") * (F.col("n") + 1).cast("double"))
+            - F.lit(3.0) * (F.col("n") + 1).cast("double"),
+            4,
+        ).alias("h_stat"),
+    ).orderBy("segment")
+
+
+@_staged(
+    "q_levene_bf",
+    oracle="""
+    WITH x AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o.o_orderkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               CAST(row_number() OVER (
+                   PARTITION BY segment ORDER BY cents, o_orderkey)
+                   AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS ng
+        FROM x
+    ),
+    med AS (
+        SELECT segment, cents AS median_cents
+        FROM ranked
+        WHERE rn = (ng + 1) // 2
+    ),
+    dev AS (
+        SELECT x.segment, abs(x.cents - m.median_cents) AS z
+        FROM x JOIN med m ON x.segment = m.segment
+    ),
+    grp AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS qz
+        FROM dev
+        GROUP BY segment
+    ),
+    tot AS (
+        SELECT segment, n_orders, sz,
+               sum(n_orders) OVER () AS n,
+               CAST(count(*) OVER () AS BIGINT) AS k,
+               sum(pow(CAST(sz AS DOUBLE), 2) / CAST(n_orders AS DOUBLE))
+                   OVER () AS ssg,
+               sum(sz) OVER () AS s,
+               sum(CAST(qz AS DOUBLE)) OVER () AS q
+        FROM grp
+    )
+    SELECT t.segment, t.n_orders, m.median_cents,
+           CAST(t.sz * 100 // t.n_orders AS BIGINT) AS mean_absdev_e2,
+           round((CAST(t.n - t.k AS DOUBLE) / CAST(t.k - 1 AS DOUBLE))
+                 * (t.ssg - pow(CAST(t.s AS DOUBLE), 2) / CAST(t.n AS DOUBLE))
+                 / (t.q - t.ssg), 4) AS f_stat
+    FROM tot t JOIN med m ON t.segment = m.segment
+    ORDER BY t.segment
+    """,
+)
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test across market segments on order value: are segment spreads
+    comparable, the precondition every parametric segment comparison
+    already registered silently assumes. z = |cents − segment lower
+    median| (the deterministic rank-selected median — rn = (n+1)//2 —
+    via the partitioned ranking operator, low-cardinality keys);
+    per-group Σz is exact int64 and Σz² is exact DECIMAL/HUGEINT (z² ≈
+    2.5e15 per row passes int64 at ~3700 rows — the CLAUDE.md
+    HUGEINT rule); the F statistic folds 5 bounded group terms in
+    double, round(,4) (corr-class). Mean absolute deviations are
+    exact e2 integers."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    x = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        "o_orderkey",
+    )
+    ranked = partitioned_row_number(
+        x, ["segment"], [F.col("cents"), F.col("o_orderkey")], alias="rn"
+    )
+    ng = ranked.groupBy("segment").agg(F.count("*").cast("long").alias("ng"))
+    med = (
+        ranked.join(F.broadcast(ng), "segment")
+        .where(F.col("rn") == F.expr("(ng + 1) div 2"))
+        .select("segment", F.col("cents").alias("median_cents"))
+    )
+    dev = x.join(F.broadcast(med), "segment").select(
+        "segment",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("z"),
+    )
+    grp = dev.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z").cast("decimal(19,0)") * F.col("z"))
+        .cast("decimal(38,0)")
+        .alias("qz"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("n_orders"), F.lit(1)))
+    tot = grp.select(
+        "segment",
+        "n_orders",
+        "sz",
+        F.sum("n_orders").over(w).alias("n"),
+        F.count("*").over(w).cast("long").alias("k"),
+        F.sum(
+            F.pow(F.col("sz").cast("double"), F.lit(2.0))
+            / F.col("n_orders").cast("double")
+        )
+        .over(w)
+        .alias("ssg"),
+        F.sum("sz").over(w).alias("s"),
+        F.sum(F.col("qz").cast("double")).over(w).alias("q"),
+    )
+    return (
+        tot.join(F.broadcast(med), "segment")
+        .select(
+            "segment",
+            "n_orders",
+            "median_cents",
+            F.expr("CAST(sz * 100 div n_orders AS BIGINT)").alias(
+                "mean_absdev_e2"
+            ),
+            F.round(
+                ((F.col("n") - F.col("k")).cast("double")
+                 / (F.col("k") - 1).cast("double"))
+                * (
+                    F.col("ssg")
+                    - F.pow(F.col("s").cast("double"), F.lit(2.0))
+                    / F.col("n").cast("double")
+                )
+                / (F.col("q") - F.col("ssg")),
+                4,
+            ).alias("f_stat"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_wilcoxon_signed",
+    oracle="""
+    WITH unit AS (
+        SELECT p.p_brand AS brand, l.l_partkey,
+               CASE WHEN l.l_shipdate < TIMESTAMP '1998-07-01'
+                    THEN 0 ELSE 1 END AS era,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    per_era AS (
+        SELECT brand, l_partkey, era,
+               CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+        FROM unit
+        GROUP BY brand, l_partkey, era
+    ),
+    diffs AS (
+        SELECT a.brand, a.l_partkey,
+               b.mean_cents - a.mean_cents AS d
+        FROM per_era a JOIN per_era b
+          ON a.l_partkey = b.l_partkey AND a.era = 0 AND b.era = 1
+        WHERE b.mean_cents <> a.mean_cents
+    ),
+    ranked AS (
+        SELECT brand, d,
+               CAST(row_number() OVER (
+                   PARTITION BY brand ORDER BY abs(d), l_partkey)
+                   AS BIGINT) AS rk
+        FROM diffs
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN d > 0 THEN rk ELSE 0 END) AS BIGINT) AS w_plus,
+           round((CAST(sum(CASE WHEN d > 0 THEN rk ELSE 0 END) AS DOUBLE)
+                  - CAST(count(*) * (count(*) + 1) AS DOUBLE) / 4.0)
+                 / sqrt(CAST(count(*) * (count(*) + 1) AS DOUBLE)
+                        * CAST(2 * count(*) + 1 AS DOUBLE) / 24.0), 4)
+               AS z_score
+    FROM ranked
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank per brand: did per-part mean line price
+    MOVE between the first and second halves of the corpus (split at
+    1998-07-01), tested without assuming the changes are normal? Pairs
+    are parts sold in BOTH eras; d = second-era mean cents − first-era
+    (exact nonneg integer division per era — sums of positive cents);
+    zero differences drop (the textbook convention); |d| ranks within
+    brand are the deterministic (abs(d), partkey) order via the
+    partitioned ranking operator (25 bounded brand keys). W+ and n are
+    exact integers; the normal-approximation z is one sqrt-normalized
+    double, round(,4). At 100 TB the per-(brand, part, era) aggregate
+    is one map-side-combinable shuffle; the era pivot is an equi
+    self-join on partkey."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    unit = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        "l_partkey",
+        F.when(F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp_ntz"), 0)
+        .otherwise(1)
+        .alias("era"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per_era = unit.groupBy("brand", "l_partkey", "era").agg(
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("mean_cents")
+    )
+    a = per_era.where(F.col("era") == 0).select(
+        "brand", "l_partkey", F.col("mean_cents").alias("m0")
+    )
+    b = per_era.where(F.col("era") == 1).select(
+        F.col("l_partkey").alias("pk_b"), F.col("mean_cents").alias("m1")
+    )
+    diffs = (
+        a.join(b, a["l_partkey"] == b["pk_b"])
+        .where(F.col("m1") != F.col("m0"))
+        .select("brand", "l_partkey", (F.col("m1") - F.col("m0")).alias("d"))
+    )
+    ranked = partitioned_row_number(
+        diffs, ["brand"], [F.abs(F.col("d")), F.col("l_partkey")], alias="rk"
+    )
+    return (
+        ranked.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("d") > 0, F.col("rk")).otherwise(0))
+            .cast("long")
+            .alias("w_plus"),
+            F.round(
+                (
+                    F.sum(
+                        F.when(F.col("d") > 0, F.col("rk")).otherwise(0)
+                    ).cast("double")
+                    - (F.count("*") * (F.count("*") + 1)).cast("double")
+                    / F.lit(4.0)
+                )
+                / F.sqrt(
+                    (F.count("*") * (F.count("*") + 1)).cast("double")
+                    * (2 * F.count("*") + 1).cast("double")
+                    / F.lit(24.0)
+                ),
+                4,
+            ).alias("z_score"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders
+        GROUP BY date_trunc('day', o_orderdate)
+    ),
+    indexed AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               y,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(y) OVER () AS BIGINT) AS s
+        FROM daily
+    ),
+    centered AS (
+        SELECT t, n, n * y - s AS yc
+        FROM indexed
+    ),
+    den AS (
+        SELECT CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS d,
+               max(n) AS n
+        FROM centered
+    ),
+    lags AS (
+        SELECT unnest(generate_series(1, 5)) AS lag
+    ),
+    num AS (
+        SELECT l.lag,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(CAST(a.yc AS HUGEINT) * b.yc) AS HUGEINT) AS num
+        FROM lags l
+        JOIN centered a ON TRUE
+        JOIN centered b ON b.t = a.t + l.lag
+        GROUP BY l.lag
+    ),
+    r AS (
+        SELECT lag, n_terms,
+               CAST(num AS DOUBLE) / CAST(d.d AS DOUBLE) AS rk,
+               d.n AS n
+        FROM num, den d
+    )
+    SELECT lag, n_terms,
+           round(rk, 4) AS r_k,
+           round(sum(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                     * rk * rk / CAST(n - lag AS DOUBLE)) OVER (
+                ORDER BY lag
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS q_stat
+    FROM r
+    ORDER BY lag
+    """,
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily order-count series,
+    lags 1..5: is there ANY autocorrelation left, the whiteness check
+    behind every forecast query already registered (q_forecast_naive /
+    q_forecast_mase assume the residual series is noise). Integer-
+    exact trick: with ỹ = n·y − Σy (integer), every autocovariance is
+    Σỹ_t·ỹ_{t+k} / Σỹ² with the n² scale cancelling — numerator and
+    denominator are exact HUGEINT/DECIMAL sums (ỹ² passes int64 at
+    scale, the CLAUDE.md HUGEINT rule), so r_k is ONE double divide,
+    round(,4). Q accumulates over the 5 ordered lag rows (a ROWS
+    frame — deterministic summation order both engines). The day
+    series is bounded by the CALENDAR (~2400 rows at any SF); the lag
+    expansion is a 5-row grid cross (staged NLJ allowlist) resolved by
+    an equi-join on t+lag."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    wday = Window.partitionBy(F.pmod(F.col("y"), F.lit(1)))
+    indexed = daily.select(
+        F.row_number()
+        .over(
+            Window.partitionBy(F.pmod(F.col("y"), F.lit(1))).orderBy("day")
+        )
+        .cast("long")
+        .alias("t"),
+        "y",
+        F.count("*").over(wday).cast("long").alias("n"),
+        F.sum("y").over(wday).cast("long").alias("s"),
+    )
+    centered = indexed.select(
+        "t", "n", (F.col("n") * F.col("y") - F.col("s")).alias("yc")
+    )
+    den = centered.agg(
+        F.sum(F.col("yc").cast("decimal(19,0)") * F.col("yc"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, 6).select(F.col("id").cast("long").alias("lag"))
+    a = centered.select(F.col("t").alias("ta"), F.col("yc").alias("ya"))
+    b = centered.select(F.col("t").alias("tb"), F.col("yc").alias("yb"))
+    expanded = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("tb") == F.col("ta") + F.col("lag")
+    )
+    num = expanded.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.col("ya").cast("decimal(19,0)") * F.col("yb"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+    )
+    r = num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_terms",
+        (F.col("num").cast("double") / F.col("d").cast("double")).alias("rk"),
+        "n",
+    )
+    wq = (
+        Window.partitionBy(F.pmod(F.col("n_terms"), F.lit(1)))
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return r.select(
+        "lag",
+        "n_terms",
+        F.round("rk", 4).alias("r_k"),
+        F.round(
+            F.sum(
+                F.col("n").cast("double")
+                * (F.col("n") + 2).cast("double")
+                * F.col("rk")
+                * F.col("rk")
+                / (F.col("n") - F.col("lag")).cast("double")
+            ).over(wq),
+            4,
+        ).alias("q_stat"),
+    ).orderBy("lag")

@@ -629,3 +629,390 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("q_stat"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 2 — corpus morphology & lexical structure: the sub-word and
+# rank-size diagnostics a tokenizer/curation team reads before fixing
+# vocabulary budgets.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_affix_profile",
+    oracle="""
+    WITH w AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    suf AS (
+        SELECT lang, right(w, 3) AS suffix,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w
+        WHERE length(w) >= 5
+        GROUP BY lang, right(w, 3)
+    ),
+    ranked AS (
+        SELECT lang, suffix, n,
+               CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, suffix) AS rk
+        FROM suf
+    )
+    SELECT lang, suffix, n AS n_words,
+           CAST(n * 10000 // lang_total AS BIGINT) AS share_bp
+    FROM ranked
+    WHERE rk <= 10
+    ORDER BY lang, n_words DESC, suffix
+    """,
+)
+def q_affix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-character suffixes per language over words of
+    length ≥ 5 — the cheap morphology fingerprint (inflection-heavy
+    languages concentrate suffix mass; templated or synthetic text
+    concentrates HARDER), the precursor to any subword-vocabulary
+    budget split by language. One token aggregation to the per-lang
+    suffix vocabulary, a keyed rank window over that aggregated frame
+    (per-lang suffix cardinality is vocabulary-bounded, ≤26³ — never
+    row-proportional), exact bp shares. Ordered with the (count desc,
+    suffix) tie-break both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang", F.explode(_r14_words(F.col("text"))).alias("w")
+    ).where(F.length("w") >= 5)
+    suf = w.groupBy("lang", F.expr("right(w, 3)").alias("suffix")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    ranked = suf.select(
+        "lang",
+        "suffix",
+        "n",
+        F.sum("n").over(wl).cast("long").alias("lang_total"),
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.col("n").desc(), "suffix"))
+        .alias("rk"),
+    )
+    return (
+        ranked.where(F.col("rk") <= 10)
+        .select(
+            "lang",
+            "suffix",
+            F.col("n").alias("n_words"),
+            F.expr("CAST(n * 10000 div lang_total AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy("lang", F.col("n_words").desc(), "suffix")
+    )
+
+
+@_staged(
+    "q_bigram_asymmetry",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(w) - 1),
+                   i -> substr(w, CAST(i AS INTEGER), 2))) AS g
+        FROM w
+        WHERE length(w) >= 2
+    ),
+    dirs AS (
+        SELECT concat(least(substr(g, 1, 1), substr(g, 2, 1)),
+                      greatest(substr(g, 1, 1), substr(g, 2, 1))) AS pair,
+               CAST(sum(CASE WHEN substr(g, 1, 1) < substr(g, 2, 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd,
+               CAST(sum(CASE WHEN substr(g, 1, 1) > substr(g, 2, 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rev
+        FROM bg
+        WHERE substr(g, 1, 1) <> substr(g, 2, 1)
+        GROUP BY 1
+    )
+    SELECT pair, n_fwd, n_rev,
+           CAST(abs(n_fwd - n_rev) * 10000 // (n_fwd + n_rev) AS BIGINT)
+               AS asym_bp
+    FROM dirs
+    ORDER BY n_fwd + n_rev DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bigram_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional asymmetry of the 20 most frequent letter pairs:
+    natural orthography is strongly ordered ('th' vastly outnumbers
+    'ht'), so a pair inventory whose directions are balanced flags
+    shuffled, encrypted, or synthetic text — the character-level twin
+    of q_bits_per_char's conditional entropy, reduced to an exact
+    integer diagnostic. Bigrams explode per word with the sequence
+    guard (Spark's sequence(1,0) DESCENDS — the CLAUDE.md rule);
+    direction counts collapse to the ≤26·25/2 unordered-pair frame;
+    the asymmetry is an exact bp floor. Top-20 with the
+    (total desc, pair) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(_r14_words(F.col("text"))).alias("w")).where(
+        F.length("w") >= 2
+    )
+    bg = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("g")
+    )
+    dirs = (
+        bg.where(F.expr("substr(g, 1, 1) <> substr(g, 2, 1)"))
+        .groupBy(
+            F.expr(
+                "concat(least(substr(g, 1, 1), substr(g, 2, 1)),"
+                " greatest(substr(g, 1, 1), substr(g, 2, 1)))"
+            ).alias("pair")
+        )
+        .agg(
+            F.sum(
+                F.when(F.expr("substr(g, 1, 1) < substr(g, 2, 1)"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_fwd"),
+            F.sum(
+                F.when(F.expr("substr(g, 1, 1) > substr(g, 2, 1)"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rev"),
+        )
+    )
+    return (
+        dirs.select(
+            "pair",
+            "n_fwd",
+            "n_rev",
+            F.expr(
+                "CAST(abs(n_fwd - n_rev) * 10000 div (n_fwd + n_rev)"
+                " AS BIGINT)"
+            ).alias("asym_bp"),
+        )
+        .orderBy((F.col("n_fwd") + F.col("n_rev")).desc(), "pair")
+        .limit(20)
+    )
+
+
+@_staged(
+    "q_initial_letter_bias",
+    oracle="""
+    WITH w AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    ini AS (
+        SELECT lang, substr(w, 1, 1) AS letter,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w
+        WHERE w <> ''
+        GROUP BY lang, substr(w, 1, 1)
+    ),
+    corpus AS (
+        SELECT letter,
+               CAST(sum(n) AS BIGINT) AS cn,
+               CAST(sum(sum(n)) OVER () AS BIGINT) AS ctot
+        FROM ini
+        GROUP BY letter
+    ),
+    langtot AS (
+        SELECT lang, letter, n,
+               CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS ltot
+        FROM ini
+    )
+    SELECT l.lang, l.letter, l.n AS n_words,
+           CAST(l.n * 10000 // l.ltot AS BIGINT) AS lang_bp,
+           CAST(l.n * 10000 // l.ltot AS BIGINT)
+               - CAST(c.cn * 10000 // c.ctot AS BIGINT) AS dev_bp
+    FROM langtot l JOIN corpus c ON l.letter = c.letter
+    ORDER BY l.lang, l.letter
+    """,
+)
+def q_initial_letter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-initial letter distribution per language against the
+    pooled corpus: which initials a language over/under-uses, in
+    signed basis points — the language-ID feature (word-initial
+    distributions separate languages harder than raw letter
+    frequencies) exposed as an auditable table. Two bounded
+    aggregations (≤26 letters × ≤|langs| cells); the corpus leg joins
+    back EQUI on letter (broadcast-sized by construction, no
+    nested-loop); all shares are exact bp floors."""
+    docs = load_table(spark, sf_dir, "documents")
+    ini = (
+        docs.select(
+            "lang", F.explode(_r14_words(F.col("text"))).alias("w")
+        )
+        .groupBy("lang", F.expr("substr(w, 1, 1)").alias("letter"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    corpus = ini.groupBy("letter").agg(F.sum("n").cast("long").alias("cn"))
+    corpus = corpus.select(
+        "letter",
+        "cn",
+        F.sum("cn")
+        .over(Window.partitionBy(F.pmod(F.col("cn"), F.lit(1))))
+        .cast("long")
+        .alias("ctot"),
+    )
+    langtot = ini.select(
+        "lang",
+        "letter",
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).cast("long").alias("ltot"),
+    )
+    return (
+        langtot.join(F.broadcast(corpus), "letter")
+        .select(
+            "lang",
+            "letter",
+            F.col("n").alias("n_words"),
+            F.expr("CAST(n * 10000 div ltot AS BIGINT)").alias("lang_bp"),
+            (
+                F.expr("CAST(n * 10000 div ltot AS BIGINT)")
+                - F.expr("CAST(cn * 10000 div ctot AS BIGINT)")
+            ).alias("dev_bp"),
+        )
+        .orderBy("lang", "letter")
+    )
+
+
+@_staged(
+    "q_rare_word_load",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    tok2 AS (
+        SELECT doc_id, source, w FROM tok WHERE w <> ''
+    ),
+    df AS (
+        SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok2
+        GROUP BY w
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rare
+        FROM tok2 t JOIN df d ON t.w = d.w
+        GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_rare) * 10000 // sum(n_tokens) AS BIGINT)
+               AS pooled_rare_bp,
+           CAST(sum(CASE WHEN n_rare * 10000 // n_tokens > 2000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_rare_word_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token burden per source: the share of token OCCURRENCES
+    whose word appears in ≤ 2 documents corpus-wide, plus the count of
+    docs where that burden passes 20% — the practical "will the
+    tokenizer fragment this source into byte fallbacks" signal
+    (q_hapax_rate counts the rare VOCABULARY; this weighs its
+    occurrence mass where it actually lands). Document frequency is
+    one distinct aggregation on (word, doc); the df join back to
+    occurrences is equi on word (data-proportional, hash-partitioned);
+    loads are exact bp floors at both the doc and source level."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(_r14_words(F.col("text"))).alias("w")
+    )
+    dfq = tok.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    per_doc = (
+        tok.join(dfq, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("df") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(sum(n_rare) * 10000 div sum(n_tokens) AS BIGINT)"
+            ).alias("pooled_rare_bp"),
+            F.sum(
+                F.when(
+                    F.expr("n_rare * 10000 div n_tokens > 2000"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_heavy_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@_staged(
+    "q_doclen_ranksize",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id)
+                   AS BIGINT) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(regr_slope(ln(n_chars), ln(rk)) + 0.0, 4) AS ranksize_slope
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_doclen_ranksize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-size exponent of DOCUMENT LENGTHS per source: the
+    least-squares slope of ln(length) on ln(rank) — crawled corpora
+    show heavy-tailed length laws while templated dumps are nearly
+    flat, so this is q_zipf_slope's document-level twin (words there,
+    documents here) and the length-mix health check behind chunking
+    budgets. Ranks come from the partitioned ranking operator
+    (low-cardinality source keys, per-key volumes are row-
+    proportional — the plain keyed window would funnel each source
+    through one task at 100 TB); the fit is the shared regr_slope
+    fold, round(,4) with the -0.0 normalizer."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    ranked = partitioned_row_number(
+        docs,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        alias="rk",
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(
+                F.regr_slope(F.log(F.col("n_chars")), F.log(F.col("rk")))
+                + F.lit(0.0),
+                4,
+            ).alias("ranksize_slope"),
+        )
+        .orderBy("source")
+    )

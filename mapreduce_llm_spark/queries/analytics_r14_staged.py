@@ -1016,3 +1016,380 @@ def q_doclen_ranksize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 3 — event-stream behavior: session-definition sensitivity,
+# exact value percentiles, calendar value premia, per-user modality.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_session_threshold_sweep",
+    oracle="""
+    WITH gaps AS (
+        SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                   // 1000000 AS gap_s
+        FROM events
+    ),
+    agg AS (
+        SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+                   AS n_users,
+               (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events,
+               CAST(sum(CASE WHEN gap_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b600,
+               CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b1800,
+               CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b3600
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+    )
+    SELECT threshold_s, n_sessions,
+           CAST(n_events * 100 // n_sessions AS BIGINT)
+               AS events_per_session_e2
+    FROM (
+        SELECT CAST(600 AS BIGINT) AS threshold_s,
+               n_users + b600 AS n_sessions, n_events FROM agg
+        UNION ALL
+        SELECT CAST(1800 AS BIGINT), n_users + b1800, n_events FROM agg
+        UNION ALL
+        SELECT CAST(3600 AS BIGINT), n_users + b3600, n_events FROM agg
+    )
+    ORDER BY threshold_s
+    """,
+)
+def q_session_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-count sensitivity to the inactivity threshold: the
+    corpus session count and mean session depth under 10/30/60-minute
+    gap definitions — the calibration table every sessionization
+    parameter choice (q_evt_sessionize pins ONE threshold) should be
+    read against. A session count under threshold T is n_users +
+    #(gaps > T), so the whole sweep is ONE pass over the per-user lag
+    gaps with three conditional sums, unpivoted to rows — no grid
+    cross, no second scan, no nested loop. Exact integers
+    throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)) div 1000000"
+        ).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    scalars = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    agg = gaps.agg(
+        F.sum(F.when(F.col("gap_s") > 600, 1).otherwise(0))
+        .cast("long")
+        .alias("b600"),
+        F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0))
+        .cast("long")
+        .alias("b1800"),
+        F.sum(F.when(F.col("gap_s") > 3600, 1).otherwise(0))
+        .cast("long")
+        .alias("b3600"),
+    ).crossJoin(F.broadcast(scalars))
+    swept = agg.selectExpr(
+        "stack(3,"
+        " CAST(600 AS BIGINT), n_users + b600,"
+        " CAST(1800 AS BIGINT), n_users + b1800,"
+        " CAST(3600 AS BIGINT), n_users + b3600"
+        ") AS (threshold_s, n_sessions)",
+        "n_events",
+    )
+    return swept.select(
+        "threshold_s",
+        "n_sessions",
+        F.expr("CAST(n_events * 100 div n_sessions AS BIGINT)").alias(
+            "events_per_session_e2"
+        ),
+    ).orderBy("threshold_s")
+
+
+@_staged(
+    "q_type_value_percentiles",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, v_e4,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY v_e4, event_id)
+                   AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM v
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rn = greatest(1, n * 25 // 100)
+                         THEN v_e4 END) AS BIGINT) AS p25_e4,
+           CAST(max(CASE WHEN rn = greatest(1, n * 50 // 100)
+                         THEN v_e4 END) AS BIGINT) AS p50_e4,
+           CAST(max(CASE WHEN rn = greatest(1, n * 75 // 100)
+                         THEN v_e4 END) AS BIGINT) AS p75_e4
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_type_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT value quartiles per event type (rank-selected, the
+    repo's deterministic lower-quantile convention rn = ⌊n·q⌋ with the
+    (value, event_id) tie-break) — the distribution summary behind
+    any per-type alerting threshold, computed without approx_quantile
+    so the oracle can replay it bit-for-bit. Ranks come from the
+    partitioned ranking operator (5 bounded type keys, per-key volume
+    row-proportional — a plain keyed window would funnel each type
+    through one task at 100 TB); the three quartiles fold in one
+    grouped conditional-max pass. All values exact e4 integers."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v_e4"),
+        "event_id",
+    )
+    ranked = partitioned_row_number(
+        v, ["event_type"], [F.col("v_e4"), F.col("event_id")], alias="rn"
+    )
+    counts = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        ranked.join(F.broadcast(counts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("greatest(1, n * 25 div 100)"),
+                    F.col("v_e4"),
+                )
+            )
+            .cast("long")
+            .alias("p25_e4"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("greatest(1, n * 50 div 100)"),
+                    F.col("v_e4"),
+                )
+            )
+            .cast("long")
+            .alias("p50_e4"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("greatest(1, n * 75 div 100)"),
+                    F.col("v_e4"),
+                )
+            )
+            .cast("long")
+            .alias("p75_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_dow_value_premium",
+    oracle="""
+    WITH d AS (
+        SELECT isodow(o_orderdate) AS dow,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v
+        FROM orders
+        GROUP BY isodow(o_orderdate)
+    ),
+    tot AS (
+        SELECT dow, n_orders, v,
+               CAST(v // n_orders AS BIGINT) AS mean_cents,
+               sum(n_orders) OVER () AS tot_n,
+               sum(v) OVER () AS tot_v
+        FROM d
+    )
+    SELECT dow, n_orders, mean_cents,
+           CAST(floor(CAST(v // n_orders AS DOUBLE) * 10000.0
+                      * CAST(tot_n AS DOUBLE)
+                      / CAST(tot_v AS DOUBLE)) - 10000 AS BIGINT)
+               AS premium_bp
+    FROM tot
+    ORDER BY dow
+    """,
+)
+def q_dow_value_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week order-value premium: each ISO weekday's mean order
+    value against the corpus mean, in signed basis points — the
+    weekly pricing rhythm (q_dow_stability watches COUNTS; this
+    prices the day). One aggregation to 7 rows, totals as windows
+    over that bounded frame; the premium converts each int64 term to
+    DOUBLE before the product (the q_bot_score pinned-double pattern —
+    an int64 product form would pass 2^63 at scale) under floor.
+    Spark weekday()+1 ≡ DuckDB isodow (the CLAUDE.md calendar
+    rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy((F.weekday("o_orderdate") + 1).alias("dow")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("n_orders"), F.lit(1)))
+    tot = d.select(
+        "dow",
+        "n_orders",
+        "v",
+        F.expr("CAST(v div n_orders AS BIGINT)").alias("mean_cents"),
+        F.sum("n_orders").over(w).alias("tot_n"),
+        F.sum("v").over(w).alias("tot_v"),
+    )
+    return tot.select(
+        "dow",
+        "n_orders",
+        "mean_cents",
+        F.expr(
+            "CAST(floor(CAST(v div n_orders AS DOUBLE) * 10000.0D"
+            " * CAST(tot_n AS DOUBLE)"
+            " / CAST(tot_v AS DOUBLE)) - 10000 AS BIGINT)"
+        ).alias("premium_bp"),
+    ).orderBy("dow")
+
+
+@_staged(
+    "q_user_modal_share",
+    oracle="""
+    WITH per_type AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY user_id, event_type
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(max(n) AS BIGINT) AS modal_n
+        FROM per_type
+        GROUP BY user_id
+    ),
+    banded AS (
+        SELECT user_id, n_events, modal_n,
+               least(modal_n * 10000 // n_events // 1000,
+                     CAST(9 AS BIGINT)) AS band
+        FROM per_user
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) * 100 // count(*) AS BIGINT)
+               AS mean_events_e2,
+           CAST(sum(modal_n) * 10000 // sum(n_events) AS BIGINT)
+               AS pooled_modal_bp
+    FROM banded
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_user_modal_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral concentration distribution: per user, the share of
+    events in their MOST frequent type (the modal share), banded into
+    bp deciles — how specialized the user base is (q_user_type_affinity
+    names each user's modal type; this measures how dominant it is,
+    the input to any personalization-worthiness call). Two grouped
+    aggregations (user×type, then user); the band is an exact
+    integer floor chain (share bp // 1000, capped at 9); band rows
+    carry exact e2/bp summary integers. No window, no join — fully
+    map-side-combinable at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.max("n").cast("long").alias("modal_n"),
+    )
+    banded = per_user.select(
+        "n_events",
+        "modal_n",
+        F.expr(
+            "least(modal_n * 10000 div n_events div 1000, CAST(9 AS BIGINT))"
+        ).alias("band"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("CAST(sum(n_events) * 100 div count(*) AS BIGINT)").alias(
+                "mean_events_e2"
+            ),
+            F.expr(
+                "CAST(sum(modal_n) * 10000 div sum(n_events) AS BIGINT)"
+            ).alias("pooled_modal_bp"),
+        )
+        .orderBy("band")
+    )
+
+
+@_staged(
+    "q_gap_weekend_mix",
+    oracle="""
+    WITH g AS (
+        SELECT isodow(ts) AS dow,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d1,
+               lead(CAST(date_trunc('day', ts) AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS d2,
+               (lead(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                - epoch_us(ts)) // 1000000 AS gap_s
+        FROM events
+    )
+    SELECT dow,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_s) * 100 // count(*) AS BIGINT) AS mean_gap_s_e2,
+           CAST(sum(CASE WHEN d2 > d1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS crosses_day_bp
+    FROM g
+    WHERE gap_s IS NOT NULL
+    GROUP BY dow
+    ORDER BY dow
+    """,
+)
+def q_gap_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap profile by the weekday the gap STARTS on: mean
+    gap seconds (exact e2) and the share of gaps that cross a calendar
+    day boundary — does engagement started late in the week stall
+    over the weekend (the re-engagement-send-time input;
+    q_interarrival_hazard models gap magnitude, this locates it on
+    the calendar). One per-user lead window pass; whole-second gaps
+    by integer µs division; day-crossing is an exact date_trunc
+    comparison. Spark weekday()+1 ≡ DuckDB isodow."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (F.weekday("ts") + 1).alias("dow"),
+        F.date_trunc("day", "ts").alias("d1"),
+        F.lead(F.date_trunc("day", F.col("ts"))).over(w).alias("d2"),
+        F.expr(
+            "(lead(unix_micros(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)"
+            " - unix_micros(ts)) div 1000000"
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        g.groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.expr("CAST(sum(gap_s) * 100 div count(*) AS BIGINT)").alias(
+                "mean_gap_s_e2"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN d2 > d1 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("crosses_day_bp"),
+        )
+        .orderBy("dow")
+    )

@@ -1393,3 +1393,312 @@ def q_gap_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 4 — catalog & pricing structure: name-token co-occurrence,
+# realized-vs-list yield, assortment coverage, price/quantity return
+# links.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_partname_cooccur",
+    oracle="""
+    WITH toks AS (
+        SELECT split_part(p_name, ' ', 1) AS adj,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part
+        WHERE length(split_part(p_name, ' ', 2)) > 0
+    ),
+    pairs AS (
+        SELECT adj, noun, CAST(count(*) AS BIGINT) AS n_parts
+        FROM toks
+        GROUP BY adj, noun
+    ),
+    m AS (
+        SELECT adj, noun, n_parts,
+               CAST(sum(n_parts) OVER (PARTITION BY adj) AS BIGINT) AS n_adj,
+               CAST(sum(n_parts) OVER (PARTITION BY noun) AS BIGINT) AS n_noun,
+               CAST(sum(n_parts) OVER () AS BIGINT) AS n
+        FROM pairs
+    )
+    SELECT adj, noun, n_parts,
+           CAST(floor(CAST(n_parts * n AS DOUBLE) * 10000.0
+                      / CAST(n_adj * n_noun AS DOUBLE)) AS BIGINT)
+               AS lift_e4
+    FROM m
+    ORDER BY n_parts DESC, adj, noun
+    LIMIT 20
+    """,
+)
+def q_partname_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog naming co-occurrence: lift between the adjective and
+    noun tokens of part names (an independent generator sits at lift
+    1.0; systematic naming conventions — 'small' only ever pairing
+    with 'bolt' — show as polarized lifts), the catalog-side twin of
+    q_pair_lift's basket association. One grouped count to the
+    token-pair frame (bounded by the naming vocabulary, never
+    row-proportional), marginals as windows over that frame, lift as
+    ONE int64→double divide under floor (numerator and denominator
+    products stay under 2^53 until past sf1000 — the CLAUDE.md
+    pinned-double rule). Top-20 with the (count desc, adj, noun)
+    tie-break."""
+    p = load_table(spark, sf_dir, "part")
+    toks = p.select(
+        F.expr("split_part(p_name, ' ', 1)").alias("adj"),
+        F.expr("split_part(p_name, ' ', 2)").alias("noun"),
+    ).where(F.length("noun") > 0)
+    pairs = toks.groupBy("adj", "noun").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    m = pairs.select(
+        "adj",
+        "noun",
+        "n_parts",
+        F.sum("n_parts").over(Window.partitionBy("adj")).cast("long").alias("n_adj"),
+        F.sum("n_parts").over(Window.partitionBy("noun")).cast("long").alias("n_noun"),
+        F.sum("n_parts")
+        .over(Window.partitionBy(F.pmod(F.col("n_parts"), F.lit(1))))
+        .cast("long")
+        .alias("n"),
+    )
+    return (
+        m.select(
+            "adj",
+            "noun",
+            "n_parts",
+            F.expr(
+                "CAST(floor(CAST(n_parts * n AS DOUBLE) * 10000.0D"
+                " / CAST(n_adj * n_noun AS DOUBLE)) AS BIGINT)"
+            ).alias("lift_e4"),
+        )
+        .orderBy(F.col("n_parts").desc(), "adj", "noun")
+        .limit(20)
+    )
+
+
+@_staged(
+    "q_brand_realized_ratio",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_brand AS brand,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                   AS BIGINT) AS realized_cents,
+               CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS list_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(realized_cents) AS BIGINT) AS realized_total_cents,
+           CAST(floor(CAST(sum(realized_cents) AS DOUBLE) * 10000.0
+                      / CAST(sum(list_cents) AS DOUBLE)) AS BIGINT)
+               AS realized_ratio_e4
+    FROM j
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q_brand_realized_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-vs-list revenue yield per brand: post-discount line
+    revenue over quantity × catalog list price, in exact e4 — where
+    pricing power actually leaks (q_unit_price_consistency audits the
+    per-part ratio spread; this is the value-weighted brand ledger a
+    pricing review opens with). Realized cents floor an IEEE product
+    both engines compute identically (the CLAUDE.md floor-of-multiply
+    class); list cents are pure int64 products (quantity is integral —
+    floored before the cast so the DuckDB-round vs Spark-trunc cast
+    divergence can never engage); the final ratio is one int64→double
+    divide under floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("realized_cents"),
+        (
+            F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+            * F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
+        ).alias("list_cents"),
+    )
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("realized_cents").cast("long").alias("realized_total_cents"),
+            F.expr(
+                "CAST(floor(CAST(sum(realized_cents) AS DOUBLE) * 10000.0D"
+                " / CAST(sum(list_cents) AS DOUBLE)) AS BIGINT)"
+            ).alias("realized_ratio_e4"),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_brand_size_coverage",
+    oracle="""
+    WITH per_brand AS (
+        SELECT p_brand AS brand,
+               CAST(count(DISTINCT p_size) AS BIGINT) AS n_sizes,
+               CAST(min(p_size) AS BIGINT) AS size_min,
+               CAST(max(p_size) AS BIGINT) AS size_max,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part
+        GROUP BY p_brand
+    ),
+    g AS (
+        SELECT CAST(count(DISTINCT p_size) AS BIGINT) AS g_sizes FROM part
+    )
+    SELECT b.brand, b.n_parts, b.n_sizes, b.size_min, b.size_max,
+           CAST(b.n_sizes * 10000 // g.g_sizes AS BIGINT) AS coverage_bp
+    FROM per_brand b, g
+    ORDER BY b.brand
+    """,
+)
+def q_brand_size_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment breadth per brand: how much of the catalog's size
+    spectrum each brand covers (distinct sizes, span, and coverage of
+    the global distinct-size count in bp) — the assortment-planning
+    complement to q_brand_breadth. Two bounded aggregations; the
+    1-row global distinct-size leg joins back as a broadcast scalar
+    cross (staged NLJ allowlist — bounded by construction); shares
+    are exact bp floors."""
+    p = load_table(spark, sf_dir, "part")
+    per_brand = p.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.countDistinct("p_size").cast("long").alias("n_sizes"),
+        F.min("p_size").cast("long").alias("size_min"),
+        F.max("p_size").cast("long").alias("size_max"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    g = p.agg(F.countDistinct("p_size").cast("long").alias("g_sizes"))
+    return (
+        per_brand.crossJoin(F.broadcast(g))
+        .select(
+            "brand",
+            "n_parts",
+            "n_sizes",
+            "size_min",
+            "size_max",
+            F.expr("CAST(n_sizes * 10000 div g_sizes AS BIGINT)").alias(
+                "coverage_bp"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+@_staged(
+    "q_price_band_return",
+    oracle="""
+    WITH j AS (
+        SELECT least(greatest(CAST(floor(p.p_retailprice * 100 + 0.5)
+                                   AS BIGINT) // 1000 - 90,
+                              CAST(0 AS BIGINT)),
+                     CAST(9 AS BIGINT)) AS price_band,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT price_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(r) * 10000 // count(*) AS BIGINT) AS return_bp,
+           CAST(sum(CASE WHEN r = 1 THEN cents ELSE 0 END) * 10000
+                // sum(cents) AS BIGINT) AS value_return_bp
+    FROM j
+    GROUP BY price_band
+    ORDER BY price_band
+    """,
+)
+def q_price_band_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return incidence by catalog price band: line-count and
+    value-weighted return shares across fixed $10 list-price bands
+    (the catalog prices span 900-1000; the band is an exact integer
+    floor chain anchored at $900, clamped to [0, 9] so a catalog
+    refresh cannot push rows off the grid) — do pricier variants come
+    back more, and does the value answer differ from the count answer
+    (q_returns_value slices by calendar; this slices by price point).
+    One join, one grouped pass, exact bp floors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.expr(
+            "least(greatest(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
+            " div 1000 - 90, CAST(0 AS BIGINT)), CAST(9 AS BIGINT))"
+        ).alias("price_band"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    return (
+        j.groupBy("price_band")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr("CAST(sum(r) * 10000 div count(*) AS BIGINT)").alias(
+                "return_bp"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN r = 1 THEN cents ELSE 0 END) * 10000"
+                " div sum(cents) AS BIGINT)"
+            ).alias("value_return_bp"),
+        )
+        .orderBy("price_band")
+    )
+
+
+@_staged(
+    "q_quantity_return_link",
+    oracle="""
+    WITH j AS (
+        SELECT (CAST(floor(l_quantity + 0.5) AS BIGINT) - 1) // 10
+                   AS qty_band,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem
+    )
+    SELECT qty_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(r) * 10000 // count(*) AS BIGINT) AS return_bp,
+           CAST(sum(CASE WHEN r = 1 THEN cents ELSE 0 END) * 10000
+                // sum(cents) AS BIGINT) AS value_return_bp
+    FROM j
+    GROUP BY qty_band
+    ORDER BY qty_band
+    """,
+)
+def q_quantity_return_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return incidence by ORDER QUANTITY band (1-10, 11-20, … 41-50):
+    do bulk lines come back at different rates, by count and by value
+    — the operational complement to q_price_band_return on the
+    quantity axis (bulk returns cost disproportionate freight). The
+    band is exact integer arithmetic on the integral quantity
+    (floored before the cast — the CLAUDE.md cast-divergence rule);
+    one grouped pass over lineitem, no join, exact bp floors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.select(
+        F.expr(
+            "(CAST(floor(l_quantity + 0.5) AS BIGINT) - 1) div 10"
+        ).alias("qty_band"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    return (
+        j.groupBy("qty_band")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.expr("CAST(sum(r) * 10000 div count(*) AS BIGINT)").alias(
+                "return_bp"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN r = 1 THEN cents ELSE 0 END) * 10000"
+                " div sum(cents) AS BIGINT)"
+            ).alias("value_return_bp"),
+        )
+        .orderBy("qty_band")
+    )

@@ -1702,3 +1702,354 @@ def q_quantity_return_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 5 — cross-table integrity & referential audits: the checks a
+# data platform runs on every snapshot before anything downstream is
+# allowed to trust it.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_name_key_consistency",
+    oracle="""
+    WITH checks AS (
+        SELECT 'customer' AS relation,
+               CASE WHEN c_name = concat('Customer#',
+                        lpad(CAST(c_custkey AS VARCHAR), 9, '0'))
+                    THEN 1 ELSE 0 END AS ok
+        FROM customer
+        UNION ALL
+        SELECT 'supplier',
+               CASE WHEN s_name = concat('Supplier#',
+                        lpad(CAST(s_suppkey AS VARCHAR), 9, '0'))
+                    THEN 1 ELSE 0 END
+        FROM supplier
+    )
+    SELECT relation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(ok) AS BIGINT) AS n_match,
+           CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS match_bp
+    FROM checks
+    GROUP BY relation
+    ORDER BY relation
+    """,
+)
+def q_name_key_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized-field integrity: the display name of every
+    customer and supplier must embed its own key ('Customer#' +
+    9-digit zero-padded custkey — the generator's contract). A
+    mismatch means the name and the key were updated independently —
+    the classic denormalization drift every warehouse audit greps
+    for. One union of two projections, one grouped pass, exact bp;
+    string building is locale-free concat/lpad identical in both
+    engines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("relation"),
+        F.when(
+            F.col("c_name")
+            == F.concat(
+                F.lit("Customer#"),
+                F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("relation"),
+        F.when(
+            F.col("s_name")
+            == F.concat(
+                F.lit("Supplier#"),
+                F.lpad(F.col("s_suppkey").cast("string"), 9, "0"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("relation")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("ok").cast("long").alias("n_match"),
+            F.expr("CAST(sum(ok) * 10000 div count(*) AS BIGINT)").alias(
+                "match_bp"
+            ),
+        )
+        .orderBy("relation")
+    )
+
+
+@_staged(
+    "q_acctbal_percentiles",
+    oracle="""
+    WITH v AS (
+        SELECT c_mktsegment AS segment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+               c_custkey
+        FROM customer
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               CAST(row_number() OVER (
+                   PARTITION BY segment ORDER BY cents, c_custkey)
+                   AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+        FROM v
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(CASE WHEN rn = greatest(1, n * 10 // 100)
+                         THEN cents END) AS BIGINT) AS p10_cents,
+           CAST(max(CASE WHEN rn = greatest(1, n * 50 // 100)
+                         THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(max(CASE WHEN rn = greatest(1, n * 90 // 100)
+                         THEN cents END) AS BIGINT) AS p90_cents
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT account-balance deciles per market segment (p10/p50/p90,
+    rank-selected with the (cents, custkey) tie-break) — the credit-
+    exposure summary behind q_supplier_balance_risk's flags, computed
+    without approx_percentile so the oracle replays it bit-for-bit.
+    Balances can be NEGATIVE: floor(x·100 + 0.5) of a negative double
+    is the same value in both engines (floor, not cast — the CLAUDE.md
+    divergence rule). Ranks come from the partitioned ranking operator
+    (5 bounded segment keys, row-proportional partitions)."""
+    from mapreduce_llm_spark.operators.ranking import partitioned_row_number
+
+    c = load_table(spark, sf_dir, "customer")
+    v = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias("cents"),
+        "c_custkey",
+    )
+    ranked = partitioned_row_number(
+        v, ["segment"], [F.col("cents"), F.col("c_custkey")], alias="rn"
+    )
+    counts = ranked.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        ranked.join(F.broadcast(counts), "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("greatest(1, n * 10 div 100)"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("p10_cents"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("greatest(1, n * 50 div 100)"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("p50_cents"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("greatest(1, n * 90 div 100)"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("p90_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_region_acct_net",
+    oracle="""
+    WITH cb AS (
+        SELECT n.n_regionkey AS rk,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cust_cents
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey
+    ),
+    sb AS (
+        SELECT n.n_regionkey AS rk,
+               CAST(count(*) AS BIGINT) AS n_supp,
+               CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS supp_cents
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey
+    )
+    SELECT r.r_name AS region,
+           cb.n_cust, cb.cust_cents, sb.n_supp, sb.supp_cents,
+           cb.cust_cents - sb.supp_cents AS net_cents
+    FROM region r
+    JOIN cb ON cb.rk = r.r_regionkey
+    JOIN sb ON sb.rk = r.r_regionkey
+    ORDER BY region
+    """,
+)
+def q_region_acct_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional balance sheet: customer account mass vs supplier
+    account mass per region, and the signed net — which regions the
+    book is long (q_nation_trade_balance nets FLOWS; this nets the
+    STANDING balances). Two independent grouped sums roll up through
+    broadcast nation/region joins; balances can be negative so cents
+    are floor(x·100 + 0.5) (sign-exact both engines) and the net is a
+    plain int64 difference — no division anywhere, nothing to
+    round."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cb = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_regionkey").alias("rk"))
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("cust_cents"),
+        )
+    )
+    sb = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_regionkey").alias("rk2"))
+        .agg(
+            F.count("*").cast("long").alias("n_supp"),
+            F.sum(F.expr("CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("supp_cents"),
+        )
+    )
+    return (
+        cb.join(sb, cb["rk"] == sb["rk2"])
+        .join(F.broadcast(r), cb["rk"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            "n_cust",
+            "cust_cents",
+            "n_supp",
+            "supp_cents",
+            (F.col("cust_cents") - F.col("supp_cents")).alias("net_cents"),
+        )
+        .orderBy("region")
+    )
+
+
+@_staged(
+    "q_date_sanity",
+    oracle="""
+    WITH j AS (
+        SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ship_before_order,
+           CAST(sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS violation_bp,
+           CAST(sum(CASE WHEN lead_days = 0 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS same_day_bp,
+           CAST(min(lead_days) AS BIGINT) AS min_lead_days,
+           CAST(max(lead_days) AS BIGINT) AS max_lead_days
+    FROM j
+    """,
+)
+def q_date_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal referential audit: lines shipped BEFORE their order
+    existed (a hard causality violation the generator does not in
+    fact prevent — the audit quantifies it rather than assuming it
+    away), same-day shipments, and the lead-time envelope. One
+    fact-to-fact equi-join on orderkey (co-partitioned at scale), one
+    scalar pass, exact day arithmetic on date_diff — no floats
+    anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lead_days"
+        )
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("lead_days") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ship_before_order"),
+        F.expr(
+            "CAST(sum(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("violation_bp"),
+        F.expr(
+            "CAST(sum(CASE WHEN lead_days = 0 THEN 1 ELSE 0 END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("same_day_bp"),
+        F.min("lead_days").cast("long").alias("min_lead_days"),
+        F.max("lead_days").cast("long").alias("max_lead_days"),
+    )
+
+
+@_staged(
+    "q_embed_coverage",
+    oracle="""
+    WITH j AS (
+        SELECT d.doc_id, e.vec_id
+        FROM documents d
+        FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_doc_only,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_vec_only
+    FROM j
+    """,
+)
+def q_embed_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-coverage reconciliation: the full-outer ledger
+    between the document corpus and the embedding table on the shared
+    id space — how many docs lack a vector (stale embedding job) and
+    how many vectors lack a doc (deleted docs, leaked rows). The
+    question every retrieval index rebuild starts with; one full
+    outer equi-join (hash-partitioned on the id at scale) folded to a
+    single exact-count row."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("doc_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_vecs"),
+        F.sum(
+            F.when(
+                F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_doc_only"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_vec_only"),
+    )

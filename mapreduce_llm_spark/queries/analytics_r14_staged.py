@@ -2053,3 +2053,483 @@ def q_embed_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_vec_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 6 — order time-series shape: structural breaks, seasonal
+# peaks, rolling co-movement, momentum, and calendar normalization.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_slope_break",
+    oracle="""
+    WITH monthly AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS m,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, date_trunc('month', o.o_orderdate)
+    ),
+    indexed AS (
+        SELECT segment, v,
+               CAST(row_number() OVER (
+                   PARTITION BY segment ORDER BY m) AS BIGINT) AS x,
+               CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS nm
+        FROM monthly
+    ),
+    halves AS (
+        SELECT segment, nm,
+               CASE WHEN x <= nm // 2 THEN 0 ELSE 1 END AS half,
+               x, v
+        FROM indexed
+    ),
+    sums AS (
+        SELECT segment, half, max(nm) AS nm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(x * v) AS BIGINT) AS sxv,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM halves
+        GROUP BY segment, half
+    ),
+    slopes AS (
+        SELECT segment, half, nm,
+               CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+                    floor(CAST(n * sxv - sx * sv AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                    END AS BIGINT) AS slope
+        FROM sums
+    )
+    SELECT a.segment,
+           CAST(max(a.nm) AS BIGINT) AS n_months,
+           CAST(max(CASE WHEN a.half = 0 THEN a.slope END) AS BIGINT)
+               AS slope_first_cents,
+           CAST(max(CASE WHEN a.half = 1 THEN a.slope END) AS BIGINT)
+               AS slope_second_cents,
+           CAST(max(CASE WHEN a.half = 1 THEN a.slope END)
+                - max(CASE WHEN a.half = 0 THEN a.slope END) AS BIGINT)
+               AS slope_delta_cents
+    FROM slopes a
+    GROUP BY a.segment
+    ORDER BY a.segment
+    """,
+)
+def q_slope_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-break screen per market segment: the exact OLS slope
+    of monthly order value over the FIRST half of the series vs the
+    SECOND, and the signed delta — the one-table answer to "did this
+    segment's trend change mid-history" (q_value_trend_ols fits one
+    global slope; a break makes that single number a lie). The
+    q_value_trend_ols integer-moment discipline per half: x ≤ ~80
+    keeps every moment sum exact int64, each slope is one
+    int64→double divide under floor with the zero-variance guard; the
+    month index is a keyed window over the calendar-bounded monthly
+    frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    wseg = Window.partitionBy("segment")
+    indexed = monthly.select(
+        "segment",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("m"))
+        .cast("long")
+        .alias("x"),
+        F.count("*").over(wseg).cast("long").alias("nm"),
+    )
+    halves = indexed.select(
+        "segment",
+        "nm",
+        F.when(F.col("x") <= F.expr("nm div 2"), 0).otherwise(1).alias("half"),
+        "x",
+        "v",
+    )
+    sums = halves.groupBy("segment", "half").agg(
+        F.max("nm").alias("nm"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("x") * F.col("v")).cast("long").alias("sxv"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slopes = sums.select(
+        "segment",
+        "half",
+        "nm",
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN"
+            " floor(CAST(n * sxv - sx * sv AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)) END AS BIGINT)"
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("segment")
+        .agg(
+            F.max("nm").cast("long").alias("n_months"),
+            F.max(F.when(F.col("half") == 0, F.col("slope")))
+            .cast("long")
+            .alias("slope_first_cents"),
+            F.max(F.when(F.col("half") == 1, F.col("slope")))
+            .cast("long")
+            .alias("slope_second_cents"),
+            (
+                F.max(F.when(F.col("half") == 1, F.col("slope")))
+                - F.max(F.when(F.col("half") == 0, F.col("slope")))
+            )
+            .cast("long")
+            .alias("slope_delta_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_peak_month",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mon,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v
+        FROM orders
+        GROUP BY year(o_orderdate), month(o_orderdate)
+    ),
+    shares AS (
+        SELECT yr, mon, v,
+               CAST(sum(v) OVER (PARTITION BY yr) AS BIGINT) AS ytot,
+               CAST(v * 10000 // sum(v) OVER (PARTITION BY yr) AS BIGINT)
+                   AS share_bp
+        FROM monthly
+    )
+    SELECT yr,
+           CAST(max(ytot) AS BIGINT) AS year_cents,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(max(share_bp * 100 + mon) % 100 AS BIGINT) AS peak_month,
+           CAST(max(share_bp * 100 + mon) // 100 AS BIGINT)
+               AS peak_share_bp
+    FROM shares
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def q_peak_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal concentration per year: which month carries the
+    largest value share, and how large it is — the inventory-
+    prebuild calendar (q_monthly_seasonality averages the month
+    profile ACROSS years; this names each year's actual peak, so a
+    migrating peak is visible). Shares are exact bp floors over the
+    ≤12-row per-year frame; the peak is the packed nonneg-integer
+    argmax (share_bp·100 + month — the q_kmeans_step rule; ties
+    resolve to the later month identically in both engines, all
+    integer)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("v")
+    )
+    wy = Window.partitionBy("yr")
+    shares = monthly.select(
+        "yr",
+        "mon",
+        "v",
+        F.sum("v").over(wy).cast("long").alias("ytot"),
+        F.expr("CAST(v * 10000 div sum(v) OVER (PARTITION BY yr) AS BIGINT)").alias(
+            "share_bp"
+        ),
+    )
+    return (
+        shares.groupBy("yr")
+        .agg(
+            F.max("ytot").cast("long").alias("year_cents"),
+            F.count("*").cast("long").alias("n_months"),
+            (F.max(F.col("share_bp") * 100 + F.col("mon")) % 100)
+            .cast("long")
+            .alias("peak_month"),
+            F.expr("CAST(max(share_bp * 100 + mon) div 100 AS BIGINT)").alias(
+                "peak_share_bp"
+            ),
+        )
+        .orderBy("yr")
+    )
+
+@_staged(
+    "q_rolling_corr",
+    oracle="""
+    WITH monthly AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS m,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, date_trunc('month', o.o_orderdate)
+    ),
+    indexed AS (
+        SELECT segment, m, cnt, v,
+               CAST(row_number() OVER (
+                   PARTITION BY segment ORDER BY m) AS BIGINT) AS rn
+        FROM monthly
+    )
+    SELECT b.segment, b.m,
+           round(corr(CAST(w.cnt AS DOUBLE), CAST(w.v AS DOUBLE)) + 0.0, 4)
+               AS corr6
+    FROM indexed b
+    JOIN indexed w
+      ON w.segment = b.segment AND w.rn BETWEEN b.rn - 5 AND b.rn
+    WHERE b.rn >= 6
+    GROUP BY b.segment, b.m
+    ORDER BY b.segment, b.m
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-month rolling correlation between order COUNT and order
+    VALUE per segment: does volume still predict revenue, month by
+    month — a decoupling (corr collapsing) flags a mix shift that the
+    static q_agg_corr can't time-localize. The 6-month frame is
+    materialized as a range self-join of the CALENDAR-BOUNDED monthly
+    series (~400 rows at any SF — the broadcast nested-loop is a
+    bounded grid, staged NLJ allowlist), then the grouped corr fold
+    (the q_agg_corr precedent; Spark's ANSI windowed corr raises
+    DIVIDE_BY_ZERO on the unavoidable 1-row warm-up frames, so the
+    window form is not portable), round(,4) with the -0.0
+    normalizer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    indexed = monthly.select(
+        "segment",
+        "m",
+        "cnt",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("m"))
+        .cast("long")
+        .alias("rn"),
+    )
+    b = indexed.select(
+        F.col("segment").alias("bseg"), F.col("m").alias("m"), F.col("rn").alias("brn")
+    ).where(F.col("brn") >= 6)
+    wnd = indexed.select(
+        F.col("segment").alias("wseg"),
+        F.col("rn").alias("wrn"),
+        F.col("cnt").alias("wcnt"),
+        F.col("v").alias("wv"),
+    )
+    j = b.join(
+        wnd,
+        (F.col("wseg") == F.col("bseg"))
+        & (F.col("wrn") >= F.col("brn") - 5)
+        & (F.col("wrn") <= F.col("brn")),
+    )
+    return (
+        j.groupBy(F.col("bseg").alias("segment"), "m")
+        .agg(
+            F.round(
+                F.corr(
+                    F.col("wcnt").cast("double"), F.col("wv").cast("double")
+                )
+                + F.lit(0.0),
+                4,
+            ).alias("corr6")
+        )
+        .orderBy("segment", "m")
+    )
+
+
+@_staged(
+    "q_momentum_flips",
+    oracle="""
+    WITH monthly AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS m,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, date_trunc('month', o.o_orderdate)
+    ),
+    diffs AS (
+        SELECT segment, m,
+               cnt - lag(cnt) OVER (PARTITION BY segment ORDER BY m) AS d
+        FROM monthly
+    ),
+    signs AS (
+        SELECT segment, m,
+               CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+        FROM diffs
+        WHERE d IS NOT NULL AND d <> 0
+    ),
+    runs AS (
+        SELECT segment, s,
+               lag(s) OVER (PARTITION BY segment ORDER BY m) AS prev_s
+        FROM signs
+    )
+    SELECT d.segment,
+           CAST(count(*) AS BIGINT) AS n_changes,
+           CAST(sum(CASE WHEN d.d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(sum(CASE WHEN d.d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           (SELECT CAST(count(*) AS BIGINT) FROM runs r
+            WHERE r.segment = d.segment
+              AND r.prev_s IS NOT NULL AND r.s <> r.prev_s) AS n_flips
+    FROM diffs d
+    WHERE d.d IS NOT NULL AND d.d <> 0
+    GROUP BY d.segment
+    ORDER BY d.segment
+    """,
+)
+def q_momentum_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Momentum reversals per segment: over the monthly order-count
+    series, how many month-over-month movements there are, their
+    up/down split, and how often the DIRECTION flips — a flip count
+    near n_changes−1 is mean reversion (noise), a low one is real
+    momentum (q_monotone_runs measures the longest streaks on the
+    events series; this counts regime changes on orders). Two lag
+    windows over the calendar-bounded monthly frame; zero diffs drop
+    before the flip pairing so a flat month cannot manufacture two
+    flips. All exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("segment").orderBy("m")
+    diffs = monthly.select(
+        "segment",
+        "m",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("d"),
+    ).where(F.col("d").isNotNull() & (F.col("d") != 0))
+    signs = diffs.select(
+        "segment",
+        "m",
+        F.when(F.col("d") > 0, 1).otherwise(-1).alias("s"),
+    )
+    runs = signs.select(
+        "segment",
+        "s",
+        F.lag("s").over(Window.partitionBy("segment").orderBy("m")).alias(
+            "prev_s"
+        ),
+    )
+    flips = runs.where(
+        F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s"))
+    ).groupBy("segment").agg(F.count("*").cast("long").alias("n_flips"))
+    base = diffs.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_changes"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    )
+    return (
+        base.join(flips, "segment", "left")
+        .select(
+            "segment",
+            "n_changes",
+            "n_up",
+            "n_down",
+            F.coalesce("n_flips", F.lit(0)).cast("long").alias("n_flips"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_per_day_rate",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    ),
+    rated AS (
+        SELECT m, n_orders,
+               CAST(date_diff('day', m, m + INTERVAL 1 MONTH) AS BIGINT)
+                   AS days_in_month,
+               CAST(n_orders * 100 //
+                    date_diff('day', m, m + INTERVAL 1 MONTH) AS BIGINT)
+                   AS rate_e2
+        FROM monthly
+    )
+    SELECT m, n_orders, days_in_month, rate_e2,
+           CAST(row_number() OVER (ORDER BY n_orders DESC, m)
+                - row_number() OVER (ORDER BY rate_e2 DESC, m) AS BIGINT)
+               AS rank_shift
+    FROM rated
+    ORDER BY m
+    """,
+)
+def q_per_day_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-length normalization: monthly order counts vs the
+    per-day RATE (count·100 // days-in-month, exact e2), and how many
+    rank positions each month moves once February stops being
+    penalized for being short — the correction every month-over-month
+    report needs before declaring a dip. Day counts come from exact
+    date arithmetic (month-start to next month-start); both rankings
+    are row_number with the month tie-break over the calendar-bounded
+    monthly frame (≤ ~84 rows at any SF — the single-task window is
+    bounded by construction, never row-proportional)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    rated = monthly.select(
+        "m",
+        "n_orders",
+        F.datediff(F.add_months(F.col("m"), 1), F.col("m"))
+        .cast("long")
+        .alias("days_in_month"),
+        F.expr(
+            "CAST(n_orders * 100 div"
+            " datediff(add_months(m, 1), m) AS BIGINT)"
+        ).alias("rate_e2"),
+    )
+    wcal = Window.partitionBy(F.pmod(F.col("n_orders"), F.lit(1)))
+    return rated.select(
+        "m",
+        "n_orders",
+        "days_in_month",
+        "rate_e2",
+        (
+            F.row_number().over(wcal.orderBy(F.col("n_orders").desc(), "m"))
+            - F.row_number().over(wcal.orderBy(F.col("rate_e2").desc(), "m"))
+        )
+        .cast("long")
+        .alias("rank_shift"),
+    ).orderBy("m")

@@ -2533,3 +2533,331 @@ def q_per_day_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_shift"),
     ).orderBy("m")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 7 — LLM data-prep planning: packing efficiency, dataset
+# cards, curriculum schedules, duplicate-cluster mass, lexical rank
+# scores.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_packing_bound",
+    oracle="""
+    WITH toks AS (
+        SELECT len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               w -> w <> '')) AS tok
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS total_tok,
+               CAST(sum((tok + 63) // 64) AS BIGINT) AS naive64,
+               CAST(sum((tok + 127) // 128) AS BIGINT) AS naive128,
+               CAST(sum((tok + 255) // 256) AS BIGINT) AS naive256
+        FROM toks
+    )
+    SELECT budget, n_docs, total_tok, naive_chunks,
+           CAST((total_tok + budget - 1) // budget AS BIGINT) AS lower_bound,
+           CAST((naive_chunks - (total_tok + budget - 1) // budget) * 10000
+                // ((total_tok + budget - 1) // budget) AS BIGINT)
+               AS slack_bp
+    FROM (
+        SELECT CAST(64 AS BIGINT) AS budget, n_docs, total_tok,
+               naive64 AS naive_chunks FROM agg
+        UNION ALL
+        SELECT CAST(128 AS BIGINT), n_docs, total_tok, naive128 FROM agg
+        UNION ALL
+        SELECT CAST(256 AS BIGINT), n_docs, total_tok, naive256 FROM agg
+    )
+    ORDER BY budget
+    """,
+)
+def q_packing_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing headroom under token budgets 64/128/256: the
+    naive one-doc-per-chunk count Σ⌈tok/b⌉ against the bin-packing
+    LOWER bound ⌈Σtok/b⌉, and the slack between them in bp — how much
+    compute a packer (operators/packing.py, rows-gated) can possibly
+    recover at each context length, BEFORE running one. The whole
+    sweep is one pass with three conditional ceil-division sums
+    unpivoted to rows (the q_session_threshold_sweep pattern — no
+    grid cross); everything is exact integer ceil/floor division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.size(_r14_words(F.col("text"))).cast("long").alias("tok"))
+    agg = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tok"),
+        F.sum(F.expr("(tok + 63) div 64")).cast("long").alias("naive64"),
+        F.sum(F.expr("(tok + 127) div 128")).cast("long").alias("naive128"),
+        F.sum(F.expr("(tok + 255) div 256")).cast("long").alias("naive256"),
+    )
+    swept = agg.selectExpr(
+        "stack(3,"
+        " CAST(64 AS BIGINT), naive64,"
+        " CAST(128 AS BIGINT), naive128,"
+        " CAST(256 AS BIGINT), naive256"
+        ") AS (budget, naive_chunks)",
+        "n_docs",
+        "total_tok",
+    )
+    return swept.select(
+        "budget",
+        "n_docs",
+        "total_tok",
+        "naive_chunks",
+        F.expr("CAST((total_tok + budget - 1) div budget AS BIGINT)").alias(
+            "lower_bound"
+        ),
+        F.expr(
+            "CAST((naive_chunks - (total_tok + budget - 1) div budget)"
+            " * 10000 div ((total_tok + budget - 1) div budget) AS BIGINT)"
+        ).alias("slack_bp"),
+    ).orderBy("budget")
+
+
+@_staged(
+    "q_source_card",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source, lang, n_chars,
+               len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               w -> w <> '')) AS tok
+        FROM documents
+    ),
+    card AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) * 100 // count(*) AS BIGINT)
+                   AS mean_chars_e2
+        FROM per_doc
+        GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_langs, mean_chars_e2,
+           CAST(n_tokens * 10000 // sum(n_tokens) OVER () AS BIGINT)
+               AS token_share_bp
+    FROM card
+    ORDER BY source
+    """,
+)
+def q_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass dataset card per source: docs, tokens, language
+    breadth, mean document length, and the source's share of total
+    token mass — the summary table a mixture-weights decision
+    (q_mix_weights, q_data_budget) is made FROM. One grouped pass
+    over a tokenized projection, the corpus total as a window over
+    the ≤|sources| card frame, exact integer e2/bp floors."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_r14_words(F.col("text"))).cast("long").alias("tok"),
+    )
+    card = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.expr("CAST(sum(n_chars) * 100 div count(*) AS BIGINT)").alias(
+            "mean_chars_e2"
+        ),
+    )
+    w = Window.partitionBy(F.pmod(F.col("n_docs"), F.lit(1)))
+    return card.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "mean_chars_e2",
+        F.expr(
+            "CAST(n_tokens * 10000 div sum(n_tokens) OVER"
+            " (PARTITION BY pmod(n_docs, 1)) AS BIGINT)"
+        ).alias("token_share_bp"),
+    ).orderBy("source")
+
+
+@_staged(
+    "q_curriculum_schedule",
+    oracle="""
+    WITH per_doc AS (
+        SELECT least(n_chars // 64, CAST(9 AS BIGINT)) AS band,
+               len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                               w -> w <> '')) AS tok,
+               len(list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   w -> w <> ''))) AS dtok
+        FROM documents
+    ),
+    banded AS (
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               CAST(sum(dtok) * 10000 // sum(tok) AS BIGINT)
+                   AS pooled_ttr_bp
+        FROM per_doc
+        GROUP BY band
+    )
+    SELECT band, n_docs, n_tokens, pooled_ttr_bp,
+           CAST(sum(n_tokens) OVER (ORDER BY band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+                // sum(n_tokens) OVER () AS BIGINT) AS cum_token_bp
+    FROM banded
+    ORDER BY band
+    """,
+)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum schedule: documents banded into fixed 64-char
+    length bands (capped at band 9), each band's token mass, pooled
+    type-token ratio, and the CUMULATIVE token share if training
+    consumed bands short-to-long — the table a curriculum sampler is
+    configured from (short docs first is the classic warm-up; the cum
+    column says how many tokens that buys). Exact integer banding and
+    bp floors; the cumulative share is an ordered ROWS frame over the
+    ≤10-row band frame (deterministic summation order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _r14_words(F.col("text"))
+    per_doc = docs.select(
+        F.expr("least(n_chars div 64, CAST(9 AS BIGINT))").alias("band"),
+        F.size(ws).cast("long").alias("tok"),
+        F.size(F.array_distinct(ws)).cast("long").alias("dtok"),
+    )
+    banded = per_doc.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.expr("CAST(sum(dtok) * 10000 div sum(tok) AS BIGINT)").alias(
+            "pooled_ttr_bp"
+        ),
+    )
+    wb = Window.partitionBy(F.pmod(F.col("n_docs"), F.lit(1)))
+    return banded.select(
+        "band",
+        "n_docs",
+        "n_tokens",
+        "pooled_ttr_bp",
+        F.expr(
+            "CAST(sum(n_tokens) OVER (PARTITION BY pmod(n_docs, 1)"
+            " ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * 10000 div sum(n_tokens) OVER (PARTITION BY pmod(n_docs, 1))"
+            " AS BIGINT)"
+        ).alias("cum_token_bp"),
+    ).orderBy("band")
+
+
+@_staged(
+    "q_dup_size_hist",
+    oracle="""
+    WITH clusters AS (
+        SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS k
+        FROM documents
+        GROUP BY md5(text)
+    ),
+    tot AS (
+        SELECT CAST(sum(k) AS BIGINT) AS n_docs FROM clusters
+    )
+    SELECT c.k AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * c.k AS BIGINT) AS n_docs_in,
+           CAST(count(*) * c.k * 10000 // max(t.n_docs) AS BIGINT)
+               AS doc_share_bp
+    FROM clusters c, tot t
+    GROUP BY c.k
+    ORDER BY c.k
+    """,
+)
+def q_dup_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram: group documents by
+    content hash, then histogram the cluster sizes — how much of the
+    corpus sits in singletons vs k-way copies (q_dedup_exact removes
+    duplicates; q_dedup_savings prices them; this shows the SHAPE,
+    which decides whether near-dup work is even worth scheduling).
+    Content identity via md5 (the cross-engine fingerprint basis —
+    xxhash64 has no DuckDB twin); two grouped passes, a 1-row total
+    leg as a broadcast scalar cross (staged NLJ allowlist), exact bp
+    floors."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.count("*").cast("long").alias("k")
+    )
+    tot = clusters.agg(F.sum("k").cast("long").alias("n_docs"))
+    return (
+        clusters.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            (F.count("*") * F.col("cluster_size")).cast("long").alias("n_docs_in"),
+            F.expr(
+                "CAST(count(*) * cluster_size * 10000 div max(n_docs)"
+                " AS BIGINT)"
+            ).alias("doc_share_bp"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@_staged(
+    "q_lexical_rank_score",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    tok2 AS (SELECT source, w FROM tok WHERE w <> ''),
+    vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM tok2
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT w,
+               CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rk
+        FROM vocab
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(r.rk) * 100 // count(*) AS BIGINT) AS mean_rank_e2,
+           CAST(sum(CASE WHEN r.rk <= 100 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS head100_bp
+    FROM tok2 t JOIN ranked r ON t.w = r.w
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def q_lexical_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical sophistication per source: the occurrence-weighted mean
+    corpus-frequency RANK of its tokens (exact e2) and the share of
+    occurrences drawn from the top-100 head words — boilerplate
+    sources live in the head, technical ones sit deep in the tail
+    (q_vocab_coverage asks how much vocab covers the corpus; this
+    scores each source against the shared rank scale). Vocabulary
+    ranks are a deterministic (freq desc, word) total order from the
+    distributed global ranking operator over the vocab frame; the
+    rank join back to occurrences is equi on word; all outputs exact
+    integer floors."""
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(_r14_words(F.col("text"))).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    ranked = global_row_number(
+        vocab, [F.col("n").desc(), F.col("w")], alias="rk"
+    ).select("w", "rk")
+    return (
+        tok.join(ranked, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.expr("CAST(sum(rk) * 100 div count(*) AS BIGINT)").alias(
+                "mean_rank_e2"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("head100_bp"),
+        )
+        .orderBy("source")
+    )

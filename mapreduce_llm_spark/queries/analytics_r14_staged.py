@@ -85,7 +85,7 @@ def _r14_words(col):
            CAST(sum(disc) AS BIGINT) AS n_discordant,
            round(CAST(sum(conc) - sum(disc) AS DOUBLE)
                  / sqrt(CAST(count(*) - sum(tie_c) AS DOUBLE)
-                        * CAST(count(*) - sum(tie_v) AS DOUBLE)), 4)
+                        * CAST(count(*) - sum(tie_v) AS DOUBLE)), 4) + 0.0
                AS tau_b
     FROM pairs
     """,
@@ -420,7 +420,7 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CAST(sum(CASE WHEN d > 0 THEN rk ELSE 0 END) AS DOUBLE)
                   - CAST(count(*) * (count(*) + 1) AS DOUBLE) / 4.0)
                  / sqrt(CAST(count(*) * (count(*) + 1) AS DOUBLE)
-                        * CAST(2 * count(*) + 1 AS DOUBLE) / 24.0), 4)
+                        * CAST(2 * count(*) + 1 AS DOUBLE) / 24.0), 4) + 0.0
                AS z_score
     FROM ranked
     GROUP BY brand
@@ -542,7 +542,7 @@ def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM num, den d
     )
     SELECT lag, n_terms,
-           round(rk, 4) AS r_k,
+           round(rk, 4) + 0.0 AS r_k,
            round(sum(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
                      * rk * rk / CAST(n - lag AS DOUBLE)) OVER (
                 ORDER BY lag
@@ -975,7 +975,7 @@ def q_rare_word_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
-           round(regr_slope(ln(n_chars), ln(rk)) + 0.0, 4) AS ranksize_slope
+           round(regr_slope(ln(n_chars), ln(rk)), 4) + 0.0 AS ranksize_slope
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -2290,7 +2290,7 @@ def q_peak_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM monthly
     )
     SELECT b.segment, b.m,
-           round(corr(CAST(w.cnt AS DOUBLE), CAST(w.v AS DOUBLE)) + 0.0, 4)
+           round(corr(CAST(w.cnt AS DOUBLE), CAST(w.v AS DOUBLE)), 4) + 0.0
                AS corr6
     FROM indexed b
     JOIN indexed w
@@ -2860,4 +2860,314 @@ def q_lexical_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("head100_bp"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 8 — embedding geometry: dimension redundancy, label signal,
+# component mass, concentration, and shell occupancy.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_embed_dim_corr",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, 16)) AS t(i)
+    )
+    SELECT CAST(a.dim AS BIGINT) AS dim_a,
+           CAST(b.dim AS BIGINT) AS dim_b,
+           round(corr(a.val, b.val), 4) + 0.0 AS corr_ab
+    FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim < b.dim
+    GROUP BY a.dim, b.dim
+    ORDER BY dim_a, dim_b
+    """,
+)
+def q_embed_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation of the first 16 embedding dimensions (all
+    120 unordered pairs): heavy off-diagonal correlation means the
+    space wastes capacity and PQ/IVF codebooks (q_embed_pq, q_sim_ivf)
+    should rotate first — the redundancy report behind any
+    dimensionality decision. Vectors flatten to 16 rows each
+    (fixed-width explode), pair via an equi self-join on vec_id
+    (row-proportional, hash-partitioned; the <-predicate prunes to
+    the 120-pair grid per vector), then the shared sample-corr fold
+    per dim pair, round(,4) with -0.0 normalization (the corr
+    class)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 16)).alias("pos", "fv")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fv").cast("double").alias("val"),
+    )
+    a = flat.select(
+        F.col("vec_id").alias("ida"), F.col("dim").alias("dim_a"), F.col("val").alias("va")
+    )
+    b = flat.select(
+        F.col("vec_id").alias("idb"), F.col("dim").alias("dim_b"), F.col("val").alias("vb")
+    )
+    return (
+        a.join(b, (F.col("ida") == F.col("idb")) & (F.col("dim_a") < F.col("dim_b")))
+        .groupBy("dim_a", "dim_b")
+        .agg(F.round(F.corr("va", "vb") + F.lit(0.0), 4).alias("corr_ab"))
+        .orderBy("dim_a", "dim_b")
+    )
+
+
+@_staged(
+    "q_embed_dim_anova",
+    oracle="""
+    WITH flat AS (
+        SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    per_cell AS (
+        SELECT dim, label,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(val) AS m,
+               var_samp(val) AS v
+        FROM flat
+        GROUP BY dim, label
+    ),
+    celled AS (
+        SELECT dim, label, n, m, v,
+               sum(n * m) OVER (PARTITION BY dim)
+                   / sum(n) OVER (PARTITION BY dim) AS gm
+        FROM per_cell
+    ),
+    per_dim AS (
+        SELECT dim,
+               CAST(sum(n) AS BIGINT) AS n_tot,
+               CAST(count(*) AS BIGINT) AS k,
+               sum((n - 1) * v) AS ssw,
+               sum(n * (m - gm) * (m - gm)) AS ssb
+        FROM celled
+        GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n_tot,
+           round(CASE WHEN ssw > 0 THEN
+                 (ssb / (k - 1)) / (ssw / (n_tot - k)) END, 4) + 0.0
+               AS f_stat
+    FROM per_dim
+    ORDER BY dim
+    """,
+)
+def q_embed_dim_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension label signal: the one-way ANOVA F of each
+    embedding coordinate across class labels — WHICH of the 64 axes
+    actually separate the classes (the feature-selection table before
+    training a probe; q_embed_axis_dominance finds each vector's
+    loudest axis, this finds the corpus's discriminative ones).
+    Per-(dim, label) moments via the shared avg/var_samp folds; the
+    F statistic combines the ≤|labels| bounded cell rows per dim in
+    double with the zero-variance guard, round(,4) (corr-class —
+    every sum spans ≤10 similar-magnitude cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "fv")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fv").cast("double").alias("val"),
+    )
+    per_cell = flat.groupBy("dim", "label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("val").alias("m"),
+        F.var_samp("val").alias("v"),
+    )
+    wd = Window.partitionBy("dim")
+    gm = F.sum(F.col("n") * F.col("m")).over(wd) / F.sum("n").over(wd)
+    celled = per_cell.withColumn("gm", gm)
+    per_dim = celled.groupBy("dim").agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count("*").cast("long").alias("k"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+    )
+    return per_dim.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_tot",
+        F.round(
+            F.when(
+                F.col("ssw") > 0,
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            )
+            + F.lit(0.0),
+            4,
+        ).alias("f_stat"),
+    ).orderBy("dim")
+
+
+@_staged(
+    "q_embed_component_hist",
+    oracle="""
+    WITH flat AS (
+        SELECT CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    binned AS (
+        SELECT least(greatest(CAST(floor(val * 10) AS BIGINT),
+                              CAST(-10 AS BIGINT)),
+                     CAST(9 AS BIGINT)) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM flat
+        GROUP BY 1
+    )
+    SELECT bin, n AS n_components,
+           CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS share_bp
+    FROM binned
+    ORDER BY bin
+    """,
+)
+def q_embed_component_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global histogram of raw embedding components in fixed 0.1-wide
+    bins (clamped to [-1.0, 1.0)): the quantizer-design input —
+    q_embed_quantize picks a grid, this shows the mass the grid must
+    cover, and a spike at the clamp bins flags un-normalized vectors.
+    Binning is floor(val·10) on the double-widened component —
+    identical IEEE multiply+floor both engines (the CLAUDE.md
+    floor-of-multiply class); counts and shares are exact
+    integers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.explode("embedding").alias("fv")).select(
+        F.col("fv").cast("double").alias("val")
+    )
+    binned = flat.groupBy(
+        F.expr(
+            "least(greatest(CAST(floor(val * 10) AS BIGINT),"
+            " CAST(-10 AS BIGINT)), CAST(9 AS BIGINT))"
+        ).alias("bin")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return binned.select(
+        "bin",
+        F.col("n").alias("n_components"),
+        F.expr(
+            "CAST(n * 10000 div sum(n) OVER (PARTITION BY pmod(n, 1))"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    ).orderBy("bin")
+
+
+@_staged(
+    "q_embed_topk_mass",
+    oracle="""
+    WITH per_vec AS (
+        SELECT label,
+               CAST(floor(
+                   list_sum(list_slice(list_reverse_sort(
+                       list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))), 1, 4))
+                   * 10000.0
+                   / list_sum(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))))
+               ) AS BIGINT) AS top4_e4
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(top4_e4) // count(*) AS BIGINT) AS mean_top4_e4,
+           CAST(min(top4_e4) AS BIGINT) AS min_top4_e4,
+           CAST(max(top4_e4) AS BIGINT) AS max_top4_e4
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_topk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-mass concentration per label: the share of each
+    vector's L1 mass carried by its 4 largest |components|, floored
+    to an exact e4 integer per row BEFORE any cross-row aggregation
+    (the CLAUDE.md per-row-pin rule: means of doubles would expose
+    summation order; means of int64 never do) — near-one-hot vectors
+    quantize and prune cheaply, dense isotropic ones do not, so this
+    is the sparsification go/no-go next to q_embed_sparsity. The
+    per-row fold (transform → sort desc → slice → sum) runs JVM-side
+    over the array in a deterministic order both engines share."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absarr = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    top4 = F.slice(F.reverse(F.array_sort(absarr)), 1, 4)
+    lsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    per_vec = emb.select(
+        "label",
+        F.floor(lsum(top4) * F.lit(10000.0) / lsum(absarr))
+        .cast("long")
+        .alias("top4_e4"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("CAST(sum(top4_e4) div count(*) AS BIGINT)").alias(
+                "mean_top4_e4"
+            ),
+            F.min("top4_e4").cast("long").alias("min_top4_e4"),
+            F.max("top4_e4").cast("long").alias("max_top4_e4"),
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_embed_shells",
+    oracle="""
+    WITH per_vec AS (
+        SELECT label,
+               CAST(floor(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 10000.0)
+                   AS BIGINT) AS norm2_e4
+        FROM embeddings
+    ),
+    shelled AS (
+        SELECT label,
+               least(norm2_e4 // 2500, CAST(9 AS BIGINT)) AS shell,
+               norm2_e4
+        FROM per_vec
+    )
+    SELECT shell, label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(norm2_e4) // count(*) AS BIGINT) AS mean_norm2_e4
+    FROM shelled
+    GROUP BY shell, label
+    ORDER BY shell, label
+    """,
+)
+def q_embed_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-shell occupancy by label: vectors banded by squared L2
+    norm into 0.25-wide shells (capped at shell 9) — normalized
+    embeddings collapse into one shell, and a label whose vectors
+    live in a different shell than the rest will dominate dot-product
+    retrieval for the wrong reason (the q_embed_norm_bias failure
+    mode, localized per label). The squared norm floors to an exact
+    e4 integer per row (deterministic JVM-side fold, identical order
+    both engines); shells and means are pure integer arithmetic from
+    there."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    norm2 = F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+    per_vec = emb.select(
+        "label",
+        F.floor(norm2 * F.lit(10000.0)).cast("long").alias("norm2_e4"),
+    )
+    shelled = per_vec.select(
+        "label",
+        F.expr("least(norm2_e4 div 2500, CAST(9 AS BIGINT))").alias("shell"),
+        "norm2_e4",
+    )
+    return (
+        shelled.groupBy("shell", "label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("CAST(sum(norm2_e4) div count(*) AS BIGINT)").alias(
+                "mean_norm2_e4"
+            ),
+        )
+        .orderBy("shell", "label")
     )

@@ -3171,3 +3171,411 @@ def q_embed_shells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shell", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 9 — retail behavioral dynamics: priority escalation, return
+# drift, within-order inequality, supplier dormancy, lifecycle curves.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_priority_escalation",
+    oracle="""
+    WITH seq AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS pr,
+               lag(CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT)) OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey) AS prev_pr
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN pr < prev_pr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_escalations,
+           CAST(sum(CASE WHEN pr > prev_pr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deescalations,
+           CAST(sum(CASE WHEN pr < prev_pr THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS escalation_bp
+    FROM seq
+    WHERE prev_pr IS NOT NULL
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_priority_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority escalation propensity: across each customer's
+    consecutive orders, how often the NEXT order carries a more
+    urgent priority class (the numeric prefix of '1-URGENT'..'5-LOW'
+    DECREASING) — sustained escalation is the unhappy-customer signal
+    procurement teams chase (q_mktseg_priority_mix is the static mix;
+    this is its within-customer dynamics). One lag window per
+    customer (high-cardinality key, small partitions — the plain
+    keyed window is the right plan), exact integer priority ranks
+    from the string prefix, exact bp."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").alias(
+                "pr"
+            ),
+        )
+        .select(
+            "segment",
+            "pr",
+            F.lag("pr").over(w).alias("prev_pr"),
+        )
+        .where(F.col("prev_pr").isNotNull())
+    )
+    return (
+        seq.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("pr") < F.col("prev_pr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_escalations"),
+            F.sum(F.when(F.col("pr") > F.col("prev_pr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_deescalations"),
+            F.expr(
+                "CAST(sum(CASE WHEN pr < prev_pr THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("escalation_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_return_drift",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN l.l_shipdate < TIMESTAMP '1998-07-01'
+                    THEN 0 ELSE 1 END AS era,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    per AS (
+        SELECT brand,
+               CAST(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_first,
+               CAST(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_second,
+               CAST(sum(CASE WHEN era = 0 THEN r ELSE 0 END) * 10000
+                    // nullif(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS return_bp_first,
+               CAST(sum(CASE WHEN era = 1 THEN r ELSE 0 END) * 10000
+                    // nullif(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS return_bp_second
+        FROM j
+        GROUP BY brand
+        HAVING sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) > 0
+    )
+    SELECT brand, n_first, n_second, return_bp_first, return_bp_second,
+           return_bp_second - return_bp_first AS drift_bp
+    FROM per
+    ORDER BY brand
+    """,
+)
+def q_return_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate drift per brand between the corpus's two halves
+    (split at 1998-07-01): the signed bp movement of the return share
+    — a quality regression localized to a brand and an era
+    (q_brand_return_wilson bounds the static rate; this asks whether
+    it MOVED). One join, one grouped pass with era-conditional sums
+    (brands absent from either era drop — the drift is undefined
+    there), exact bp floors and a plain integer difference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.when(
+            F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp_ntz"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    per = (
+        j.groupBy("brand")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_second"),
+            F.expr(
+                "CAST(sum(CASE WHEN era = 0 THEN r ELSE 0 END) * 10000"
+                " div nullif(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT)"
+            ).alias("return_bp_first"),
+            F.expr(
+                "CAST(sum(CASE WHEN era = 1 THEN r ELSE 0 END) * 10000"
+                " div nullif(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT)"
+            ).alias("return_bp_second"),
+        )
+        .where((F.col("n_first") > 0) & (F.col("n_second") > 0))
+    )
+    return per.select(
+        "brand",
+        "n_first",
+        "n_second",
+        "return_bp_first",
+        "return_bp_second",
+        (F.col("return_bp_second") - F.col("return_bp_first")).alias(
+            "drift_bp"
+        ),
+    ).orderBy("brand")
+
+
+@_staged(
+    "q_order_value_gini",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice, l_partkey, l_suppkey,
+                            l_linenumber) AS rn
+        FROM lineitem
+    ),
+    per_order AS (
+        SELECT a.l_orderkey,
+               CAST(max(greatest(a.rn, b.rn)) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN a.rn < b.rn
+                             THEN abs(a.cents - b.cents) ELSE 0 END)
+                   AS BIGINT) AS absdiff,
+               CAST(sum(CASE WHEN a.rn = b.rn THEN a.cents ELSE 0 END)
+                   AS BIGINT) AS total
+        FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
+        GROUP BY a.l_orderkey
+        HAVING max(greatest(a.rn, b.rn)) >= 2
+    ),
+    ginis AS (
+        SELECT n_lines,
+               absdiff * 10000 // (n_lines * total) AS gini_e4
+        FROM per_order
+    )
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(gini_e4) // count(*) AS BIGINT) AS mean_gini_e4,
+           CAST(max(gini_e4) AS BIGINT) AS max_gini_e4
+    FROM ginis
+    GROUP BY n_lines
+    ORDER BY n_lines
+    """,
+)
+def q_order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-order value inequality: the exact Gini coefficient of
+    line values inside each multi-line order (G = Σ_{i<j}|xᵢ−xⱼ| /
+    (n·Σx), e4-floored integer), summarized by basket width — a high
+    within-order Gini means one anchor item plus filler, a low one
+    means balanced baskets; the assortment signal behind
+    q_basket_pairs. The pair expansion self-joins ONLY within an
+    order (≤13 lines ⇒ ≤78 pairs — the capped-basket-quadratic class,
+    linear in orders at any SF); line identity is a per-order rank
+    (l_linenumber REPEATS in this corpus — the ROUND12 catch — so the
+    rank orders on (price, part, supp, linenumber)); every Gini is
+    exact integer arithmetic, and the per-order e4 pin makes the band
+    means exact too."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_extendedprice", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    lines = li.select(
+        "l_orderkey",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.row_number().over(w).alias("rn"),
+    )
+    a = lines.select(
+        F.col("l_orderkey").alias("ka"), F.col("cents").alias("ca"), F.col("rn").alias("ra")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("kb"), F.col("cents").alias("cb"), F.col("rn").alias("rb")
+    )
+    per_order = (
+        a.join(b, F.col("ka") == F.col("kb"))
+        .groupBy("ka")
+        .agg(
+            F.max(F.greatest(F.col("ra"), F.col("rb")))
+            .cast("long")
+            .alias("n_lines"),
+            F.sum(
+                F.when(
+                    F.col("ra") < F.col("rb"),
+                    F.abs(F.col("ca") - F.col("cb")),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("absdiff"),
+            F.sum(F.when(F.col("ra") == F.col("rb"), F.col("ca")).otherwise(0))
+            .cast("long")
+            .alias("total"),
+        )
+        .where(F.col("n_lines") >= 2)
+    )
+    ginis = per_order.select(
+        "n_lines",
+        F.expr("absdiff * 10000 div (n_lines * total)").alias("gini_e4"),
+    )
+    return (
+        ginis.groupBy("n_lines")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr("CAST(sum(gini_e4) div count(*) AS BIGINT)").alias(
+                "mean_gini_e4"
+            ),
+            F.max("gini_e4").cast("long").alias("max_gini_e4"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+@_staged(
+    "q_dormant_suppliers",
+    oracle="""
+    WITH cutoff AS (
+        SELECT max(l_shipdate) - INTERVAL 180 DAY AS cut FROM lineitem
+    ),
+    per_supp AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents,
+               max(l_shipdate) AS last_ship
+        FROM lineitem
+        GROUP BY l_suppkey
+    ),
+    flagged AS (
+        SELECT s.s_nationkey,
+               p.cents,
+               CASE WHEN p.last_ship < c.cut THEN 1 ELSE 0 END AS dormant
+        FROM per_supp p
+        JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        CROSS JOIN cutoff c
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(dormant) AS BIGINT) AS n_dormant,
+           CAST(sum(dormant) * 10000 // count(*) AS BIGINT) AS dormant_bp,
+           CAST(sum(CASE WHEN dormant = 1 THEN cents ELSE 0 END) * 10000
+                // sum(cents) AS BIGINT) AS dormant_value_bp
+    FROM flagged f JOIN nation n ON f.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q_dormant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dormancy ledger per nation: suppliers with no shipment
+    in the corpus's final 180 days, their head-count share, and the
+    share of HISTORICAL value they used to carry — high dormant value
+    is a supply-continuity risk (q_slow_movers flags parts; this
+    flags the supply side). One supplier aggregate, the corpus
+    horizon as a 1-row broadcast scalar cross (staged NLJ allowlist),
+    broadcast nation dim, exact bp floors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cutoff = li.agg(
+        F.expr("max(l_shipdate) - INTERVAL 180 DAY").alias("cut")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    flagged = (
+        per_supp.join(s, per_supp["l_suppkey"] == s["s_suppkey"])
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            "s_nationkey",
+            "cents",
+            F.when(F.col("last_ship") < F.col("cut"), 1).otherwise(0).alias(
+                "dormant"
+            ),
+        )
+    )
+    return (
+        flagged.join(F.broadcast(n), flagged["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("dormant").cast("long").alias("n_dormant"),
+            F.expr("CAST(sum(dormant) * 10000 div count(*) AS BIGINT)").alias(
+                "dormant_bp"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN dormant = 1 THEN cents ELSE 0 END)"
+                " * 10000 div sum(cents) AS BIGINT)"
+            ).alias("dormant_value_bp"),
+        )
+        .orderBy("nation")
+    )
+
+
+@_staged(
+    "q_customer_age_curve",
+    oracle="""
+    WITH aged AS (
+        SELECT date_diff('day',
+                   min(o_orderdate) OVER (PARTITION BY o_custkey),
+                   o_orderdate) // 180 AS age_band,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(age_band AS BIGINT) AS age_band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+    FROM aged
+    GROUP BY age_band
+    ORDER BY age_band
+    """,
+)
+def q_customer_age_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order value by RELATIONSHIP AGE: every order indexed by
+    half-year bands since that customer's first order (account-time,
+    not calendar time — the orders-side twin of the staged
+    q_user_week_curve on events) — do long-tenured accounts spend
+    more per order, the question LTV models assume an answer to. One
+    keyed min-window for the first-order anchor, exact day arithmetic
+    and integer banding, one grouped pass."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    aged = o.select(
+        F.expr(
+            "datediff(o_orderdate, min(o_orderdate) OVER"
+            " (PARTITION BY o_custkey)) div 180"
+        )
+        .cast("long")
+        .alias("age_band"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return (
+        aged.groupBy("age_band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+                "mean_cents"
+            ),
+        )
+        .orderBy("age_band")
+    )

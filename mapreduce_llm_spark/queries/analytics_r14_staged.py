@@ -1502,10 +1502,12 @@ def q_partname_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_brand_realized_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Realized-vs-list revenue yield per brand: post-discount line
-    revenue over quantity × catalog list price, in exact e4 — where
-    pricing power actually leaks (q_unit_price_consistency audits the
-    per-part ratio spread; this is the value-weighted brand ledger a
-    pricing review opens with). Realized cents floor an IEEE product
+    revenue over quantity × catalog list price, in exact e4 — the
+    value-weighted markup ledger a pricing review opens with (in this
+    corpus realized trades near 2× list: extendedprice is an
+    independent price draw, which is precisely the divergence the
+    audit exposes; q_unit_price_consistency watches the per-part
+    spread). Realized cents floor an IEEE product
     both engines compute identically (the CLAUDE.md floor-of-multiply
     class); list cents are pure int64 products (quantity is integral —
     floored before the cast so the DuckDB-round vs Spark-trunc cast
@@ -3579,3 +3581,397 @@ def q_customer_age_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 10 — window close: calendar concentration, value-band
+# Markov structure, nth-value surface, supplier specialization,
+# nation assortment reach.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_type_hour_concentration",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, hour(ts)
+    ),
+    shares AS (
+        SELECT event_type, hr, n,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+               CAST(n * 10000 // sum(n) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS share_bp
+        FROM hourly
+    )
+    SELECT event_type,
+           CAST(max(tot) AS BIGINT) AS n_events,
+           CAST(max(share_bp * 100 + hr) % 100 AS BIGINT) AS peak_hour,
+           CAST(max(share_bp * 100 + hr) // 100 AS BIGINT) AS peak_share_bp,
+           CAST(count(*) AS BIGINT) AS n_active_hours
+    FROM shares
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_type_hour_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal concentration per event type: the peak hour, its share
+    of the type's traffic, and how many hours the type is active at
+    all — batch-job types spike in one hour while organic types
+    spread (q_hourly_profile is the pooled curve; this names each
+    type's peak). Shares are exact bp floors over the ≤24-row
+    per-type frame; the peak is the packed nonneg-integer argmax
+    (share_bp·100 + hour, ties to the later hour — all integer, both
+    engines identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    wt = Window.partitionBy("event_type")
+    shares = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(wt).cast("long").alias("tot"),
+        F.expr(
+            "CAST(n * 10000 div sum(n) OVER (PARTITION BY event_type)"
+            " AS BIGINT)"
+        ).alias("share_bp"),
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.max("tot").cast("long").alias("n_events"),
+            (F.max(F.col("share_bp") * 100 + F.col("hr")) % 100)
+            .cast("long")
+            .alias("peak_hour"),
+            F.expr(
+                "CAST(max(share_bp * 100 + hr) div 100 AS BIGINT)"
+            ).alias("peak_share_bp"),
+            F.count("*").cast("long").alias("n_active_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_value_band_markov",
+    oracle="""
+    WITH banded AS (
+        SELECT user_id, ts, event_id,
+               least(CAST(floor(value * 10000 + 0.5) AS BIGINT) // 1000000,
+                     CAST(4 AS BIGINT)) AS band
+        FROM events
+    ),
+    pairs AS (
+        SELECT band AS from_band,
+               lead(band) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_band
+        FROM banded
+    )
+    SELECT from_band, to_band,
+           CAST(count(*) AS BIGINT) AS n_trans,
+           CAST(count(*) * 10000 // sum(count(*))
+                OVER (PARTITION BY from_band) AS BIGINT) AS row_share_bp
+    FROM pairs
+    WHERE to_band IS NOT NULL
+    GROUP BY from_band, to_band
+    ORDER BY from_band, to_band
+    """,
+)
+def q_value_band_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix between VALUE bands of
+    consecutive events per user ($100-wide bands of the e4 value,
+    capped at band 4): does a high-value action predict another one
+    — the magnitude companion to q_markov_transitions' type matrix,
+    and the input to any value-escalation trigger. One lead window
+    per user, exact integer banding (floor-of-multiply cents), one
+    grouped count with the row-normalizing window over the ≤25-cell
+    matrix, exact bp floors."""
+    ev = load_table(spark, sf_dir, "events")
+    banded = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "least(CAST(floor(value * 10000 + 0.5) AS BIGINT) div 1000000,"
+            " CAST(4 AS BIGINT))"
+        ).alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = banded.select(
+        F.col("band").alias("from_band"),
+        F.lead("band").over(w).alias("to_band"),
+    ).where(F.col("to_band").isNotNull())
+    wf = Window.partitionBy("from_band")
+    return (
+        pairs.groupBy("from_band", "to_band")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+        .select(
+            "from_band",
+            "to_band",
+            "n_trans",
+            F.expr(
+                "CAST(n_trans * 10000 div sum(n_trans) OVER"
+                " (PARTITION BY from_band) AS BIGINT)"
+            ).alias("row_share_bp"),
+        )
+        .orderBy("from_band", "to_band")
+    )
+
+
+@_staged(
+    "q_win_nth_value",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               nth_value(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 2)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS second_latest,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey, cents AS latest_cents, second_latest
+        FROM ranked
+        WHERE rn = 1 AND second_latest IS NOT NULL
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_repeat_customers,
+           CAST(sum(p.latest_cents) // count(*) AS BIGINT)
+               AS mean_latest_cents,
+           CAST(sum(p.second_latest) // count(*) AS BIGINT)
+               AS mean_prior_cents,
+           CAST(sum(p.latest_cents) // count(*)
+                - sum(p.second_latest) // count(*) AS BIGINT) AS trend_cents
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window surface over per-customer order history: each
+    repeat customer's LATEST vs SECOND-LATEST order value, averaged
+    per segment — is the marginal order growing or shrinking (the
+    per-customer two-point trend behind q_customer_age_curve's
+    pooled bands). nth_value(…, 2) over the full keyed frame
+    (UNBOUNDED/UNBOUNDED — the frame clause is mandatory for
+    cross-engine agreement: the default frame stops at CURRENT ROW
+    and nulls the lookahead); customer keys are high-cardinality so
+    the keyed window stays distributed. Exact cents, exact integer
+    means."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = o.select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.nth_value(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"), 2
+        )
+        .over(wf)
+        .alias("second_latest"),
+        F.row_number().over(w).alias("rn"),
+    )
+    per_cust = ranked.where(
+        (F.col("rn") == 1) & F.col("second_latest").isNotNull()
+    ).select("o_custkey", F.col("cents").alias("latest_cents"), "second_latest")
+    return (
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_repeat_customers"),
+            F.expr("CAST(sum(latest_cents) div count(*) AS BIGINT)").alias(
+                "mean_latest_cents"
+            ),
+            F.expr("CAST(sum(second_latest) div count(*) AS BIGINT)").alias(
+                "mean_prior_cents"
+            ),
+            F.expr(
+                "CAST(sum(latest_cents) div count(*)"
+                " - sum(second_latest) div count(*) AS BIGINT)"
+            ).alias("trend_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_staged(
+    "q_supplier_brand_affinity",
+    oracle="""
+    WITH per_cell AS (
+        SELECT l.l_suppkey, p.p_brand,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY l.l_suppkey, p.p_brand
+    ),
+    per_supp AS (
+        SELECT l_suppkey,
+               CAST(sum(n) AS BIGINT) AS n_lines,
+               CAST(max(n) AS BIGINT) AS modal_n,
+               CAST(count(*) AS BIGINT) AS n_brands
+        FROM per_cell
+        GROUP BY l_suppkey
+    ),
+    banded AS (
+        SELECT least(modal_n * 10000 // n_lines // 1000, CAST(9 AS BIGINT))
+                   AS band,
+               n_lines, modal_n, n_brands
+        FROM per_supp
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(n_brands) * 100 // count(*) AS BIGINT)
+               AS mean_brands_e2,
+           CAST(sum(modal_n) * 10000 // sum(n_lines) AS BIGINT)
+               AS pooled_modal_bp
+    FROM banded
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_supplier_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier specialization distribution: per supplier, the share
+    of its line volume in its single biggest brand (the modal brand
+    share), banded into bp deciles with brand-breadth means — a
+    supply base concentrated at band 9 is a set of single-brand
+    houses, one at band 1 is commodity brokers (q_supplier_dependency
+    views this from the buyer side). Two grouped aggregations and an
+    exact integer floor chain — the q_user_modal_share shape on the
+    supply ledger."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_cell = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "p_brand")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_supp = per_cell.groupBy("l_suppkey").agg(
+        F.sum("n").cast("long").alias("n_lines"),
+        F.max("n").cast("long").alias("modal_n"),
+        F.count("*").cast("long").alias("n_brands"),
+    )
+    banded = per_supp.select(
+        F.expr(
+            "least(modal_n * 10000 div n_lines div 1000, CAST(9 AS BIGINT))"
+        ).alias("band"),
+        "n_lines",
+        "modal_n",
+        "n_brands",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.expr("CAST(sum(n_brands) * 100 div count(*) AS BIGINT)").alias(
+                "mean_brands_e2"
+            ),
+            F.expr(
+                "CAST(sum(modal_n) * 10000 div sum(n_lines) AS BIGINT)"
+            ).alias("pooled_modal_bp"),
+        )
+        .orderBy("band")
+    )
+
+
+@_staged(
+    "q_nation_assortment_reach",
+    oracle="""
+    WITH j AS (
+        SELECT n.n_name AS nation,
+               l.l_partkey, l.l_suppkey, l.l_orderkey,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(sum(cents) // count(DISTINCT l_partkey) AS BIGINT)
+               AS cents_per_part
+    FROM j
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def q_nation_assortment_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-side assortment reach per customer nation: how many
+    distinct parts and suppliers a nation's purchasing actually
+    touches, and the value intensity per touched part — narrow reach
+    with high intensity is a concentration exposure
+    (q_supplier_reach is the mirror from the supply side; q_trade_
+    locality prices the geography). The star join rolls lineitem
+    through orders and customer to the broadcast nation dim; the two
+    count-distincts shuffle on (nation, key) with partial
+    aggregation. Exact integer division for the intensity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "l_partkey",
+            "l_suppkey",
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    return (
+        j.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.expr(
+                "CAST(sum(cents) div count(DISTINCT l_partkey) AS BIGINT)"
+            ).alias("cents_per_part"),
+        )
+        .orderBy("nation")
+    )
+
+
+#: The exact round-15 DRIVER_PRIORITY window, pre-drafted so the flip
+#: is mechanical (the round-8..13 playbook): the 50 staged queries in
+#: definition (= tranche) order — FUTURE_ORACLES is empty, so the whole
+#: window is new surface. tests/test_r14_flip_rehearsal.py pins that
+#: this list is exactly STAGED_R14 with no gaps, dupes, or registry
+#: collisions, and that the post-flip external-verification backlog is
+#: exactly this window.
+ROUND14_WINDOW: list[str] = [
+    "q_kendall_tau", "q_kruskal_wallis", "q_levene_bf", "q_wilcoxon_signed",
+    "q_ljung_box", "q_affix_profile", "q_bigram_asymmetry", "q_initial_letter_bias",
+    "q_rare_word_load", "q_doclen_ranksize", "q_session_threshold_sweep",
+    "q_type_value_percentiles", "q_dow_value_premium", "q_user_modal_share",
+    "q_gap_weekend_mix", "q_partname_cooccur", "q_brand_realized_ratio",
+    "q_brand_size_coverage", "q_price_band_return", "q_quantity_return_link",
+    "q_name_key_consistency", "q_acctbal_percentiles", "q_region_acct_net",
+    "q_date_sanity", "q_embed_coverage", "q_slope_break", "q_peak_month",
+    "q_rolling_corr", "q_momentum_flips", "q_per_day_rate", "q_packing_bound",
+    "q_source_card", "q_curriculum_schedule", "q_dup_size_hist",
+    "q_lexical_rank_score", "q_embed_dim_corr", "q_embed_dim_anova",
+    "q_embed_component_hist", "q_embed_topk_mass", "q_embed_shells",
+    "q_priority_escalation", "q_return_drift", "q_order_value_gini",
+    "q_dormant_suppliers", "q_customer_age_curve", "q_type_hour_concentration",
+    "q_value_band_markov", "q_win_nth_value", "q_supplier_brand_affinity",
+    "q_nation_assortment_reach",
+]

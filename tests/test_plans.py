@@ -187,12 +187,16 @@ def test_salted_join_rejects_right_outer():
 
 def test_global_ranking_avoids_single_partition_window(spark):
     """q_sort_multi / q_win_ntile compute a global order via two-phase
-    range ranking — the plan must range-partition, and must NOT funnel
-    rows through a SinglePartition exchange (the unpartitioned-window
-    plan Spark warns about)."""
+    range ranking — the plan must NOT funnel rows through a
+    SinglePartition exchange (the unpartitioned-window plan Spark
+    warns about). Since the round-13 branch-consistency fix the range
+    shuffle executes INSIDE the operator's materialization job, so the
+    consumer plan reads the checkpointed (range-partitioned) frame as
+    an ExistingRDD scan instead of showing RangePartitioning
+    inline."""
     for name in ("q_sort_multi", "q_win_ntile"):
         plan = plan_of(spark, name)
-        assert "rangepartitioning" in plan.lower(), name
+        assert "existingrdd" in plan.lower(), name
         # the row_number window must be partitioned (by the range-
         # partition id), never a global window over the data
         rn_windows = [
@@ -205,6 +209,42 @@ def test_global_ranking_avoids_single_partition_window(spark):
         for i, l in enumerate(lines):
             if "Exchange SinglePartition" in l:
                 assert "HashAggregate" in lines[i + 1], (name, lines[i : i + 2])
+
+
+def test_ranking_materializes_one_partitioning_for_both_branches(spark):
+    """Round-13 correctness finding: global_row_number's counts branch
+    and data branch were kept on one physical partitioning only by
+    exchange reuse — per-branch column pruning gives the two range
+    shuffles different ReadSchema, reuse fails, and AQE coalesces them
+    to DIFFERENT partition counts, so the inner join on
+    spark_partition_id() silently drops rows (150k → ~70k at sf0.1
+    behind a wide projection over an upstream join, nondeterministic).
+    The fix materializes the pid-stamped frame once (eager serialized
+    localCheckpoint): the plan must read the checkpoint (ExistingRDD),
+    and the failing shape must preserve every row."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    # the bug's trigger shape: a WIDE projection behind a join feeding
+    # the ranking operator (pruning then differs per branch)
+    x = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+        "o_orderkey",
+    )
+    n = x.count()
+    ranked = global_row_number(x, [F.col("v"), F.col("o_orderkey")], alias="r")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "ranking no longer reads a materialized frame"
+    got = ranked.groupBy("c_mktsegment").count().agg(F.sum("count")).first()[0]
+    assert got == n, f"ranking dropped rows: {got} != {n}"
+    mx = ranked.agg(F.max("r"), F.count_distinct("r")).first()
+    assert mx[0] == n and mx[1] == n, "ranks are not a permutation of 1..N"
 
 
 def test_r6_global_rankings_are_range_partitioned(spark):

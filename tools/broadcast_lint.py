@@ -461,6 +461,9 @@ ALLOWED_BOUNDED: dict[tuple[str, str], str] = {
     # the tightened classifier's 66 hits: every entry below groups a
     # scaling table on a key whose cardinality the schema fixes) ---
     ("q_minhash_band_tuning", "hist"): "per-similarity-bucket, 10 rows",
+    ("q_initial_letter_bias", "corpus"): (
+        "per-word-initial-letter corpus marginal, <= 26 rows"
+    ),
     ("q_dup_transitivity", "ne"): "per-lang counts, <= 5 rows",
     ("overall", "acc"): (
         "q_markov_attribution inner fn: per-event-type absorption "

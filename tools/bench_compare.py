@@ -37,6 +37,16 @@ ACCEPTED_REGRESSIONS: dict[str, str] = {
     # second-decade exponent 1.246 -> 0.846 (ROUND12_NOTES); the
     # 100 TB design point wins the trade.
     "q_graph_bfs": "r12 serialized edge-list checkpoint (sf10 2.3x win)",
+    # round 13: the ranking operators materialize their pid-stamped
+    # frame once (eager serialized localCheckpoint) so the counts and
+    # data branches cannot diverge under AQE — the fix for the silent
+    # row-loss bug (ROUND13_NOTES). Queries with global-ranking legs
+    # pay the checkpoint job (~+0.3-0.4 s at sf0.1 per leg;
+    # q_rank_fusion has two); several other consumers got FASTER
+    # because the shuffle is no longer recomputed per branch
+    # (q_abc_classification 0.87x, q_cdc_apply 0.69x).
+    "q_rank_fusion": "r13 ranking materialization barrier (correctness)",
+    "q_decile_lift": "r13 ranking materialization barrier (correctness)",
 }
 
 

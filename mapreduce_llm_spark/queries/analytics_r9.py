@@ -2178,28 +2178,47 @@ def q_sortkey_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     across a key change): runs_bp near 10000 means sorting by that
     key leaves the column incompressible; near 0 means long runs.
     Complements q_compress_advisory (which measures the layout you
-    HAVE; this ranks the layouts you COULD pick). All nine pair-NDVs
-    come from ONE scan via a single multi-count-distinct aggregate
-    stacked into rows (the DuckDB twin MATERIALIZEs the shared leg —
-    the pagerank CTE-inlining lesson)."""
+    HAVE; this ranks the layouts you COULD pick). Each pair-NDV is an
+    independent two-column pre-aggregation whose 1-row count joins
+    back as a broadcast scalar (see the plan note below — the one-
+    aggregate Expand form was the round-13 second-decade finding);
+    the DuckDB twin MATERIALIZEs its shared leg (the pagerank
+    CTE-inlining lesson)."""
     li = load_table(spark, sf_dir, "lineitem")
-    pair = lambda k, c: F.countDistinct(
-        F.concat(F.col(k).cast("date").cast("string") if k == "l_shipdate"
-                 else F.col(k).cast("string"), F.lit("|"),
-                 F.col(c).cast("string"))
-    ).cast("long")
-    s = li.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        pair("l_shipdate", "l_returnflag").alias("sd_rf"),
-        pair("l_shipdate", "l_linestatus").alias("sd_ls"),
-        pair("l_shipdate", "l_suppkey").alias("sd_sk"),
-        pair("l_partkey", "l_returnflag").alias("pk_rf"),
-        pair("l_partkey", "l_linestatus").alias("pk_ls"),
-        pair("l_partkey", "l_suppkey").alias("pk_sk"),
-        pair("l_suppkey", "l_returnflag").alias("sk_rf"),
-        pair("l_suppkey", "l_linestatus").alias("sk_ls"),
-        pair("l_suppkey", "l_partkey").alias("sk_pk"),
-    )
+    # One pre-aggregated distinct-pair count PER candidate pair, glued
+    # as broadcast 1-row scalar legs — NOT a single 10-way
+    # multi-count-distinct aggregate. The single-aggregate form plans
+    # as an Expand (x10 row multiplication) feeding one aggregation
+    # operator that holds all nine distinct-sets in the same task
+    # memory; measured superlinear across the second decade (isolated
+    # A/B sf1 2.8 s -> sf10 47.3 s, exponent 1.23; the original
+    # string-concat form read 75 s at sf10 — ROUND13_NOTES) as the
+    # maps outgrow executor memory. The per-pair form map-side-
+    # combines each projection to its distinct pairs independently
+    # (shuffle = distinct pairs only, one bounded hash map per
+    # stage): end-to-end 4.6 s at sf1 (FLAT vs the old form's 4.5)
+    # and 18.4 s at sf10 (4.1x faster), exponent 0.60.
+    pairs = [
+        ("l_shipdate", "l_returnflag", "sd_rf"),
+        ("l_shipdate", "l_linestatus", "sd_ls"),
+        ("l_shipdate", "l_suppkey", "sd_sk"),
+        ("l_partkey", "l_returnflag", "pk_rf"),
+        ("l_partkey", "l_linestatus", "pk_ls"),
+        ("l_partkey", "l_suppkey", "pk_sk"),
+        ("l_suppkey", "l_returnflag", "sk_rf"),
+        ("l_suppkey", "l_linestatus", "sk_ls"),
+        ("l_suppkey", "l_partkey", "sk_pk"),
+    ]
+    s = li.agg(F.count("*").cast("long").alias("n_rows"))
+    for k, c, alias in pairs:
+        kk = F.col(k).cast("date") if k == "l_shipdate" else F.col(k)
+        leg = (
+            li.select(kk.alias("k"), F.col(c).alias("c"))
+            .groupBy("k", "c")
+            .agg(F.lit(1))
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+        s = s.crossJoin(F.broadcast(leg))
     rows = [
         ("l_shipdate", "l_returnflag", "sd_rf"),
         ("l_shipdate", "l_linestatus", "sd_ls"),

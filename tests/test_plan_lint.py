@@ -138,6 +138,11 @@ NLJ_OK = {
     "q_type_cooccurrence",  # broadcast 1-row distinct-user-total leg
     "q_mood_median",  # broadcast 1-row grand-median leg
     "q_benford_second",  # broadcast 1-row digit-total leg + 10-row grid
+    # round 13: q_sortkey_advisor's nine pair-NDVs became independent
+    # pre-aggregated 1-row counts glued as broadcast scalar crosses
+    # (the Expand-form scale fix, ROUND13_NOTES) — every leg is a
+    # 1-row aggregate by construction
+    "q_sortkey_advisor",  # 9 broadcast 1-row pair-NDV legs + count leg
 }
 
 PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

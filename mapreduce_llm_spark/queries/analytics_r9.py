@@ -1857,16 +1857,17 @@ def q_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx,
-               CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * y) AS BIGINT) AS sxy,
-               CAST(sum(x * x) AS BIGINT) AS sx2,
-               CAST(sum(y * y) AS BIGINT) AS sy2
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2
         FROM j
     )
     SELECT n AS n_edges,
-           CASE WHEN n * sxy - sx * sy < 0 THEN -1
-                WHEN n * sxy - sx * sy = 0 THEN 0 ELSE 1 END AS cov_sign,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * sxy - sx * sy < 0 THEN -1
+                WHEN CAST(n AS HUGEINT) * sxy - sx * sy = 0 THEN 0
+                ELSE 1 END AS INTEGER) AS cov_sign,
            round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / nullif(sqrt(CAST(n AS DOUBLE) * sx2
                                - CAST(sx AS DOUBLE) * sx)
@@ -1894,19 +1895,33 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = e.groupBy("s").agg(F.count("*").cast("long").alias("x"))
     dp = e.groupBy("p").agg(F.count("*").cast("long").alias("y"))
     j = e.join(ds, "s").join(dp, "p").select("x", "y")
+    # moment sums on DECIMAL(38,0) (HUGEINT in the oracle): the edge
+    # count times the degree-product sum passes 2^63 at sf10 — ANSI
+    # Spark threw ARITHMETIC_OVERFLOW in the round-13 decade stress;
+    # the CLAUDE.md HUGEINT rule (sums whose numerator can pass int64
+    # go through exact wide integers, one double conversion at the
+    # end)
     m = j.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sx2"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sy2"),
     )
     return m.select(
         F.col("n").alias("n_edges"),
         F.expr(
-            "CASE WHEN n * sxy - sx * sy < 0 THEN -1"
-            " WHEN n * sxy - sx * sy = 0 THEN 0 ELSE 1 END"
+            "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy - sx * sy < 0"
+            " THEN -1"
+            " WHEN CAST(n AS DECIMAL(38,0)) * sxy - sx * sy = 0 THEN 0"
+            " ELSE 1 END AS INT)"
         ).alias("cov_sign"),
         F.expr(
             "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"

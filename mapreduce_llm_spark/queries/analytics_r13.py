@@ -1,16 +1,13 @@
-"""Round-13 STAGED surface — CLOSED at 50 pairs.
+"""Round-13 registered surface — 50 oracle-backed analytics queries,
+staged (as queries/analytics_r13_staged.py) and hash-proven through
+the driver-gate harness at sf0.01 AND the sf0.1 sweep env in rounds
+12-13, flipped into live ``@query(oracle=...)`` declarations in
+round 14, byte-identical to the rehearsal
+(tests/test_r13_flip_rehearsal.py at the time): no collisions,
+exactly 50 slots, no FUTURE_ORACLES graduations remaining, backlog
+closure by construction.
 
-Same staged-tranche contract as analytics_r11_staged (flipped in
-round 12 as queries/analytics_r11.py) / analytics_r12_staged, one
-more window out: the round-12 staging is CLOSED at 50, so surface
-built beyond that point stages HERE and flips in round 14 after the
-r12 batch registers in round 13. Every entry is a complete (query fn,
-DuckDB oracle) pair hash-proven NOW at sf0.01 and the sf0.1 sweep env
-by tests/test_r13_staged.py. NOT imported by registry.load_all.
-Per the round-11 verdict's backlog cap (item 3), NOTHING stages
-beyond this module until the r12 window registers.
-
-Seed themes — capacity, interleaving, and positional structure:
+Tranche themes — capacity, interleaving, and positional structure:
 
 - **Capacity headroom** (q_peak_to_mean, q_burst_ratio): peak-to-mean
   and burst-to-median load ratios — the two numbers an autoscaler
@@ -45,6 +42,10 @@ integer counts and e4/bp floors via nonneg integer division, round(,4)
 only on the allowed log/sqrt/corr class, nullif/CASE guards, packed
 nonneg-integer argmax, explicit (ts, event_id) tie-breaks in every
 ordered window.
+
+Plan-lint status: no cartesian products, no Python crossings, no
+nested-loop joins — the r13 staged NLJ allowlist was EMPTY, so
+nothing carries into tests/test_plan_lint.py::NLJ_OK.
 """
 
 from __future__ import annotations
@@ -55,22 +56,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.registry import query
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
-
-#: name -> (query fn, DuckDB oracle SQL); round 14 flips these.
-STAGED_R13: dict[str, tuple[QueryFn, str]] = {}
-
-
-def _staged(name: str, oracle: str):
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_R13:
-            raise ValueError(f"duplicate staged query {name!r}")
-        STAGED_R13[name] = (fn, oracle)
-        return fn
-
-    return deco
-
 
 def _r13_words(col):
     """Lowercased alpha word array (the _r12_words twin, module-local
@@ -85,7 +73,7 @@ def _r13_words(col):
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_peak_to_mean",
     oracle="""
     WITH hourly AS (
@@ -133,7 +121,7 @@ def q_peak_to_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_burst_ratio",
     oracle="""
     WITH win5 AS (
@@ -186,7 +174,7 @@ def q_burst_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_dormancy_survival",
     oracle="""
     WITH gaps AS (
@@ -267,7 +255,7 @@ def q_dormancy_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_value_by_depth",
     oracle="""
     WITH positioned AS (
@@ -323,7 +311,7 @@ def q_value_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_order_overlap",
     oracle="""
     WITH spans AS (
@@ -385,7 +373,7 @@ def q_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_span_by_size",
     oracle="""
     WITH per_order AS (
@@ -442,7 +430,7 @@ def q_span_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_discount_seasonality",
     oracle="""
     WITH lines AS (
@@ -499,7 +487,7 @@ def q_discount_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_brand_breadth",
     oracle="""
     WITH per_cust AS (
@@ -556,7 +544,7 @@ def q_brand_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_word_len_by_position",
     oracle="""
     WITH words AS (
@@ -624,7 +612,7 @@ def q_word_len_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_head_mass",
     oracle="""
     WITH wc AS (
@@ -705,7 +693,7 @@ def q_head_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_size_price_slope",
     oracle="""
     WITH pts AS (
@@ -770,7 +758,7 @@ def q_size_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_type")
 
 
-@_staged(
+@query(
     "q_iqr_outliers",
     oracle="""
     WITH vals AS (
@@ -855,7 +843,7 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_delay_tail_risk",
     oracle="""
     WITH delays AS (
@@ -912,7 +900,7 @@ def q_delay_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_dom_profile",
     oracle="""
     WITH dom AS (
@@ -965,7 +953,7 @@ def q_dom_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dom")
 
 
-@_staged(
+@query(
     "q_brand_quantity_mix",
     oracle="""
     WITH lines AS (
@@ -1021,7 +1009,7 @@ def q_brand_quantity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_gap_autocorr",
     oracle="""
     WITH gaps AS (
@@ -1094,7 +1082,7 @@ def q_gap_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_tenure_value",
     oracle="""
     WITH per_cust AS (
@@ -1156,7 +1144,7 @@ def q_tenure_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_ttr_by_length",
     oracle="""
     WITH per_doc AS (
@@ -1214,7 +1202,7 @@ def q_ttr_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_rank_stability",
     oracle="""
     WITH daily AS (
@@ -1294,7 +1282,7 @@ def q_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_session_value",
     oracle="""
     WITH ordered AS (
@@ -1403,7 +1391,7 @@ def q_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_first_basket_effect",
     oracle="""
     WITH ranked AS (
@@ -1480,7 +1468,7 @@ def q_first_basket_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_basket_size_trend",
     oracle="""
     WITH per_order AS (
@@ -1540,7 +1528,7 @@ def q_basket_size_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_supplier_dependency",
     oracle="""
     WITH per_pair AS (
@@ -1607,7 +1595,7 @@ def q_supplier_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_source_lang_purity",
     oracle="""
     WITH cells AS (
@@ -1672,7 +1660,7 @@ def q_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_part_continuity",
     oracle="""
     WITH per_part AS (
@@ -1747,7 +1735,7 @@ def q_part_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_reorder_regularity",
     oracle="""
     WITH gaps AS (
@@ -1833,7 +1821,7 @@ def q_reorder_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_cross_segment_parts",
     oracle="""
     WITH per_part AS (
@@ -1895,7 +1883,7 @@ def q_cross_segment_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_segments")
 
 
-@_staged(
+@query(
     "q_discount_return_link",
     oracle="""
     WITH lines AS (
@@ -1942,7 +1930,7 @@ def q_discount_return_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_region_price_parity",
     oracle="""
     WITH ratios AS (
@@ -2030,7 +2018,7 @@ def q_region_price_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r_name")
 
 
-@_staged(
+@query(
     "q_brand_seasonal_peak",
     oracle="""
     WITH monthly AS (
@@ -2094,7 +2082,7 @@ def q_brand_seasonal_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_priority_value_profile",
     oracle="""
     WITH vals AS (
@@ -2158,7 +2146,7 @@ def q_priority_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prio")
 
 
-@_staged(
+@query(
     "q_vowel_profile",
     oracle="""
     WITH per_doc AS (
@@ -2219,7 +2207,7 @@ def q_vowel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_basket_unit_price",
     oracle="""
     WITH sized AS (
@@ -2280,7 +2268,7 @@ def q_basket_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_priority_mix_trend",
     oracle="""
     WITH cells AS (
@@ -2342,7 +2330,7 @@ def q_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("yr", "prio")
 
 
-@_staged(
+@query(
     "q_value_trend_ols",
     oracle="""
     WITH daily AS (
@@ -2442,7 +2430,7 @@ def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_line_position_profile",
     oracle="""
     SELECT l_linenumber,
@@ -2488,7 +2476,7 @@ def q_line_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_status_priority_mix",
     oracle="""
     WITH cell AS (
@@ -2534,7 +2522,7 @@ def q_status_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("status", "priority")
 
 
-@_staged(
+@query(
     "q_order_gap_value_link",
     oracle="""
     WITH gaps AS (
@@ -2593,7 +2581,7 @@ def q_order_gap_value_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_acctbal_order_link",
     oracle="""
     WITH banded AS (
@@ -2668,7 +2656,7 @@ def q_acctbal_order_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_brand_discount_policy",
     oracle="""
     SELECT p.p_brand AS brand,
@@ -2724,7 +2712,7 @@ def q_brand_discount_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_value_momentum",
     oracle="""
     WITH spanned AS (
@@ -2799,7 +2787,7 @@ def q_value_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_hour_value_premium",
     oracle="""
     WITH hourly AS (
@@ -2866,7 +2854,7 @@ def q_hour_value_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hr")
 
 
-@_staged(
+@query(
     "q_user_week_curve",
     oracle="""
     WITH marked AS (
@@ -2917,7 +2905,7 @@ def q_user_week_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_props_payload",
     oracle="""
     WITH payload AS (
@@ -2964,7 +2952,7 @@ def q_props_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_user_type_affinity",
     oracle="""
     WITH per_ut AS (
@@ -3039,7 +3027,7 @@ def q_user_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_staged(
+@query(
     "q_region_size_mix",
     oracle="""
     SELECT r.r_name AS region,
@@ -3094,7 +3082,7 @@ def q_region_size_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_embed_sign_balance",
     oracle="""
     WITH comp AS (
@@ -3141,7 +3129,7 @@ def q_embed_sign_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_nation_customer_value",
     oracle="""
     WITH per_nation AS (
@@ -3205,7 +3193,7 @@ def q_nation_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("value_rank")
 
 
-@_staged(
+@query(
     "q_order_value_concentration",
     oracle="""
     WITH per_order AS (
@@ -3266,7 +3254,7 @@ def q_order_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_staged(
+@query(
     "q_brand_price_range",
     oracle="""
     SELECT p_brand AS brand,
@@ -3316,31 +3304,3 @@ def q_brand_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
-
-
-#: The exact round-14 DRIVER_PRIORITY window, pre-drafted so the flip
-#: is mechanical (the round-8..12 playbook): 50 staged queries in
-#: definition (= tranche) order — FUTURE_ORACLES is empty, so the whole
-#: window is new surface. tests/test_r13_flip_rehearsal.py pins that
-#: this list is exactly STAGED_R13 with no gaps, dupes, or registry
-#: collisions, and that the post-flip external-verification backlog is
-#: exactly this window.
-ROUND13_WINDOW: list[str] = [
-    "q_peak_to_mean", "q_burst_ratio", "q_dormancy_survival",
-    "q_value_by_depth", "q_order_overlap", "q_span_by_size",
-    "q_discount_seasonality", "q_brand_breadth", "q_word_len_by_position",
-    "q_head_mass", "q_size_price_slope", "q_iqr_outliers",
-    "q_delay_tail_risk", "q_dom_profile", "q_brand_quantity_mix",
-    "q_gap_autocorr", "q_tenure_value", "q_ttr_by_length",
-    "q_rank_stability", "q_session_value", "q_first_basket_effect",
-    "q_basket_size_trend", "q_supplier_dependency", "q_source_lang_purity",
-    "q_part_continuity", "q_reorder_regularity", "q_cross_segment_parts",
-    "q_discount_return_link", "q_region_price_parity", "q_brand_seasonal_peak",
-    "q_priority_value_profile", "q_vowel_profile", "q_basket_unit_price",
-    "q_priority_mix_trend", "q_value_trend_ols", "q_line_position_profile",
-    "q_status_priority_mix", "q_order_gap_value_link", "q_acctbal_order_link",
-    "q_brand_discount_policy", "q_value_momentum", "q_hour_value_premium",
-    "q_user_week_curve", "q_props_payload", "q_user_type_affinity",
-    "q_region_size_mix", "q_embed_sign_balance", "q_nation_customer_value",
-    "q_order_value_concentration", "q_brand_price_range",
-]

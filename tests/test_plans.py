@@ -483,7 +483,7 @@ def test_driver_priority_frontloads_unverified_oracle_queries():
     )
 
 
-def test_driver_priority_round13_window():
+def test_driver_priority_round14_window():
     """Rotation invariants for the current window, derived from the
     CORRECTNESS records of rounds STRICTLY BEFORE the window's round
     (registry.DRIVER_PRIORITY_ROUND). The round-4 variant read every

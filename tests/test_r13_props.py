@@ -1,53 +1,24 @@
-"""Semantic laws for the round-13 seed tranche — properties the hash
-gate can't express, plus the plan lint the round-13 flip will inherit.
+"""Semantic invariants for the round-13 query batch (registered in
+queries/analytics_r13.py since the round-13 flip executed in round 14)
+— algebraic laws of the claimed algorithms that the DuckDB hash gate
+cannot express (it proves Spark ≡ oracle, not that both implement the
+CLAIMED semantics). Evaluated on real testdata at SF_DIR. The staged
+plan lint this file carried pre-flip is now the blanket sweep in
+tests/test_plan_lint.py (the r13 staged NLJ allowlist was empty —
+nothing to carry).
 """
 
 from __future__ import annotations
 
-import pytest
-
+from mapreduce_llm_spark import registry
 from mapreduce_llm_spark.io import load_table
-from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
-from tests.conftest import SF_DIR, SMOKE_SF_DIR
+from tests.conftest import SF_DIR
 
-# Broadcast grid/scalar legs by design — copy into NLJ_OK on the
-# round-13 flip.
-STAGED_NLJ_OK: set[str] = set()
-
-PY_MARKERS = (
-    "BatchEvalPython",
-    "ArrowEvalPython",
-    "MapInPandas",
-    "FlatMapGroupsInPandas",
-)
+registry.load_all()
 
 
 def _run(spark, name):
-    fn, _sql = STAGED_R13[name]
-    return [r.asDict() for r in fn(spark, SF_DIR).collect()]
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R13))
-def test_staged_plan_lint(spark, name):
-    fn, _sql = STAGED_R13[name]
-    df = fn(spark, SMOKE_SF_DIR)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    plan = df._jdf.queryExecution().explainString(jmode)
-    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    if name not in STAGED_NLJ_OK:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{name}: nested-loop join — add to STAGED_NLJ_OK with reason"
-        )
-    for marker in PY_MARKERS:
-        assert marker not in plan, f"{name}: Python crossing ({marker})"
-
-
-def test_staged_nlj_allowlist_is_not_stale():
-    stale = STAGED_NLJ_OK - set(STAGED_R13)
-    assert not stale, f"allowlisted but not staged: {sorted(stale)}"
-
+    return [r.asDict() for r in registry.QUERIES[name](spark, SF_DIR).collect()]
 
 # ---------------------------------------------------------------------------
 # Laws for the r13 seed tranche.

@@ -11,11 +11,11 @@ simulate that end state WITHOUT touching the live registry: if they
 pass, the flip cannot create a name collision, an over/underfull
 window, or a reopened external-verification backlog. The same
 derivation as tools/gen_inventory.verification_backlog is replayed
-against the post-flip registry plus TWO simulated driver records —
-CORRECTNESS_r13 (the current ROUND12_WINDOW goes green at round-13
-end) and CORRECTNESS_r14 (the round-14 flip registers STAGED_R13 and
-its ROUND13_WINDOW goes green) — and must show the round-15 backlog
-to be exactly the 50 flipped names and nothing else.
+against the post-flip registry plus ONE simulated driver record —
+CORRECTNESS_r14 (the current DRIVER_PRIORITY, the flipped
+ROUND13_WINDOW, goes green at round-14 end; the round-13 flip has
+executed) — and must show the round-15 backlog to be exactly the 50
+flipped names and nothing else.
 """
 
 from __future__ import annotations
@@ -25,14 +25,11 @@ import os
 import re
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r13_staged import (
-    ROUND13_WINDOW,
-    STAGED_R13,
-)
 from mapreduce_llm_spark.queries.analytics_r14_staged import (
     ROUND14_WINDOW,
     STAGED_R14,
 )
+from mapreduce_llm_spark.queries.analytics_r15_staged import STAGED_R15
 from mapreduce_llm_spark.queries.future_oracles import FUTURE_ORACLES
 
 registry.load_all()
@@ -58,9 +55,9 @@ def test_predrafted_window_is_exactly_the_flip_set():
 def test_staged_names_do_not_collide():
     for name in STAGED_R14:
         assert name not in registry.QUERIES, f"{name} already registered"
-        assert name not in STAGED_R13, (
-            f"{name} staged in both r13 and r14 — the r14 flip would "
-            "collide with the r15 one"
+        assert name not in STAGED_R15, (
+            f"{name} staged in both r14 and r15 — the r15 flip would "
+            "collide with the r16 one"
         )
         fn, sql = STAGED_R14[name]
         assert callable(fn) and sql.strip(), name
@@ -79,23 +76,18 @@ def _records_before(round_no: int) -> dict[str, list[dict]]:
 
 
 def test_post_flip_backlog_is_exactly_the_flipped_window():
-    # simulate the two driver records between now and the r15 flip:
-    # round 13 verifies the live DRIVER_PRIORITY (the flipped round-12
-    # window), round 14 verifies ROUND13_WINDOW after its flip
+    # simulate the one driver record between now and the r15 flip:
+    # round 14 verifies the live DRIVER_PRIORITY (the flipped
+    # round-13 window)
     records = _records_before(15)
     green = {"rows_match": True, "schema_match": True, "hash_match": True}
     for name in list(registry.QUERIES)[:WINDOW]:
         records.setdefault(name, []).append(dict(green))
-    for name in ROUND13_WINDOW:
-        records.setdefault(name, []).append(dict(green))
 
     post_oracle = dict(registry.ORACLE)
     post_oracle.update(FUTURE_ORACLES)
-    post_oracle.update({n: sql for n, (_fn, sql) in STAGED_R13.items()})
     post_oracle.update({n: sql for n, (_fn, sql) in STAGED_R14.items()})
-    post_queries = (
-        list(registry.QUERIES) + list(STAGED_R13) + list(STAGED_R14)
-    )
+    post_queries = list(registry.QUERIES) + list(STAGED_R14)
 
     def verified(name: str) -> bool:
         recs = records.get(name, [])

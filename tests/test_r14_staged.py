@@ -1,12 +1,11 @@
 """Round-14 staged-surface invariants (queries/analytics_r14_staged.py).
 
-Same contract as the round-13 staging test, one more window out (the
-round-9 precedent of seeding two windows ahead): the round-13 staging
-is closed at 50, so surface built beyond that point stages in the r14
-module and is proven NOW with the driver-gate harness at sf0.01 (and
-the sf0.1 sweep env). Also pins that the module is registry-side-
-effect free and collision-free against the live registry AND the
-pending r13 staging.
+Same contract as the round-13 staging test (now flipped as
+queries/analytics_r13.py): every entry is proven NOW with the
+driver-gate harness at sf0.01 (and the sf0.1 sweep env). Also pins
+that the module is registry-side-effect free and collision-free
+against the live registry (which, post-r13-flip, includes every
+formerly-r13-staged name) and the pending r15 staging.
 """
 
 from __future__ import annotations
@@ -14,7 +13,6 @@ from __future__ import annotations
 import pytest
 
 from mapreduce_llm_spark import registry
-from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
 from mapreduce_llm_spark.queries.analytics_r14_staged import STAGED_R14
 from tests.conftest import SF_DIR
 from tests.oracle_harness import compare, duckdb_conn
@@ -38,7 +36,9 @@ def test_staged_module_has_no_registry_side_effects():
 
 
 def test_staged_names_do_not_collide_with_pending_stagings():
-    overlap = set(STAGED_R14) & set(STAGED_R13)
+    from mapreduce_llm_spark.queries.analytics_r15_staged import STAGED_R15
+
+    overlap = set(STAGED_R14) & set(STAGED_R15)
     assert not overlap, (
         f"{sorted(overlap)} staged twice — an earlier flip would collide"
     )

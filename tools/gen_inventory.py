@@ -304,18 +304,6 @@ def main() -> None:
             "by tests/test_future_oracles.py: "
             + ", ".join(f"`{n}`" for n in sorted(FUTURE_ORACLES)),
         ]
-    from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
-
-    lines += [
-        "",
-        "## Staged for the round-14 window (derived)",
-        "",
-        f"{len(STAGED_R13)} complete (query, oracle) pairs in "
-        "queries/analytics_r13_staged.py — hash-proven by "
-        "tests/test_r13_staged.py; surface built after the round-12 flip "
-        "filled its window stages one window further out: "
-        + ", ".join(f"`{n}`" for n in sorted(STAGED_R13)),
-    ]
     from mapreduce_llm_spark.queries.analytics_r14_staged import STAGED_R14
 
     lines += [
@@ -324,10 +312,23 @@ def main() -> None:
         "",
         f"{len(STAGED_R14)} complete (query, oracle) pairs in "
         "queries/analytics_r14_staged.py — hash-proven by "
-        "tests/test_r14_staged.py; the round-13 staging is itself full, "
-        "so this tranche stages two windows out: "
+        "tests/test_r14_staged.py; surface built after the round-13 flip "
+        "filled its window stages one window further out: "
         + ", ".join(f"`{n}`" for n in sorted(STAGED_R14)),
     ]
+    from mapreduce_llm_spark.queries.analytics_r15_staged import STAGED_R15
+
+    if STAGED_R15:
+        lines += [
+            "",
+            "## Staged for the round-16 window (derived)",
+            "",
+            f"{len(STAGED_R15)} complete (query, oracle) pairs in "
+            "queries/analytics_r15_staged.py — hash-proven by "
+            "tests/test_r15_staged.py; the round-14 staging is itself "
+            "full, so this tranche stages two windows out: "
+            + ", ".join(f"`{n}`" for n in sorted(STAGED_R15)),
+        ]
     lines += [
         "",
         "## Library surface without a query form",

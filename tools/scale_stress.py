@@ -227,14 +227,14 @@ def main() -> None:
         if name in registry.QUERIES:
             return registry.QUERIES[name]
         # staged-but-unregistered surface is stressed BEFORE its flip
-        from mapreduce_llm_spark.queries.analytics_r13_staged import STAGED_R13
         from mapreduce_llm_spark.queries.analytics_r14_staged import STAGED_R14
+        from mapreduce_llm_spark.queries.analytics_r15_staged import STAGED_R15
 
-        if name in STAGED_R13:
-            return STAGED_R13[name][0]
         if name in STAGED_R14:
             return STAGED_R14[name][0]
-        raise KeyError(f"{name}: not registered and not staged in r13/r14")
+        if name in STAGED_R15:
+            return STAGED_R15[name][0]
+        raise KeyError(f"{name}: not registered and not staged in r14/r15")
 
     def bench(name: str, sf_dir: str) -> float:
         qfn = resolve(name)

@@ -39,8 +39,47 @@ _LOCAL_RN = "__mrs_local_rn"
 _OFFSET = "__mrs_offset"
 
 
+def _pid_stamped(parts: DataFrame, materialize: bool) -> DataFrame:
+    """Stamp ``spark_partition_id()`` and (by default) pin the frame
+    behind an EAGER non-replicated serialized ``localCheckpoint`` so
+    every downstream branch structurally reads the same blocks.
+
+    Caveats callers accept with ``materialize=True`` (the safe
+    default):
+
+    - **Eager execution side effect**: merely CONSTRUCTING the plan
+      runs a Spark job (the checkpoint materializes at call time),
+      unlike every other lazy operator in this package.
+    - **Non-replicated blocks**: ``localCheckpoint`` stores blocks on
+      the executors that computed them with no lineage to recompute
+      from — an executor lost after the checkpoint fails downstream
+      consumers. Acceptable single-host; on a real cluster prefer a
+      reliable ``checkpoint()`` dir for long-lived frames (same
+      trade-off documented on the dedup operators).
+    - **Block lifetime**: the blocks live until the DataFrame is
+      garbage-collected (Spark's ContextCleaner unpersists them); they
+      are not explicitly unpersisted because the operator cannot know
+      when the caller is done with the result.
+
+    ``materialize=False`` skips the barrier and is ONLY sound when the
+    caller can prove both branches will observe identical physical
+    partitioning (e.g. a test pinning the bug class, or a consumer
+    that immediately materializes itself); see the round-13 row-loss
+    post-mortem in the module docstring.
+    """
+    with_pid = parts.withColumn(_PID, F.spark_partition_id())
+    if materialize:
+        with_pid = with_pid.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    return with_pid
+
+
 def global_row_number(
-    df: DataFrame, order_cols: list[Column], alias: str = "row_num"
+    df: DataFrame,
+    order_cols: list[Column],
+    alias: str = "row_num",
+    materialize: bool = True,
 ) -> DataFrame:
     """Total-order global row numbers via range partitioning + offset
     prefix sum. ``order_cols`` must define a total order (include a
@@ -49,7 +88,9 @@ def global_row_number(
 
     The counts branch and the data branch MUST observe the same
     physical partitioning, so the pid-stamped frame is materialized
-    ONCE (eager serialized localCheckpoint) and both branches read the
+    ONCE (eager serialized localCheckpoint — see :func:`_pid_stamped`
+    for the eager-execution / non-replicated-block caveats and the
+    ``materialize=False`` escape hatch) and both branches read the
     checkpointed blocks. Relying on exchange reuse to collapse the two
     reads is NOT sound: Catalyst prunes each branch's columns
     independently (counts needs only the pid), the differing
@@ -61,9 +102,7 @@ def global_row_number(
     cannot depend on the optimizer choosing to share a subtree.
     """
     parts = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    with_pid = parts.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    with_pid = _pid_stamped(parts, materialize)
 
     counts = with_pid.groupBy(_PID).count()
     # The prefix sum runs over one row per partition (~32 rows), so a
@@ -97,6 +136,7 @@ def partitioned_row_number(
     partition_cols: list[str],
     order_cols: list[Column],
     alias: str = "row_num",
+    materialize: bool = True,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY keys ORDER BY ...)`` for the
     LOW-CARDINALITY-KEY / HUGE-PARTITION case — the skew shape where
@@ -124,10 +164,8 @@ def partitioned_row_number(
     # materialized once for the same reason as global_row_number: the
     # counts and data branches must see ONE physical partitioning, and
     # exchange reuse (defeated by per-branch column pruning) is not a
-    # correctness mechanism
-    with_pid = parts.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+    # correctness mechanism (_pid_stamped docstring has the caveats)
+    with_pid = _pid_stamped(parts, materialize)
 
     counts = with_pid.groupBy(_PID, *partition_cols).count()
     off_w = (
@@ -176,7 +214,11 @@ _PTOTAL = "__mrs_ptotal"
 
 
 def global_prefix_sum(
-    df: DataFrame, order_cols: list[Column], value_col: str, alias: str = "prefix_sum"
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    alias: str = "prefix_sum",
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed global running sum of ``value_col`` in ``order_cols``
     order — ``sum(v) OVER (ORDER BY ...)`` without the single-partition
@@ -185,9 +227,19 @@ def global_prefix_sum(
     prefix-summed per-partition TOTALS (one row per partition) as
     offsets. ``order_cols`` must define a total order. The sweep-line
     family (interval concurrency, inventory level, account balance)
-    reduces to exactly this primitive."""
+    reduces to exactly this primitive.
+
+    Same materialization barrier as the row-number operators (and same
+    :func:`_pid_stamped` caveats): the totals branch prunes to
+    ``(pid, value)`` while the data branch keeps every column, so the
+    two range shuffles carry different ReadSchemas — exactly the shape
+    that defeated exchange reuse and let AQE coalesce the branches to
+    different partition counts in the round-13 row-loss bug. This
+    function shipped WITHOUT the barrier for one round after that fix;
+    audited and closed in round 14 before any consumer grew the wide
+    upstream-join shape that triggers it."""
     parts = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    with_pid = parts.withColumn(_PID, F.spark_partition_id())
+    with_pid = _pid_stamped(parts, materialize)
 
     totals = with_pid.groupBy(_PID).agg(F.sum(value_col).alias(_PTOTAL))
     off_w = (

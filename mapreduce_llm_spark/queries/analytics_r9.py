@@ -2227,8 +2227,14 @@ def q_sortkey_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = li.agg(F.count("*").cast("long").alias("n_rows"))
     for k, c, alias in pairs:
         kk = F.col(k).cast("date") if k == "l_shipdate" else F.col(k)
+        # NULL discipline: the DuckDB twin's count(DISTINCT k||'|'||c)
+        # drops any NULL-containing pair (string concat nulls out), so
+        # the Spark side must too — groupBy would otherwise COUNT the
+        # (NULL, c)/(k, NULL) groups and the equivalence would hold
+        # only because TPC-H lineitem is non-null (advisor, round 13).
         leg = (
             li.select(kk.alias("k"), F.col(c).alias("c"))
+            .where(F.col("k").isNotNull() & F.col("c").isNotNull())
             .groupBy("k", "c")
             .agg(F.lit(1))
             .agg(F.count("*").cast("long").alias(alias))

@@ -183,6 +183,41 @@ def build_dedup_density(
     return dst
 
 
+BOOK = "SCALE_STRESS.json"
+
+
+def row_key(r: dict) -> tuple:
+    """Merge key for the cumulative book. The fixture enters the key so
+    a density-preserving re-measurement ACCOMPANIES the standard-copies
+    row instead of erasing it — the book keeps both the confounded and
+    the corrected exponent."""
+    return (r["query"], r.get("decade", "0.1-1"), r.get("fixture", "copies"))
+
+
+def merge_rows(
+    rows: list[dict], path: str = BOOK, *, copies: int = COPIES, passes: int = 3
+) -> None:
+    """Merge measured rows into the existing book (replace by
+    (name, decade, fixture), append new) and write it back. Called
+    after EVERY query's measurement, not once per batch: the round-13
+    assortativity crash aborted a multi-query sweep mid-batch and lost
+    every completed row with it (recovered only by a manual re-measure
+    commit, aec0d81). Incremental writes make a mid-batch crash lose at
+    most the in-flight query. The write is atomic (tmp + rename) so a
+    crash DURING the write can't truncate the book either."""
+    prior: list[dict] = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh).get("rows", [])
+    by_key = {row_key(r): r for r in rows}
+    merged = [by_key.pop(row_key(r), r) for r in prior] + list(by_key.values())
+    out = {"copies": copies, "passes": passes, "rows": merged}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(out, fh, indent=1)
+    os.replace(tmp, path)
+
+
 def main() -> None:
     from mapreduce_llm_spark import registry
     from mapreduce_llm_spark.session import get_spark
@@ -260,30 +295,14 @@ def main() -> None:
             if dedup_density:
                 row["fixture"] = "density-preserving"
         rows.append(row)
+        # book written per query, not per batch — a crash on query
+        # N+1 preserves rows 1..N (merge_rows docstring)
+        merge_rows([row], passes=passes)
         print(
             f"{name} [{decade}]: {t_small}s -> {t_big}s  exp={exp}",
             file=sys.stderr,
         )
 
-    # merge into the existing record (replace by (name, decade), append
-    # new) so incremental sweeps accumulate instead of clobbering the
-    # rows of earlier tranches — SCALE_STRESS.json is the cumulative
-    # book of every measured query
-    def key(r: dict) -> tuple:
-        # fixture enters the key so a density-preserving re-measurement
-        # ACCOMPANIES the standard-copies row instead of erasing it —
-        # the book keeps both the confounded and the corrected exponent
-        return (r["query"], r.get("decade", "0.1-1"), r.get("fixture", "copies"))
-
-    prior: list[dict] = []
-    if os.path.exists("SCALE_STRESS.json"):
-        with open("SCALE_STRESS.json") as fh:
-            prior = json.load(fh).get("rows", [])
-    by_key = {key(r): r for r in rows}
-    merged = [by_key.pop(key(r), r) for r in prior] + list(by_key.values())
-    out = {"copies": COPIES, "passes": passes, "rows": merged}
-    with open("SCALE_STRESS.json", "w") as fh:
-        json.dump(out, fh, indent=1)
     print(f"| query | decade {decade} small s | big s | exponent |")
     print("|---|---|---|---|")
     for r in rows:

@@ -1,0 +1,128 @@
+"""Semantic laws for the round-15 staged tranche — properties the hash
+gate can't express, plus the plan lint the round-15 flip will inherit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_llm_spark.io import load_table
+from mapreduce_llm_spark.queries.analytics_r15_staged import STAGED_R15
+from tests.conftest import SF_DIR, SMOKE_SF_DIR
+
+# Broadcast grid/scalar legs by design — copy into NLJ_OK on the
+# round-15 flip.
+STAGED_NLJ_OK: set[str] = {
+    "q_key_density",  # broadcast 1-row keyspace-bounds leg
+}
+
+PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _run(spark, name):
+    fn, _sql = STAGED_R15[name]
+    return [r.asDict() for r in fn(spark, SF_DIR).collect()]
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R15))
+def test_staged_plan_lint(spark, name):
+    fn, _sql = STAGED_R15[name]
+    df = fn(spark, SMOKE_SF_DIR)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in STAGED_NLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join — add to STAGED_NLJ_OK with reason"
+        )
+    for marker in PY_MARKERS:
+        assert marker not in plan, f"{name}: Python crossing ({marker})"
+
+
+def test_staged_nlj_allowlist_is_not_stale():
+    stale = STAGED_NLJ_OK - set(STAGED_R15)
+    assert not stale, f"allowlisted but not staged: {sorted(stale)}"
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 1 — order-flow / queueing.
+# ---------------------------------------------------------------------------
+
+
+def test_little_law_laws(spark):
+    rows = _run(spark, "q_little_law")
+    assert rows
+    months = [r["month"] for r in rows]
+    assert months == sorted(months) and len(set(months)) == len(months)
+    for r in rows:
+        assert r["arrivals"] >= 1
+        # every order is open at least one day: W >= 1.0
+        assert r["w_mean_days_e4"] >= 10000
+        assert r["l_avg_open_e4"] >= 0
+        assert r["littles_ratio_e4"] >= 0
+    # total arrivals = orders that have lineitems
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey").distinct()
+    n = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert sum(r["arrivals"] for r in rows) == n
+
+
+def test_first_ship_latency_laws(spark):
+    rows = _run(spark, "q_first_ship_latency")
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_orders"] > 0
+        assert r["min_latency_days"] <= r["median_latency_days"]
+        assert r["median_latency_days"] <= r["p90_latency_days"]
+
+
+def test_ship_rate_balance_laws(spark):
+    rows = _run(spark, "q_ship_rate_balance")
+    assert rows
+    months = [r["month"] for r in rows]
+    assert months == sorted(months)
+    # flow conservation: both legs count the SAME lineitem set, so the
+    # final backlog is exactly zero and the curve is the exact prefix
+    # sum of the monthly imbalances. (The curve CAN dip negative —
+    # the testdata contains ship-before-order anomaly rows, the
+    # q_date_sanity class, whose ship month precedes the order month.)
+    assert rows[-1]["cum_backlog_lines"] == 0
+    run = 0
+    for r in rows:
+        run += r["lines_ordered"] - r["lines_shipped"]
+        assert r["cum_backlog_lines"] == run
+    assert sum(r["lines_ordered"] for r in rows) == sum(
+        r["lines_shipped"] for r in rows
+    )
+
+
+def test_wip_value_days_laws(spark):
+    rows = _run(spark, "q_wip_value_days")
+    assert len(rows) == 5
+    total_share = sum(r["wip_share_e4"] for r in rows)
+    # five floors: at most 4 e4-units lost
+    assert 10000 - 4 <= total_share <= 10000
+    for r in rows:
+        # every order open >= 1 day => capital-weighted days >= 1.0
+        assert r["value_weighted_days_e4"] >= 10000
+
+
+def test_key_density_laws(spark):
+    rows = _run(spark, "q_key_density")
+    assert rows
+    o_n = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_keys"] for r in rows) == o_n
+    assert sum(r["share_e4"] for r in rows) <= 10000
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == sorted(buckets)
+    assert all(0 <= b <= 15 for b in buckets)
+    # equal-width slices are disjoint key ranges in bucket order
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_key"] < b["lo_key"]

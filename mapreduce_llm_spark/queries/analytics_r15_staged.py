@@ -536,3 +536,361 @@ def q_key_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_key",
         )
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Tranche 2 — calendar structure across datasets. The registered
+# calendar family profiles ONE dataset at a time (q_dom_profile,
+# q_month_end_load, q_weekend_effect, q_holiday_effect); these audit
+# the calendar itself (month-length normalization, year boundaries)
+# and ALIGN the orders and events calendars against each other.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_month_length_effect",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(date_diff('day', CAST(month AS DATE),
+                CAST((month + INTERVAL 1 MONTH) AS DATE)) AS BIGINT)
+               AS month_days,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(n_orders) * 10000
+                // (count(*) * date_diff('day', CAST(month AS DATE),
+                     CAST((month + INTERVAL 1 MONTH) AS DATE)))
+               AS BIGINT) AS orders_per_day_e4
+    FROM monthly
+    GROUP BY date_diff('day', CAST(month AS DATE),
+                       CAST((month + INTERVAL 1 MONTH) AS DATE))
+    ORDER BY month_days
+    """,
+)
+def q_month_length_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-length normalization audit: orders per DAY for 28/29/30/31
+    day months — raw monthly volume comparisons carry a built-in ~10%
+    bias (31 vs 28 days) that every month-over-month KPI inherits
+    unless rate-adjusted (q_weekend_effect's argument, applied to the
+    month axis; q_month_end_load profiles within-month shape, not the
+    length effect). A flat orders_per_day_e4 across lengths proves the
+    generator is day-homogeneous; a slope is the calendar artifact to
+    divide out.
+
+    Scale: one monthly aggregate (calendar-sized), re-grouped into ≤4
+    rows; all-integer rates by nonneg integer division."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    with_len = monthly.select(
+        F.datediff(
+            F.add_months(F.col("month").cast("date"), 1),
+            F.col("month").cast("date"),
+        )
+        .cast("long")
+        .alias("month_days"),
+        "n_orders",
+    )
+    return (
+        with_len.groupBy("month_days")
+        .agg(
+            F.count("*").cast("long").alias("n_months"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+        .select(
+            "month_days",
+            "n_months",
+            "n_orders",
+            F.expr("n_orders * 10000 div (n_months * month_days)")
+            .cast("long")
+            .alias("orders_per_day_e4"),
+        )
+        .orderBy("month_days")
+    )
+
+
+@_staged(
+    "q_dow_profile_align",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT o.dow,
+           o.n AS n_orders,
+           e.n AS n_events,
+           CAST(o.n * 10000 // sum(o.n) OVER () AS BIGINT)
+               AS orders_share_e4,
+           CAST(e.n * 10000 // sum(e.n) OVER () AS BIGINT)
+               AS events_share_e4,
+           CAST(abs(o.n * 10000 // sum(o.n) OVER ()
+                    - e.n * 10000 // sum(e.n) OVER ()) AS BIGINT)
+               AS gap_e4
+    FROM o JOIN e ON o.dow = e.dow
+    ORDER BY o.dow
+    """,
+)
+def q_dow_profile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-mix alignment between the ORDERS calendar and the EVENTS
+    calendar: per ISO weekday, each dataset's volume share and the
+    absolute gap — the first check before any cross-dataset
+    seasonality model (if the commerce side is weekday-flat, TPC-H
+    style, while user events hump midweek, a joint weekly forecast
+    needs separate day factors). Single-dataset weekday profiles exist
+    (q_weekend_effect, q_dow_stability); the cross-dataset alignment
+    does not.
+
+    Scale: two independent 7-row aggregates joined on weekday; the
+    share windows run over the 7-row frames. Spark weekday()+1 ==
+    DuckDB isodow (the CLAUDE.md rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    oo = o.groupBy(
+        (F.weekday("o_orderdate") + F.lit(1)).cast("long").alias("dow")
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    ee = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("long").alias("dow")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    wall = Window.partitionBy()
+    joined = oo.join(ee, "dow")
+    return (
+        joined.select(
+            "dow",
+            "n_orders",
+            "n_events",
+            F.expr("n_orders * 10000").alias("__no"),
+            F.expr("n_events * 10000").alias("__ne"),
+            F.sum("n_orders").over(wall).alias("__to"),
+            F.sum("n_events").over(wall).alias("__te"),
+        )
+        .select(
+            "dow",
+            "n_orders",
+            "n_events",
+            F.expr("__no div __to").cast("long").alias("orders_share_e4"),
+            F.expr("__ne div __te").cast("long").alias("events_share_e4"),
+            F.expr("abs(__no div __to - __ne div __te)")
+            .cast("long")
+            .alias("gap_e4"),
+        )
+        .orderBy("dow")
+    )
+
+
+@_staged(
+    "q_quarter_shape",
+    oracle="""
+    SELECT CAST((extract(month FROM o_orderdate) - 1) % 3 + 1 AS BIGINT)
+               AS month_in_quarter,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * 10000 // sum(count(*)) OVER () AS BIGINT)
+               AS count_share_e4,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                * 10000
+                // sum(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)))
+                   OVER () AS BIGINT) AS value_share_e4
+    FROM orders
+    GROUP BY (extract(month FROM o_orderdate) - 1) % 3 + 1
+    ORDER BY month_in_quarter
+    """,
+)
+def q_quarter_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-quarter loading curve: the share of order count and order
+    VALUE landing in quarter month 1 / 2 / 3 — the hockey-stick
+    fingerprint of quota-driven selling. q_quarter_end_push measures
+    the final-days spike; this is the full three-month shape, and the
+    count-vs-value share gap per position shows whether late-quarter
+    orders are also BIGGER. Exact cents sums (int64-safe: ×10⁴ on a
+    whole-table cents sum stays under 2⁶³ through sf10, single-digit
+    e17), nonneg integer division."""
+    o = load_table(spark, sf_dir, "orders")
+    wall = Window.partitionBy()
+    g = o.groupBy(
+        ((F.month("o_orderdate") - 1) % 3 + 1)
+        .cast("long")
+        .alias("month_in_quarter")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        g.select(
+            "month_in_quarter",
+            "n_orders",
+            F.expr("n_orders * 10000").alias("__nc"),
+            F.expr("cents * 10000").alias("__vc"),
+            F.sum("n_orders").over(wall).alias("__nt"),
+            F.sum("cents").over(wall).alias("__vt"),
+        )
+        .select(
+            "month_in_quarter",
+            "n_orders",
+            F.expr("__nc div __nt").cast("long").alias("count_share_e4"),
+            F.expr("__vc div __vt").cast("long").alias("value_share_e4"),
+        )
+        .orderBy("month_in_quarter")
+    )
+
+
+@_staged(
+    "q_seasonal_profile_align",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(weekofyear(o_orderdate) AS BIGINT) AS week,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT CAST(weekofyear(ts) AS BIGINT) AS week,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT coalesce(o.week, e.week) AS week,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(e.n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(o.n, 0) * 10000
+                // sum(coalesce(o.n, 0)) OVER () AS BIGINT)
+               AS orders_share_e4,
+           CAST(coalesce(e.n, 0) * 10000
+                // sum(coalesce(e.n, 0)) OVER () AS BIGINT)
+               AS events_share_e4
+    FROM o FULL OUTER JOIN e ON o.week = e.week
+    ORDER BY week
+    """,
+)
+def q_seasonal_profile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-week-of-year seasonal profile alignment between orders and
+    events: each dataset's volume share per week 1..53, on one axis.
+    The two datasets cover DISJOINT absolute date ranges (TPC-H's
+    1992-1998 vs the events feed's recent weeks), so week-of-year is
+    the only calendar axis they can be compared on — exactly how a
+    seasonality prior from one domain gets transferred to another.
+    Weeks outside the events feed's coverage surface as 0-share rows
+    (FULL OUTER), making the coverage gap explicit rather than
+    silently truncated.
+
+    Scale: two independent ≤53-row aggregates, full-outer-joined on
+    week; share windows over the ≤53-row frame."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    oo = o.groupBy(
+        F.weekofyear("o_orderdate").cast("long").alias("week")
+    ).agg(F.count("*").cast("long").alias("n_o"))
+    ee = ev.groupBy(F.weekofyear("ts").cast("long").alias("week")).agg(
+        F.count("*").cast("long").alias("n_e")
+    )
+    wall = Window.partitionBy()
+    joined = oo.join(ee, "week", "full")
+    return (
+        joined.select(
+            "week",
+            F.coalesce("n_o", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_e", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .select(
+            "week",
+            "n_orders",
+            "n_events",
+            F.expr("n_orders * 10000").alias("__no"),
+            F.expr("n_events * 10000").alias("__ne"),
+            F.sum("n_orders").over(wall).alias("__to"),
+            F.sum("n_events").over(wall).alias("__te"),
+        )
+        .select(
+            "week",
+            "n_orders",
+            "n_events",
+            F.expr("__no div __to").cast("long").alias("orders_share_e4"),
+            F.expr("__ne div __te").cast("long").alias("events_share_e4"),
+        )
+        .orderBy("week")
+    )
+
+
+@_staged(
+    "q_year_boundary_dip",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN extract(month FROM o_orderdate) = 12
+                     AND extract(day FROM o_orderdate) >= 25
+                    THEN CAST(extract(year FROM o_orderdate) AS BIGINT)
+                    WHEN extract(month FROM o_orderdate) = 1
+                     AND extract(day FROM o_orderdate) <= 7
+                    THEN CAST(extract(year FROM o_orderdate) AS BIGINT) - 1
+               END AS boundary_year,
+               CASE WHEN extract(month FROM o_orderdate) = 12
+                    THEN 1 ELSE 0 END AS is_dec
+        FROM orders
+        WHERE (extract(month FROM o_orderdate) = 12
+               AND extract(day FROM o_orderdate) >= 25)
+           OR (extract(month FROM o_orderdate) = 1
+               AND extract(day FROM o_orderdate) <= 7)
+    )
+    SELECT boundary_year,
+           CAST(sum(is_dec) AS BIGINT) AS dec_tail_orders,
+           CAST(sum(1 - is_dec) AS BIGINT) AS jan_head_orders,
+           CASE WHEN sum(1 - is_dec) = 0 THEN NULL
+                ELSE CAST(sum(is_dec) * 10000 // sum(1 - is_dec) AS BIGINT)
+           END AS dec_over_jan_e4
+    FROM tagged
+    GROUP BY boundary_year
+    ORDER BY boundary_year
+    """,
+)
+def q_year_boundary_dip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-boundary activity dip: for each Dec→Jan boundary, orders in
+    the last 7 days of December vs the first 7 days of January (both
+    7-day windows, so the ratio is day-rate-fair). Retail slows into
+    the fiscal close and re-opens in January; the per-boundary ratio
+    trend shows whether the generator models it (and a missing January
+    head at the horizon edge surfaces as a NULL-guarded row, not a
+    silent drop). q_holiday_effect measures month-START loading; the
+    boundary pair view does not exist elsewhere.
+
+    Scale: one filtered scan (date predicates pushed to parquet),
+    one ≤7-row aggregate; all-integer ratio, NULL-guarded."""
+    o = load_table(spark, sf_dir, "orders")
+    mm = F.month("o_orderdate")
+    dd = F.dayofmonth("o_orderdate")
+    yy = F.year("o_orderdate").cast("long")
+    tagged = o.where(
+        ((mm == 12) & (dd >= 25)) | ((mm == 1) & (dd <= 7))
+    ).select(
+        F.when((mm == 12) & (dd >= 25), yy)
+        .when((mm == 1) & (dd <= 7), yy - 1)
+        .alias("boundary_year"),
+        F.when(mm == 12, F.lit(1)).otherwise(F.lit(0)).alias("is_dec"),
+    )
+    return (
+        tagged.groupBy("boundary_year")
+        .agg(
+            F.sum("is_dec").cast("long").alias("dec_tail_orders"),
+            F.sum(F.lit(1) - F.col("is_dec"))
+            .cast("long")
+            .alias("jan_head_orders"),
+        )
+        .select(
+            "boundary_year",
+            "dec_tail_orders",
+            "jan_head_orders",
+            F.when(
+                F.col("jan_head_orders") != 0,
+                F.expr("dec_tail_orders * 10000 div jan_head_orders"),
+            )
+            .cast("long")
+            .alias("dec_over_jan_e4"),
+        )
+        .orderBy("boundary_year")
+    )

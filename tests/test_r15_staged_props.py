@@ -126,3 +126,77 @@ def test_key_density_laws(spark):
     # equal-width slices are disjoint key ranges in bucket order
     for a, b in zip(rows, rows[1:]):
         assert a["hi_key"] < b["lo_key"]
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 2 — calendar structure.
+# ---------------------------------------------------------------------------
+
+
+def test_month_length_effect_laws(spark):
+    rows = _run(spark, "q_month_length_effect")
+    assert rows
+    lengths = [r["month_days"] for r in rows]
+    assert all(x in (28, 29, 30, 31) for x in lengths)
+    assert lengths == sorted(lengths)
+    o_n = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == o_n
+    for r in rows:
+        # rate * months * days reconstructs the count up to floor loss
+        recon = r["orders_per_day_e4"] * r["n_months"] * r["month_days"]
+        assert recon <= r["n_orders"] * 10000
+        assert recon > (r["orders_per_day_e4"] + 1) * r["n_months"] * r[
+            "month_days"
+        ] - r["n_months"] * r["month_days"] * 2
+
+
+def test_dow_profile_align_laws(spark):
+    rows = _run(spark, "q_dow_profile_align")
+    assert len(rows) == 7
+    assert [r["dow"] for r in rows] == list(range(1, 8))
+    assert sum(r["orders_share_e4"] for r in rows) <= 10000
+    assert sum(r["events_share_e4"] for r in rows) <= 10000
+    for r in rows:
+        assert (
+            r["gap_e4"] == abs(r["orders_share_e4"] - r["events_share_e4"])
+        )
+
+
+def test_quarter_shape_laws(spark):
+    rows = _run(spark, "q_quarter_shape")
+    assert len(rows) == 3
+    assert [r["month_in_quarter"] for r in rows] == [1, 2, 3]
+    assert 10000 - 2 <= sum(r["count_share_e4"] for r in rows) <= 10000
+    assert 10000 - 2 <= sum(r["value_share_e4"] for r in rows) <= 10000
+    o_n = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == o_n
+
+
+def test_seasonal_profile_align_laws(spark):
+    rows = _run(spark, "q_seasonal_profile_align")
+    assert rows
+    weeks = [r["week"] for r in rows]
+    assert weeks == sorted(weeks)
+    assert all(1 <= w <= 53 for w in weeks)
+    o_n = load_table(spark, SF_DIR, "orders").count()
+    e_n = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_orders"] for r in rows) == o_n
+    assert sum(r["n_events"] for r in rows) == e_n
+    # orders span 7 years: every ISO week must be inhabited on the
+    # orders side; the events feed covers only a few weeks, so most
+    # rows are 0-share on the events side (the explicit coverage gap)
+    assert all(r["n_orders"] > 0 for r in rows)
+    assert sum(1 for r in rows if r["n_events"] == 0) > len(rows) // 2
+
+
+def test_year_boundary_dip_laws(spark):
+    rows = _run(spark, "q_year_boundary_dip")
+    assert rows
+    years = [r["boundary_year"] for r in rows]
+    assert years == sorted(years) and len(set(years)) == len(years)
+    for r in rows:
+        assert r["dec_tail_orders"] >= 0 and r["jan_head_orders"] >= 0
+        if r["jan_head_orders"] > 0:
+            assert r["dec_over_jan_e4"] is not None
+        else:
+            assert r["dec_over_jan_e4"] is None

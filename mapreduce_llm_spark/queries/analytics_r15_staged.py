@@ -894,3 +894,458 @@ def q_year_boundary_dip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("boundary_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 3 — customer ordering dynamics: record-value breaks, weekday
+# habit strength, ordering tempo, within-customer value dispersion,
+# and gap acceleration. The registered customer family measures
+# levels and cadence (q_rfm, q_reorder_cadence/_regularity,
+# q_activity_span); these measure CHANGE within each customer's own
+# history. All per-customer keyed windows — high-cardinality
+# partitions, never a global sort.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_record_highs",
+    oracle="""
+    WITH seq AS (
+        SELECT c_mktsegment, o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n,
+               max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_cust AS (
+        SELECT c_mktsegment, o_custkey,
+               CAST(sum(CASE WHEN prev_max IS NULL OR cents > prev_max
+                             THEN 1 ELSE 0 END) AS BIGINT) AS records,
+               CAST(max(CASE WHEN rn = n THEN
+                   CASE WHEN prev_max IS NULL OR cents > prev_max
+                        THEN 1 ELSE 0 END END) AS BIGINT) AS last_is_record
+        FROM seq GROUP BY c_mktsegment, o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(records) * 10000 // count(*) AS BIGINT)
+               AS mean_records_e4,
+           CAST(sum(last_is_record) * 10000 // count(*) AS BIGINT)
+               AS ending_on_record_e4
+    FROM per_cust
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking order values per customer: how many times a
+    customer's order sets a new personal maximum, and whether their
+    LAST order was a record (still-growing vs plateaued). Under
+    exchangeable values the expected record count is the harmonic
+    number H(n) ≈ ln n + γ — mean_records_e4 materially above that is
+    monotone basket growth, and ending_on_record_e4 is the live-growth
+    share the CLV models (q_clv_simple) treat as constant. Exact cents
+    comparisons; (orderdate, orderkey) total order per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_custkey",
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("o_custkey")).alias("n"),
+            F.max(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            )
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("prev_max"),
+        )
+    )
+    is_rec = F.when(
+        F.col("prev_max").isNull() | (F.col("cents") > F.col("prev_max")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_cust = seq.groupBy("c_mktsegment", "o_custkey").agg(
+        F.sum(is_rec).cast("long").alias("records"),
+        F.max(F.when(F.col("rn") == F.col("n"), is_rec))
+        .cast("long")
+        .alias("last_is_record"),
+    )
+    return (
+        per_cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.expr("CAST(sum(records) * 10000 div count(*) AS BIGINT)").alias(
+                "mean_records_e4"
+            ),
+            F.expr(
+                "CAST(sum(last_is_record) * 10000 div count(*) AS BIGINT)"
+            ).alias("ending_on_record_e4"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_staged(
+    "q_weekday_loyalty",
+    oracle="""
+    WITH per_dow AS (
+        SELECT o_custkey, CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey, isodow(o_orderdate)
+    ),
+    per_cust AS (
+        SELECT o_custkey, max(n) AS modal_n, sum(n) AS n_orders
+        FROM per_dow GROUP BY o_custkey
+        HAVING sum(n) >= 3
+    ),
+    banded AS (
+        SELECT CASE WHEN modal_n * 10000 // n_orders < 3000 THEN 0
+                    WHEN modal_n * 10000 // n_orders < 5000 THEN 1
+                    WHEN modal_n * 10000 // n_orders < 7000 THEN 2
+                    ELSE 3 END AS loyalty_band
+        FROM per_cust
+    )
+    SELECT CAST(loyalty_band AS BIGINT) AS loyalty_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) * 10000 // sum(count(*)) OVER () AS BIGINT)
+               AS share_e4
+    FROM banded
+    GROUP BY loyalty_band
+    ORDER BY loyalty_band
+    """,
+)
+def q_weekday_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday habit strength: for customers with ≥3 orders, the share
+    of their orders landing on their MODAL weekday, banded (<30%,
+    30-50%, 50-70%, ≥70%) — a 3-order customer always reaches 33%, so
+    the <30% band filling up only at higher order counts is itself
+    informative. Weekday profiles exist in aggregate (q_dow_stability);
+    per-customer habit concentration does not. The modal count is a
+    plain MAX (no argmax tie hazard). Two hash aggregates on
+    high-cardinality keys, then a 4-row band rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    per_dow = o.groupBy(
+        "o_custkey",
+        (F.weekday("o_orderdate") + F.lit(1)).cast("long").alias("dow"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    per_cust = (
+        per_dow.groupBy("o_custkey")
+        .agg(
+            F.max("n").alias("modal_n"),
+            F.sum("n").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+    share = F.expr("modal_n * 10000 div n_orders")
+    banded = per_cust.select(
+        F.when(share < 3000, F.lit(0))
+        .when(share < 5000, F.lit(1))
+        .when(share < 7000, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("loyalty_band")
+    )
+    wall = Window.partitionBy()
+    return (
+        banded.groupBy("loyalty_band")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(
+            "loyalty_band",
+            "n_customers",
+            F.expr("n_customers * 10000").alias("__num"),
+            F.sum("n_customers").over(wall).alias("__den"),
+        )
+        .select(
+            "loyalty_band",
+            "n_customers",
+            F.expr("__num div __den").cast("long").alias("share_e4"),
+        )
+        .orderBy("loyalty_band")
+    )
+
+
+@_staged(
+    "q_order_tempo",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_mktsegment, o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               (CAST(extract(year FROM max(o_orderdate)) AS BIGINT) * 12
+                + CAST(extract(month FROM max(o_orderdate)) AS BIGINT))
+               - (CAST(extract(year FROM min(o_orderdate)) AS BIGINT) * 12
+                  + CAST(extract(month FROM min(o_orderdate)) AS BIGINT))
+               + 1 AS active_months
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+        HAVING count(*) >= 2
+    ),
+    r AS (
+        SELECT c_mktsegment,
+               n_orders * 10000 // active_months AS tempo_e4,
+               o_custkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY n_orders * 10000 // active_months, o_custkey)
+                   AS rk,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM per_cust
+    )
+    SELECT c_mktsegment,
+           CAST(max(n) AS BIGINT) AS n_repeat_customers,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN tempo_e4 END)
+                AS BIGINT) AS median_tempo_e4,
+           CAST(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN tempo_e4 END)
+                AS BIGINT) AS p90_tempo_e4
+    FROM r
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_order_tempo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering tempo per repeat customer: orders per ACTIVE month
+    (calendar months spanned first→last order, inclusive) — the
+    rate-normalized twin of q_reorder_cadence's absolute gaps: two
+    customers with identical median gaps can have very different
+    tempos if one's history is short. Exact median/p90 per segment by
+    the binomial-rank construction; integer month arithmetic
+    (y·12+m) on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (
+                (F.year(F.max("o_orderdate")).cast("long") * 12
+                 + F.month(F.max("o_orderdate")).cast("long"))
+                - (F.year(F.min("o_orderdate")).cast("long") * 12
+                   + F.month(F.min("o_orderdate")).cast("long"))
+                + 1
+            ).alias("active_months"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+    wp = Window.partitionBy("c_mktsegment")
+    r = per_cust.select(
+        "c_mktsegment",
+        F.expr("n_orders * 10000 div active_months").alias("tempo_e4"),
+        "o_custkey",
+    ).select(
+        "c_mktsegment",
+        "tempo_e4",
+        F.row_number().over(wp.orderBy("tempo_e4", "o_custkey")).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        r.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("long").alias("n_repeat_customers"),
+            F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("tempo_e4")))
+            .cast("long")
+            .alias("median_tempo_e4"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n * 90 + 99) div 100"),
+                    F.col("tempo_e4"),
+                )
+            )
+            .cast("long")
+            .alias("p90_tempo_e4"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_staged(
+    "q_value_cv_by_tenure",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_mktsegment, o_custkey,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s1,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s2,
+               date_diff('day', min(CAST(o_orderdate AS DATE)),
+                         max(CAST(o_orderdate AS DATE))) AS tenure_days
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+        HAVING count(*) >= 2
+    ),
+    cv AS (
+        SELECT c_mktsegment,
+               CASE WHEN tenure_days < 365 THEN 0
+                    WHEN tenure_days < 1095 THEN 1
+                    ELSE 2 END AS tenure_band,
+               CAST(floor((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          * 10000.0
+                          / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                    AS BIGINT) AS cv2_e4
+        FROM per_cust
+    )
+    SELECT c_mktsegment, CAST(tenure_band AS BIGINT) AS tenure_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cv2_e4) // count(*) AS BIGINT) AS mean_cv2_e4
+    FROM cv
+    GROUP BY c_mktsegment, tenure_band
+    ORDER BY c_mktsegment, tenure_band
+    """,
+)
+def q_value_cv_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-customer order-value dispersion by tenure: squared
+    coefficient of variation n·Σx²/(Σx)² − 1 (here the equivalent
+    (n·Σx² − (Σx)²)/(Σx)², which keeps every operand a sum) per
+    repeat customer, averaged by (segment, tenure band <1y / 1-3y /
+    ≥3y) — do long-tenured customers settle into consistent basket
+    sizes? q_reorder_regularity asks this of their TIMING; nothing
+    asks it of their VALUE. Determinism: cents moments stay int64
+    per customer (≤ ~40 orders × (5e7)² ≈ 4e18 at n·Σx²), and the cv²
+    ratio is ONE double floor-division (the q_bot_score rule: int64→
+    double conversion and IEEE divide round identically on both
+    engines). The per-band mean then divides exact int sums."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("tenure_days"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    cv = per_cust.select(
+        "c_mktsegment",
+        F.when(F.col("tenure_days") < 365, F.lit(0))
+        .when(F.col("tenure_days") < 1095, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("tenure_band"),
+        F.floor(
+            (
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            * 10000.0
+            / (F.col("s1").cast("double") * F.col("s1").cast("double"))
+        )
+        .cast("long")
+        .alias("cv2_e4"),
+    )
+    return (
+        cv.groupBy("c_mktsegment", "tenure_band")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.expr("CAST(sum(cv2_e4) div count(*) AS BIGINT)").alias(
+                "mean_cv2_e4"
+            ),
+        )
+        .orderBy("c_mktsegment", "tenure_band")
+    )
+
+
+@_staged(
+    "q_gap_acceleration",
+    oracle="""
+    WITH seq AS (
+        SELECT c_mktsegment, o_custkey,
+               date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER w,
+                   CAST(o_orderdate AS DATE)) AS gap,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    per_cust AS (
+        SELECT c_mktsegment, o_custkey,
+               max(CASE WHEN rn = 2 THEN gap END) AS first_gap,
+               max(CASE WHEN rn = n THEN gap END) AS last_gap
+        FROM seq
+        WHERE n >= 3
+        GROUP BY c_mktsegment, o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN last_gap < first_gap THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS accelerating_e4,
+           CAST(sum(CASE WHEN last_gap > first_gap THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS decelerating_e4,
+           CAST(sum(CASE WHEN last_gap = first_gap THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS stable_e4
+    FROM per_cust
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_gap_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering-gap acceleration: for customers with ≥3 orders, is the
+    LAST inter-order gap shorter (accelerating), longer
+    (decelerating), or equal vs their FIRST gap — the
+    individual-trajectory churn signal q_reorder_cadence's
+    population medians average away (a segment can hold steady
+    medians while every customer decelerates toward churn). First
+    gap = orders 1→2 (rn=2's lag), last gap = orders n-1→n. Exact
+    integer day gaps; three complementary shares that sum to 10000
+    up to two floor units."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n"),
+    )
+    per_cust = (
+        seq.filter(F.col("n") >= 3)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("gap"))).alias("first_gap"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("gap"))).alias(
+                "last_gap"
+            ),
+        )
+    )
+    return (
+        per_cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(sum(CASE WHEN last_gap < first_gap THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("accelerating_e4"),
+            F.expr(
+                "CAST(sum(CASE WHEN last_gap > first_gap THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("decelerating_e4"),
+            F.expr(
+                "CAST(sum(CASE WHEN last_gap = first_gap THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("stable_e4"),
+        )
+        .orderBy("c_mktsegment")
+    )

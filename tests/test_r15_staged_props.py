@@ -200,3 +200,66 @@ def test_year_boundary_dip_laws(spark):
             assert r["dec_over_jan_e4"] is not None
         else:
             assert r["dec_over_jan_e4"] is None
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 3 — customer ordering dynamics.
+# ---------------------------------------------------------------------------
+
+
+def test_record_highs_laws(spark):
+    rows = _run(spark, "q_record_highs")
+    assert len(rows) == 5
+    for r in rows:
+        # first order is always a record: mean >= 1.0
+        assert r["mean_records_e4"] >= 10000
+        assert 0 <= r["ending_on_record_e4"] <= 10000
+
+
+def test_weekday_loyalty_laws(spark):
+    rows = _run(spark, "q_weekday_loyalty")
+    assert rows
+    bands = [r["loyalty_band"] for r in rows]
+    assert all(0 <= b <= 3 for b in bands) and bands == sorted(bands)
+    assert sum(r["share_e4"] for r in rows) <= 10000
+    # population = customers with >= 3 orders
+    o = load_table(spark, SF_DIR, "orders")
+    n3 = (
+        o.groupBy("o_custkey").count().filter("count >= 3").count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n3
+
+
+def test_order_tempo_laws(spark):
+    rows = _run(spark, "q_order_tempo")
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_repeat_customers"] > 0
+        assert 0 < r["median_tempo_e4"] <= r["p90_tempo_e4"]
+        # a repeat customer has >= 2 orders over >= 1 month:
+        # tempo can't exceed orders-per-month when months >= 1
+        # and can't be zero
+        assert r["median_tempo_e4"] >= 1
+
+
+def test_value_cv_by_tenure_laws(spark):
+    rows = _run(spark, "q_value_cv_by_tenure")
+    assert rows
+    seen = set()
+    for r in rows:
+        key = (r["c_mktsegment"], r["tenure_band"])
+        assert key not in seen
+        seen.add(key)
+        assert r["tenure_band"] in (0, 1, 2)
+        assert r["n_customers"] > 0
+        # cv^2 >= 0 by Cauchy-Schwarz (n*s2 >= s1^2)
+        assert r["mean_cv2_e4"] >= 0
+
+
+def test_gap_acceleration_laws(spark):
+    rows = _run(spark, "q_gap_acceleration")
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_customers"] > 0
+        total = r["accelerating_e4"] + r["decelerating_e4"] + r["stable_e4"]
+        assert 10000 - 2 <= total <= 10000

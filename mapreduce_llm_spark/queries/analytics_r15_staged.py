@@ -1349,3 +1349,460 @@ def q_gap_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 4 — catalog & pricing structure: the p_type word hierarchy,
+# local-vs-cross-nation supply pricing, size-ladder continuity, brand
+# composition entropy, and part affinity to heavyweight orders.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_local_supply_premium",
+    oracle="""
+    WITH lines AS (
+        SELECT r.r_name AS region,
+               CASE WHEN cn.n_nationkey = sn.n_nationkey
+                    THEN 1 ELSE 0 END AS is_local,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+    ),
+    agg AS (
+        SELECT region,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(is_local) AS BIGINT) AS n_local,
+               sum(CASE WHEN is_local = 1 THEN cents ELSE 0 END)
+                   AS local_cents,
+               sum(CASE WHEN is_local = 1 THEN qty ELSE 0 END) AS local_qty,
+               sum(CASE WHEN is_local = 0 THEN cents ELSE 0 END)
+                   AS remote_cents,
+               sum(CASE WHEN is_local = 0 THEN qty ELSE 0 END) AS remote_qty
+        FROM lines GROUP BY region
+    )
+    SELECT region, n_lines,
+           CAST(n_local * 10000 // n_lines AS BIGINT) AS local_share_e4,
+           CASE WHEN local_qty = 0 THEN NULL
+                ELSE CAST(local_cents // local_qty AS BIGINT)
+           END AS local_unit_cents,
+           CASE WHEN remote_qty = 0 THEN NULL
+                ELSE CAST(remote_cents // remote_qty AS BIGINT)
+           END AS remote_unit_cents,
+           CASE WHEN local_qty = 0 OR remote_qty = 0 OR remote_cents = 0
+                THEN NULL
+                ELSE CAST((local_cents // local_qty) * 10000
+                          // (remote_cents // remote_qty) AS BIGINT)
+           END AS local_premium_e4
+    FROM agg
+    ORDER BY region
+    """,
+)
+def q_local_supply_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-vs-cross-nation supply pricing per customer region: the
+    share of lineitems sourced from a supplier in the customer's OWN
+    nation, and the quantity-weighted unit price (cents per unit) of
+    local vs remote supply — the make-local-or-import question.
+    q_trade_locality measures the VOLUME share only; the price
+    premium does not exist elsewhere. Star joins: every dimension leg
+    (customer, nation×2, region, supplier) is broadcast-sized; the
+    only big-big join is lineitem⋈orders on the key both are
+    clustered by. Exact cents/qty integer sums; all ratios
+    NULL-guarded nonneg integer division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_key"))
+    lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.when(F.col("cn_key") == F.col("sn_key"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_local"),
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    agg = lines.groupBy("region").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("is_local").cast("long").alias("n_local"),
+        F.sum(F.when(F.col("is_local") == 1, F.col("cents")).otherwise(0))
+        .alias("local_cents"),
+        F.sum(F.when(F.col("is_local") == 1, F.col("qty")).otherwise(0))
+        .alias("local_qty"),
+        F.sum(F.when(F.col("is_local") == 0, F.col("cents")).otherwise(0))
+        .alias("remote_cents"),
+        F.sum(F.when(F.col("is_local") == 0, F.col("qty")).otherwise(0))
+        .alias("remote_qty"),
+    )
+    return (
+        agg.select(
+            "region",
+            "n_lines",
+            F.expr("CAST(n_local * 10000 div n_lines AS BIGINT)").alias(
+                "local_share_e4"
+            ),
+            F.when(
+                F.col("local_qty") != 0,
+                F.expr("CAST(local_cents div local_qty AS BIGINT)"),
+            ).alias("local_unit_cents"),
+            F.when(
+                F.col("remote_qty") != 0,
+                F.expr("CAST(remote_cents div remote_qty AS BIGINT)"),
+            ).alias("remote_unit_cents"),
+            F.when(
+                (F.col("local_qty") != 0)
+                & (F.col("remote_qty") != 0)
+                & (F.col("remote_cents") != 0),
+                F.expr(
+                    "CAST((local_cents div local_qty) * 10000"
+                    " div (remote_cents div remote_qty) AS BIGINT)"
+                ),
+            ).alias("local_premium_e4"),
+        )
+        .orderBy("region")
+    )
+
+
+@_staged(
+    "q_size_ladder_gaps",
+    oracle="""
+    WITH sizes AS (
+        SELECT DISTINCT p_brand, CAST(p_size AS BIGINT) AS size
+        FROM part
+    ),
+    gaps AS (
+        SELECT p_brand, size,
+               size - lag(size) OVER (PARTITION BY p_brand ORDER BY size)
+                   AS gap
+        FROM sizes
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_sizes,
+           CAST(min(size) AS BIGINT) AS min_size,
+           CAST(max(size) AS BIGINT) AS max_size,
+           CAST(max(gap) AS BIGINT) AS max_gap,
+           CASE WHEN count(*) <= 1 THEN NULL
+                ELSE CAST((max(size) - min(size)) * 10000 // (count(*) - 1)
+                          AS BIGINT)
+           END AS mean_gap_e4
+    FROM gaps
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_size_ladder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-ladder continuity per brand: the distinct p_size values a
+    brand actually offers, and the largest hole in that ladder — a
+    max_gap far above the mean gap means a missing middle size
+    (assortment gap analysis; the staged q_brand_size_coverage counts
+    coverage vs the GLOBAL size set, this measures the brand's own
+    ladder shape). Mean gap is exactly (max−min)/(n−1) — identity
+    with the telescoping sum of lags, kept as nonneg integer
+    division. 25-brand output; the lag window runs over a ≤25×50
+    distinct frame."""
+    p = load_table(spark, sf_dir, "part")
+    sizes = p.select(
+        "p_brand", F.col("p_size").cast("long").alias("size")
+    ).distinct()
+    w = Window.partitionBy("p_brand").orderBy("size")
+    gaps = sizes.select(
+        "p_brand", "size", (F.col("size") - F.lag("size").over(w)).alias("gap")
+    )
+    return (
+        gaps.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_sizes"),
+            F.min("size").cast("long").alias("min_size"),
+            F.max("size").cast("long").alias("max_size"),
+            F.max("gap").cast("long").alias("max_gap"),
+            F.when(
+                F.count("*") > 1,
+                F.expr(
+                    "CAST((max(size) - min(size)) * 10000 div (count(*) - 1)"
+                    " AS BIGINT)"
+                ),
+            ).alias("mean_gap_e4"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_staged(
+    "q_supplier_peak_coherence",
+    oracle="""
+    WITH per_supp_month AS (
+        SELECT s_nationkey, l_suppkey,
+               CAST(extract(month FROM l_shipdate) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, l_suppkey, extract(month FROM l_shipdate)
+    ),
+    peaks AS (
+        SELECT s_nationkey, l_suppkey,
+               max(n * 100 + (12 - m)) % 100 AS inv_m
+        FROM per_supp_month GROUP BY s_nationkey, l_suppkey
+    ),
+    supp_peak AS (
+        SELECT s_nationkey, l_suppkey, 12 - inv_m AS peak_month
+        FROM peaks
+    ),
+    nation_modal AS (
+        SELECT s_nationkey,
+               (max(cnt * 100 + (12 - peak_month)) % 100) AS inv_modal
+        FROM (
+            SELECT s_nationkey, peak_month,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM supp_peak GROUP BY s_nationkey, peak_month
+        ) g
+        GROUP BY s_nationkey
+    )
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(12 - max(inv_modal) AS BIGINT) AS modal_peak_month,
+           CAST(sum(CASE WHEN sp.peak_month = 12 - nm.inv_modal
+                         THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+               AS coherence_e4
+    FROM supp_peak sp
+    JOIN nation_modal nm USING (s_nationkey)
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+)
+def q_supplier_peak_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal coherence of a nation's supplier base: each supplier's
+    peak shipping month (argmax of monthly line volume), then the
+    share of the nation's suppliers peaking in the nation's MODAL
+    peak month. High coherence means the whole national base surges
+    together (shared seasonality ⇒ correlated capacity risk); low
+    coherence means the nation's load self-smooths.
+    q_brand_seasonal_peak finds per-BRAND peaks; the within-nation
+    AGREEMENT statistic is new. Both argmaxes use the packed
+    nonneg-integer form (q_kmeans_step rule) with ties broken toward
+    the EARLIER month via the inverted 12−m term (n ≤ 2³² ⇒ n·100+k
+    exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per_sm = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            "s_nationkey",
+            "l_suppkey",
+            F.month("l_shipdate").cast("long").alias("m"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    supp_peak = per_sm.groupBy("s_nationkey", "l_suppkey").agg(
+        (F.lit(12) - F.max(F.col("n") * 100 + (F.lit(12) - F.col("m"))) % 100)
+        .alias("peak_month")
+    )
+    nation_modal = (
+        supp_peak.groupBy("s_nationkey", "peak_month")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .groupBy("s_nationkey")
+        .agg(
+            (
+                F.max(F.col("cnt") * 100 + (F.lit(12) - F.col("peak_month")))
+                % 100
+            ).alias("inv_modal")
+        )
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        supp_peak.join(nation_modal, "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            (F.lit(12) - F.max("inv_modal")).cast("long").alias(
+                "modal_peak_month"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN peak_month = 12 - inv_modal"
+                " THEN 1 ELSE 0 END) * 10000 div count(*) AS BIGINT)"
+            ).alias("coherence_e4"),
+        )
+        .orderBy("nation")
+    )
+
+
+@_staged(
+    "q_brand_grade_entropy",
+    oracle="""
+    WITH g AS (
+        SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n
+        FROM part GROUP BY p_brand, p_type
+    ),
+    tot AS (
+        SELECT p_brand,
+               CAST(sum(n) AS BIGINT) AS n_parts,
+               CAST(count(*) AS BIGINT) AS n_grades,
+               CAST(max(n) * 10000 // sum(n) AS BIGINT) AS modal_share_e4
+        FROM g GROUP BY p_brand
+    )
+    , h AS (
+        SELECT g.p_brand, t.n_parts, t.n_grades, t.modal_share_e4,
+               -(CAST(g.n AS DOUBLE) / CAST(t.n_parts AS DOUBLE))
+                   * ln(CAST(g.n AS DOUBLE) / CAST(t.n_parts AS DOUBLE))
+                   / ln(2) AS hterm
+        FROM g JOIN tot t ON g.p_brand = t.p_brand
+    )
+    SELECT p_brand, max(n_parts) AS n_parts,
+           max(n_grades) AS n_grades,
+           max(modal_share_e4) AS modal_share_e4,
+           round(sum(hterm), 4) AS entropy_bits
+    FROM h
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_brand_grade_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment composition entropy per brand: Shannon entropy (bits)
+    of the brand's p_type grade mix plus the modal-grade share — a
+    specialist brand (one grade dominates) scores near 0 bits, a
+    uniform 6-grade generalist near log2(6)≈2.585.
+    q_daily_mix_entropy measures mix-over-TIME for events; brand
+    composition entropy of the catalog does not exist. round(,4) on
+    the log-class output (the allowed rounding class); the inner
+    share window partitions by brand over the ≤150-row grade frame."""
+    p = load_table(spark, sf_dir, "part")
+    g = p.groupBy("p_brand", "p_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wb = Window.partitionBy("p_brand")
+    share = F.col("n").cast("double") / F.sum("n").over(wb).cast("double")
+    per_grade = g.select(
+        "p_brand", "n", (-share * F.log(share) / F.log(F.lit(2.0))).alias("h")
+    )
+    return (
+        per_grade.groupBy("p_brand")
+        .agg(
+            F.sum("n").cast("long").alias("n_parts"),
+            F.count("*").cast("long").alias("n_grades"),
+            F.expr("CAST(max(n) * 10000 div sum(n) AS BIGINT)").alias(
+                "modal_share_e4"
+            ),
+            F.round(F.sum("h"), 4).alias("entropy_bits"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_staged(
+    "q_heavy_order_parts",
+    oracle="""
+    WITH thresh AS (
+        SELECT 3 * (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    // count(*)) // 2 AS big_cents
+        FROM orders
+    ),
+    lines AS (
+        SELECT p_brand,
+               CASE WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         >= big_cents
+                    THEN 1 ELSE 0 END AS in_big
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        CROSS JOIN thresh
+    ),
+    agg AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(in_big) AS BIGINT) AS n_big
+        FROM lines GROUP BY p_brand
+    )
+    SELECT p_brand, n_lines,
+           CAST(n_big * 10000 // n_lines AS BIGINT) AS big_share_e4,
+           CASE WHEN sum(n_big) OVER () = 0 THEN NULL
+                ELSE CAST((n_big * 10000 // n_lines) * 10000
+                     // (sum(n_big) OVER () * 10000 // sum(n_lines) OVER ())
+                     AS BIGINT)
+           END AS lift_e4
+    FROM agg
+    ORDER BY p_brand
+    """,
+)
+def q_heavy_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand affinity to heavyweight orders: the share of each brand's
+    lineitems inside 'big' orders (value ≥ 1.5× the mean order cents — the uniform-ish
+    synthetic value distribution tops out below 2× mean),
+    normalized by the all-brand rate — lift above 10000 marks brands
+    that ride in large consolidated purchases (bundle anchors),
+    below marks small-basket brands. q_pair_lift associates parts
+    with each OTHER; the part→order-size association is new. The
+    threshold is one broadcast 1-row scalar leg (allowlisted NLJ);
+    the lift denominator windows over the 25-row brand frame. All
+    nonneg integer arithmetic — both e4 terms stay far under 2⁶³."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    thresh = o.agg(
+        F.expr(
+            "3 * (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+            " div count(*)) div 2"
+        ).alias("big_cents")
+    )
+    lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            "p_brand",
+            F.when(cents >= F.col("big_cents"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("in_big"),
+        )
+    )
+    agg = lines.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("in_big").cast("long").alias("n_big"),
+    )
+    wall = Window.partitionBy()
+    return (
+        agg.select(
+            "p_brand",
+            "n_lines",
+            F.expr("n_big * 10000 div n_lines").cast("long").alias(
+                "big_share_e4"
+            ),
+            F.col("n_big").alias("__nb"),
+            F.sum("n_big").over(wall).alias("__tb"),
+            F.sum("n_lines").over(wall).alias("__tl"),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "big_share_e4",
+            F.when(
+                F.col("__tb") != 0,
+                F.expr(
+                    "CAST(big_share_e4 * 10000"
+                    " div (__tb * 10000 div __tl) AS BIGINT)"
+                ),
+            ).alias("lift_e4"),
+        )
+        .orderBy("p_brand")
+    )

@@ -14,6 +14,7 @@ from tests.conftest import SF_DIR, SMOKE_SF_DIR
 # round-15 flip.
 STAGED_NLJ_OK: set[str] = {
     "q_key_density",  # broadcast 1-row keyspace-bounds leg
+    "q_heavy_order_parts",  # broadcast 1-row mean-threshold leg
 }
 
 PY_MARKERS = (
@@ -263,3 +264,74 @@ def test_gap_acceleration_laws(spark):
         assert r["n_customers"] > 0
         total = r["accelerating_e4"] + r["decelerating_e4"] + r["stable_e4"]
         assert 10000 - 2 <= total <= 10000
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 4 — catalog & pricing structure.
+# ---------------------------------------------------------------------------
+
+
+def test_supplier_peak_coherence_laws(spark):
+    rows = _run(spark, "q_supplier_peak_coherence")
+    assert rows
+    s_n = load_table(spark, SF_DIR, "supplier").count()
+    # every supplier with >= 1 shipped line contributes exactly once
+    assert sum(r["n_suppliers"] for r in rows) <= s_n
+    for r in rows:
+        assert 1 <= r["modal_peak_month"] <= 12
+        # the modal month holds at least 1/12 of suppliers
+        assert r["coherence_e4"] * 12 >= 10000 - 12
+        assert r["coherence_e4"] <= 10000
+
+
+def test_local_supply_premium_laws(spark):
+    rows = _run(spark, "q_local_supply_premium")
+    assert len(rows) == 5
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == li_n
+    for r in rows:
+        assert 0 <= r["local_share_e4"] <= 10000
+        if r["local_unit_cents"] is not None and r["remote_unit_cents"]:
+            assert r["local_premium_e4"] is not None
+
+
+def test_size_ladder_gaps_laws(spark):
+    rows = _run(spark, "q_size_ladder_gaps")
+    assert rows
+    for r in rows:
+        assert r["min_size"] <= r["max_size"]
+        if r["n_sizes"] > 1:
+            # max gap bounds: at least the ceiling of the mean gap,
+            # at most the full span
+            assert r["max_gap"] * 10000 >= r["mean_gap_e4"]
+            assert r["max_gap"] <= r["max_size"] - r["min_size"]
+        else:
+            assert r["mean_gap_e4"] is None
+
+
+def test_brand_grade_entropy_laws(spark):
+    import math
+
+    rows = _run(spark, "q_brand_grade_entropy")
+    assert rows
+    p_n = load_table(spark, SF_DIR, "part").count()
+    assert sum(r["n_parts"] for r in rows) == p_n
+    for r in rows:
+        assert 1 <= r["n_grades"] <= 6
+        # entropy bounded by log2(n_grades); modal share inversely
+        # bounds it from below via the min-entropy relation
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(r["n_grades"]) + 1e-9
+        assert r["modal_share_e4"] * r["n_grades"] >= 10000 - r["n_grades"]
+
+
+def test_heavy_order_parts_laws(spark):
+    rows = _run(spark, "q_heavy_order_parts")
+    assert rows
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == li_n
+    lifts = [r["lift_e4"] for r in rows if r["lift_e4"] is not None]
+    assert lifts, "threshold produced zero big orders"
+    # lifts scatter around 10000 (the all-brand rate)
+    assert min(lifts) <= 10000 <= max(lifts) or all(
+        abs(x - 10000) < 2000 for x in lifts
+    )

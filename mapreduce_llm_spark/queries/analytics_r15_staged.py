@@ -1806,3 +1806,428 @@ def q_heavy_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 5 — event-stream microstructure: sub-hour uniformity,
+# cross-user co-activity (bounded bucket self-join, never a global
+# per-type window), per-user burstiness, session-starter lift, and
+# hour-to-hour load persistence.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_minute_uniformity",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(extract(minute FROM ts) AS BIGINT) AS minute,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, extract(minute FROM ts)
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cells GROUP BY event_type
+    ),
+    chi AS (
+        SELECT c.event_type, t.n, t.n_cells,
+               sum(CAST((60 * c.o - t.n) * (60 * c.o - t.n) AS HUGEINT))
+                   AS num
+        FROM cells c JOIN tot t ON c.event_type = t.event_type
+        GROUP BY c.event_type, t.n, t.n_cells
+    )
+    SELECT event_type, n, n_cells,
+           CAST(floor(CAST(num AS DOUBLE) * 10000.0
+                      / (60.0 * CAST(n AS DOUBLE) * 60.0)) AS BIGINT)
+               AS chi2_e4
+    FROM chi
+    ORDER BY event_type
+    """,
+)
+def q_minute_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-of-hour uniformity per event type: Pearson chi-square
+    against the uniform 60-cell expectation, computed as
+    Σ(60·o − n)²/(60²·n) — algebraically Σ(o−e)²/e with e = n/60,
+    kept integer until ONE double floor. A synthetic feed generated
+    per-hour then jittered shows as flat (chi² ≈ df ≈ 59); cron-like
+    spikes at :00/:30 blow it up — the sub-hour twin of
+    q_last_digit_uniformity's forensic logic (which audits VALUE
+    digits, not time cells). Squared terms pass int64 at sf10
+    (~(60n)²), so both engines sum on DECIMAL(38,0)/HUGEINT (the
+    q_graph_assortativity rule). Missing minutes simply don't
+    contribute cells (their o=0 term adds n²·60⁻²·60 — accounted by
+    reporting n_cells so the df is explicit)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.minute(F.col("ts")).cast("long").alias("minute"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    chi = (
+        cells.join(tot, "event_type")
+        .groupBy("event_type", "n", "n_cells")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST((60 * o - n) * (60 * o - n) AS DECIMAL(38,0))"
+                )
+            ).alias("num")
+        )
+    )
+    return (
+        chi.select(
+            "event_type",
+            "n",
+            "n_cells",
+            F.floor(
+                F.col("num").cast("double")
+                * 10000.0
+                / (60.0 * F.col("n").cast("double") * 60.0)
+            )
+            .cast("long")
+            .alias("chi2_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_coactivity_rate",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        FROM events
+    ),
+    probe AS (
+        SELECT l.event_id, l.event_type
+        FROM (SELECT event_id, user_id, event_type, tus,
+                     tus // 60000000 AS b FROM e) l
+        JOIN (SELECT user_id, event_type, tus,
+                     tus // 60000000 AS b FROM e) r
+          ON l.event_type = r.event_type
+         AND (r.b = l.b OR r.b = l.b + 1)
+         AND r.tus > l.tus AND r.tus <= l.tus + 60000000
+         AND r.user_id <> l.user_id
+        GROUP BY l.event_id, l.event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n AS BIGINT) AS n_events,
+           CAST(coalesce(p.n_co, 0) AS BIGINT) AS n_coactive,
+           CAST(coalesce(p.n_co, 0) * 10000 // t.n AS BIGINT)
+               AS coactive_e4
+    FROM (SELECT event_type, count(*) AS n FROM e GROUP BY event_type) t
+    LEFT JOIN (SELECT event_type, count(*) AS n_co FROM probe
+               GROUP BY event_type) p
+      ON t.event_type = p.event_type
+    ORDER BY t.event_type
+    """,
+)
+def q_coactivity_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user co-activity: the share of events followed within 60
+    seconds by a DIFFERENT user's event of the same type — the
+    simultaneity signal behind contagion/trend detection (a type
+    whose activity clusters across users is externally driven; one
+    whose events are user-isolated is habitual). Sessionization
+    (q_evt_sessionize) links a user to THEMSELF; the cross-user link
+    is new.
+
+    Scale: the naive form is a per-type ordered window — ~5 types ⇒
+    five whole-stream partitions, the exact funnel shape this repo
+    never ships. Instead a bounded 60-second-bucket equi-self-join
+    (each left row meets candidates in its own and the next bucket
+    only — the q_rolling_corr materialized-frame pattern), distinct
+    probe hits via GROUP BY, then one per-type rollup. Join keys
+    (type, bucket) are fine-grained, so partitions stay balanced at
+    any scale; integer µs arithmetic throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    left = e.select(
+        "event_id",
+        F.col("user_id").alias("u_l"),
+        "event_type",
+        F.col("tus").alias("t_l"),
+        F.expr("tus div 60000000").alias("b"),
+    )
+    right = e.select(
+        F.col("user_id").alias("u_r"),
+        F.col("event_type").alias("et_r"),
+        F.col("tus").alias("t_r"),
+        F.explode(
+            F.array(
+                F.expr("tus div 60000000"),
+                F.expr("tus div 60000000 - 1"),
+            )
+        ).alias("b"),
+    )
+    probe = (
+        left.join(
+            right,
+            (left.event_type == right.et_r)
+            & (left.b == right.b)
+            & (F.col("t_r") > F.col("t_l"))
+            & (F.col("t_r") <= F.col("t_l") + 60000000)
+            & (F.col("u_r") != F.col("u_l")),
+        )
+        .groupBy("event_id", "event_type")
+        .agg(F.lit(1).alias("__hit"))
+    )
+    tot = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    co = probe.groupBy("event_type").agg(F.count("*").alias("n_co"))
+    return (
+        tot.join(co, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.coalesce("n_co", F.lit(0)).cast("long").alias("n_coactive"),
+            F.expr("coalesce(n_co, 0) * 10000 div n")
+            .cast("long")
+            .alias("coactive_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_user_burst_share",
+    oracle="""
+    WITH per_hour AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    per_user AS (
+        SELECT user_id, max(n) AS peak, sum(n) AS total
+        FROM per_hour GROUP BY user_id
+        HAVING sum(n) >= 2
+    ),
+    banded AS (
+        SELECT CASE WHEN total < 5 THEN 0
+                    WHEN total < 10 THEN 1
+                    WHEN total < 20 THEN 2
+                    ELSE 3 END AS volume_band,
+               peak * 10000 // total AS burst_e4
+        FROM per_user
+    )
+    SELECT CAST(volume_band AS BIGINT) AS volume_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(burst_e4) // count(*) AS BIGINT) AS mean_burst_e4,
+           CAST(sum(CASE WHEN burst_e4 = 10000 THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS single_hour_users_e4
+    FROM banded
+    GROUP BY volume_band
+    ORDER BY volume_band
+    """,
+)
+def q_user_burst_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness: the share of a user's events inside their
+    single busiest HOUR, averaged by activity-volume band (2-4, 5-9,
+    10-19, 20+ events) — drive-by users live in one hour
+    (burst=10000); habitual users spread out. The fleet-level burst
+    measures exist (q_burst_ratio, q_fano_factor); the per-user
+    concentration distribution — the one that separates bot-like
+    from human-like accounts at equal volume — does not.
+    single_hour_users_e4 is the exact drive-by share. Plain MAX per
+    user (no argmax ties); banding keys the rollup; all integer."""
+    ev = load_table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    per_user = (
+        per_hour.groupBy("user_id")
+        .agg(F.max("n").alias("peak"), F.sum("n").alias("total"))
+        .filter(F.col("total") >= 2)
+    )
+    banded = per_user.select(
+        F.when(F.col("total") < 5, F.lit(0))
+        .when(F.col("total") < 10, F.lit(1))
+        .when(F.col("total") < 20, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("volume_band"),
+        F.expr("peak * 10000 div total").alias("burst_e4"),
+    )
+    return (
+        banded.groupBy("volume_band")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("CAST(sum(burst_e4) div count(*) AS BIGINT)").alias(
+                "mean_burst_e4"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN burst_e4 = 10000 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("single_hour_users_e4"),
+        )
+        .orderBy("volume_band")
+    )
+
+
+@_staged(
+    "q_session_starter_types",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                              OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                            > CAST(1800 AS BIGINT) * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(is_start) AS BIGINT) AS n_starts
+        FROM seq GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_starts,
+           CAST(n_starts * 10000 // sum(n_starts) OVER () AS BIGINT)
+               AS starter_share_e4,
+           CAST(n_events * 10000 // sum(n_events) OVER () AS BIGINT)
+               AS overall_share_e4,
+           CASE WHEN n_events * 10000 // sum(n_events) OVER () = 0
+                THEN NULL
+                ELSE CAST((n_starts * 10000 // sum(n_starts) OVER ())
+                     * 10000
+                     // (n_events * 10000 // sum(n_events) OVER ())
+                     AS BIGINT)
+           END AS starter_lift_e4
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def q_session_starter_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-opener lift per event type: which types START sessions
+    (30-minute-gap definition, the q_evt_sessionize convention)
+    disproportionately vs their overall traffic share — the
+    entry-point map (lift > 10000 ⇒ the type pulls users in; < ⇒ it
+    only occurs mid-session). q_entry_exit_matrix crosses first and
+    last types per SESSION; the type-level lift against overall
+    share is the normalized single-axis view a landing-page
+    prioritization needs. Per-user keyed lag window (high-cardinality
+    partitions); share windows over the ~5-row type frame; integer
+    µs gaps; lift NULL-guarded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "event_type",
+        F.when(
+            F.lag(tus).over(w).isNull()
+            | ((tus - F.lag(tus).over(w)) > F.lit(1800) * 1000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_start").cast("long").alias("n_starts"),
+    )
+    wall = Window.partitionBy()
+    return (
+        agg.select(
+            "event_type",
+            "n_events",
+            "n_starts",
+            F.sum("n_starts").over(wall).alias("__ts"),
+            F.sum("n_events").over(wall).alias("__te"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_starts",
+            F.expr("n_starts * 10000 div __ts")
+            .cast("long")
+            .alias("starter_share_e4"),
+            F.expr("n_events * 10000 div __te")
+            .cast("long")
+            .alias("overall_share_e4"),
+            F.when(
+                F.expr("n_events * 10000 div __te") != 0,
+                F.expr(
+                    "(n_starts * 10000 div __ts) * 10000"
+                    " div (n_events * 10000 div __te)"
+                ),
+            )
+            .cast("long")
+            .alias("starter_lift_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_staged(
+    "q_hourly_handoff",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    pairs AS (
+        SELECT a.event_type, a.n AS n0, b.n AS n1
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type
+         AND b.hr = a.hr + INTERVAL 1 HOUR
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(CAST(n0 AS DOUBLE), CAST(n1 AS DOUBLE)), 4)
+               AS lag1_corr
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_hourly_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-to-hour load persistence per event type: the lag-1
+    correlation of consecutive hourly volumes (pairs formed only
+    where the NEXT calendar hour exists, by an explicit hr+1h
+    self-join on the aggregated frame — gaps break pairs instead of
+    spuriously correlating across them). High persistence means load
+    forecasting can ride the previous hour; near-zero means
+    hour-scale noise dominates and capacity must track the daily
+    curve instead. q_gap_autocorr correlates consecutive GAPS;
+    volume-level persistence is new. The grouped corr (round 4, the
+    portable form — never the windowed corr) runs over the tiny
+    hourly aggregate; the self-join is calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("long").alias("n"))
+    b = hourly.select(
+        F.col("event_type").alias("et_b"),
+        F.col("hr").alias("hr_b"),
+        F.col("n").alias("n1"),
+    )
+    pairs = hourly.join(
+        b,
+        (hourly.event_type == b.et_b)
+        & (b.hr_b == hourly.hr + F.expr("interval 1 hour")),
+    ).select("event_type", F.col("n").alias("n0"), "n1")
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.corr(F.col("n0").cast("double"), F.col("n1").cast("double")),
+                4,
+            ).alias("lag1_corr"),
+        )
+        .orderBy("event_type")
+    )

@@ -335,3 +335,78 @@ def test_heavy_order_parts_laws(spark):
     assert min(lifts) <= 10000 <= max(lifts) or all(
         abs(x - 10000) < 2000 for x in lifts
     )
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 5 — event-stream microstructure.
+# ---------------------------------------------------------------------------
+
+
+def test_minute_uniformity_laws(spark):
+    rows = _run(spark, "q_minute_uniformity")
+    assert rows
+    ev_n = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n"] for r in rows) == ev_n
+    for r in rows:
+        assert 1 <= r["n_cells"] <= 60
+        assert r["chi2_e4"] >= 0
+
+
+def test_coactivity_rate_laws(spark):
+    rows = _run(spark, "q_coactivity_rate")
+    assert rows
+    ev_n = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == ev_n
+    for r in rows:
+        assert 0 <= r["n_coactive"] <= r["n_events"]
+        assert 0 <= r["coactive_e4"] <= 10000
+
+
+def test_user_burst_share_laws(spark):
+    rows = _run(spark, "q_user_burst_share")
+    assert rows
+    for r in rows:
+        assert r["volume_band"] in (0, 1, 2, 3)
+        assert r["n_users"] > 0
+        # peak hour holds at least 1/total of events; at most all
+        assert 0 < r["mean_burst_e4"] <= 10000
+        assert 0 <= r["single_hour_users_e4"] <= 10000
+    # heavier users cannot be MORE single-hour-concentrated on
+    # average than 2-4-event users at band granularity... only check
+    # monotone n_users presence, not shape (data-dependent)
+
+
+def test_session_starter_types_laws(spark):
+    rows = _run(spark, "q_session_starter_types")
+    assert rows
+    assert sum(r["starter_share_e4"] for r in rows) <= 10000
+    assert sum(r["overall_share_e4"] for r in rows) <= 10000
+    for r in rows:
+        assert 1 <= r["n_starts"] <= r["n_events"]
+    # session count conservation: total starts == session count from
+    # a direct 30-min-gap sessionization
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = SF.unix_micros(SF.col("ts").cast("timestamp"))
+    starts = ev.select(
+        SF.when(
+            SF.lag(tus).over(w).isNull()
+            | ((tus - SF.lag(tus).over(w)) > 1800 * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("s")
+    ).agg(SF.sum("s")).collect()[0][0]
+    assert sum(r["n_starts"] for r in rows) == starts
+
+
+def test_hourly_handoff_laws(spark):
+    rows = _run(spark, "q_hourly_handoff")
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] > 0
+        if r["lag1_corr"] is not None:
+            assert -1.0 <= r["lag1_corr"] <= 1.0

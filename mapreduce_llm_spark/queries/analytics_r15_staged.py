@@ -2231,3 +2231,416 @@ def q_hourly_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 6 — embedding geometry on EXACT e3-integer coordinates (the
+# fixture quantizes components to 3 decimals, so floor(x·1000) folds
+# are lossless — the q_embed_norm_bias discipline): Hoyer sparsity,
+# cross-modal norm↔length link, joint sign structure, centrality
+# against the global mean, and component flatness.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_embed_hoyer",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               CAST(list_sum(list_transform(embedding,
+                   x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)))) AS BIGINT) AS l1,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000)
+                               AS BIGINT))) AS BIGINT) AS l2sq
+        FROM embeddings
+    ),
+    h AS (
+        SELECT label,
+               (8.0 - CAST(l1 AS DOUBLE) / sqrt(CAST(l2sq AS DOUBLE)))
+                   / 7.0 AS hoyer
+        FROM q WHERE l2sq > 0
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(hoyer), 4) AS mean_hoyer,
+           CAST(sum(CASE WHEN hoyer > 0.25 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS sparse_share_e4
+    FROM h
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_hoyer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoyer sparsity per label: (√d − L1/L2)/(√d − 1) with d=64 —
+    0 for a perfectly flat vector, 1 for a 1-hot one; a dense
+    Gaussian cloud sits near 0.2. q_embed_sparsity counts near-ZERO
+    components (a threshold choice); Hoyer is the threshold-free
+    scale-invariant measure quantizer/pruning design uses. L1 and
+    L2² fold to exact integers on the e3 grid; the only floats are
+    one IEEE sqrt and one divide per vector (exactly-rounded ops on
+    identical integers ⇒ identical doubles on both engines), so the
+    0.25-threshold share is exact and the mean is round-4 of a
+    well-conditioned average."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xe3 = lambda x: F.floor(x.cast("double") * 1000)  # noqa: E731
+    q = emb.select(
+        "label",
+        F.aggregate(
+            F.transform("embedding", lambda x: F.abs(xe3(x))),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y,
+        ).alias("l1"),
+        F.aggregate(
+            F.transform("embedding", lambda x: xe3(x) * xe3(x)),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y,
+        ).alias("l2sq"),
+    ).filter(F.col("l2sq") > 0)
+    h = q.select(
+        "label",
+        (
+            (F.lit(8.0) - F.col("l1").cast("double")
+             / F.sqrt(F.col("l2sq").cast("double")))
+            / 7.0
+        ).alias("hoyer"),
+    )
+    return (
+        h.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("hoyer"), 4).alias("mean_hoyer"),
+            F.expr(
+                "CAST(sum(CASE WHEN hoyer > 0.25 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("sparse_share_e4"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "mean_hoyer",
+            "sparse_share_e4",
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_embed_norm_chars_link",
+    oracle="""
+    WITH j AS (
+        SELECT d.lang,
+               sqrt(CAST(list_sum(list_transform(e.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000)
+                               AS BIGINT))) AS DOUBLE)) AS norm_e3,
+               CAST(d.n_chars AS DOUBLE) AS chars
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(corr(norm_e3, chars), 4) + 0.0 AS norm_chars_corr
+    FROM j
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_embed_norm_chars_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal integrity: does embedding L2 norm correlate with
+    document LENGTH (vec_id ⋈ doc_id, per lang)? Un-normalized text
+    encoders leak length into the norm, which then leaks into every
+    dot-product ranking as a long-document prior — this is the
+    check that decides whether similarity search needs norm
+    normalization first. The staged q_embed_coverage proves the ID
+    join EXISTS; this is the first statistic computed ACROSS it.
+    Norms are IEEE sqrt of exact e3 integers; grouped corr rounded
+    to 4 (the portable class), -0.0-normalized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    xe3 = lambda x: F.floor(x.cast("double") * 1000)  # noqa: E731
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "lang",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: xe3(x) * xe3(x)),
+                F.lit(0).cast("long"),
+                lambda a, y: a + y,
+            ).cast("double")
+        ).alias("norm_e3"),
+        F.col("n_chars").cast("double").alias("chars"),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.round(F.corr("norm_e3", "chars"), 4) + F.lit(0.0)).alias(
+                "norm_chars_corr"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@_staged(
+    "q_embed_quadrant_mix",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CASE WHEN CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000)
+                              AS BIGINT) >= 0 THEN 1 ELSE 0 END AS s1,
+               CASE WHEN CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000)
+                              AS BIGINT) >= 0 THEN 1 ELSE 0 END AS s2
+        FROM embeddings
+    ),
+    g AS (
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s1 * s2) AS BIGINT) AS pp,
+               CAST(sum(s1) AS BIGINT) AS p1,
+               CAST(sum(s2) AS BIGINT) AS p2
+        FROM s GROUP BY label
+    )
+    SELECT label, n,
+           CAST(pp * 10000 // n AS BIGINT) AS pp_share_e4,
+           CAST(p1 * 10000 // n AS BIGINT) AS d1_pos_e4,
+           CAST(p2 * 10000 // n AS BIGINT) AS d2_pos_e4,
+           CAST(abs(pp * n - p1 * p2) * 10000 // (n * n) AS BIGINT)
+               AS dependence_gap_e4
+    FROM g
+    ORDER BY label
+    """,
+)
+def q_embed_quadrant_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint sign structure of the first two embedding dimensions per
+    label: the (+,+) quadrant share against the product of the
+    marginal positive shares — |P(++) − P(+·)P(·+)| is the
+    dependence gap, 0 iff the two sign bits are independent.
+    q_embed_signbits / q_embed_sign_balance profile each dimension's
+    MARGINAL sign; pairwise sign dependence (what decides whether a
+    2-bit sign sketch carries more than 2 independent bits) is new.
+    All counts exact on the e3 grid; the gap numerator |pp·n − p1·p2|
+    stays far under 2⁶³ (n² ≤ 10¹⁴ at sf10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.when(
+            F.floor(F.element_at("embedding", 1).cast("double") * 1000) >= 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("s1"),
+        F.when(
+            F.floor(F.element_at("embedding", 2).cast("double") * 1000) >= 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("s2"),
+    )
+    g = s.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("pp"),
+        F.sum("s1").cast("long").alias("p1"),
+        F.sum("s2").cast("long").alias("p2"),
+    )
+    return (
+        g.select(
+            "label",
+            "n",
+            F.expr("pp * 10000 div n").cast("long").alias("pp_share_e4"),
+            F.expr("p1 * 10000 div n").cast("long").alias("d1_pos_e4"),
+            F.expr("p2 * 10000 div n").cast("long").alias("d2_pos_e4"),
+            F.expr("abs(pp * n - p1 * p2) * 10000 div (n * n)")
+            .cast("long")
+            .alias("dependence_gap_e4"),
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_embed_cosine_to_mean",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS xe3
+        FROM embeddings
+    ),
+    msum AS (
+        SELECT pos, CAST(sum(xe3) AS BIGINT) AS s
+        FROM ev GROUP BY pos
+    ),
+    m2 AS (
+        SELECT CAST(sum(s * s) AS BIGINT) AS m2 FROM msum
+    ),
+    per_vec AS (
+        SELECT ev.vec_id, min(ev.label) AS label,
+               CAST(sum(ev.xe3 * ms.s) AS BIGINT) AS num,
+               CAST(sum(ev.xe3 * ev.xe3) AS BIGINT) AS l2sq
+        FROM ev JOIN msum ms ON ev.pos = ms.pos
+        GROUP BY ev.vec_id
+    ),
+    cosv AS (
+        SELECT label, num,
+               CASE WHEN l2sq = 0 OR m2 = 0 THEN NULL
+                    ELSE CAST(num AS DOUBLE)
+                         / (sqrt(CAST(l2sq AS DOUBLE))
+                            * sqrt(CAST(m2 AS DOUBLE)))
+               END AS cos_to_mean
+        FROM per_vec CROSS JOIN m2
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(cos_to_mean), 4) + 0.0 AS mean_cos,
+           CAST(sum(CASE WHEN num < 0 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS negative_share_e4
+    FROM cosv
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_cosine_to_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality against the GLOBAL mean direction: each vector's
+    cosine to the corpus mean vector, per label — the anisotropy
+    diagnostic in its actionable form (if every label's mean cosine
+    is ~0.9, all vectors share one dominant direction and cosine
+    similarity is saturated; mean-centering fixes it).
+    q_embed_isotropy reports the label-level ‖Σx‖² ratio;
+    q_embed_centroid_sim compares to the OWN-label centroid; the
+    global-mean per-vector distribution is the missing piece.
+    Everything up to the final cosine is exact e3-integer arithmetic
+    (dot products ≤ ~10¹⁴ at sf10), negative_share is exact off the
+    INTEGER numerator sign, and the two sqrts are exactly-rounded
+    IEEE ops on identical integers. The mean-vector leg is a 64-row
+    broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xe3 = lambda x: F.floor(x.cast("double") * 1000)  # noqa: E731
+    qarr = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: xe3(x)).alias("q"),
+    )
+    sums = qarr.agg(
+        *[
+            F.sum(F.element_at("q", i + 1)).cast("long").alias(f"s{i}")
+            for i in range(64)
+        ]
+    ).select(
+        F.array(*[F.col(f"s{i}") for i in range(64)]).alias("ms")
+    ).select(
+        "ms",
+        F.aggregate(
+            F.transform("ms", lambda y: y * y),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y,
+        ).alias("m2"),
+    )
+    per_vec = qarr.crossJoin(F.broadcast(sums)).select(
+        "label",
+        F.aggregate(
+            F.zip_with("q", "ms", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y,
+        ).alias("num"),
+        F.aggregate(
+            F.transform("q", lambda y: y * y),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y,
+        ).alias("l2sq"),
+        "m2",
+    )
+    cosv = per_vec.select(
+        "label",
+        "num",
+        F.when(
+            (F.col("l2sq") != 0) & (F.col("m2") != 0),
+            F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("l2sq").cast("double"))
+                * F.sqrt(F.col("m2").cast("double"))
+            ),
+        ).alias("cos_to_mean"),
+    )
+    return (
+        cosv.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            (F.round(F.avg("cos_to_mean"), 4) + F.lit(0.0)).alias("mean_cos"),
+            F.expr(
+                "CAST(sum(CASE WHEN num < 0 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("negative_share_e4"),
+        )
+        .orderBy("label")
+    )
+
+
+@_staged(
+    "q_embed_linf_flatness",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(list_sum(list_transform(embedding,
+                   x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)))) AS BIGINT) AS l1,
+               CAST(list_max(list_transform(embedding,
+                   x -> abs(CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)))) AS BIGINT) AS linf
+        FROM embeddings
+    ),
+    f AS (
+        SELECT label, l1 * 10000 // (64 * linf) AS flat_e4
+        FROM q WHERE linf > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(flat_e4) // count(*) AS BIGINT) AS mean_flatness_e4,
+           CAST(sum(CASE WHEN flat_e4 >= 5000 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS flat_share_e4
+    FROM f
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_linf_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component flatness per label: L1/(d·L∞) — the mean-to-peak
+    ratio of |component| magnitudes (1 = perfectly flat vector,
+    1/d = one dominant axis). This is the number that sizes
+    per-vector quantization ranges (a peaky profile wastes
+    uniform-quantizer levels) — the L∞-side complement to
+    q_embed_hoyer's L1/L2 sparsity (the two disagree exactly when
+    vectors have a few moderate peaks over a dense floor). Fully
+    integer on the e3 grid: no float enters at any point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absq = lambda x: F.abs(  # noqa: E731
+        F.floor(x.cast("double") * 1000)
+    )
+    q = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.aggregate(
+            F.transform("embedding", lambda x: absq(x)),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y,
+        ).alias("l1"),
+        F.array_max(
+            F.transform("embedding", lambda x: absq(x))
+        ).alias("linf"),
+    ).filter(F.col("linf") > 0)
+    f = q.select(
+        "label", F.expr("l1 * 10000 div (64 * linf)").alias("flat_e4")
+    )
+    return (
+        f.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("CAST(sum(flat_e4) div count(*) AS BIGINT)").alias(
+                "mean_flatness_e4"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN flat_e4 >= 5000 THEN 1 ELSE 0 END)"
+                " * 10000 div count(*) AS BIGINT)"
+            ).alias("flat_share_e4"),
+        )
+        .orderBy("label")
+    )

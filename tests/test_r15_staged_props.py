@@ -15,6 +15,7 @@ from tests.conftest import SF_DIR, SMOKE_SF_DIR
 STAGED_NLJ_OK: set[str] = {
     "q_key_density",  # broadcast 1-row keyspace-bounds leg
     "q_heavy_order_parts",  # broadcast 1-row mean-threshold leg
+    "q_embed_cosine_to_mean",  # broadcast 1-row global-mean-vector leg
 }
 
 PY_MARKERS = (
@@ -410,3 +411,57 @@ def test_hourly_handoff_laws(spark):
         assert r["n_pairs"] > 0
         if r["lag1_corr"] is not None:
             assert -1.0 <= r["lag1_corr"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 6 — embedding geometry.
+# ---------------------------------------------------------------------------
+
+
+def test_embed_hoyer_laws(spark):
+    rows = _run(spark, "q_embed_hoyer")
+    assert len(rows) == 10
+    e_n = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == e_n
+    for r in rows:
+        assert -1e-9 <= r["mean_hoyer"] <= 1.0 + 1e-9
+        assert 0 <= r["sparse_share_e4"] <= 10000
+
+
+def test_embed_norm_chars_link_laws(spark):
+    rows = _run(spark, "q_embed_norm_chars_link")
+    assert rows
+    d_n = load_table(spark, SF_DIR, "documents").count()
+    # the id join is total (staged q_embed_coverage proves it)
+    assert sum(r["n_docs"] for r in rows) == d_n
+    for r in rows:
+        if r["norm_chars_corr"] is not None:
+            assert -1.0 <= r["norm_chars_corr"] <= 1.0
+
+
+def test_embed_quadrant_mix_laws(spark):
+    rows = _run(spark, "q_embed_quadrant_mix")
+    assert len(rows) == 10
+    for r in rows:
+        # P(++) <= min(P(+.), P(.+)) -- Frechet bound, up to floor
+        assert r["pp_share_e4"] <= min(r["d1_pos_e4"], r["d2_pos_e4"]) + 1
+        assert 0 <= r["dependence_gap_e4"] <= 10000
+
+
+def test_embed_cosine_to_mean_laws(spark):
+    rows = _run(spark, "q_embed_cosine_to_mean")
+    assert len(rows) == 10
+    e_n = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == e_n
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["mean_cos"] <= 1.0 + 1e-9
+        assert 0 <= r["negative_share_e4"] <= 10000
+
+
+def test_embed_linf_flatness_laws(spark):
+    rows = _run(spark, "q_embed_linf_flatness")
+    assert len(rows) == 10
+    for r in rows:
+        # 1/d <= flatness <= 1: linf <= l1 <= d*linf
+        assert 10000 // 64 <= r["mean_flatness_e4"] <= 10000
+        assert 0 <= r["flat_share_e4"] <= 10000

@@ -2644,3 +2644,413 @@ def q_embed_linf_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 7 — corpus structure beyond frequency: source-spread of the
+# vocabulary, within-document word recurrence, document openers,
+# hapax placement, and TTR across document position. All share the
+# _r15_words tokenization (= regexp_split_to_array(lower, '[^a-z]+')
+# in DuckDB, the q_hapax_rate twin).
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_source_spread_spectrum",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT source) AS BIGINT) AS spread
+        FROM toks GROUP BY w
+    )
+    SELECT spread,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+           CAST(sum(n_tokens) * 10000 // sum(sum(n_tokens)) OVER ()
+               AS BIGINT) AS mass_share_e4
+    FROM wc
+    GROUP BY spread
+    ORDER BY spread
+    """,
+)
+def q_source_spread_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-spread spectrum of the vocabulary: for each word, how
+    many of the 20 sources use it — then the word-count and
+    token-mass histogram over that spread. A healthy multi-source
+    corpus has most token MASS in full-spread words and most of its
+    vocabulary COUNT at spread 1 (source-specific jargon);
+    deduplication and contamination both distort the curve.
+    q_lang_vocab_overlap compares PAIRS; the full spectrum is the
+    single-view summary. Two hash aggregates over the token stream
+    (word-keyed — high cardinality, balanced); the share window
+    runs over the ≤20-row spectrum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_r15_words(F.col("text"))).alias("w")
+    )
+    wc = toks.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("long").alias("spread"),
+    )
+    wall = Window.partitionBy()
+    return (
+        wc.groupBy("spread")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("token_mass"),
+        )
+        .select(
+            "spread",
+            "n_words",
+            "token_mass",
+            F.expr("token_mass * 10000").alias("__num"),
+            F.sum("token_mass").over(wall).alias("__den"),
+        )
+        .select(
+            "spread",
+            "n_words",
+            "token_mass",
+            F.expr("__num div __den").cast("long").alias("mass_share_e4"),
+        )
+        .orderBy("spread")
+    )
+
+
+@_staged(
+    "q_word_recurrence_gap",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, lang, w,
+               CAST(p AS BIGINT) AS p
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w,
+                   generate_subscripts(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> ''), 1) AS p
+            FROM documents
+        )
+    ),
+    per_word AS (
+        SELECT doc_id, lang, w,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(max(p) - min(p) AS BIGINT) AS span
+        FROM pos GROUP BY doc_id, lang, w
+    ),
+    rep AS (
+        SELECT lang, doc_id, cnt, span FROM per_word WHERE cnt >= 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_repeated_words,
+           CAST(sum(span) * 10000 // sum(cnt - 1) AS BIGINT)
+               AS mean_gap_e4,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_repeat
+    FROM rep
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_word_recurrence_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document word recurrence distance: for every word that
+    repeats inside a document, the mean token distance between
+    consecutive occurrences — exactly Σspan/Σ(count−1) since the
+    per-word gaps telescope to (last−first)/(n−1). Short recurrence
+    gaps are the compressibility/templating signal q_word_stutter
+    (ADJACENT repeats only) and q_text_repetition (fixed n-gram
+    windows) both miss: a word returning every ~8 tokens never
+    stutters yet marks heavy structure. Integer positions from ONE
+    posexplode; per-(doc, word) aggregate keys are high-cardinality
+    and balanced."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(_r15_words(F.col("text"))).alias("p0", "w"),
+    ).select(
+        "doc_id", "lang", "w", (F.col("p0") + 1).cast("long").alias("p")
+    )
+    per_word = pos.groupBy("doc_id", "lang", "w").agg(
+        F.count("*").cast("long").alias("cnt"),
+        (F.max("p") - F.min("p")).cast("long").alias("span"),
+    )
+    rep = per_word.filter(F.col("cnt") >= 2)
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_repeated_words"),
+            F.expr(
+                "CAST(sum(span) * 10000 div sum(cnt - 1) AS BIGINT)"
+            ).alias("mean_gap_e4"),
+            F.countDistinct("doc_id").cast("long").alias("docs_with_repeat"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_staged(
+    "q_doc_opener_lift",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    openers AS (
+        SELECT ws[1] AS w, CAST(count(*) AS BIGINT) AS n_starts
+        FROM words WHERE len(ws) >= 1
+        GROUP BY ws[1]
+    ),
+    tokens AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM (SELECT unnest(ws) AS w FROM words)
+        GROUP BY w
+    ),
+    tot AS (
+        SELECT CAST(sum(n_starts) AS BIGINT) AS total_docs,
+               (SELECT CAST(sum(n_tokens) AS BIGINT) FROM tokens)
+                   AS total_tokens
+        FROM openers
+    ),
+    lifted AS (
+        SELECT o.w, o.n_starts, t.n_tokens,
+               CAST((o.n_starts * 10000 // total_docs) * 10000
+                    // (t.n_tokens * 10000 // total_tokens) AS BIGINT)
+                   AS lift_e4,
+               row_number() OVER (ORDER BY o.n_starts DESC, o.w) AS rk
+        FROM openers o JOIN tokens t ON o.w = t.w
+        CROSS JOIN tot
+        WHERE t.n_tokens * 10000 // total_tokens > 0
+    )
+    SELECT w, n_starts, n_tokens, lift_e4
+    FROM lifted WHERE rk <= 10
+    ORDER BY n_starts DESC, w
+    """,
+)
+def q_doc_opener_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-opener lift: the 10 most frequent FIRST words of
+    documents, each normalized by its overall token share — lift
+    above 10000 marks genuine opening conventions (boilerplate
+    headers, template starts) rather than mere corpus frequency.
+    The staged q_initial_letter_bias profiles first LETTERS of
+    words; the first-WORD-of-document convention is the
+    template-detection signal (openers with huge lift ⇒ shared
+    prefix templates worth deduplicating). Deterministic top-10 via
+    (n_starts DESC, word) tie-break; the lift join runs on the
+    aggregated vocab frame; the 1-row totals leg broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(_r15_words(F.col("text")).alias("ws"))
+    openers = (
+        words.filter(F.size("ws") >= 1)
+        .groupBy(F.element_at("ws", 1).alias("w"))
+        .agg(F.count("*").cast("long").alias("n_starts"))
+    )
+    tokens = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    tot = openers.agg(
+        F.sum("n_starts").cast("long").alias("total_docs")
+    ).crossJoin(
+        F.broadcast(
+            tokens.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+        )
+    )
+    lifted = (
+        openers.join(tokens, "w")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("n_tokens * 10000 div total_tokens > 0"))
+        .select(
+            "w",
+            "n_starts",
+            "n_tokens",
+            F.expr(
+                "CAST((n_starts * 10000 div total_docs) * 10000"
+                " div (n_tokens * 10000 div total_tokens) AS BIGINT)"
+            ).alias("lift_e4"),
+        )
+    )
+    w_rk = Window.orderBy(F.col("n_starts").desc(), F.col("w"))
+    return (
+        lifted.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+        .orderBy(F.col("n_starts").desc(), F.col("w"))
+    )
+
+
+@_staged(
+    "q_hapax_position",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, lang, w, CAST(p AS BIGINT) AS p,
+               CAST(n AS BIGINT) AS n
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w,
+                   generate_subscripts(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> ''), 1) AS p,
+                   len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS n
+            FROM documents
+        )
+        WHERE n >= 2
+    ),
+    freq AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn FROM pos GROUP BY w
+    ),
+    tagged AS (
+        SELECT pos.lang,
+               (pos.p - 1) * 10000 // (pos.n - 1) AS relpos_e4,
+               CASE WHEN freq.wn = 1 THEN 1 ELSE 0 END AS is_hapax
+        FROM pos JOIN freq ON pos.w = freq.w
+    )
+    SELECT lang,
+           CAST(sum(is_hapax) AS BIGINT) AS n_hapax_tokens,
+           CAST(sum(CASE WHEN is_hapax = 1 THEN relpos_e4 ELSE 0 END)
+                // greatest(sum(is_hapax), 1) AS BIGINT)
+               AS hapax_mean_relpos_e4,
+           CAST(sum(relpos_e4) // count(*) AS BIGINT)
+               AS all_mean_relpos_e4
+    FROM tagged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_hapax_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do corpus-hapax words SIT inside documents? Each token's
+    relative position (0 = doc start, 10000 = doc end, exact
+    (p−1)/(n−1) floors) compared between corpus-hapax tokens and all
+    tokens, per lang. In natural corpora rare vocabulary concentrates
+    in content-heavy tails; in synthetic/shuffled corpora the two
+    means coincide — a generator-realism probe. q_hapax_rate counts
+    hapaxes; their PLACEMENT is new. One posexplode, one word-keyed
+    frequency join (balanced high-cardinality keys), exact integer
+    positions; single-token docs excluded (relpos undefined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(_r15_words(F.col("text"))).alias("p0", "w"),
+            F.size(_r15_words(F.col("text"))).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "lang", "w", F.col("p0").cast("long").alias("pz"), "n"
+        )
+    )
+    freq = pos.groupBy("w").agg(F.count("*").cast("long").alias("wn"))
+    tagged = pos.join(freq, "w").select(
+        "lang",
+        F.expr("pz * 10000 div (n - 1)").alias("relpos_e4"),
+        F.when(F.col("wn") == 1, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_hapax"
+        ),
+    )
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.sum("is_hapax").cast("long").alias("n_hapax_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN is_hapax = 1 THEN relpos_e4 ELSE 0 END)"
+                " div greatest(sum(is_hapax), 1) AS BIGINT)"
+            ).alias("hapax_mean_relpos_e4"),
+            F.expr(
+                "CAST(sum(relpos_e4) div count(*) AS BIGINT)"
+            ).alias("all_mean_relpos_e4"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_staged(
+    "q_ttr_by_position",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, lang, w,
+               CAST(((p - 1) * 3) // n AS BIGINT) AS third
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w,
+                   generate_subscripts(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> ''), 1) AS p,
+                   len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS n
+            FROM documents
+        )
+        WHERE n >= 3
+    ),
+    per_doc_third AS (
+        SELECT lang, doc_id, third,
+               CAST(count(*) AS BIGINT) AS tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS types
+        FROM pos GROUP BY lang, doc_id, third
+    )
+    SELECT lang, third,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(types) * 10000 // sum(tokens) AS BIGINT)
+               AS ttr_e4
+    FROM per_doc_third
+    GROUP BY lang, third
+    ORDER BY lang, third
+    """,
+)
+def q_ttr_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio across document POSITION: each document cut
+    into thirds by token index, per-third TTR pooled by lang — do
+    documents front-load their vocabulary and repeat themselves
+    toward the end (natural prose) or stay flat (shuffled word
+    soup)? q_ttr_by_length conditions on document SIZE; the
+    within-document position curve is orthogonal. The third
+    assignment ((p−1)·3)//n is exact integer bucketing; per-(doc,
+    third) distinct counts key on high-cardinality pairs. Docs under
+    3 tokens excluded (thirds undefined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(_r15_words(F.col("text"))).alias("p0", "w"),
+            F.size(_r15_words(F.col("text"))).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .select(
+            "lang",
+            "doc_id",
+            "w",
+            F.expr("(p0 * 3) div n").cast("long").alias("third"),
+        )
+    )
+    per_doc_third = pos.groupBy("lang", "doc_id", "third").agg(
+        F.count("*").cast("long").alias("tokens"),
+        F.countDistinct("w").cast("long").alias("types"),
+    )
+    return (
+        per_doc_third.groupBy("lang", "third")
+        .agg(
+            F.sum("tokens").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(types) * 10000 div sum(tokens) AS BIGINT)"
+            ).alias("ttr_e4"),
+        )
+        .orderBy("lang", "third")
+    )

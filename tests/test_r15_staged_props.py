@@ -16,6 +16,7 @@ STAGED_NLJ_OK: set[str] = {
     "q_key_density",  # broadcast 1-row keyspace-bounds leg
     "q_heavy_order_parts",  # broadcast 1-row mean-threshold leg
     "q_embed_cosine_to_mean",  # broadcast 1-row global-mean-vector leg
+    "q_doc_opener_lift",  # broadcast 1-row corpus-totals leg
 }
 
 PY_MARKERS = (
@@ -465,3 +466,68 @@ def test_embed_linf_flatness_laws(spark):
         # 1/d <= flatness <= 1: linf <= l1 <= d*linf
         assert 10000 // 64 <= r["mean_flatness_e4"] <= 10000
         assert 0 <= r["flat_share_e4"] <= 10000
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 7 — corpus structure.
+# ---------------------------------------------------------------------------
+
+
+def test_source_spread_spectrum_laws(spark):
+    rows = _run(spark, "q_source_spread_spectrum")
+    assert rows
+    spreads = [r["spread"] for r in rows]
+    assert spreads == sorted(spreads)
+    assert all(1 <= s <= 20 for s in spreads)
+    assert sum(r["mass_share_e4"] for r in rows) <= 10000
+    for r in rows:
+        # a word in k sources occurs at least k times
+        assert r["token_mass"] >= r["n_words"] * r["spread"]
+
+
+def test_word_recurrence_gap_laws(spark):
+    rows = _run(spark, "q_word_recurrence_gap")
+    assert rows
+    for r in rows:
+        assert r["n_repeated_words"] > 0
+        # consecutive occurrences are at least 1 token apart
+        assert r["mean_gap_e4"] >= 10000
+        assert 1 <= r["docs_with_repeat"]
+
+
+def test_doc_opener_lift_laws(spark):
+    rows = _run(spark, "q_doc_opener_lift")
+    assert 1 <= len(rows) <= 10
+    starts = [r["n_starts"] for r in rows]
+    assert starts == sorted(starts, reverse=True)
+    for r in rows:
+        # a word can't open more docs than it has tokens
+        assert r["n_starts"] <= r["n_tokens"]
+        assert r["lift_e4"] >= 0
+
+
+def test_hapax_position_laws(spark):
+    rows = _run(spark, "q_hapax_position")
+    assert rows
+    for r in rows:
+        assert 0 <= r["hapax_mean_relpos_e4"] <= 10000
+        assert 0 <= r["all_mean_relpos_e4"] <= 10000
+        # word-soup generator: no positional structure — both means
+        # hover near center (loose band, this is a realism probe)
+        assert 2000 <= r["all_mean_relpos_e4"] <= 8000
+
+
+def test_ttr_by_position_laws(spark):
+    rows = _run(spark, "q_ttr_by_position")
+    assert rows
+    seen = set()
+    for r in rows:
+        key = (r["lang"], r["third"])
+        assert key not in seen
+        seen.add(key)
+        assert r["third"] in (0, 1, 2)
+        assert 0 < r["ttr_e4"] <= 10000
+    langs = {r["lang"] for r in rows}
+    assert all(
+        {(la, t) in seen for t in (0, 1, 2)} == {True} for la in langs
+    )

@@ -3054,3 +3054,447 @@ def q_ttr_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "third")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 8 — integrity & joint dependence: the linestatus/date
+# cutover audit, key-vs-time ordering, priority persistence within
+# customers, order size×value dependence, and post-burst cooldown.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_linestatus_cutover",
+    oracle="""
+    WITH s AS (
+        SELECT l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               min(CAST(l_shipdate AS DATE)) AS min_ship,
+               max(CAST(l_shipdate AS DATE)) AS max_ship
+        FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n_lines,
+           CAST(min_ship AS TIMESTAMP) AS min_ship,
+           CAST(max_ship AS TIMESTAMP) AS max_ship,
+           CAST(greatest(date_diff('day',
+                    max(min_ship) OVER (), min(max_ship) OVER ()) + 1, 0)
+               AS BIGINT) AS overlap_days
+    FROM s
+    ORDER BY l_linestatus
+    """,
+)
+def q_linestatus_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linestatus/shipdate cutover audit: in clean TPC-H, l_linestatus
+    is a pure function of l_shipdate vs a single cutoff date (F
+    before, O after) — the two statuses' date ranges should overlap
+    on at most ~0 days. overlap_days is the violation window; a wide
+    overlap means status is NOT derivable from date and every
+    'open lines as of X' query needs the status column (schema-design
+    evidence, cheap to keep monitored). Per-status min/max from one
+    aggregate; the overlap window runs over the 2-row frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_linestatus").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_ship_d"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_ship_d"),
+    )
+    wall = Window.partitionBy()
+    return (
+        s.select(
+            "l_linestatus",
+            "n_lines",
+            F.col("min_ship_d").cast("timestamp").alias("min_ship"),
+            F.col("max_ship_d").cast("timestamp").alias("max_ship"),
+            F.greatest(
+                F.datediff(
+                    F.min("max_ship_d").over(wall),
+                    F.max("min_ship_d").over(wall),
+                )
+                + F.lit(1),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_staged(
+    "q_key_time_order",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey // 1024 AS bucket, o_orderkey,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ),
+    seq AS (
+        SELECT bucket,
+               CASE WHEN lag(d) OVER (PARTITION BY bucket
+                                      ORDER BY o_orderkey) IS NULL
+                    THEN NULL
+                    WHEN d < lag(d) OVER (PARTITION BY bucket
+                                          ORDER BY o_orderkey)
+                    THEN 1 ELSE 0 END AS inv
+        FROM b
+    )
+    SELECT CAST(count(inv) AS BIGINT) AS n_pairs,
+           CAST(sum(inv) AS BIGINT) AS n_inversions,
+           CAST(sum(inv) * 10000 // count(inv) AS BIGINT)
+               AS inversion_e4
+    FROM seq
+    """,
+)
+def q_key_time_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is o_orderkey assigned in time order? The share of
+    adjacent-by-key order pairs whose dates INVERT — near 0 means
+    the key is a usable time proxy (min/max key pruning then also
+    prunes time ranges, the q_zorder_skipping premise); near 5000
+    means keys and time are independent. Adjacency is evaluated
+    within 1024-key buckets (boundary pairs excluded by
+    construction, ≤ n/1024 of all pairs — documented, identical on
+    both engines), so the lag window partitions on ~key/1024 buckets
+    instead of one global sort. 1-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.expr("o_orderkey div 1024").alias("bucket"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    w = Window.partitionBy("bucket").orderBy("o_orderkey")
+    seq = b.select(
+        F.when(F.lag("d").over(w).isNull(), F.lit(None))
+        .when(F.col("d") < F.lag("d").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("inv")
+    )
+    return seq.agg(
+        F.count("inv").cast("long").alias("n_pairs"),
+        F.sum("inv").cast("long").alias("n_inversions"),
+        F.expr("CAST(sum(inv) * 10000 div count(inv) AS BIGINT)").alias(
+            "inversion_e4"
+        ),
+    )
+
+
+@_staged(
+    "q_priority_persistence",
+    oracle="""
+    WITH seq AS (
+        SELECT c_mktsegment, o_orderpriority,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev_p
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    agg AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN o_orderpriority = prev_p
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        FROM seq WHERE prev_p IS NOT NULL
+        GROUP BY c_mktsegment
+    ),
+    base AS (
+        SELECT c_mktsegment,
+               sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sq,
+               CAST(sum(n) AS BIGINT) AS tot
+        FROM (
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        ) g
+        GROUP BY c_mktsegment
+    )
+    SELECT a.c_mktsegment, a.n_pairs,
+           CAST(a.n_same * 10000 // a.n_pairs AS BIGINT)
+               AS persistence_e4,
+           CAST(floor(CAST(b.sq AS DOUBLE) * 10000.0
+                      / (CAST(b.tot AS DOUBLE) * CAST(b.tot AS DOUBLE)))
+               AS BIGINT) AS chance_e4
+    FROM agg a JOIN base b ON a.c_mktsegment = b.c_mktsegment
+    ORDER BY a.c_mktsegment
+    """,
+)
+def q_priority_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority persistence within a customer's order sequence: the
+    share of consecutive order pairs keeping the SAME priority, vs
+    the chance rate Σp_i² under independent draws from the segment's
+    priority mix — persistence above chance means priority is a
+    stable customer trait (negotiated SLAs), not per-order noise.
+    The Markov family models EVENT-type transitions; order-priority
+    persistence is new. Per-customer keyed lag; the chance term's
+    squared counts sum on DECIMAL(38,0)/HUGEINT and collapse in ONE
+    double floor (the q_hhi_trend rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = j.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    agg = (
+        seq.filter(F.col("prev_p").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == F.col("prev_p"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_same"),
+        )
+    )
+    base = (
+        j.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).alias("sq"),
+            F.sum("n").cast("long").alias("tot"),
+        )
+    )
+    return (
+        agg.join(base, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_pairs",
+            F.expr("CAST(n_same * 10000 div n_pairs AS BIGINT)").alias(
+                "persistence_e4"
+            ),
+            F.floor(
+                F.col("sq").cast("double")
+                * 10000.0
+                / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+            )
+            .cast("long")
+            .alias("chance_e4"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_staged(
+    "q_size_value_dependence",
+    oracle="""
+    WITH per_order AS (
+        SELECT o_orderkey,
+               least(CAST(count(*) AS BIGINT), 7) AS size_band,
+               least(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT)
+                     // 12500000, 3) AS value_band
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey
+    ),
+    cells AS (
+        SELECT size_band, value_band, CAST(count(*) AS BIGINT) AS n
+        FROM per_order GROUP BY size_band, value_band
+    ),
+    m AS (
+        SELECT c.size_band, c.value_band, c.n,
+               rs.nr, cs.nc, t.nt
+        FROM cells c
+        JOIN (SELECT size_band, CAST(sum(n) AS BIGINT) AS nr
+              FROM cells GROUP BY size_band) rs
+          ON c.size_band = rs.size_band
+        JOIN (SELECT value_band, CAST(sum(n) AS BIGINT) AS nc
+              FROM cells GROUP BY value_band) cs
+          ON c.value_band = cs.value_band
+        CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells) t
+    )
+    SELECT size_band, value_band, n,
+           CAST(floor(CAST(n AS DOUBLE) * CAST(nt AS DOUBLE) * 10000.0
+                      / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)))
+               AS BIGINT) AS lift_e4
+    FROM m
+    ORDER BY size_band, value_band
+    """,
+)
+def q_size_value_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint dependence of order SIZE (line count, capped at 7) and
+    order VALUE (125k-wide bands, capped at band 3): observed cell
+    count vs the independence expectation nr·nc/N as a lift — the
+    2-D structure q_order_size_profile (size marginal) and
+    q_value_bands (value marginal) each flatten away. Lift far from
+    10000 on the diagonal says line count drives value (pick ONE as
+    a stratification key, not both). Cell lift is one double floor
+    n·N/(nr·nc) (int64-safe through sf10 would overflow as a pure
+    int product: n·N ~ 10¹⁴·10⁷). The marginals join on the ≤32-row
+    cell frame; the 1-row total leg broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.least(F.count("*").cast("long"), F.lit(7)).alias("size_band"),
+            F.least(
+                F.expr(
+                    "CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT)"
+                    " div 12500000"
+                ),
+                F.lit(3),
+            ).alias("value_band"),
+        )
+    )
+    cells = per_order.groupBy("size_band", "value_band").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rs = cells.groupBy("size_band").agg(F.sum("n").cast("long").alias("nr"))
+    cs = cells.groupBy("value_band").agg(F.sum("n").cast("long").alias("nc"))
+    t = cells.agg(F.sum("n").cast("long").alias("nt"))
+    return (
+        cells.join(rs, "size_band")
+        .join(cs, "value_band")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "size_band",
+            "value_band",
+            "n",
+            F.floor(
+                F.col("n").cast("double")
+                * F.col("nt").cast("double")
+                * 10000.0
+                / (F.col("nr").cast("double") * F.col("nc").cast("double"))
+            )
+            .cast("long")
+            .alias("lift_e4"),
+        )
+        .orderBy("size_band", "value_band")
+    )
+
+
+@_staged(
+    "q_burst_cooldown",
+    oracle="""
+    WITH per_hour AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    totals AS (
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS total
+        FROM per_hour GROUP BY user_id HAVING sum(n) >= 5
+    ),
+    peak AS (
+        SELECT p.user_id,
+               90000000000
+               - CAST(max(p.n * 100000000000 + 90000000000
+                          - CAST(epoch(p.hr) AS BIGINT) // 3600) % 100000000000 AS BIGINT)
+                   AS peak_hr_h,
+               CAST(max(p.n * 100000000000 + 90000000000
+                        - CAST(epoch(p.hr) AS BIGINT) // 3600) // 100000000000 AS BIGINT)
+                   AS peak_n
+        FROM per_hour p JOIN totals t ON p.user_id = t.user_id
+        GROUP BY p.user_id
+    ),
+    nxt AS (
+        SELECT pk.user_id, pk.peak_n,
+               coalesce(ph.n, 0) AS next_n
+        FROM peak pk
+        LEFT JOIN per_hour ph
+          ON ph.user_id = pk.user_id
+         AND CAST(epoch(ph.hr) AS BIGINT) // 3600 = pk.peak_hr_h + 1
+    ),
+    banded AS (
+        SELECT CASE WHEN t.total < 10 THEN 0
+                    WHEN t.total < 20 THEN 1
+                    ELSE 2 END AS volume_band,
+               n.peak_n, n.next_n
+        FROM nxt n JOIN totals t ON n.user_id = t.user_id
+    )
+    SELECT CAST(volume_band AS BIGINT) AS volume_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(next_n) * 10000 // sum(peak_n) AS BIGINT)
+               AS cooldown_e4,
+           CAST(sum(CASE WHEN next_n = 0 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS hard_stop_e4
+    FROM banded
+    GROUP BY volume_band
+    ORDER BY volume_band
+    """,
+)
+def q_burst_cooldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-burst cooldown: after a user's single busiest hour, how
+    much activity survives into the NEXT calendar hour —
+    Σnext/Σpeak per volume band, plus the hard-stop share (next hour
+    completely silent). Separates binge-and-vanish usage from
+    sustained engagement at equal volume; q_user_burst_share
+    measures the burst's own concentration, not what follows it.
+    The peak hour is a packed nonneg argmax over (count, inverted
+    epoch-hour) — epoch-hours (~4.9e5) pack under the 1e11 radix
+    with counts ≤ 2³¹, ties to the EARLIER hour; the next-hour
+    lookup is an equi-join on (user, hour+1). All integer."""
+    ev = load_table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "user_id",
+        F.expr(
+            "unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP))"
+            " div 3600000000"
+        ).alias("hr_h"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    totals = (
+        per_hour.groupBy("user_id")
+        .agg(F.sum("n").cast("long").alias("total"))
+        .filter(F.col("total") >= 5)
+    )
+    packed = F.col("n") * F.lit(100000000000) + (
+        F.lit(90000000000) - F.col("hr_h")
+    )
+    peak = (
+        per_hour.join(totals, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (F.lit(90000000000) - F.max(packed) % F.lit(100000000000)).alias(
+                "peak_hr_h"
+            ),
+            (F.max(packed) / F.lit(100000000000))
+            .cast("long")
+            .alias("__pk_div"),
+            F.expr(
+                "CAST(max(n * 100000000000 + 90000000000 - hr_h)"
+                " div 100000000000 AS BIGINT)"
+            ).alias("peak_n"),
+        )
+        .select("user_id", "peak_hr_h", "peak_n")
+    )
+    ph2 = per_hour.select(
+        F.col("user_id").alias("u2"),
+        F.col("hr_h").alias("hr2"),
+        F.col("n").alias("next_n_raw"),
+    )
+    nxt = peak.join(
+        ph2,
+        (peak.user_id == ph2.u2) & (ph2.hr2 == peak.peak_hr_h + 1),
+        "left",
+    ).select(
+        "user_id",
+        "peak_n",
+        F.coalesce("next_n_raw", F.lit(0)).alias("next_n"),
+    )
+    banded = nxt.join(totals, "user_id").select(
+        F.when(F.col("total") < 10, F.lit(0))
+        .when(F.col("total") < 20, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("volume_band"),
+        "peak_n",
+        "next_n",
+    )
+    return (
+        banded.groupBy("volume_band")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr(
+                "CAST(sum(next_n) * 10000 div sum(peak_n) AS BIGINT)"
+            ).alias("cooldown_e4"),
+            F.expr(
+                "CAST(sum(CASE WHEN next_n = 0 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("hard_stop_e4"),
+        )
+        .orderBy("volume_band")
+    )

@@ -17,6 +17,7 @@ STAGED_NLJ_OK: set[str] = {
     "q_heavy_order_parts",  # broadcast 1-row mean-threshold leg
     "q_embed_cosine_to_mean",  # broadcast 1-row global-mean-vector leg
     "q_doc_opener_lift",  # broadcast 1-row corpus-totals leg
+    "q_size_value_dependence",  # broadcast 1-row grand-total leg
 }
 
 PY_MARKERS = (
@@ -531,3 +532,63 @@ def test_ttr_by_position_laws(spark):
     assert all(
         {(la, t) in seen for t in (0, 1, 2)} == {True} for la in langs
     )
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 8 — integrity & joint dependence.
+# ---------------------------------------------------------------------------
+
+
+def test_linestatus_cutover_laws(spark):
+    rows = _run(spark, "q_linestatus_cutover")
+    assert len(rows) >= 2
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == li_n
+    overlaps = {r["overlap_days"] for r in rows}
+    assert len(overlaps) == 1  # global quantity, repeated per row
+    for r in rows:
+        assert r["min_ship"] <= r["max_ship"]
+        assert r["overlap_days"] >= 0
+
+
+def test_key_time_order_laws(spark):
+    rows = _run(spark, "q_key_time_order")
+    assert len(rows) == 1
+    r = rows[0]
+    o_n = load_table(spark, SF_DIR, "orders").count()
+    # each 1024-key bucket drops exactly one pair (its first row)
+    assert 0 < r["n_pairs"] < o_n
+    assert 0 <= r["n_inversions"] <= r["n_pairs"]
+    assert r["inversion_e4"] == r["n_inversions"] * 10000 // r["n_pairs"]
+
+
+def test_priority_persistence_laws(spark):
+    rows = _run(spark, "q_priority_persistence")
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["persistence_e4"] <= 10000
+        # chance rate for 5 roughly-uniform priorities sits near 2000
+        assert 1500 <= r["chance_e4"] <= 3000
+
+
+def test_size_value_dependence_laws(spark):
+    rows = _run(spark, "q_size_value_dependence")
+    assert rows
+    o_li = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey").distinct()
+    n_orders = o_li.join(li, o_li.o_orderkey == li.l_orderkey).count()
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        assert 1 <= r["size_band"] <= 7
+        assert 0 <= r["value_band"] <= 3
+        assert r["lift_e4"] >= 0
+
+
+def test_burst_cooldown_laws(spark):
+    rows = _run(spark, "q_burst_cooldown")
+    assert rows
+    for r in rows:
+        assert r["volume_band"] in (0, 1, 2)
+        assert r["n_users"] > 0
+        assert r["cooldown_e4"] >= 0
+        assert 0 <= r["hard_stop_e4"] <= 10000

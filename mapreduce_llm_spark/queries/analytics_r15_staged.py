@@ -3498,3 +3498,388 @@ def q_burst_cooldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("volume_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 9 — statistical process control & seasonality diagnostics on
+# the DAILY ORDER SERIES. The registered surface reads the calendar at
+# month/quarter/week grain (q_yoy_growth, q_seasonal_profile_align) and
+# the r15 tranche 2 aligned calendar SHAPE across datasets; none of it
+# asks the operations questions an SPC dashboard leads with: which days
+# were statistically out of control, how autocorrelated is daily
+# volume, what period does the series actually repeat at, what part of
+# a month-over-month revenue move was volume vs price, and is the
+# series even complete. Every query collapses the fact scan to the
+# ~2.4k-row day (or ~84-row month) frame FIRST, so the single-partition
+# ordered windows run over day counts, never order counts.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_control_limits",
+    oracle="""
+    WITH days AS (
+        SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY o_orderdate
+    ),
+    mr AS (
+        SELECT d, x,
+               abs(x - lag(x) OVER (ORDER BY d)) AS mrange
+        FROM days
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(count(mrange) AS BIGINT) AS n_mr,
+               CAST(sum(mrange) AS BIGINT) AS smr
+        FROM mr
+    ),
+    flag AS (
+        SELECT year(m.d) AS yr,
+               CASE WHEN (m.x * t.n_tot - t.sx) > 0
+                         AND abs(m.x * t.n_tot - t.sx) * 1000 * t.n_mr
+                             > 2660 * t.smr * t.n_tot
+                    THEN 1 ELSE 0 END AS hi,
+               CASE WHEN (m.x * t.n_tot - t.sx) < 0
+                         AND abs(m.x * t.n_tot - t.sx) * 1000 * t.n_mr
+                             > 2660 * t.smr * t.n_tot
+                    THEN 1 ELSE 0 END AS lo
+        FROM mr m CROSS JOIN tot t
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(hi) AS BIGINT) AS n_out_hi,
+           CAST(sum(lo) AS BIGINT) AS n_out_lo,
+           CAST((sum(hi) + sum(lo)) * 10000 // count(*) AS BIGINT)
+               AS out_bp
+    FROM flag GROUP BY yr ORDER BY yr
+    """,
+)
+def q_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals control chart on daily order counts: a day
+    is out of control when |x - x̄| exceeds 2.66·MR̄ (the I-MR chart's
+    3σ limit from the average moving range), counted per year with the
+    breach direction — the SPC question ('which days were anomalous
+    against the series' own short-term noise?') that mean/stddev
+    z-scores get wrong under drift. The fact scan collapses to the
+    ~2.4k-row day frame before the ordered window, and the control
+    test is pure integer cross-multiplication
+    (|x·N − Sx|·1000·D > 2660·Smr·N — no division anywhere), so the
+    day frame's magnitudes (x·N ~ 1e10 at sf10, ×1000·D ~ 1e16) stay
+    inside int64 through sf100. The 1-row totals leg broadcasts
+    (STAGED_NLJ_OK)."""
+    o = load_table(spark, sf_dir, "orders")
+    days = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w = Window.orderBy("d")
+    mr = days.withColumn("mrange", F.abs(F.col("x") - F.lag("x").over(w)))
+    tot = mr.agg(
+        F.count("*").cast("long").alias("n_tot"),
+        F.sum("x").cast("long").alias("sx"),
+        F.count("mrange").cast("long").alias("n_mr"),
+        F.sum("mrange").cast("long").alias("smr"),
+    )
+    dev = F.col("x") * F.col("n_tot") - F.col("sx")
+    breach = (
+        F.abs(dev) * 1000 * F.col("n_mr")
+        > 2660 * F.col("smr") * F.col("n_tot")
+    )
+    flag = (
+        mr.crossJoin(F.broadcast(tot))
+        .select(
+            F.year("d").cast("long").alias("yr"),
+            F.when((dev > 0) & breach, 1).otherwise(0).alias("hi"),
+            F.when((dev < 0) & breach, 1).otherwise(0).alias("lo"),
+        )
+    )
+    return (
+        flag.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("hi").cast("long").alias("n_out_hi"),
+            F.sum("lo").cast("long").alias("n_out_lo"),
+            F.expr(
+                "CAST((sum(hi) + sum(lo)) * 10000 div count(*) AS BIGINT)"
+            ).alias("out_bp"),
+        )
+        .orderBy("yr")
+    )
+
+
+@_staged(
+    "q_count_acf",
+    oracle="""
+    WITH days AS (
+        SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY o_orderdate
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY d) AS t, x FROM days
+    ),
+    pairs AS (
+        SELECT l.lag_k, a.x AS x0, b.x AS x1
+        FROM (SELECT unnest(generate_series(1, 7)) AS lag_k) l
+        JOIN idx a ON true
+        JOIN idx b ON b.t = a.t + l.lag_k
+    )
+    SELECT CAST(lag_k AS BIGINT) AS lag_k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(CAST(x0 AS DOUBLE), CAST(x1 AS DOUBLE)), 4) + 0.0
+               AS acf
+    FROM pairs GROUP BY lag_k ORDER BY lag_k
+    """,
+)
+def q_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily order volume at lags 1..7:
+    the series' memory fingerprint — a lag-7 spike is weekly
+    seasonality, decaying positive lags are momentum, and the acf
+    profile decides whether tomorrow's volume forecast needs more than
+    yesterday's number. Series positions come from row_number over the
+    observed-day frame (calendar gaps compressed — the chart
+    convention; q_missing_days audits the gaps themselves). The seven
+    lag series are seven window-lag columns STACKED on the ~2.4k-row
+    day frame (no cross join, one ordered pass); corr on exact
+    integer counts (sums stay < 2^53, so both engines see identical
+    moments) is the allowed round(,4) class, -0.0-normalized."""
+    o = load_table(spark, sf_dir, "orders")
+    days = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = days.select(
+        "x",
+        *[F.lag("x", k).over(w).alias(f"lag{k}") for k in range(1, 8)],
+    )
+    stacked = lagged.select(
+        "x",
+        F.expr(
+            "stack(7, " +
+            ", ".join(f"{k}, lag{k}" for k in range(1, 8)) +
+            ") AS (lag_k, x1)"
+        ),
+    ).where(F.col("x1").isNotNull())
+    return (
+        stacked.groupBy(F.col("lag_k").cast("long").alias("lag_k"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (
+                F.round(
+                    F.corr(
+                        F.col("x1").cast("double"),
+                        F.col("x").cast("double"),
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+        .orderBy("lag_k")
+    )
+
+
+@_staged(
+    "q_period_scan",
+    oracle="""
+    WITH days AS (
+        SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY o_orderdate
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY d) - 1 AS t, x FROM days
+    ),
+    cells AS (
+        SELECT p.p, idx.t % p.p AS bucket,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(x) AS BIGINT) AS sg
+        FROM (SELECT unnest(generate_series(2, 10)) AS p) p
+        JOIN idx ON true
+        GROUP BY p.p, idx.t % p.p
+    )
+    SELECT CAST(p AS BIGINT) AS p,
+           CAST(floor(((max(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                        - min(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+                       * 10000.0)
+                      * CAST(sum(ng) AS DOUBLE)
+                      / CAST(sum(sg) AS DOUBLE)) AS BIGINT)
+               AS spread_e4
+    FROM cells GROUP BY p ORDER BY p
+    """,
+)
+def q_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity scan: for each candidate period p in 2..10, bucket
+    the day series by t mod p and report the spread of bucket means
+    relative to the overall mean (e4) — the direct 'what period does
+    this series repeat at?' probe (the p with the spike is the season
+    length; a flat scan says the calendar is aperiodic). Works on the
+    compressed series index like q_count_acf. Exactness: each bucket
+    mean is ONE int64→double division (identical IEEE result both
+    engines), max/min/subtract/scale are single deterministic double
+    ops, and the one floor pins the e4 — no double SUMMATION anywhere
+    (the per-p totals re-sum exact integers). The 9-way period
+    expansion runs on the ~2.4k-row day frame (stack, not a fact-scan
+    cross join)."""
+    o = load_table(spark, sf_dir, "orders")
+    days = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w = Window.orderBy("d")
+    idx = days.select(
+        (F.row_number().over(w) - 1).alias("t"), "x"
+    )
+    stacked = idx.select(
+        "x",
+        F.expr(
+            "stack(9, " +
+            ", ".join(f"{p}, t % {p}" for p in range(2, 11)) +
+            ") AS (p, bucket)"
+        ),
+    )
+    cells = stacked.groupBy("p", "bucket").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("ng").cast("double")
+    return (
+        cells.withColumn("bmean", mean)
+        .groupBy(F.col("p").cast("long").alias("p"))
+        .agg(
+            F.floor(
+                (
+                    (F.max("bmean") - F.min("bmean")) * 10000.0
+                )
+                * F.sum("ng").cast("double")
+                / F.sum("sg").cast("double")
+            )
+            .cast("long")
+            .alias("spread_e4"),
+        )
+        .orderBy("p")
+    )
+
+
+@_staged(
+    "q_revenue_bridge",
+    oracle="""
+    WITH months AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT m, n, s,
+               lag(n) OVER (ORDER BY m) AS n1,
+               lag(s) OVER (ORDER BY m) AS s1
+        FROM months
+    ),
+    eff AS (
+        SELECT m, n, s - s1 AS ds,
+               CASE WHEN (n - n1) * s1 >= 0
+                    THEN abs((n - n1) * s1) // n1
+                    ELSE -(abs((n - n1) * s1) // n1) END AS vol
+        FROM lagged WHERE n1 IS NOT NULL
+    )
+    SELECT m, n AS n_orders, ds AS ds_cents,
+           vol AS vol_cents, ds - vol AS price_cents
+    FROM eff ORDER BY m
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month price-volume bridge: each month's revenue move
+    decomposed into a VOLUME effect ((n₂−n₁)·S₁/n₁ — what the order
+    count change alone would have done at last month's average ticket)
+    and the residual PRICE/MIX effect — the waterfall every revenue
+    review opens with, and the decomposition q_yoy_growth's single
+    growth number hides. Fact scan collapses to the ~84-row month
+    frame first (exact integer cents via the floor(+0.5) rule); the
+    volume effect's numerator can be NEGATIVE, so it follows the
+    CLAUDE.md abs-then-re-sign integer-division rule (DuckDB floors,
+    Spark truncates on negatives). ds = vol + price exactly by
+    construction. Magnitudes: (n−n₁)·S₁ ~ 1e5·1e13 = 1e18 at sf10 —
+    inside int64."""
+    o = load_table(spark, sf_dir, "orders")
+    months = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp")
+        .alias("m")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("s"),
+    )
+    w = Window.orderBy("m")
+    lagged = months.select(
+        "m", "n", "s",
+        F.lag("n").over(w).alias("n1"),
+        F.lag("s").over(w).alias("s1"),
+    ).where(F.col("n1").isNotNull())
+    num = (F.col("n") - F.col("n1")) * F.col("s1")
+    vol = F.when(
+        num >= 0, F.expr("abs((n - n1) * s1) div n1")
+    ).otherwise(-F.expr("abs((n - n1) * s1) div n1"))
+    return (
+        lagged.select(
+            "m",
+            F.col("n").alias("n_orders"),
+            (F.col("s") - F.col("s1")).alias("ds_cents"),
+            vol.alias("vol_cents"),
+            (F.col("s") - F.col("s1") - vol).alias("price_cents"),
+        )
+        .orderBy("m")
+    )
+
+
+@_staged(
+    "q_missing_days",
+    oracle="""
+    WITH days AS (
+        SELECT o_orderdate AS d FROM orders GROUP BY o_orderdate
+    ),
+    gaps AS (
+        SELECT d,
+               date_diff('day', CAST(lag(d) OVER (ORDER BY d) AS DATE),
+                         CAST(d AS DATE)) - 1 AS gap
+        FROM days
+    )
+    SELECT CAST(year(d) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS days_present,
+           CAST(sum(coalesce(gap, 0)) AS BIGINT) AS missing_days,
+           CAST(max(coalesce(gap, 0)) AS BIGINT) AS longest_gap
+    FROM gaps GROUP BY year(d) ORDER BY yr
+    """,
+)
+def q_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series completeness audit: per year, how many calendar days
+    between consecutive observed order days are MISSING, and the
+    longest silent run — the data-quality gate in front of every
+    daily-series consumer above (a control chart or acf over a series
+    with silent holes reads noise as signal). Gap = datediff to the
+    previous observed day − 1, attributed to the year of the LATER
+    day (a year-boundary gap counts once, in the resuming year); the
+    series' first day carries gap 0. All exact integer day counts on
+    the ~2.4k-row day frame."""
+    o = load_table(spark, sf_dir, "orders")
+    days = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.lit(1).alias("one")
+    ).select("d")
+    w = Window.orderBy("d")
+    gaps = days.select(
+        "d",
+        (F.datediff(F.col("d"), F.lag("d").over(w)) - 1).alias("gap"),
+    )
+    return (
+        gaps.groupBy(F.year("d").cast("long").alias("yr"))
+        .agg(
+            F.count("*").cast("long").alias("days_present"),
+            F.sum(F.coalesce(F.col("gap"), F.lit(0)))
+            .cast("long")
+            .alias("missing_days"),
+            F.max(F.coalesce(F.col("gap"), F.lit(0)))
+            .cast("long")
+            .alias("longest_gap"),
+        )
+        .orderBy("yr")
+    )

@@ -18,6 +18,7 @@ STAGED_NLJ_OK: set[str] = {
     "q_embed_cosine_to_mean",  # broadcast 1-row global-mean-vector leg
     "q_doc_opener_lift",  # broadcast 1-row corpus-totals leg
     "q_size_value_dependence",  # broadcast 1-row grand-total leg
+    "q_control_limits",  # broadcast 1-row I-MR totals leg
 }
 
 PY_MARKERS = (
@@ -592,3 +593,74 @@ def test_burst_cooldown_laws(spark):
         assert r["n_users"] > 0
         assert r["cooldown_e4"] >= 0
         assert 0 <= r["hard_stop_e4"] <= 10000
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 9 — SPC & seasonality on the daily order series.
+# ---------------------------------------------------------------------------
+
+
+def test_control_limits_laws(spark):
+    rows = _run(spark, "q_control_limits")
+    assert len(rows) >= 2
+    n_days = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderdate")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_days"] for r in rows) == n_days
+    for r in rows:
+        assert r["n_out_hi"] + r["n_out_lo"] <= r["n_days"]
+        assert (
+            r["out_bp"]
+            == (r["n_out_hi"] + r["n_out_lo"]) * 10000 // r["n_days"]
+        )
+
+
+def test_count_acf_laws(spark):
+    rows = _run(spark, "q_count_acf")
+    assert [r["lag_k"] for r in rows] == list(range(1, 8))
+    n_days = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderdate")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r["n_pairs"] == n_days - r["lag_k"]
+        assert abs(r["acf"]) <= 1.0
+
+
+def test_period_scan_laws(spark):
+    rows = _run(spark, "q_period_scan")
+    assert [r["p"] for r in rows] == list(range(2, 11))
+    assert all(r["spread_e4"] >= 0 for r in rows)
+
+
+def test_revenue_bridge_laws(spark):
+    rows = _run(spark, "q_revenue_bridge")
+    assert len(rows) >= 2
+    months = {r["m"] for r in rows}
+    assert len(months) == len(rows)
+    for r in rows:
+        # the bridge closes exactly: Δrevenue = volume + price effects
+        assert r["ds_cents"] == r["vol_cents"] + r["price_cents"]
+        assert r["n_orders"] > 0
+
+
+def test_missing_days_laws(spark):
+    rows = _run(spark, "q_missing_days")
+    assert len(rows) >= 2
+    n_days = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderdate")
+        .distinct()
+        .count()
+    )
+    assert sum(r["days_present"] for r in rows) == n_days
+    for r in rows:
+        assert 1 <= r["days_present"] <= 366
+        assert 0 <= r["longest_gap"] <= r["missing_days"] or (
+            r["missing_days"] == 0 and r["longest_gap"] == 0
+        )

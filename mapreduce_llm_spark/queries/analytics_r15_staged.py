@@ -3883,3 +3883,492 @@ def q_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tranche 10 — customer-base composition accounting. The registered
+# cohort family (q_cohort_ltv, q_new_vs_returning, q_growth_accounting)
+# reads the base through the CALENDAR; none of it reads the base's
+# STRUCTURE: the RFM segmentation every CRM starts from, how much of
+# the whale set actually turns over year to year, how stable the
+# nation demand league is, how long acquisition takes to produce a
+# second order, and how heavy-tailed per-customer spend really is.
+# Every query collapses the order scan to a per-customer (or
+# per-year-entity) frame first; windows partition by year/cohort.
+# ---------------------------------------------------------------------------
+
+
+@_staged(
+    "q_rfm_grid",
+    oracle="""
+    WITH anchor AS (
+        SELECT CAST(max(o_orderdate) AS DATE) AS amax FROM orders
+    ),
+    per AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT amax FROM anchor)) AS rec,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS mon
+        FROM orders GROUP BY o_custkey
+    ),
+    banded AS (
+        SELECT CASE WHEN rec <= 90 THEN 0
+                    WHEN rec <= 365 THEN 1 ELSE 2 END AS r_band,
+               CASE WHEN freq <= 8 THEN 0
+                    WHEN freq <= 12 THEN 1 ELSE 2 END AS f_band,
+               CASE WHEN mon < 200000000 THEN 0
+                    WHEN mon < 300000000 THEN 1 ELSE 2 END AS m_band,
+               mon
+        FROM per
+    )
+    SELECT CAST(r_band AS BIGINT) AS r_band,
+           CAST(f_band AS BIGINT) AS f_band,
+           CAST(m_band AS BIGINT) AS m_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS mon_cents
+    FROM banded GROUP BY r_band, f_band, m_band
+    ORDER BY r_band, f_band, m_band
+    """,
+)
+def q_rfm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFM grid — customers cut by Recency (days since last order
+    vs the corpus horizon: ≤90 / ≤365 / older), Frequency (≤8 / ≤12 /
+    more orders) and Monetary (<2e8 / <3e8 / more lifetime cents, the
+    sf-invariant quartile cuts) — the segmentation every CRM and
+    churn model starts from, with each cell's headcount and lifetime
+    value. Thresholds are FIXED constants (orders-per-customer and
+    ticket size are scale-invariant in this corpus), so the grid is
+    comparable across SF. One per-customer aggregate, then a ≤27-row
+    grid; the 1-row horizon leg broadcasts (STAGED_NLJ_OK). Recency
+    against the corpus max keeps the answer stable however stale the
+    snapshot (the q_retention_sweep convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate")).alias("amax"))
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("mon"),
+    )
+    banded = per.crossJoin(F.broadcast(anchor)).select(
+        F.when(F.datediff("amax", "last_d") <= 90, 0)
+        .when(F.datediff("amax", "last_d") <= 365, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("r_band"),
+        F.when(F.col("freq") <= 8, 0)
+        .when(F.col("freq") <= 12, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("f_band"),
+        F.when(F.col("mon") < 200000000, 0)
+        .when(F.col("mon") < 300000000, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("m_band"),
+        "mon",
+    )
+    return (
+        banded.groupBy("r_band", "f_band", "m_band")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("mon").cast("long").alias("mon_cents"),
+        )
+        .orderBy("r_band", "f_band", "m_band")
+    )
+
+
+@_staged(
+    "q_whale_turnover",
+    oracle="""
+    WITH yearly AS (
+        SELECT year(o_orderdate) AS yr, o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT yr, o_custkey,
+               row_number() OVER (PARTITION BY yr
+                                  ORDER BY s DESC, o_custkey) AS rn,
+               count(*) OVER (PARTITION BY yr) AS ny
+        FROM yearly
+    ),
+    tops AS (
+        SELECT yr, o_custkey FROM ranked
+        WHERE rn <= greatest(1, ny // 10)
+    ),
+    cnt AS (
+        SELECT yr, CAST(count(*) AS BIGINT) AS n_top FROM tops GROUP BY yr
+    ),
+    inter AS (
+        SELECT b.yr AS yr, CAST(count(*) AS BIGINT) AS n_inter
+        FROM tops a JOIN tops b
+          ON a.o_custkey = b.o_custkey AND a.yr + 1 = b.yr
+        GROUP BY b.yr
+    )
+    SELECT CAST(c2.yr AS BIGINT) AS yr,
+           c1.n_top AS n_top_prev,
+           c2.n_top AS n_top_cur,
+           coalesce(i.n_inter, 0) AS n_inter,
+           CAST(coalesce(i.n_inter, 0) * 10000
+                // (c1.n_top + c2.n_top - coalesce(i.n_inter, 0))
+                AS BIGINT) AS jaccard_e4
+    FROM cnt c2
+    JOIN cnt c1 ON c1.yr + 1 = c2.yr
+    LEFT JOIN inter i ON i.yr = c2.yr
+    ORDER BY yr
+    """,
+)
+def q_whale_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-set turnover: the Jaccard overlap of each year's
+    top-decile spenders with the previous year's — the composition
+    churn q_power_user_share's share number hides (a stable share can
+    mask a fully-rotated set, and rotation decides whether key-account
+    programs chase a fixed book or a moving one). Top decile is an
+    exact per-year rank selection ((spend desc, custkey) tie-break,
+    k = max(1, n_y/10)); the year partitions bound each window sort to
+    one year's active customers (the designed per-year ranking class —
+    q_cheapest_supplier_churn's scale family). Set algebra on the
+    ≤n/10-row tops frame; jaccard in exact e4 integer division."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("s")
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("s"), "o_custkey")
+    wc = Window.partitionBy("yr")
+    ranked = yearly.select(
+        "yr", "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("ny"),
+    )
+    tops = ranked.where(
+        F.col("rn") <= F.greatest(F.lit(1), F.expr("ny div 10"))
+    ).select("yr", "o_custkey")
+    cnt = tops.groupBy("yr").agg(F.count("*").cast("long").alias("n_top"))
+    a, b = tops.alias("a"), tops.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.yr") + 1 == F.col("b.yr")),
+        )
+        .groupBy(F.col("b.yr").alias("yr"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    c1, c2 = cnt.alias("c1"), cnt.alias("c2")
+    joined = (
+        c2.join(c1, F.col("c1.yr") + 1 == F.col("c2.yr"))
+        .join(inter.alias("i"), F.col("i.yr") == F.col("c2.yr"), "left")
+        .select(
+            F.col("c2.yr").cast("long").alias("yr"),
+            F.col("c1.n_top").alias("n_top_prev"),
+            F.col("c2.n_top").alias("n_top_cur"),
+            F.coalesce(F.col("i.n_inter"), F.lit(0))
+            .cast("long")
+            .alias("n_inter"),
+        )
+    )
+    return joined.select(
+        "yr", "n_top_prev", "n_top_cur", "n_inter",
+        F.expr(
+            "CAST(n_inter * 10000 div"
+            " (n_top_prev + n_top_cur - n_inter) AS BIGINT)"
+        ).alias("jaccard_e4"),
+    ).orderBy("yr")
+
+
+@_staged(
+    "q_league_mobility",
+    oracle="""
+    WITH rev AS (
+        SELECT year(o.o_orderdate) AS yr, n.n_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT yr, n_name,
+               row_number() OVER (PARTITION BY yr
+                                  ORDER BY s DESC, n_name) AS rk
+        FROM rev
+    ),
+    pairs AS (
+        SELECT b.yr AS yr,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(abs(a.rk - b.rk)) AS BIGINT) AS footrule
+        FROM ranked a JOIN ranked b
+          ON a.n_name = b.n_name AND a.yr + 1 = b.yr
+        GROUP BY b.yr
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, n_common, footrule,
+           CAST(CASE WHEN n_common >= 2 THEN
+                footrule * 10000 // (n_common * n_common // 2)
+                END AS BIGINT) AS mobility_e4
+    FROM pairs ORDER BY yr
+    """,
+)
+def q_league_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank mobility of the nation demand league: Spearman's footrule
+    (Σ|rank_t − rank_{t+1}|) over each adjacent year pair, normalized
+    by its ⌊n²/2⌋ maximum — 0 means the league table is frozen (nation
+    demand shares are structural), near 10000 means the ranking is
+    reshuffling annually (last year's league is no forecast). Ranks
+    are within-year over the nations ACTIVE that year ((rev desc,
+    name) tie-break); the footrule sums over nations present in BOTH
+    years. The fact join collapses to a ≤25-rows-per-year frame
+    before any window — every downstream op is on a toy frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("s")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("s"), "n_name")
+    ranked = rev.select(
+        "yr", "n_name", F.row_number().over(w).alias("rk")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.yr") + 1 == F.col("b.yr")),
+        )
+        .groupBy(F.col("b.yr").cast("long").alias("yr"))
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.abs(F.col("a.rk") - F.col("b.rk")))
+            .cast("long")
+            .alias("footrule"),
+        )
+    )
+    return pairs.select(
+        "yr", "n_common", "footrule",
+        F.expr(
+            "CAST(CASE WHEN n_common >= 2 THEN"
+            " footrule * 10000 div (n_common * n_common div 2)"
+            " END AS BIGINT)"
+        ).alias("mobility_e4"),
+    ).orderBy("yr")
+
+
+@_staged(
+    "q_second_order_latency",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    firsts AS (
+        SELECT s1.o_custkey,
+               year(s1.o_orderdate) AS cohort_yr,
+               date_diff('day', CAST(s1.o_orderdate AS DATE),
+                         CAST(s2.o_orderdate AS DATE)) AS latency
+        FROM seq s1
+        LEFT JOIN seq s2 ON s1.o_custkey = s2.o_custkey AND s2.rn = 2
+        WHERE s1.rn = 1
+    ),
+    med AS (
+        SELECT cohort_yr, latency,
+               row_number() OVER (PARTITION BY cohort_yr
+                                  ORDER BY latency, o_custkey) AS mrn,
+               count(*) OVER (PARTITION BY cohort_yr) AS nrep
+        FROM firsts WHERE latency IS NOT NULL
+    ),
+    coh AS (
+        SELECT cohort_yr,
+               CAST(count(*) AS BIGINT) AS n_cohort,
+               CAST(count(latency) AS BIGINT) AS n_repeat
+        FROM firsts GROUP BY cohort_yr
+    )
+    SELECT CAST(c.cohort_yr AS BIGINT) AS cohort_yr,
+           c.n_cohort, c.n_repeat,
+           CAST(c.n_repeat * 10000 // c.n_cohort AS BIGINT) AS repeat_e4,
+           CAST(m.latency AS BIGINT) AS median_latency_days
+    FROM coh c
+    LEFT JOIN med m
+      ON m.cohort_yr = c.cohort_yr AND m.mrn = (m.nrep + 1) // 2
+    ORDER BY cohort_yr
+    """,
+)
+def q_second_order_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-second-order by acquisition cohort: for customers whose
+    FIRST order lands in year Y, the share that ever orders again and
+    the exact (lower-)median days until that second order — the
+    activation metric acquisition teams steer by (a lengthening median
+    across cohorts says later acquisitions are colder). First/second
+    orders from one per-customer keyed window ((date, orderkey)
+    tie-break); the cohort median is an exact rank selection, not an
+    approximate percentile. All windows partition by customer or
+    cohort year — no global sort anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    s1 = seq.where(F.col("rn") == 1).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("cohort_yr"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    s2 = seq.where(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    firsts = s1.join(s2, s1.o_custkey == s2.ck2, "left").select(
+        "o_custkey", "cohort_yr",
+        F.datediff("d2", "d1").alias("latency"),
+    )
+    wm = Window.partitionBy("cohort_yr").orderBy("latency", "o_custkey")
+    wn = Window.partitionBy("cohort_yr")
+    med = (
+        firsts.where(F.col("latency").isNotNull())
+        .select(
+            "cohort_yr", "latency",
+            F.row_number().over(wm).alias("mrn"),
+            F.count("*").over(wn).alias("nrep"),
+        )
+        .where(F.col("mrn") == F.expr("(nrep + 1) div 2"))
+        .select(
+            F.col("cohort_yr").alias("mc"),
+            F.col("latency").alias("median_latency_days"),
+        )
+    )
+    coh = firsts.groupBy("cohort_yr").agg(
+        F.count("*").cast("long").alias("n_cohort"),
+        F.count("latency").cast("long").alias("n_repeat"),
+    )
+    return (
+        coh.join(med, coh.cohort_yr == med.mc, "left")
+        .select(
+            F.col("cohort_yr").cast("long").alias("cohort_yr"),
+            "n_cohort", "n_repeat",
+            F.expr(
+                "CAST(n_repeat * 10000 div n_cohort AS BIGINT)"
+            ).alias("repeat_e4"),
+            F.col("median_latency_days").cast("long").alias(
+                "median_latency_days"
+            ),
+        )
+        .orderBy("cohort_yr")
+    )
+
+
+@_staged(
+    "q_spend_kurtosis",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) // 100 AS d
+        FROM orders GROUP BY o_custkey
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS s1_int,
+               CAST(CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS DOUBLE)
+                   AS s1,
+               CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS s2,
+               CAST(sum(CAST(d * d AS HUGEINT) * d) AS DOUBLE) AS s3,
+               CAST(sum(CAST(d * d AS HUGEINT) * (d * d)) AS DOUBLE) AS s4
+        FROM per
+    )
+    SELECT n AS n_customers,
+           CAST(s1_int // n AS BIGINT) AS mean_dollars,
+           CAST(floor(
+               (s4 / CAST(n AS DOUBLE)
+                - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+                + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                  * (s2 / CAST(n AS DOUBLE))
+                - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                  * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               * 10000.0
+               / ((s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                  * (s2 / CAST(n AS DOUBLE)
+                     - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))
+           ) AS BIGINT) AS kurt_e4,
+           round((s3 / CAST(n AS DOUBLE)
+                  - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+                  + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                    * (s1 / CAST(n AS DOUBLE)))
+                 / ((s2 / CAST(n AS DOUBLE)
+                     - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                    * sqrt(s2 / CAST(n AS DOUBLE)
+                           - (s1 / CAST(n AS DOUBLE))
+                             * (s1 / CAST(n AS DOUBLE)))), 4) + 0.0
+               AS skew_r4
+    FROM mom
+    """,
+)
+def q_spend_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and kurtosis of per-customer lifetime spend — the
+    two-number answer to 'how whale-heavy is this base?' (kurtosis
+    near 3e4 is Gaussian-bodied; far above means revenue concentration
+    risk that a mean/stddev summary hides; q_order_value_gini reads
+    inequality, this reads TAIL WEIGHT). Spend is exact integer
+    DOLLARS (cents//100 — keeps d⁴ sums inside 38 digits through
+    sf100); all four raw moments accumulate on DECIMAL(38,0)/HUGEINT
+    (the q_graph_assortativity overflow rule) with one decimal→double
+    conversion, then an identically-sequenced double formula on both
+    engines: kurtosis as floor-e4 (the safe floor(x·1e4) class), skew
+    in the allowed round4 sqrt class, -0.0-normalized."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT) div 100"
+        ).alias("d")
+    )
+    d = F.col("d")
+    mom = per.select(d, (d * d).alias("dd")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s1_int"),
+        F.sum(d.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(d.cast("decimal(38,0)") * d).cast("double").alias("s2"),
+        F.sum(F.col("dd").cast("decimal(38,0)") * d)
+        .cast("double")
+        .alias("s3"),
+        F.sum(F.col("dd").cast("decimal(38,0)") * F.col("dd"))
+        .cast("double")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1") / nd
+    m2 = F.col("s2") / nd - mu * mu
+    m3 = F.col("s3") / nd - F.lit(3.0) * mu * (F.col("s2") / nd) + F.lit(
+        2.0
+    ) * mu * mu * mu
+    m4 = (
+        F.col("s4") / nd
+        - F.lit(4.0) * mu * (F.col("s3") / nd)
+        + F.lit(6.0) * mu * mu * (F.col("s2") / nd)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return mom.select(
+        F.col("n").alias("n_customers"),
+        F.expr("CAST(s1_int div n AS BIGINT)").alias("mean_dollars"),
+        F.floor(m4 * 10000.0 / (m2 * m2)).cast("long").alias("kurt_e4"),
+        (F.round(m3 / (m2 * F.sqrt(m2)), 4) + F.lit(0.0)).alias("skew_r4"),
+    )

@@ -19,6 +19,7 @@ STAGED_NLJ_OK: set[str] = {
     "q_doc_opener_lift",  # broadcast 1-row corpus-totals leg
     "q_size_value_dependence",  # broadcast 1-row grand-total leg
     "q_control_limits",  # broadcast 1-row I-MR totals leg
+    "q_rfm_grid",  # broadcast 1-row corpus-horizon (max date) leg
 }
 
 PY_MARKERS = (
@@ -664,3 +665,89 @@ def test_missing_days_laws(spark):
         assert 0 <= r["longest_gap"] <= r["missing_days"] or (
             r["missing_days"] == 0 and r["longest_gap"] == 0
         )
+
+
+# ---------------------------------------------------------------------------
+# Laws for tranche 10 — customer-base composition.
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_grid_laws(spark):
+    rows = _run(spark, "q_rfm_grid")
+    assert 2 <= len(rows) <= 27
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert r["r_band"] in (0, 1, 2)
+        assert r["f_band"] in (0, 1, 2)
+        assert r["m_band"] in (0, 1, 2)
+        assert r["n_customers"] > 0 and r["mon_cents"] > 0
+    # thresholds must be non-degenerate: every axis inhabits >= 2 bands
+    for axis in ("r_band", "f_band", "m_band"):
+        assert len({r[axis] for r in rows}) >= 2
+
+
+def test_whale_turnover_laws(spark):
+    rows = _run(spark, "q_whale_turnover")
+    assert len(rows) >= 2
+    yrs = [r["yr"] for r in rows]
+    assert yrs == sorted(yrs)
+    for r in rows:
+        assert 0 <= r["n_inter"] <= min(r["n_top_prev"], r["n_top_cur"])
+        union = r["n_top_prev"] + r["n_top_cur"] - r["n_inter"]
+        assert r["jaccard_e4"] == r["n_inter"] * 10000 // union
+        assert 0 <= r["jaccard_e4"] <= 10000
+
+
+def test_league_mobility_laws(spark):
+    rows = _run(spark, "q_league_mobility")
+    assert len(rows) >= 2
+    for r in rows:
+        assert 2 <= r["n_common"] <= 25
+        # ranks are within 1..25 either year, so displacement <= 24/pair
+        assert 0 <= r["footrule"] <= r["n_common"] * 24
+        assert (
+            r["mobility_e4"]
+            == r["footrule"] * 10000 // (r["n_common"] ** 2 // 2)
+        )
+
+
+def test_second_order_latency_laws(spark):
+    rows = _run(spark, "q_second_order_latency")
+    assert len(rows) >= 2
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_cohort"] for r in rows) == n_cust
+    for r in rows:
+        assert 0 <= r["n_repeat"] <= r["n_cohort"]
+        assert r["repeat_e4"] == r["n_repeat"] * 10000 // r["n_cohort"]
+        if r["n_repeat"] > 0:
+            assert r["median_latency_days"] >= 0
+        else:
+            assert r["median_latency_days"] is None
+
+
+def test_spend_kurtosis_laws(spark):
+    rows = _run(spark, "q_spend_kurtosis")
+    assert len(rows) == 1
+    r = rows[0]
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert r["n_customers"] == n_cust
+    assert r["mean_dollars"] > 0
+    # kurtosis of any real distribution >= 1e4 (Pearson bound: m4 >= m2^2)
+    assert r["kurt_e4"] >= 10000
+    assert abs(r["skew_r4"]) < 100.0

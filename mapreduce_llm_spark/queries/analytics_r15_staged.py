@@ -4372,3 +4372,27 @@ def q_spend_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(m4 * 10000.0 / (m2 * m2)).cast("long").alias("kurt_e4"),
         (F.round(m3 / (m2 * F.sqrt(m2)), 4) + F.lit(0.0)).alias("skew_r4"),
     )
+
+
+#: Definition-order window for the round-16 flip — the 50 names
+#: CORRECTNESS_r16 must verify, pre-drafted so the flip is mechanical
+#: (the same contract ROUND14_WINDOW carries for round 15's flip).
+ROUND15_WINDOW: list[str] = [
+    "q_little_law", "q_first_ship_latency", "q_ship_rate_balance",
+    "q_wip_value_days", "q_key_density", "q_month_length_effect",
+    "q_dow_profile_align", "q_quarter_shape", "q_seasonal_profile_align",
+    "q_year_boundary_dip", "q_record_highs", "q_weekday_loyalty",
+    "q_order_tempo", "q_value_cv_by_tenure", "q_gap_acceleration",
+    "q_local_supply_premium", "q_size_ladder_gaps",
+    "q_supplier_peak_coherence", "q_brand_grade_entropy",
+    "q_heavy_order_parts", "q_minute_uniformity", "q_coactivity_rate",
+    "q_user_burst_share", "q_session_starter_types", "q_hourly_handoff",
+    "q_embed_hoyer", "q_embed_norm_chars_link", "q_embed_quadrant_mix",
+    "q_embed_cosine_to_mean", "q_embed_linf_flatness",
+    "q_source_spread_spectrum", "q_word_recurrence_gap", "q_doc_opener_lift",
+    "q_hapax_position", "q_ttr_by_position", "q_linestatus_cutover",
+    "q_key_time_order", "q_priority_persistence", "q_size_value_dependence",
+    "q_burst_cooldown", "q_control_limits", "q_count_acf", "q_period_scan",
+    "q_revenue_bridge", "q_missing_days", "q_rfm_grid", "q_whale_turnover",
+    "q_league_mobility", "q_second_order_latency", "q_spend_kurtosis",
+]

@@ -223,6 +223,19 @@ def main() -> None:
     from mapreduce_llm_spark.session import get_spark
 
     args = sys.argv[1:]
+    known_flags = {"--queries", "--passes", "--decade", "--dedup-density"}
+    flagged = {a for a in args if a.startswith("--")}
+    if "--help" in args or "-h" in args or not flagged <= known_flags:
+        print(
+            "usage: scale_stress.py [--queries q_a,q_b] [--passes N]\n"
+            "                       [--decade 0.1-1|1-10] [--dedup-density]\n"
+            "Measures each query at both scales (3-pass medians by\n"
+            "default) and merges rows into SCALE_STRESS.json. A bare\n"
+            "run measures DEFAULT_QUERIES — this IS a long Spark job,\n"
+            "so unknown flags abort instead of silently starting one.",
+            file=sys.stderr,
+        )
+        sys.exit(0 if ("--help" in args or "-h" in args) else 2)
     names = DEFAULT_QUERIES
     # --decade 1-10 (VERDICT r8 item 6): measure sf1 -> sf10 instead of
     # sf0.1 -> sf1, on a second-generation fixture built FROM the sf1

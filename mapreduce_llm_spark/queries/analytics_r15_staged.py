@@ -1428,10 +1428,10 @@ def q_local_supply_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("sn_key"))
     lines = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .select(
             F.col("r_name").alias("region"),
@@ -1605,7 +1605,7 @@ def q_supplier_peak_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     per_sm = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(
             "s_nationkey",
             "l_suppkey",
@@ -1767,7 +1767,7 @@ def q_heavy_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .crossJoin(F.broadcast(thresh))
         .select(
             "p_brand",

@@ -863,16 +863,29 @@ def test_graph_triangles_all_joins_are_hash_equi(spark):
 
 def test_interval_concurrency_prefix_sum_is_distributed(spark):
     """The sweep-line running total must use the two-phase distributed
-    prefix sum — range partitioning, with the running-sum window
-    partitioned by the range-partition id — never an unpartitioned
-    sum() OVER (ORDER BY t) that funnels all deltas through one task."""
+    prefix sum — never an unpartitioned sum() OVER (ORDER BY t) that
+    funnels all deltas through one task. Since the round-14 extension
+    of the round-13 materialization barrier to global_prefix_sum, the
+    range shuffle executes INSIDE the operator's materialization job,
+    so the consumer plan reads the checkpointed (range-partitioned)
+    frame as an ExistingRDD scan instead of showing RangePartitioning
+    inline (the test_global_ranking_avoids_single_partition_window
+    idiom)."""
     plan = plan_of(spark, "q_interval_concurrency")
-    assert "rangepartitioning" in plan.lower()
+    assert "existingrdd" in plan.lower(), (
+        "prefix sum no longer reads a materialized range-partitioned frame"
+    )
     sum_windows = [
         l for l in plan.splitlines()
         if "Window" in l and "sum(net" in l and "unboundedpreceding" in l.lower()
     ]
     assert sum_windows and all("__mrs_pid" in l for l in sum_windows), sum_windows
+    # SinglePartition exchanges may only carry aggregate legs (the
+    # 1-row count / per-partition totals), never the event data
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
 
 
 def test_win_median_and_distinct_single_exchange(spark):

@@ -50,6 +50,10 @@ def connected_components(
         )
         .cache()
     )
+    # the generation currently held in executor storage (labels, or the
+    # stamped frame it derives from); localCheckpoint generations are
+    # NOT in the cache manager, so unpersist on them is a no-op
+    cached = labels
 
     for it in range(max_iter):
         # min over neighbors' labels
@@ -69,24 +73,25 @@ def connected_components(
             )
             .select("node", "label", "_jump")
         )
-        new_labels = (
+        # carry the OLD label through the update so the fixpoint test
+        # is a 1-row aggregate over the cached frame instead of a
+        # second shuffle join of new vs old labels (round-14
+        # optimization; per-iteration join + count job removed)
+        stamped = (
             jumped.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     "label", "_jump", F.coalesce("_nbr_min", F.col("label"))
                 ).alias("label"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stamped.filter(F.col("label") != F.col("_old")).count()
+        cached.unpersist()
+        cached = stamped
+        labels = stamped.select("node", "label")
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             # localCheckpoint returns a NEW DataFrame backed by the
             # checkpoint files; drop the superseded generation's cache
@@ -102,7 +107,8 @@ def connected_components(
             checkpointed = labels.localCheckpoint(
                 storageLevel=StorageLevel.MEMORY_AND_DISK
             )
-            labels.unpersist()
+            cached.unpersist()
+            cached = checkpointed
             labels = checkpointed
         if changed == 0:
             break
@@ -233,12 +239,23 @@ def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
     )
     trace_rows: list[tuple[int, int, int]] = []
     for it in range(iters):
-        trace_rows.append((it, nodes.count(), e.count()))
+        # ONE action per level for both trace counts (round-14
+        # optimization): two 1-row aggregates over the cached frames
+        # crossed together — previously two separate .count() jobs per
+        # level, pure scheduler overhead on checkpointed data
+        cnt = (
+            nodes.agg(F.count(F.lit(1)).alias("nn"))
+            .crossJoin(e.agg(F.count(F.lit(1)).alias("ne")))
+            .first()
+        )
+        trace_rows.append((it, cnt["nn"], cnt["ne"]))
         if it == iters - 1:
             break
+        # explode(array(u, v)) reads the edge blocks ONCE per degree
+        # pass; the previous unionAll form scanned them twice
+        # (round-14 optimization, same endpoint multiset)
         deg = (
-            e.select(F.col("u").alias("n"))
-            .unionAll(e.select(F.col("v").alias("n")))
+            e.select(F.explode(F.array("u", "v")).alias("n"))
             .groupBy("n")
             .agg(F.count("*").alias("d"))
         )

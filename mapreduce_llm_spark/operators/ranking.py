@@ -19,12 +19,22 @@ tie-break column — same requirement the single-task form has for
 determinism). Oracle-checked through ``q_sort_multi`` / ``q_win_ntile``,
 whose DuckDB twins use the plain OVER (ORDER BY ...) forms.
 
-Cost note: Catalyst cannot see that ``spark_partition_id()`` is aligned
-with the range partitioning, so the local-rank window re-shuffles the
-data hash-partitioned by pid — two distributed full-data shuffles plus
-a one-row-per-partition singleton prefix sum, versus the naive plan's
-single shuffle of EVERYTHING to one task. At 100 TB the former
-completes; the latter does not.
+Cost note (round-14 optimization, guide §2.4 "remove shuffles
+outright"): the local rank does NOT need a window. The materialization
+barrier (eager ``localCheckpoint``) freezes both the partitioning and
+the intra-partition row order of the range-sorted frame, so
+``monotonically_increasing_id()`` — whose value IS
+``partition_id * 2^33 + position_in_partition`` — already encodes the
+local rank. Reading it off the checkpointed blocks replaces the
+previous ``Window.partitionBy(pid)`` pass, which Catalyst planned as a
+full hash-repartition of every column by pid plus a second full sort
+(it cannot see that the checkpoint blocks are already pid-grouped and
+sorted). One range shuffle + one sort total, then a broadcast join of
+the ~one-row-per-partition offsets — versus the naive plan's single
+shuffle of EVERYTHING to one task. At 100 TB the former completes; the
+latter does not. The window form survives only under
+``materialize=False``, where no barrier freezes the row order and the
+mono-id shortcut would be unsound.
 """
 
 from __future__ import annotations
@@ -37,6 +47,8 @@ from pyspark.storagelevel import StorageLevel
 _PID = "__mrs_pid"
 _LOCAL_RN = "__mrs_local_rn"
 _OFFSET = "__mrs_offset"
+_MONO = "__mrs_mono"
+_FIRST = "__mrs_first_mono"
 
 
 def _pid_stamped(parts: DataFrame, materialize: bool) -> DataFrame:
@@ -100,11 +112,19 @@ def global_row_number(
     wide projection behind an upstream join (q_kruskal_wallis staging,
     round 13; nondeterministic row loss at sf0.1). Correctness here
     cannot depend on the optimizer choosing to share a subtree.
+
+    With the barrier in place the local rank is read off
+    ``monotonically_increasing_id()`` (pid in the high bits, position
+    in the low 33 — position resets per partition, and the blocks'
+    intra-partition order IS the range-sorted order), normalized
+    against the per-partition ``min`` of the same id carried on the
+    broadcast offsets row so the construction never hard-codes the bit
+    layout. That removes the full hash-repartition + second sort the
+    previous ``Window.partitionBy(pid)`` form paid (module docstring).
     """
     parts = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     with_pid = _pid_stamped(parts, materialize)
 
-    counts = with_pid.groupBy(_PID).count()
     # The prefix sum runs over one row per partition (~32 rows), so a
     # single-task window is correct by construction — but an
     # unpartitioned Window.orderBy makes Spark log "No Partition
@@ -118,10 +138,36 @@ def global_row_number(
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+
+    if materialize:
+        base = with_pid.withColumn(_MONO, F.monotonically_increasing_id())
+        # one tiny aggregate serves both the offsets (count) and the
+        # local-rank normalization (min mono id per partition); both
+        # branches scan the SAME checkpointed blocks, so the mono ids
+        # agree by construction
+        counts = base.groupBy(_PID).agg(
+            F.count(F.lit(1)).alias("count"), F.min(_MONO).alias(_FIRST)
+        )
+        offsets = counts.select(
+            _PID,
+            F.col(_FIRST),
+            F.coalesce(F.sum("count").over(off_w), F.lit(0)).alias(_OFFSET),
+        )
+        return (
+            base.join(F.broadcast(offsets), _PID)
+            .withColumn(
+                alias,
+                (
+                    F.col(_MONO) - F.col(_FIRST) + 1 + F.col(_OFFSET)
+                ).cast("bigint"),
+            )
+            .drop(_PID, _MONO, _FIRST, _OFFSET)
+        )
+
+    counts = with_pid.groupBy(_PID).count()
     offsets = counts.select(
         _PID, F.coalesce(F.sum("count").over(off_w), F.lit(0)).alias(_OFFSET)
     )
-
     local_w = Window.partitionBy(_PID).orderBy(*order_cols)
     return (
         with_pid.withColumn(_LOCAL_RN, F.row_number().over(local_w))
@@ -167,18 +213,44 @@ def partitioned_row_number(
     # correctness mechanism (_pid_stamped docstring has the caveats)
     with_pid = _pid_stamped(parts, materialize)
 
-    counts = with_pid.groupBy(_PID, *partition_cols).count()
     off_w = (
         Window.partitionBy(*partition_cols)
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+
+    if materialize:
+        # same mono-id construction as global_row_number: within a
+        # checkpointed partition the rows of one key group are
+        # contiguous and range-sorted, so local rank = mono id minus
+        # the group's min mono id (carried on the broadcast row)
+        base = with_pid.withColumn(_MONO, F.monotonically_increasing_id())
+        counts = base.groupBy(_PID, *partition_cols).agg(
+            F.count(F.lit(1)).alias("count"), F.min(_MONO).alias(_FIRST)
+        )
+        offsets = counts.select(
+            _PID,
+            *partition_cols,
+            F.col(_FIRST),
+            F.coalesce(F.sum("count").over(off_w), F.lit(0)).alias(_OFFSET),
+        )
+        return (
+            base.join(F.broadcast(offsets), [_PID, *partition_cols])
+            .withColumn(
+                alias,
+                (
+                    F.col(_MONO) - F.col(_FIRST) + 1 + F.col(_OFFSET)
+                ).cast("bigint"),
+            )
+            .drop(_PID, _MONO, _FIRST, _OFFSET)
+        )
+
+    counts = with_pid.groupBy(_PID, *partition_cols).count()
     offsets = counts.select(
         _PID,
         *partition_cols,
         F.coalesce(F.sum("count").over(off_w), F.lit(0)).alias(_OFFSET),
     )
-
     local_w = Window.partitionBy(_PID, *partition_cols).orderBy(*order_cols)
     return (
         with_pid.withColumn(_LOCAL_RN, F.row_number().over(local_w))
@@ -237,8 +309,17 @@ def global_prefix_sum(
     different partition counts in the round-13 row-loss bug. This
     function shipped WITHOUT the barrier for one round after that fix;
     audited and closed in round 14 before any consumer grew the wide
-    upstream-join shape that triggers it."""
-    parts = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    upstream-join shape that triggers it.
+
+    Unlike the row-number operators there is no ``sortWithinPartitions``
+    before the barrier: a running SUM is value-dependent, so the local
+    pass stays a ``Window.partitionBy(pid).orderBy(...)`` (mono ids
+    cannot shortcut it), and that window sorts its input after its own
+    exchange regardless — a pre-checkpoint sort would be paid once and
+    used never (round-14 optimization, guide §2.4). Partition
+    assignment (range boundaries) and per-partition totals are
+    order-independent, so results are unchanged."""
+    parts = df.repartitionByRange(*order_cols)
     with_pid = _pid_stamped(parts, materialize)
 
     totals = with_pid.groupBy(_PID).agg(F.sum(value_col).alias(_PTOTAL))

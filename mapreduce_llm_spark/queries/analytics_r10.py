@@ -1333,12 +1333,14 @@ def q_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    t = u.agg(
-        F.count("*").cast("long").alias("n_users"),
-        F.sum("n").cast("long").alias("n_events"),
-    )
     r = global_row_number(
         u, [(-F.col("n")).asc(), F.col("user_id").asc()], alias="rk"
+    )
+    # totals off the operator's materialized output — not a second
+    # events scan + per-user rollup (round-14 optimization)
+    t = r.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
     )
     grid = spark.createDataFrame([(1,), (5,), (10,)], "pct INT")
     return (
@@ -1825,12 +1827,14 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_r10_words(F.col("text"))).alias("w")
     )
     vc = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
-    t = vc.agg(
-        F.count("*").cast("long").alias("vocab_size"),
-        F.sum("n").cast("long").alias("total_tokens"),
-    )
     r = global_row_number(
         vc, [(-F.col("n")).asc(), F.col("w").asc()], alias="rk"
+    )
+    # totals off the operator's materialized output — not a second
+    # tokenize + vocab rollup pass (round-14 optimization)
+    t = r.agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("n").cast("long").alias("total_tokens"),
     )
     grid = spark.createDataFrame([(100,), (1000,), (10000,)], "k INT")
     return (

@@ -2282,7 +2282,9 @@ def q_balance_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         act, [F.col("bal_cents").asc(), F.col("c_custkey").asc()],
         alias="rk",
     )
-    n = act.agg(F.count("*").cast("long").alias("n"))
+    # row count off the operator's materialized output — not a second
+    # customer⋈orders rollup (round-14 optimization)
+    n = r.agg(F.count("*").cast("long").alias("n"))
     d = r.crossJoin(F.broadcast(n)).select(
         F.expr("(rk - 1) * 10 div n").alias("decile"),
         "bal_cents", "n_orders", "cents",

@@ -918,7 +918,10 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").alias("net"))
     )
     run = global_prefix_sum(deltas, [F.col("t")], "net", alias="conc")
-    n_points = deltas.agg(F.count(F.lit(1)).alias("n_points"))
+    # n_points counts the operator's checkpoint-backed output (same
+    # rows as deltas) instead of re-running the whole sessionization +
+    # delta pipeline a second time (round-14 optimization)
+    n_points = run.agg(F.count(F.lit(1)).alias("n_points"))
     return (
         run.select(F.col("conc").alias("peak_concurrency"), F.col("t").alias("peak_ts"))
         .orderBy(F.col("peak_concurrency").desc(), "peak_ts")

@@ -678,7 +678,10 @@ def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         alias="cq",
     )
-    total = per_part.agg(F.sum("qty").alias("total"))
+    # total from the operator's checkpoint-backed output, not a second
+    # lineitem scan+rollup (round-14 optimization; int sum is
+    # order-invariant over the same multiset)
+    total = cum.agg(F.sum("qty").alias("total"))
     return (
         cum.crossJoin(F.broadcast(total))
         .agg(

@@ -324,7 +324,9 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(
         spend, [F.col("c_acctbal").desc(), F.col("c_custkey")], alias="rn"
     )
-    tot = spend.agg(
+    # (nc, ts) off the operator's materialized output — not a second
+    # customer⋈orders pass (round-14 optimization; order-invariant)
+    tot = ranked.agg(
         F.count("*").alias("nc"), F.sum("sp").alias("ts")
     )
     d = ranked.crossJoin(F.broadcast(tot)).withColumn(
@@ -398,7 +400,12 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_prefix_sum(
         rev, [F.col("rev").desc(), F.col("l_partkey")], "rev", alias="cum_rev"
     )
-    tot = rev.agg(F.sum("rev").alias("total"))
+    # total from the operator's checkpoint-backed output, not from a
+    # second lineitem scan+aggregate: cum's lineage is truncated at the
+    # materialization barrier, so this aggregate reads the ~|parts|-row
+    # frame instead of re-running the whole revenue rollup (round-14
+    # optimization; decimal sum is order-invariant, same multiset)
+    tot = cum.agg(F.sum("rev").alias("total"))
     cls = cum.crossJoin(F.broadcast(tot)).withColumn(
         "abc_class",
         F.when(F.col("cum_rev") * 5 <= F.col("total") * 4, "A")
@@ -478,7 +485,10 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_cols = [F.col("sp"), F.col("c_custkey")]
     cum = global_prefix_sum(spend, order_cols, "sp", alias="cum_rev")
     ranked = global_row_number(cum, order_cols, alias="rn")
-    tot = spend.agg(F.count("*").alias("nc"), F.sum("sp").alias("total"))
+    # (nc, total) off the ranking operator's materialized output — not
+    # a second customer⋈orders pass (round-14 optimization; count and
+    # decimal sum are order-invariant over the same multiset)
+    tot = ranked.agg(F.count("*").alias("nc"), F.sum("sp").alias("total"))
     d = ranked.crossJoin(F.broadcast(tot)).withColumn(
         "decile", F.expr("CAST((rn - 1) * 10 div nc + 1 AS INT)")
     )

@@ -720,7 +720,9 @@ def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = partitioned_row_number(
         spend, ["yr"], [F.col("sp").desc(), F.col("o_custkey")], alias="rn"
     )
-    totals = spend.groupBy("yr").agg(F.count("*").alias("ty"))
+    # per-year totals off the operator's materialized output — not a
+    # second orders scan+rollup (round-14 optimization; same multiset)
+    totals = ranked.groupBy("yr").agg(F.count("*").alias("ty"))
     t = ranked.join(F.broadcast(totals), "yr").withColumn(
         "terc", ntile_from_rank(F.col("rn"), F.col("ty"), 3)
     )
@@ -890,8 +892,10 @@ def q_brand_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = partitioned_row_number(
         p, ["p_brand"], [F.col("p_retailprice"), F.col("p_partkey")], alias="rn"
     )
-    counts = p.groupBy("p_brand").agg(F.count("*").alias("nb"))
-    stats = p.groupBy("p_brand").agg(
+    # per-brand counts and min/max off the operator's materialized
+    # output — not two extra part-table scans (round-14 optimization)
+    counts = ranked.groupBy("p_brand").agg(F.count("*").alias("nb"))
+    stats = ranked.groupBy("p_brand").agg(
         F.min("p_retailprice").alias("min_price"),
         F.max("p_retailprice").alias("max_price"),
     )
@@ -967,7 +971,11 @@ def q_transition_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("gap_us"), F.col("user_id"), F.col("event_id")],
         alias="rn",
     )
-    counts = g.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    # pair counts off the operator's materialized output — not a second
+    # events scan + lead-window pass (round-14 optimization)
+    counts = ranked.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
     return (
         ranked.join(F.broadcast(counts), ["from_type", "to_type"])
         .where(F.expr("rn = (n + 1) div 2"))

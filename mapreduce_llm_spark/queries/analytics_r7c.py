@@ -1143,18 +1143,22 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     full trace proves every intermediate frontier, not just the final
     core."""
     from mapreduce_llm_spark.operators.graph import kcore_peel_trace
+    from mapreduce_llm_spark.queries.analytics_r4 import basket_pair_counts
 
-    b = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    # round-14 optimization (guide §2.4): the edge list is built with
+    # the join-free q_basket_pairs expansion — one collect_set shuffle
+    # per order + in-task C(k,2) pair transform — instead of
+    # distinct → size-filter join → self-join on l_orderkey (4-5
+    # exchanges and two lineitem passes). size(collect_set) ≤ 12 is
+    # exactly the oracle's count-of-distinct-parts cap, and the final
+    # distinct dedups pairs across orders, so the edge SET (and the
+    # whole peel trace) is unchanged.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    sz = b.groupBy("ok").agg(F.count("*").alias("c")).where(F.col("c") <= 12)
-    capped = b.join(sz.select("ok"), "ok")
-    b2 = capped.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
     edges = (
-        capped.join(b2, (F.col("ok") == F.col("ok2")) & (F.col("pk") < F.col("pk2")))
-        .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+        basket_pair_counts(li, "ok", "pk", max_basket_items=12)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
         .distinct()
     )
     return kcore_peel_trace(edges, k=80, iters=6)

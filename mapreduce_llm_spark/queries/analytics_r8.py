@@ -127,7 +127,9 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = partitioned_row_number(
         d, ["lang"], [F.col("n_chars"), F.col("doc_id")], alias="rk"
     )
-    totals = d.groupBy("lang").agg(F.count("*").alias("n"))
+    # per-language totals off the operator's materialized output — not
+    # a second documents scan (round-14 optimization; same multiset)
+    totals = ranked.groupBy("lang").agg(F.count("*").alias("n"))
     return (
         ranked.join(F.broadcast(totals), "lang")
         .where(F.col("doc_id") % 10 == 0)
@@ -1144,7 +1146,9 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
         alias="rk",
     )
-    totals = li.groupBy("rf").agg(F.count("*").alias("n"))
+    # per-flag totals off the operator's materialized output — not a
+    # second lineitem scan (round-14 optimization; same multiset)
+    totals = ranked.groupBy("rf").agg(F.count("*").alias("n"))
     return (
         ranked.join(F.broadcast(totals), "rf")
         .select(
@@ -1295,34 +1299,33 @@ def _copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )
-    cp = (
+    # round-14 optimization (guide §2.4, the q_basket_pairs idiom):
+    # one collect_set shuffle per (part, supplier) + in-task C(k,2)
+    # pair expansion replaces distinct → count-cap join → self-join
+    # (4-5 exchanges, two passes over the order⋈lineitem join).
+    # size(collect_set(ck)) ≤ 8 is exactly the old count-of-distinct-
+    # customers cap, sort_array gives u < v directly, and the final
+    # distinct dedups pairs across groups — the edge SET is unchanged.
+    e = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             F.col("o_custkey").alias("ck"),
             F.col("l_partkey").alias("pk"),
             F.col("l_suppkey").alias("sk"),
         )
-        .distinct()
-    )
-    grp = cp.groupBy("pk", "sk").agg(F.count("*").alias("c"))
-    capped = cp.join(
-        grp.where(F.col("c") <= 8).select("pk", "sk"), ["pk", "sk"]
-    )
-    b = capped.select(
-        F.col("pk").alias("pk2"), F.col("sk").alias("sk2"),
-        F.col("ck").alias("ck_b"),
-    )
-    e = (
-        capped.join(
-            b,
-            (F.col("pk") == F.col("pk2"))
-            & (F.col("sk") == F.col("sk2"))
-            & (F.col("ck") < F.col("ck_b")),
-        )
+        .groupBy("pk", "sk")
+        .agg(F.sort_array(F.collect_set("ck")).alias("cks"))
+        .where(F.size("cks") <= 8)
         .select(
-            F.least("ck", "ck_b").alias("u"),
-            F.greatest("ck", "ck_b").alias("v"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(cks, (x, i) -> "
+                    "transform(slice(cks, i + 2, size(cks)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pair")
         )
+        .select("pair.u", "pair.v")
         .distinct()
     )
     return e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
@@ -2191,6 +2194,14 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
+    # round-14 optimization audit: measured, then left UNmaterialized —
+    # the signature aggregate's final exchange (hashpartitioning
+    # (doc_id, i)) is byte-identical across its three consumers, so
+    # ReuseExchange already computes the 12×md5 min-hash pass once;
+    # forcing eager localCheckpoints on sh/m instead measured 1.16×
+    # SLOWER (4.56 → 5.31 s isolated A/B): the shingle-string frame is
+    # large, and block write + full-row rescans cost more than the
+    # pipelined recompute of the cheap explode legs.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     m = (
         sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i"))
@@ -4284,6 +4295,11 @@ def q_histogram_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
+    # round-14 optimization audit: bounds and the equi-width leg stay
+    # on direct parquet scans — the scan prunes to the single
+    # l_extendedprice column and is cheaper than re-reading the
+    # ranking operator's full-row checkpoint blocks (routing all three
+    # legs through the checkpoint measured 1.16× SLOWER, 2.07→2.39 s)
     bounds = v.agg(
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),

@@ -489,16 +489,21 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN nw > 0 THEN tf * 10000 div nw ELSE 0 END"
         ).alias("density_e4"),
     )
+    # the second ranking runs over the FIRST ranking's output (same
+    # rows, rank_a already attached): the expensive document tokenize/
+    # count pass runs once — its lineage is truncated at the first
+    # operator's materialization barrier — and the doc_id join between
+    # the two legs disappears entirely (round-14 optimization)
     ra = global_row_number(
         s, [(-F.col("tf")).asc(), F.col("doc_id").asc()], alias="rank_a"
-    ).select("doc_id", "rank_a")
-    rb = global_row_number(
-        s,
+    )
+    fused = global_row_number(
+        ra,
         [(-F.col("density_e4")).asc(), F.col("doc_id").asc()],
         alias="rank_b",
-    ).select("doc_id", "rank_b")
+    )
     return (
-        ra.join(rb, "doc_id")
+        fused
         .select(
             "doc_id",
             F.col("rank_a").cast("long").alias("rank_a"),

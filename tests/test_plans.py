@@ -197,12 +197,14 @@ def test_global_ranking_avoids_single_partition_window(spark):
     for name in ("q_sort_multi", "q_win_ntile"):
         plan = plan_of(spark, name)
         assert "existingrdd" in plan.lower(), name
-        # the row_number window must be partitioned (by the range-
-        # partition id), never a global window over the data
+        # round-14: the local rank is mono-id arithmetic over the
+        # checkpointed blocks — NO row_number window (and so no second
+        # full-data exchange + sort) may exist anywhere in the plan
         rn_windows = [
             l for l in plan.splitlines() if "row_number()" in l and "Window" in l
         ]
-        assert rn_windows and all("__mrs_pid" in l for l in rn_windows), name
+        assert not rn_windows, (name, rn_windows)
+        assert "monotonically_increasing_id" in plan, name
         # SinglePartition exchanges may only carry the per-partition
         # COUNTS (one row per partition), never the data itself
         lines = plan.splitlines()
@@ -427,14 +429,16 @@ def test_r7_customer_migration_rank_is_range_partitioned(spark):
     plain Window.partitionBy(yr), which would funnel each year's whole
     customer base through one task."""
     plan = plan_of(spark, "q_customer_migration")
-    assert "__mrs_pid" in plan and "rangepartitioning" in plan
-    # every ranking window must carry the physical pid in its spec —
-    # the data-bearing ones partition by (pid, yr), the offsets window
-    # orders the one-row-per-(partition, yr) counts by pid
+    assert "__mrs_pid" in plan
+    assert "existingrdd" in plan.lower(), (
+        "ranking no longer reads a materialized range-partitioned frame"
+    )
+    # round-14: the per-(partition, year) local rank is mono-id
+    # arithmetic over the checkpointed blocks — NO row_number window
+    # (and so no second full-data exchange + sort) may exist
     rank_lines = [l for l in plan.splitlines() if "row_number() windowspec" in l]
-    assert rank_lines, plan
-    for line in rank_lines:
-        assert "__mrs_pid" in line, line
+    assert not rank_lines, rank_lines
+    assert "monotonically_increasing_id" in plan
 
 
 def test_bench_pinned_subset_is_frozen():
@@ -929,11 +933,16 @@ def test_shuffle_shards_uses_distributed_ranking(spark):
     range-partition id — never row_number() OVER (ORDER BY h) on one
     task."""
     plan = plan_of(spark, "q_shuffle_shards")
-    assert "rangepartitioning" in plan.lower()
+    assert "existingrdd" in plan.lower(), (
+        "ranking no longer reads a materialized range-partitioned frame"
+    )
+    # round-14: local rank = mono-id arithmetic over the checkpointed
+    # range-sorted blocks; no row_number window (no second exchange)
     rn_windows = [
         l for l in plan.splitlines() if "Window" in l and "row_number" in l
     ]
-    assert rn_windows and all("__mrs_pid" in l for l in rn_windows), rn_windows
+    assert not rn_windows, rn_windows
+    assert "monotonically_increasing_id" in plan
 
 
 def test_bm25_is_take_ordered_with_prefiltered_terms(spark):

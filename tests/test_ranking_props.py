@@ -107,3 +107,45 @@ def test_partitioned_row_number_has_no_unpartitioned_window(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__mrs_pid" in plan and "BroadcastHashJoin" in plan
+
+def test_global_row_number_mono_path_matches_naive_and_removes_window(spark):
+    """Round-14 optimization pin: with the materialization barrier in
+    place, the local rank is monotonically_increasing_id arithmetic
+    over the checkpointed range-sorted blocks — the plan must contain
+    NO row_number window (the previous form's full hash-repartition +
+    second sort), and the ranks must equal the naive single-partition
+    window bit-for-bit. The materialize=False escape hatch (no frozen
+    blocks, mono ids unsound) must keep the window form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators.ranking import global_row_number
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value"
+    )
+    order = [F.col("value").desc(), F.col("event_id")]
+    got = global_row_number(e, order, alias="rn")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" in plan
+    assert "row_number()" not in plan, "mono path must not plan a window"
+    assert "ExistingRDD" in plan
+
+    naive_w = Window.partitionBy(F.pmod(F.col("event_id"), F.lit(1))).orderBy(
+        *order
+    )
+    want = {
+        r.event_id: r.rn
+        for r in e.select(
+            "event_id", F.row_number().over(naive_w).alias("rn")
+        ).collect()
+    }
+    assert {r.event_id: r.rn for r in got.select("event_id", "rn").collect()} == want
+
+    lazy = global_row_number(e, order, alias="rn", materialize=False)
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "row_number()" in lazy_plan, "escape hatch must keep the window"
+    assert {
+        r.event_id: r.rn for r in lazy.select("event_id", "rn").collect()
+    } == want

@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -244,11 +244,14 @@ def minhash_near_dup_pairs(
         "_id", F.posexplode("_bands").alias("_band_ix", "_band_key")
     )
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("_band_ix", "_band_key").agg(
-            F.count("*").alias("_bucket_n")
-        )
+        # round-14 optimization: the occupancy cap is a window count
+        # over the same (band, key) the candidate self-join shuffles on
+        # — one exchange that the join then reuses — instead of a
+        # separate aggregate + join-back of the bucket table (two extra
+        # shuffles of the exploded band rows). Same rows survive.
+        wb = Window.partitionBy("_band_ix", "_band_key")
         buckets = (
-            buckets.join(sizes, ["_band_ix", "_band_key"])
+            buckets.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))
             .filter(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
@@ -603,18 +604,41 @@ def q_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. All inputs are exact integers, so the lift quotient is
     bit-deterministic and the (lift DESC, part_a, part_b) cut is
     stable in both engines."""
-    from mapreduce_llm_spark.queries.analytics_r4 import basket_pair_counts
-
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.agg(
-        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    # round-14 optimization: ONE per-order collect_set pass feeds all
+    # three statistics — previously the distinct-items frame was built
+    # for n_orders/per_part while basket_pair_counts re-scanned and
+    # re-shuffled lineitem a second time. The checkpointed basket
+    # frame replays for: order total (row count — collect_set rows are
+    # exactly the distinct orderkeys), per-part order counts (explode
+    # of the already-distinct part sets), and the join-free C(k,2)
+    # pair expansion (byte-identical to basket_pair_counts, 256-item
+    # cap included). Values are unchanged on every leg.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    per_part = items.groupBy("l_partkey").agg(
-        F.count("*").cast("long").alias("n_part")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    per_part = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("n_part"))
     )
     pairs = (
-        basket_pair_counts(li, "l_orderkey", "l_partkey")
+        baskets.where(F.size("parts") <= 256)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pair")
+        )
+        .select("pair.part_a", "pair.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_ab"))
         .where(F.col("n_ab") >= 3)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
@@ -988,20 +989,33 @@ def q_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower("text"), "[^a-z]+"), lambda w: w != F.lit("")
     )
     with_ws = docs.select("doc_id", words.alias("ws"))
+    # round-14 optimization (the q_shingle_containment pattern):
+    # (1) per-doc dedup happens IN-TASK via array_distinct before the
+    # explode — the old explode-then-global-distinct paid a full
+    # shuffle of shingle strings for a dedup that is per-document by
+    # construction; (2) shingles are carried as xxhash64 fingerprints
+    # (8-byte join/groupBy keys; counts change only on a same-pair
+    # 64-bit collision, birthday bound ≪ 1e-8 — the string-exact
+    # oracle still hash-matches); (3) the narrow (doc_id, long) frame
+    # is checkpointed once for its four consumers (sizes, df cap, both
+    # join sides), which previously each re-ran tokenize + explode.
     sh = (
         with_ws.select(
             "doc_id",
             F.explode(
                 F.when(
                     F.size("ws") >= 4,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ws") - 3),
-                        lambda i: F.array_join(F.slice("ws", i, 4), " "),
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("ws") - 3),
+                            lambda i: F.array_join(F.slice("ws", i, 4), " "),
+                        )
                     ),
                 ).otherwise(F.array().cast("array<string>"))
-            ).alias("sh"),
+            ).alias("s"),
         )
-        .distinct()
+        .select("doc_id", F.xxhash64("s").alias("sh"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
     df = (

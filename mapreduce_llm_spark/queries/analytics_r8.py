@@ -32,6 +32,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.registry import query
@@ -4046,16 +4047,32 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filter(split(lower(text), '[^a-z]+'), w -> w != '')"
         ).alias("ws"),
     )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(ws) >= 5 THEN array_distinct("
-                " transform(sequence(0, size(ws) - 5),"
-                "  i -> concat_ws(' ', slice(ws, i + 1, 5))))"
-                " ELSE array() END"
-            )
-        ).alias("sh"),
+    # round-14 optimization: (1) shingles are carried as xxhash64
+    # fingerprints — the inverted-index join/groupBy keys shrink from
+    # ~30-byte strings to 8-byte longs (the ngram_jaccard_pairs
+    # discipline; counts change only on a 64-bit collision between two
+    # distinct shingles of the same pair, birthday bound ≪ 1e-8, and
+    # the string-exact DuckDB oracle still hash-matches); (2) the
+    # fingerprinted frame — now two narrow columns — is checkpointed
+    # once: it feeds FOUR consumers (sizes, the df cap, both join
+    # sides), each of which previously re-ran the tokenize + 5-shingle
+    # explode from parquet. (Materializing the STRING shingle frame in
+    # q_minhash_eval measured slower — it's the narrow fingerprint
+    # form that makes the checkpoint pay.)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 5 THEN array_distinct("
+                    " transform(sequence(0, size(ws) - 5),"
+                    "  i -> concat_ws(' ', slice(ws, i + 1, 5))))"
+                    " ELSE array() END"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("sh"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
     df_ok = (

@@ -2938,6 +2938,12 @@ def q_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # round-14 optimization audit: members feeds two consumers, but the
+    # branch point sits ABOVE the island window's exchange — within
+    # this single action ReuseExchange already computes the tokenize +
+    # shuffle once per run, and an eager localCheckpoint here measured
+    # 1.6→2.0 s SLOWER in-session (block write + string rescans).
+    # Left un-materialized deliberately.
     members = (
         t.withColumn("pid", F.sum("stop").over(wisl))
         .where(F.col("stop") == 0)
@@ -3398,6 +3404,11 @@ def q_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.where(F.col("t").isNotNull() & (F.col("s") != "purchase"))
         .groupBy("s", "t")
         .agg(F.count("*").cast("long").alias("n"))
+        # round-14 optimization: tr is ≤|types|² rows but its lineage
+        # is the full events lead-window pass, and it feeds cs, p, AND
+        # (through cs) the final n_out join — checkpointing the tiny
+        # matrix runs that pass once instead of ~3×
+        .localCheckpoint(eager=True)
     )
     cs = tr.groupBy("s").agg(F.sum("n").cast("long").alias("n_out"))
     p = tr.join(cs, "s").select(

@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # ad-hoc conf overrides for A/B experiments and cluster tuning,
+    # e.g. SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false;k=v"
+    # — applied last so they win over the defaults above
+    extra = os.environ.get("SPARK_GRAFT_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -892,10 +892,12 @@ def q_brand_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = partitioned_row_number(
         p, ["p_brand"], [F.col("p_retailprice"), F.col("p_partkey")], alias="rn"
     )
-    # per-brand counts and min/max off the operator's materialized
-    # output — not two extra part-table scans (round-14 optimization)
-    counts = ranked.groupBy("p_brand").agg(F.count("*").alias("nb"))
-    stats = ranked.groupBy("p_brand").agg(
+    # round-14 audit: counts/stats stay on the direct part scans (bare
+    # pruned-column scans + partial aggs; the derive-from-checkpoint
+    # rewrite only pays when the recomputed subtree holds a
+    # join/window/explode — see q_quantile_normalize)
+    counts = p.groupBy("p_brand").agg(F.count("*").alias("nb"))
+    stats = p.groupBy("p_brand").agg(
         F.min("p_retailprice").alias("min_price"),
         F.max("p_retailprice").alias("max_price"),
     )

@@ -128,9 +128,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = partitioned_row_number(
         d, ["lang"], [F.col("n_chars"), F.col("doc_id")], alias="rk"
     )
-    # per-language totals off the operator's materialized output — not
-    # a second documents scan (round-14 optimization; same multiset)
-    totals = ranked.groupBy("lang").agg(F.count("*").alias("n"))
+    # round-14 audit: totals stay on the direct documents scan — it
+    # prunes to the lang column and beats a second full-row pass over
+    # the ranking checkpoint (the derive-from-output rewrite measured
+    # 1.45x in the round's full map and was reverted; the rewrite only
+    # pays when the recomputed subtree holds a join/window/explode)
+    totals = d.groupBy("lang").agg(F.count("*").alias("n"))
     return (
         ranked.join(F.broadcast(totals), "lang")
         .where(F.col("doc_id") % 10 == 0)
@@ -1147,9 +1150,9 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
         alias="rk",
     )
-    # per-flag totals off the operator's materialized output — not a
-    # second lineitem scan (round-14 optimization; same multiset)
-    totals = ranked.groupBy("rf").agg(F.count("*").alias("n"))
+    # round-14 audit: totals stay on the direct lineitem scan (prunes
+    # to one column; see q_quantile_normalize for the rule)
+    totals = li.groupBy("rf").agg(F.count("*").alias("n"))
     return (
         ranked.join(F.broadcast(totals), "rf")
         .select(

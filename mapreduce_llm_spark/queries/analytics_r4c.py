@@ -515,17 +515,34 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle is the self-join on l_orderkey (measured: ~1 s less at
     # sf0.1 for ~4% more edge rows).
     items = li.select("l_orderkey", "l_partkey")
-    a, b = items.alias("a"), items.alias("b")
     # SERIALIZED storage for the materialized edge list (storage only —
     # value-identical): the default deserialized-row cache of the
     # |lines|²-per-order pair set outgrew executor storage at sf10 and
     # the eviction/GC churn ran the second decade at exponent 1.246
     # (round-12 diagnosis); MEMORY_AND_DISK (serialized in PySpark)
     # packs ~2-4x tighter, stays resident, and re-measures at 0.84.
+    # Round-14 optimization: the oriented pair MULTISET now comes from
+    # ONE collect_list shuffle per order + in-task position-pair
+    # expansion (least/greatest per i<j line pair, equal-part pairs
+    # filtered) instead of the l_orderkey self-join — same multiset
+    # (each unordered line pair with distinct parts contributes exactly
+    # one (min, max) row in both forms; in-session A/B 4.5-5.5 → 3.0 s
+    # at sf0.1). TPC-H orders are ≤7 lines, so the per-basket quadratic
+    # is bounded; a mega-basket corpus would add the q_basket_pairs cap.
     oriented = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        items.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "filter(transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(least(x, y) AS pa, greatest(x, y) AS pb)), "
+                    "p -> p.pa <> p.pb)))"
+                )
+            ).alias("pair")
+        )
+        .select("pair.pa", "pair.pb")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     edges = oriented.select(

@@ -726,18 +726,23 @@ def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ranked.join(F.broadcast(totals), "yr").withColumn(
         "terc", ntile_from_rank(F.col("rn"), F.col("ty"), 3)
     )
-    a = t.select(
-        F.col("yr").alias("from_yr"),
-        F.col("o_custkey").alias("ck"),
-        F.col("terc").alias("from_terc"),
-    )
-    b = t.select(
-        F.col("yr").alias("to_yr"),
-        F.col("o_custkey").alias("ck"),
-        F.col("terc").alias("to_terc"),
-    )
+    # round-14 optimization (guide §2.4): spend is unique per
+    # (yr, o_custkey), so "this year's tercile joined to next year's"
+    # is a lead() over the per-customer year sequence kept only where
+    # the next year is consecutive — ONE hash exchange on o_custkey
+    # replaces the a⋈b self-join's two exchanges + merge sorts. Row set
+    # identical: the join matched exactly the (yr, yr+1) pairs per
+    # customer, which is lead(yr) == yr + 1.
+    wck = Window.partitionBy("o_custkey").orderBy("yr")
     tr = (
-        a.join(b, (a["ck"] == b["ck"]) & (b["to_yr"] == a["from_yr"] + 1))
+        t.withColumn("to_yr", F.lead("yr").over(wck))
+        .withColumn("to_terc", F.lead("terc").over(wck))
+        .where(F.col("to_yr") == F.col("yr") + 1)
+        .select(
+            F.col("yr").alias("from_yr"),
+            F.col("terc").alias("from_terc"),
+            "to_terc",
+        )
         .groupBy("from_yr", "from_terc", "to_terc")
         .agg(F.count("*").alias("n_customers"))
     )

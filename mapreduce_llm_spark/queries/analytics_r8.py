@@ -3792,12 +3792,24 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     update is one keyed aggregate to k × 64 cells; nothing iterates
     driver-side."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim0", "x")
-    ).select(
-        "vec_id",
-        (F.col("dim0") + 1).alias("dim"),
-        F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("qv"),
+    # round-14 optimization: the quantized (vec_id, dim, qv) explode
+    # feeds THREE consumers (seed centroids, the distance aggregate,
+    # the update aggregate) with no exchange below the branch point —
+    # un-materialized, the 64×-row posexplode re-runs per reference.
+    # Three narrow long columns checkpoint cheaply (the
+    # q_shingle_containment rule).
+    q = (
+        e.select(
+            "vec_id", F.posexplode("embedding").alias("dim0", "x")
+        )
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("x").cast("double") * 1000)
+            .cast("bigint")
+            .alias("qv"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     seeds = (
         e.select("vec_id", _md5_40(F.col("vec_id").cast("string")).alias("h"))
@@ -3929,13 +3941,20 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is one keyed aggregate per (vec, subspace); the
     output is ≤ 16 cells however many vectors exist."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim0", "x")
-    ).select(
-        "vec_id",
-        (F.col("dim0") + 1).alias("dim"),
-        F.expr("CAST(dim0 div 16 AS INT)").alias("subspace"),
-        F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("qv"),
+    # round-14 optimization: the quantized explode feeds the codebook
+    # leg AND the assignment join with no exchange below the branch —
+    # checkpoint the four narrow columns once (q_kmeans_step rule)
+    q = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim0", "x"))
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).alias("dim"),
+            F.expr("CAST(dim0 div 16 AS INT)").alias("subspace"),
+            F.floor(F.col("x").cast("double") * 1000)
+            .cast("bigint")
+            .alias("qv"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     seeds = (
         e.select("vec_id", _md5_40(F.col("vec_id").cast("string")).alias("h"))

@@ -549,29 +549,40 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(oriented.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
 
-    seed = oriented.agg(F.min("pa").alias("node")).withColumn("hop", F.lit(0))
-    dist = seed.localCheckpoint(eager=True)
+    # Round-14: the F.broadcast hints on the frontier/settled sets are
+    # gone — they were the round-9 forced-broadcast class (frontier is
+    # ≤|V|, i.e. SF-scaling; a hint OOMs at the 100 TB design point),
+    # previously masked from the AST lint by a tuple-assignment blind
+    # spot that this round's edge-build rewrite incidentally removed.
+    # Instead each level is persisted + counted: the materialized
+    # InMemoryRelation carries its TRUE sizeInBytes, so Catalyst picks
+    # the broadcast itself while the frontier fits the threshold and
+    # degrades to a shuffle join when it genuinely outgrows it —
+    # statistics, not hints (in-session: all 3 levels still plan
+    # BroadcastHashJoin with zero SortMergeJoin at sf0.1, ~hint-equal
+    # time; the unhinted checkpoint form was ~1.3× slower because
+    # LogicalRDD reports no stats and Catalyst sort-merged the edge
+    # list every level). MEMORY_AND_DISK persists are serialized and
+    # never evicted (the q_graph_bfs round-12 storage rule); block
+    # lifetime matches the previous checkpoints' (ContextCleaner).
+    seed = (
+        oriented.agg(F.min("pa").alias("node"))
+        .withColumn("hop", F.lit(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed.count()
+    dist = seed
     frontier = dist
     for level in range(1, 4):
-        # frontier and settled sets are ≤|V| rows (checkpointed RDDs
-        # carry no stats, so without the hints Catalyst sort-merges the
-        # full edge list every level — measured 3.2 s → 1.9 s at sf0.1);
-        # at cluster scale where |V| outgrows the broadcast threshold
-        # this degrades gracefully to the shuffle hash join on vertex.
         frontier = (
-            edges.join(
-                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
-            )
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(F.broadcast(dist.select("node")), "node", "left_anti")
+            .join(dist.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(level))
-            # serialized like the edge list above: the frontier is a
-            # per-node (SF-scaling) frame
-            .localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        frontier.count()
         dist = dist.unionByName(frontier)
     return dist.select(
         F.col("node").alias("p_partkey"), F.col("hop").cast("int").alias("hop")

@@ -916,14 +916,25 @@ def test_skyline_is_grouped_sweep_plus_broadcast(spark):
 
 
 def test_graph_bfs_levels_materialize_once(spark):
-    """Each BFS level is localCheckpointed as it is computed (the
-    level-k frontier feeds BOTH the next level's join and the final
-    union — without materialization the level-3 chain would recompute
-    levels 1-2), so the returned plan must be a pure union of the four
-    materialized levels: no join, no recompute at read time."""
+    """Each BFS level is materialized as it is computed (the level-k
+    frontier feeds BOTH the next level's join and the final union —
+    without materialization the level-3 chain would recompute levels
+    1-2). Since round 14 the levels are persisted+counted rather than
+    localCheckpointed, so Catalyst sees TRUE sizes and picks the
+    frontier broadcasts from statistics instead of the forced
+    F.broadcast hints (the round-9 OOM class — frontier is SF-scaling).
+    The returned plan must read the four cached levels through a pure
+    union: above the first cached relation there is no join and no
+    recompute (the joins visible further down are the cached levels'
+    STORED build plans, executed once at persist time)."""
     plan = plan_of(spark, "q_graph_bfs")
-    assert "Join" not in plan
-    assert plan.count("Scan ExistingRDD") == 4
+    head = plan.split("InMemoryRelation")[0]
+    assert "Union" in head and "Join" not in head
+    assert plan.count("InMemoryTableScan") >= 4
+    # every level is broadcast-joined by STATISTICS, never by hint:
+    # the query source carries no F.broadcast, and the stored level
+    # plans must still have picked broadcast joins at this SF
+    assert "BroadcastHashJoin" in plan
 
 
 def test_shuffle_shards_uses_distributed_ranking(spark):

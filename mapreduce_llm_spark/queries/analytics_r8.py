@@ -3792,12 +3792,13 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     update is one keyed aggregate to k × 64 cells; nothing iterates
     driver-side."""
     e = load_table(spark, sf_dir, "embeddings")
-    # round-14 optimization: the quantized (vec_id, dim, qv) explode
-    # feeds THREE consumers (seed centroids, the distance aggregate,
-    # the update aggregate) with no exchange below the branch point —
-    # un-materialized, the 64×-row posexplode re-runs per reference.
-    # Three narrow long columns checkpoint cheaply (the
-    # q_shingle_containment rule).
+    # round-15 adjudication (VERDICT r14 item 1): the round-14 eager
+    # checkpoint of this 64×-row explode measured 0.88× WITHOUT it in
+    # the in-session A/B (tools/ab_session.py, medians 1.53 vs 1.34 s
+    # over 5 alternating passes) — the recomputed posexplode over the
+    # pruned 2-column parquet scan is cheaper than writing + rescanning
+    # a frame 1.5× the base data volume. Reverted to the lazy form (the
+    # bare-pruned-scan rule from the r14 q_histogram_error revert).
     q = (
         e.select(
             "vec_id", F.posexplode("embedding").alias("dim0", "x")
@@ -3809,7 +3810,6 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qv"),
         )
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     seeds = (
         e.select("vec_id", _md5_40(F.col("vec_id").cast("string")).alias("h"))
@@ -3941,9 +3941,11 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is one keyed aggregate per (vec, subspace); the
     output is ≤ 16 cells however many vectors exist."""
     e = load_table(spark, sf_dir, "embeddings")
-    # round-14 optimization: the quantized explode feeds the codebook
-    # leg AND the assignment join with no exchange below the branch —
-    # checkpoint the four narrow columns once (q_kmeans_step rule)
+    # round-15 adjudication (VERDICT r14 item 1): the round-14 eager
+    # checkpoint of the quantized explode measured a wash in-session
+    # (1.02× without, medians 1.10 vs 1.12 s) — no demonstrated win, so
+    # the simpler lazy form stands (same bare-pruned-scan rationale as
+    # q_kmeans_step; the explode rescan streams off a 2-column scan).
     q = (
         e.select("vec_id", F.posexplode("embedding").alias("dim0", "x"))
         .select(
@@ -3954,7 +3956,6 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qv"),
         )
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     seeds = (
         e.select("vec_id", _md5_40(F.col("vec_id").cast("string")).alias("h"))

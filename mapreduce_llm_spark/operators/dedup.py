@@ -249,6 +249,15 @@ def minhash_near_dup_pairs(
         # — one exchange that the join then reuses — instead of a
         # separate aggregate + join-back of the bucket table (two extra
         # shuffles of the exploded band rows). Same rows survive.
+        # Memory-shape trade-off (advisor round 14): WindowExec buffers
+        # each (band, key) bucket in one task's frame buffer BEFORE the
+        # filter drops oversized ones, so the degenerate mega-bucket
+        # the cap exists for is materialized once (spill-backed —
+        # UnsafeExternalSorter spills past
+        # spark.sql.windowExec.buffer.spill.threshold, so this is a
+        # slow-task risk, not an OOM). If adversarial single-key skew
+        # is expected upstream, prefer the old aggregate+join form,
+        # which streams the mega-bucket through a broadcast filter.
         wb = Window.partitionBy("_band_ix", "_band_key")
         buckets = (
             buckets.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))

@@ -222,6 +222,13 @@ def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
     exists, instead of all ``iters`` levels pinning block-manager
     memory until the final union evaluates."""
     spark = edges.sparkSession
+    if iters <= 0:
+        # advisor round 14: the eager level-0 stats used to run (and
+        # emit one row) even for iters <= 0; preserve the documented
+        # "fixed iteration count" boundary — no levels, no jobs.
+        return spark.createDataFrame(
+            [], "iter INT, n_nodes BIGINT, n_edges BIGINT"
+        )
     # Edge-list checkpoints use SERIALIZED storage (MEMORY_AND_DISK is
     # serialized in PySpark): the q_graph_bfs round-12 diagnosis showed
     # the default deserialized-row cache of an SF-scaling pair frame

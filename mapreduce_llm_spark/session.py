@@ -58,5 +58,25 @@ def get_spark(
         k, _, v = kv.partition("=")
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if extra:
+        # advisor round 14: getOrCreate returns any pre-existing
+        # session and silently ignores builder configs — an A/B in a
+        # warm process would measure defaults while believing the
+        # override applied. Verify each override took; warn loudly
+        # when it did not (static confs cannot be set post-creation).
+        import sys as _sys
+
+        for kv in filter(None, (s.strip() for s in extra.split(";"))):
+            k, _, v = kv.partition("=")
+            try:
+                actual = spark.conf.get(k, None)
+            except Exception:
+                actual = None
+            if actual != v:
+                print(
+                    f"WARNING: SPARK_GRAFT_CONF override {k}={v} NOT "
+                    f"active (session pre-existed; actual={actual})",
+                    file=_sys.stderr,
+                )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -141,3 +141,14 @@ def test_kcore_trace_matches_brute_force_on_random_graphs(spark, seed, k):
         for r in kcore_peel_trace(edf, k=k, iters=5).collect()
     ]
     assert got == expected
+
+
+def test_kcore_iters_zero_returns_empty_trace(spark):
+    """advisor round 14: iters <= 0 must yield an EMPTY trace (the old
+    boundary semantics) and run no per-level jobs — the eager level-0
+    stats previously executed even when no levels were requested."""
+    from mapreduce_llm_spark.operators.graph import kcore_peel_trace
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u LONG, v LONG")
+    assert kcore_peel_trace(edges, k=1, iters=0).count() == 0
+    assert kcore_peel_trace(edges, k=1, iters=-3).count() == 0

@@ -149,3 +149,66 @@ def test_global_row_number_mono_path_matches_naive_and_removes_window(spark):
     assert {
         r.event_id: r.rn for r in lazy.select("event_id", "rn").collect()
     } == want
+
+
+def test_mono_consecutiveness_guard_fires_on_drift(spark, monkeypatch):
+    """The mono-id local rank is only sound while
+    monotonically_increasing_id is CONSECUTIVE within a partition
+    (Spark documents monotonic+unique, "but not consecutive"). The
+    operators carry a runtime guard on the broadcast offsets row
+    (max − min + 1 == count per group) so a Spark upgrade that changes
+    the id layout fails LOUDLY instead of producing silently wrong
+    ranks across ~15 consumers. Simulate the drift by doubling the id
+    (still monotonic + unique, no longer consecutive) and require the
+    raise_error to surface; then confirm the unpatched path still
+    matches the naive window bit-for-bit (guard pass path)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import utils as _u  # noqa: F401  (exception import side)
+
+    from mapreduce_llm_spark.io import load_table
+    from mapreduce_llm_spark.operators import ranking
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+
+    real_mono = F.monotonically_increasing_id
+
+    def drifted_mono():
+        return real_mono() * 2
+
+    monkeypatch.setattr(ranking.F, "monotonically_increasing_id", drifted_mono)
+    with pytest.raises(Exception, match="not consecutive"):
+        ranking.global_row_number(
+            e, [F.col("event_id")], alias="rn"
+        ).write.mode("overwrite").format("noop").save()
+    with pytest.raises(Exception, match="not consecutive"):
+        ranking.partitioned_row_number(
+            e, ["user_id"], [F.col("event_id")], alias="rn"
+        ).write.mode("overwrite").format("noop").save()
+    monkeypatch.undo()
+
+    # guard pass path: unpatched operator still bit-exact vs the naive
+    # single-partition window on small data
+    from pyspark.sql import Window
+
+    got = {
+        r.event_id: r.rn
+        for r in ranking.global_row_number(
+            e, [F.col("event_id")], alias="rn"
+        ).collect()
+    }
+    want = {
+        r.event_id: r.rn
+        for r in e.select(
+            "event_id",
+            F.row_number()
+            .over(
+                Window.partitionBy(
+                    F.pmod(F.col("event_id"), F.lit(1))
+                ).orderBy("event_id")
+            )
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == want

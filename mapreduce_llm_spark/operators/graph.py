@@ -268,23 +268,46 @@ def kcore_peel_trace(edges: DataFrame, k: int, iters: int) -> DataFrame:
 
     deg, nn, ne, nk = _deg_stats(e)
     trace_rows: list[tuple[int, int, int]] = [(0, nn, ne)]
+    # Round-15 optimization (VERDICT r14 item 3, guide §2.4/§5): the
+    # induced subgraph at level i equals the FROZEN BASE restricted to
+    # the level-i survivor set (node sets shrink monotonically, and
+    # restriction to a smaller set is independent of intermediate
+    # restrictions), so a level does NOT need the previous level's
+    # edge list materialized — the per-level eager checkpoint rewrote
+    # ~1.1M edge rows per level on the TPC-H graph for a 1-7% shrink.
+    # Each level now derives its degree frame by semi-joining the base
+    # checkpoint against the current survivor set (the semi-joins were
+    # already paid inside the old checkpoint job; the full edge-list
+    # WRITE per level is what disappears). Shape-adaptivity: on a
+    # hard-peeling graph, scanning the fat base every level would
+    # waste the shrink, so when the previous level's edge count drops
+    # below _REMAT_FRACTION of the materialized base the induced frame
+    # is re-checkpointed as the new base — amortized O(log) rewrites,
+    # each at most doubling the optimal scan volume. Trace values are
+    # identical either way (same induced graphs).
+    _REMAT_FRACTION = 0.6
+    ne_base = ne  # edge rows in the currently-materialized base
     for it in range(1, iters):
         nodes = deg.where(F.col("d") >= k).select("n")
-        e = (
+        cur = (
             e.join(nodes.select(F.col("n").alias("u")), "u", "left_semi")
             .join(nodes.select(F.col("n").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(
+        )
+        rematerialized = ne < _REMAT_FRACTION * ne_base
+        if rematerialized:
+            cur = cur.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
-        )
+            e = cur
         nn = nk  # |{n : deg_{it-1}(n) ≥ k}|, computed a level early
         if it == iters - 1:
-            # last level: only the edge count is still needed — one
-            # pass over the just-checkpointed blocks, no degree pass
-            trace_rows.append((it, nn, e.count()))
+            # last level: only the edge count is still needed
+            trace_rows.append((it, nn, cur.count()))
             break
-        deg, _, ne, nk = _deg_stats(e)
+        deg, _, ne, nk = _deg_stats(cur)
+        if rematerialized:
+            ne_base = ne
         trace_rows.append((it, nn, ne))
     return spark.createDataFrame(
         trace_rows, "iter INT, n_nodes BIGINT, n_edges BIGINT"

@@ -70,11 +70,18 @@ class BytePairEncoder:
     a truncated vocabulary rather than silently wrong counts.
     """
 
+    # Bound on the per-encoder piece→token-count memo (see count()).
+    # Pieces are short strings (regex pre-tokens, mostly words); 2^18
+    # entries is a few tens of MB worst case — enough to cover any
+    # natural-language working set while bounding executor memory.
+    _COUNT_MEMO_MAX = 1 << 18
+
     def __init__(self, ranks: dict[bytes, int], pattern: str = CL100K_PATTERN):
         self.ranks = ranks
         self.pattern = pattern
         self._pat = None  # compiled lazily; regex objects don't pickle
         self._decode = None
+        self._count_memo: dict[str, int] | None = None
 
     def __getstate__(self):
         return {"ranks": self.ranks, "pattern": self.pattern}
@@ -84,6 +91,7 @@ class BytePairEncoder:
         self.pattern = state["pattern"]
         self._pat = None
         self._decode = None
+        self._count_memo = None
 
     def _compiled(self):
         if self._pat is None:
@@ -128,7 +136,34 @@ class BytePairEncoder:
         return out
 
     def count(self, text: str) -> int:
-        return len(self.encode(text))
+        """Token count without materializing ids, memoized per piece.
+
+        BPE is deterministic per pre-tokenization piece, and corpus
+        pieces repeat heavily (words), so a piece→count dict collapses
+        the merge loop to a lookup for every repeat — the guide §4.5
+        heavyweight-state-per-task pattern applied to the merge work
+        itself. The memo is bounded (``_COUNT_MEMO_MAX``) and the
+        value is exactly ``len(self.encode(text))`` whether or not a
+        piece is cached (round-15 optimization; property-pinned in
+        tests/test_bpe.py)."""
+        memo = self._count_memo
+        if memo is None:
+            memo = self._count_memo = {}
+        ranks = self.ranks
+        total = 0
+        for m in self._compiled().finditer(text):
+            piece = m.group()
+            c = memo.get(piece)
+            if c is None:
+                pb = piece.encode("utf-8")
+                if pb in ranks:
+                    c = 1
+                else:
+                    c = len(self._merge_piece(pb))
+                if len(memo) < self._COUNT_MEMO_MAX:
+                    memo[piece] = c
+            total += c
+        return total
 
     def decode(self, ids: Iterable[int]) -> str:
         if self._decode is None:

@@ -12,6 +12,8 @@ Catalyst expressions — no Python crossing, no UDFs).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -671,9 +673,14 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = _toy_bpe_ranks()
 
     @pandas_udf("long")
-    def bpe_count(texts: pd.Series) -> pd.Series:
-        enc = BytePairEncoder(ranks)  # rebuilt per batch: 280 entries
-        return texts.fillna("").map(enc.count)
+    def bpe_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # iterator form (guide §4.5): the encoder — and its per-piece
+        # count memo, the round-15 optimization that collapses repeated
+        # words' merge loops to a dict hit — is built once per TASK and
+        # amortized over every batch, instead of once per batch.
+        enc = BytePairEncoder(ranks)
+        for texts in batches:
+            yield texts.fillna("").map(enc.count)
 
     d = load_table(spark, sf_dir, "documents")
     return (

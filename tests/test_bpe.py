@@ -241,3 +241,27 @@ print("REINSTALL_GUARD_OK")
     )
     assert "EXECUTOR_VOCAB_OK" in r.stdout, r.stdout + r.stderr
     assert "REINSTALL_GUARD_OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_count_memo_matches_encode_len():
+    """count() memoizes per-piece token counts (round-15); the memo
+    must be invisible: count == len(encode) on repeated calls, mixed
+    texts, and across the memo warm/cold boundary."""
+    from mapreduce_llm_spark.functions.bpe import BytePairEncoder
+
+    from mapreduce_llm_spark.queries.textprep import _toy_bpe_ranks
+
+    enc = BytePairEncoder(_toy_bpe_ranks())
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the ingestion of nothing",
+        "",
+        "ünïcödé bytes — mixed 123 !!",
+        "the quick brown fox jumps over the lazy dog",  # repeat: warm memo
+    ]
+    for t in texts:
+        assert enc.count(t) == len(enc.encode(t)), t
+    # a fresh encoder (cold memo) agrees with the warmed one
+    cold = BytePairEncoder(_toy_bpe_ranks())
+    for t in texts:
+        assert cold.count(t) == enc.count(t), t

@@ -14,7 +14,7 @@ import pytest
 
 from mapreduce_llm_spark import registry
 from mapreduce_llm_spark.queries.analytics_r14_staged import STAGED_R14
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, STAGED_TIER
 from tests.oracle_harness import compare, duckdb_conn
 
 registry.load_all()
@@ -49,6 +49,7 @@ def test_staged_names_are_new():
         assert name.startswith("q_")
 
 
+@STAGED_TIER
 @pytest.mark.parametrize("name", sorted(STAGED_R14))
 def test_staged_query_hash_matches_oracle(spark, con, name):
     fn, sql = STAGED_R14[name]

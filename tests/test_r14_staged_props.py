@@ -8,6 +8,10 @@ import math
 
 import pytest
 
+from tests.conftest import STAGED_TIER
+
+pytestmark = STAGED_TIER
+
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.queries.analytics_r14_staged import STAGED_R14
 from tests.conftest import SF_DIR, SMOKE_SF_DIR

@@ -13,7 +13,7 @@ import pytest
 from mapreduce_llm_spark import registry
 from mapreduce_llm_spark.queries.analytics_r14_staged import STAGED_R14
 from mapreduce_llm_spark.queries.analytics_r15_staged import STAGED_R15
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, STAGED_TIER
 from tests.oracle_harness import compare, duckdb_conn
 
 registry.load_all()
@@ -46,6 +46,7 @@ def test_staged_names_are_new():
         assert name.startswith("q_")
 
 
+@STAGED_TIER
 @pytest.mark.parametrize("name", sorted(STAGED_R15))
 def test_staged_query_hash_matches_oracle(spark, con, name):
     fn, sql = STAGED_R15[name]

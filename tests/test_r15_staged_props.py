@@ -6,6 +6,10 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import STAGED_TIER
+
+pytestmark = STAGED_TIER
+
 from mapreduce_llm_spark.io import load_table
 from mapreduce_llm_spark.queries.analytics_r15_staged import STAGED_R15
 from tests.conftest import SF_DIR, SMOKE_SF_DIR

@@ -4,8 +4,10 @@ per CLUSTER, and clusters are the transitive closure of the pairs).
 
 Algorithm: alternating min-neighbor propagation and pointer jumping
 (label(x) ← min(label(x), min_{y∈N(x)} label(y), label(label(x)))),
-the standard O(log diameter) dataflow CC. Each iteration is two
-hash-shuffle joins; the driver loop stops at fixpoint. Lineage is
+the standard O(log diameter) dataflow CC. Each iteration is ONE
+hash-shuffle join of a message table against the label map plus one
+keyed aggregate (round-15; previously three joins); the driver loop
+stops at fixpoint. Lineage is
 truncated with ``localCheckpoint`` every few iterations (see
 ``checkpoint_every``) — the per-iteration plan is otherwise identical.
 
@@ -56,35 +58,53 @@ def connected_components(
     cached = labels
 
     for it in range(max_iter):
-        # min over neighbors' labels
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("_nbr_min"))
-            .withColumnRenamed("src", "node")
-        )
-        # pointer jump: label of my label
-        jumped = (
-            labels.join(
+        # Round-15 optimization (guide §2.4: fewer shuffles per
+        # iteration): the update rule
+        #   label'(x) = min(label(x), min_{y∈N(x)} label(y),
+        #               label(label(x)))
+        # previously ran as THREE shuffle joins (neighbor-min join +
+        # pointer-jump self-join + final assembly join, ~7 exchanges).
+        # All three terms are lookups of label[·] keyed by different
+        # expressions, so they become ONE message table joined against
+        # labels ONCE, then a keyed min:
+        #   (tgt=src, key=dst)       → label(y) for y ∈ N(x)
+        #   (tgt=node, key=label)    → label(label(x)) (pointer jump)
+        #   (tgt=node, key=node)     → label(x) (self; also carries
+        #                              the OLD label for the fixpoint
+        #                              test via the key = tgt marker)
+        # Per-iteration update values are identical term-for-term, so
+        # the label trajectory and iteration count are unchanged.
+        msgs = (
+            sym.select(F.col("src").alias("tgt"), F.col("dst").alias("key"))
+            .union(
                 labels.select(
-                    F.col("node").alias("label"), F.col("label").alias("_jump")
-                ),
-                "label",
+                    F.col("node").alias("tgt"), F.col("label").alias("key")
+                )
             )
-            .select("node", "label", "_jump")
+            .union(
+                labels.select(
+                    F.col("node").alias("tgt"), F.col("node").alias("key")
+                )
+            )
         )
-        # carry the OLD label through the update so the fixpoint test
-        # is a 1-row aggregate over the cached frame instead of a
-        # second shuffle join of new vs old labels (round-14
-        # optimization; per-iteration join + count job removed)
         stamped = (
-            jumped.join(nbr, "node", "left")
+            msgs.join(
+                labels.select(F.col("node").alias("key"), "label"), "key"
+            )
+            .groupBy("tgt")
+            .agg(
+                F.min("label").alias("_new"),
+                # the self message (key == tgt) carries label(x); a
+                # neighbor self-loop or a root's jump message matches
+                # the predicate too but carries the same value
+                F.min(
+                    F.when(F.col("key") == F.col("tgt"), F.col("label"))
+                ).alias("_old"),
+            )
             .select(
-                "node",
-                F.col("label").alias("_old"),
-                F.least(
-                    "label", "_jump", F.coalesce("_nbr_min", F.col("label"))
-                ).alias("label"),
+                F.col("tgt").alias("node"),
+                F.col("_old"),
+                F.col("_new").alias("label"),
             )
             .cache()
         )

@@ -402,6 +402,14 @@ def main() -> None:
             run_query(registry.QUERIES[name], spark, sf_dir)
         samples: dict[str, list[float]] = {name: [] for name in names}
         for _ in range(passes):
+            # VERDICT r14 item 6: persisted frames inside queries (BFS
+            # levels, zorder grid, CC labels) register in the
+            # CacheManager by canonicalized logical plan, so a later
+            # pass's identical plan could silently read an earlier
+            # pass's blocks — medians must measure what cold tasks
+            # cost. Clear between passes (localCheckpoints are not in
+            # the CacheManager and never cross runs).
+            spark.catalog.clearCache()
             for name in names:
                 samples[name].append(
                     run_query(registry.QUERIES[name], spark, sf_dir)

@@ -213,6 +213,16 @@ def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL keeps the oracle hash stable if testdata ever drifts NULLs
     # in (same hardening as q_win_running_distinct).
     med = F.when(n > 0, F.round((mid_lo + mid_hi) / 2.0, 4))
+    # round-15 NON-adoption: the trailing global sort's range-boundary
+    # sampling pass re-evaluates this window a second time, and a lazy
+    # localCheckpoint under the orderBy (materialize once, sample from
+    # blocks) measured 0.59x under heavy host contention — but a
+    # consistent ~1.05x LOSS on a quiet host (9-pass in-session A/B,
+    # anchors 0.31/0.34): the 11-point frame is cheap enough that the
+    # block write/rescan outweighs its re-evaluation. Left on the
+    # direct plan per the adopt-only-demonstrated-wins rule; the same
+    # barrier swept 0.96-1.05x (noise) across 18 re-screened headline
+    # candidates (OPTIMIZATION_r15.md).
     return (
         e.select(
             "event_id",

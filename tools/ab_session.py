@@ -38,13 +38,31 @@ def _noop_local_checkpoint(self, eager=True, storageLevel=None):
 
 
 class patched_no_checkpoint:
-    """Context manager: DataFrame.localCheckpoint becomes identity."""
+    """Context manager: DataFrame.localCheckpoint becomes identity.
+
+    ``lazy_only=True`` no-ops only ``eager=False`` calls (the
+    sort_barrier sites), leaving eager operator checkpoints intact —
+    the clean A/B for barrier-only deltas in queries that also use
+    eager checkpoints."""
+
+    def __init__(self, lazy_only: bool = False):
+        self._lazy_only = lazy_only
 
     def __enter__(self):
         from pyspark.sql import DataFrame
 
-        self._orig = DataFrame.localCheckpoint
-        DataFrame.localCheckpoint = _noop_local_checkpoint
+        orig = DataFrame.localCheckpoint
+        self._orig = orig
+        if self._lazy_only:
+
+            def lazy_noop(df, eager=True, storageLevel=None):
+                if eager:
+                    return orig(df, eager=eager, storageLevel=storageLevel)
+                return df
+
+            DataFrame.localCheckpoint = lazy_noop
+        else:
+            DataFrame.localCheckpoint = _noop_local_checkpoint
         return self
 
     def __exit__(self, *exc):
@@ -62,12 +80,18 @@ def main() -> int:
         action="store_true",
         help="variant B = same query, localCheckpoint patched to identity",
     )
+    ap.add_argument(
+        "--nolazyckpt",
+        action="store_true",
+        help="variant B = same query, only eager=False localCheckpoints "
+        "(sort_barrier sites) patched to identity",
+    )
     ap.add_argument("--vs", default=None, help="variant B = this query name")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=5)
     args = ap.parse_args()
-    if not args.nockpt and not args.vs:
-        ap.error("need --nockpt or --vs")
+    if not (args.nockpt or args.nolazyckpt or args.vs):
+        ap.error("need --nockpt, --nolazyckpt or --vs")
 
     from tools.host_anchor import cpu_anchor
 
@@ -84,8 +108,8 @@ def main() -> int:
         return run_query(qa, spark, args.sf)
 
     def time_b() -> float:
-        if args.nockpt:
-            with patched_no_checkpoint():
+        if args.nockpt or args.nolazyckpt:
+            with patched_no_checkpoint(lazy_only=args.nolazyckpt):
                 return run_query(qb, spark, args.sf)
         return run_query(qb, spark, args.sf)
 
@@ -108,7 +132,8 @@ def main() -> int:
     med_b = statistics.median(b_ts)
     out = {
         "query": args.query,
-        "variant_b": args.vs or f"{args.query} (no localCheckpoint)",
+        "variant_b": args.vs
+        or f"{args.query} (no {'lazy ' if args.nolazyckpt else ''}localCheckpoint)",
         "passes": args.passes,
         "a_median": round(med_a, 3),
         "b_median": round(med_b, 3),

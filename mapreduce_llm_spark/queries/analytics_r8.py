@@ -2201,12 +2201,25 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-14 optimization audit: measured, then left UNmaterialized —
     # the signature aggregate's final exchange (hashpartitioning
     # (doc_id, i)) is byte-identical across its three consumers, so
-    # ReuseExchange already computes the 12×md5 min-hash pass once;
-    # forcing eager localCheckpoints on sh/m instead measured 1.16×
-    # SLOWER (4.56 → 5.31 s isolated A/B): the shingle-string frame is
-    # large, and block write + full-row rescans cost more than the
-    # pipelined recompute of the cheap explode legs.
+    # ReuseExchange already computes the min-hash pass once; forcing
+    # eager localCheckpoints on sh/m instead measured 1.16× SLOWER
+    # (4.56 → 5.31 s isolated A/B): the shingle-string frame is large,
+    # and block write + full-row rescans cost more than the pipelined
+    # recompute of the cheap explode legs.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # round-15 re-examination, measured and NOT adopted: shingles
+    # repeat 9.6× across documents (260,388 occurrences / 27,213
+    # distinct at sf0.1), so hashing each DISTINCT shingle once into a
+    # 12-long array and joining back looked like a 10× CPU cut on the
+    # signature pass. In-session A/B (5 alternating passes, results
+    # asserted row-identical, anchors 0.355/0.375): 4.20 → 6.57 s —
+    # 1.57× SLOWER. The arithmetic: 3.1M md5s over ~30-byte strings is
+    # ~0.5 s of SINGLE-core work spread over every core by the
+    # pipelined aggregate, while the join-back adds two exchanges of
+    # the fat shingle-string table below a subtree that three
+    # consumers re-plan. The per-occurrence hash inside the partial
+    # aggregate IS the right shape; "compute floor" here means the
+    # pipeline is already bandwidth-bound, not hash-bound.
     m = (
         sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i"))
         .groupBy("doc_id", "i")
